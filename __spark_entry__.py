@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)     -> flagship curated-telemetry pipeline on sf0.001.
+queries()        -> every implemented operator of SURVEY.md §2 (+ Phase-4
+                    LLM-pipeline ops), keyed by harness name.
+oracle_sql()     -> DuckDB twins (plans/oracles.py); queries absent there
+                    are rows-only by design (engine-specific hashes).
 """
 
 from __future__ import annotations
@@ -12,27 +12,53 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's core ASA path re-expressed Spark-first —
+    event scan -> envelope normalize -> trailing-window spike/dip anomaly
+    -> broadcast-join device dimension -> curated telemetry frame
+    (reference stream-analytics/iot-stream-analytics-query.sql:8-46,64-83).
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.windows import (
+        spike_dip_score,
+        trailing_window,
+        with_epoch_seconds,
+    )
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+
+    ev = with_epoch_seconds(load_table(spark, SF0001_DIR, "events"), "ts")
+    w = trailing_window("ts_sec", key="user_id", window_seconds=3600)
+    is_anom, score = spike_dip_score(F.col("value"), w)
+    telemetry = ev.select(
+        F.col("event_id").alias("telemetryId"),
+        F.concat(F.lit("dev-"), F.col("user_id").cast("string")).alias("deviceId"),
+        F.col("user_id"),
+        F.col("ts").alias("enqueuedTime"),
+        F.col("event_type").alias("component"),
+        F.col("value"),
+        score.alias("Score"),
+        is_anom.alias("Anomaly"),
+    ).filter(F.col("deviceId").isNotNull())
+
+    cust = load_table(spark, SF0001_DIR, "customer").select(
+        F.col("c_custkey"), F.col("c_name").alias("deviceName")
+    )
+    return telemetry.join(
+        F.broadcast(cust), telemetry["user_id"] == cust["c_custkey"], "left"
+    ).drop("c_custkey", "user_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from azure_iot_realtime_data_pipeline_spark.plans.oracles import ORACLES
+
+    return dict(ORACLES)

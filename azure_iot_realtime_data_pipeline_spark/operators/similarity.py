@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as an ANN system would ship them:
+
+- brute-force cosine top-k (`cosine_topk`): exact baseline. The query
+  side is small and broadcast; the candidate side streams — one
+  broadcast-nested-loop with a per-query top-k window. Cost O(|Q|*|C|):
+  correct tool for small query sets / reranking, not the 100 TB path.
+- LSH-bucketed top-k (`lsh_topk`): random-hyperplane signatures bucket
+  both sides; exact cosine only within colliding buckets. Sub-linear
+  candidate generation via an equi-join on the signature — the scale
+  path. Hyperplanes are derived deterministically (seeded hash), so
+  results are reproducible.
+
+Arithmetic notes: dot/norm are sequential `F.aggregate` folds with every
+float32 upcast to float64 *before* multiplying — this makes the result
+bit-identical to any other engine doing sequential f64 accumulation
+(e.g. the DuckDB oracle), so value-hash comparison works.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.functions.rounding import round_half_up
+
+
+def dot_f64(a: Column, b: Column) -> Column:
+    """Sequential float64 dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_f64(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_f64(a, b) / (norm_f64(a) * norm_f64(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    query_vec: str = "qv",
+    cand_vec: str = "cv",
+) -> DataFrame:
+    """Exact cosine top-k per query (self-matches excluded).
+
+    Deterministic ranking: (rounded cosine DESC, cand_id ASC) so ties
+    break identically across engines.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(candidates)
+        .filter(F.col(query_id) != F.col(cand_id))
+        .select(
+            query_id,
+            cand_id,
+            round_half_up(cosine(F.col(query_vec), F.col(cand_vec))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane via splitmix64."""
+    vals = []
+    state = (plane_idx + 1) * 0x9E3779B97F4A7C15
+    for _ in range(dim):
+        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        vals.append((z / 2**64) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_signature(vec: Column, dim: int, num_planes: int = 16) -> Column:
+    """Random-hyperplane signature: one bit per plane, packed in a long."""
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = _hyperplane(dim, p)
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(v) for v in plane]), lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    query_vec: str = "qv",
+    cand_vec: str = "cv",
+) -> DataFrame:
+    """Approximate top-k: exact cosine among same-signature-bucket pairs.
+
+    Equi-join on the signature replaces the cross product: at 100 TB the
+    bucket join shuffles on a single long key (saltable if a bucket is
+    hot). Recall is tunable via num_planes (fewer planes -> bigger
+    buckets -> higher recall, more compute).
+    """
+    from pyspark.sql import Window
+
+    q = queries.withColumn("_sig", lsh_signature(F.col(query_vec), dim, num_planes))
+    c = candidates.withColumn("_sig", lsh_signature(F.col(cand_vec), dim, num_planes))
+    pairs = (
+        q.join(c, "_sig")
+        .filter(F.col(query_id) != F.col(cand_id))
+        .select(
+            query_id,
+            cand_id,
+            round_half_up(cosine(F.col(query_vec), F.col(cand_vec))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
+    return pairs.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)

@@ -1,0 +1,103 @@
+"""Trailing event-time windows + spike/dip anomaly scoring (F1/F2, batch form).
+
+The reference applies ASA's `AnomalyDetection_SpikeAndDip(value, 95, 85,
+'spikesanddips') OVER (LIMIT DURATION(second, 60))` to battery, barometer
+and accel-magnitude (reference
+stream-analytics/iot-stream-analytics-query.sql:33-44). ASA's detector is
+an unpublished adaptive ML kernel; per SURVEY.md §7 we define a
+deterministic stand-in with the same *interface*: a z-score over the
+trailing event-time window, returning struct(IsAnomaly, Score).
+
+Scale notes:
+- The reference window has NO PARTITION BY — global state — which is a
+  single-task cliff at 100 TB. The default here partitions by device key
+  (linear scale-out); ``key=None`` reproduces the reference-faithful
+  global window and documents the cost.
+- Batch form is a Catalyst RANGE window frame (sort within partition, no
+  extra shuffle beyond the partitionBy exchange). Streaming form lives in
+  streaming/anomaly_state.py with an identical spec.
+- The frame key is floor(epoch seconds) so batch Spark, DuckDB oracles,
+  and the streaming deque all agree on window membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.functions.rounding import round_half_up
+
+#: reference params: confidence 95, history<=85 events, 60 s window
+#: (iot-stream-analytics-query.sql:33-44). z>3 ~ two-sided 99.7%; the
+#: stand-in pins the threshold rather than modeling ASA's confidence.
+DEFAULT_WINDOW_SECONDS = 60
+DEFAULT_HISTORY_SIZE = 85
+DEFAULT_Z_THRESHOLD = 3.0
+
+
+def trailing_window(
+    ts_sec_col: str,
+    key: str | None,
+    window_seconds: int = DEFAULT_WINDOW_SECONDS,
+) -> WindowSpec:
+    """RANGE frame [t - window_seconds, t] over integral epoch seconds."""
+    base = Window.partitionBy(key) if key is not None else Window.partitionBy()
+    return base.orderBy(ts_sec_col).rangeBetween(-window_seconds, Window.currentRow)
+
+
+def with_epoch_seconds(df: DataFrame, ts_col: str, out_col: str = "ts_sec") -> DataFrame:
+    return df.withColumn(out_col, F.unix_timestamp(F.col(ts_col)))
+
+
+def windowed_moments(value: Column, w: WindowSpec) -> tuple[Column, Column, Column]:
+    """(n, mean, stddev_samp) over the frame, bit-deterministic.
+
+    Sums run as exact DECIMAL (order-independent — window aggregation
+    order is engine/plan dependent, so float sums are not reproducible),
+    then the moments derive from the exact sums in fixed double
+    arithmetic: mean = s1/n, var = (s2 - s1*mean)/(n-1).
+    """
+    dec = value.cast("decimal(18,2)")
+    n = F.count(value).over(w)
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec * dec).over(w).cast("double")
+    mean = s1 / n
+    var = F.greatest((s2 - s1 * mean) / (n - 1), F.lit(0.0))
+    return n, mean, F.sqrt(var)
+
+
+def spike_dip_score(
+    value: Column,
+    w: WindowSpec,
+    z_threshold: float = DEFAULT_Z_THRESHOLD,
+) -> tuple[Column, Column]:
+    """Deterministic spike/dip stand-in: (is_anomaly 0/1, score).
+
+    score = (x - mean_window) / stddev_window, 0.0 when the window is
+    degenerate (single point or flat line — matches the property
+    "no flag when window variance is 0", SURVEY.md §5). The flag uses
+    the 4-decimal-rounded score so batch/oracle/streaming agree at the
+    threshold boundary.
+    """
+    n, mean, sd = windowed_moments(value, w)
+    raw = F.when((n <= 1) | (sd == 0), F.lit(0.0)).otherwise((value - mean) / sd)
+    score = round_half_up(raw)
+    is_anomaly = (F.abs(score) > z_threshold).cast("int")
+    return is_anomaly, score
+
+
+def latest_value_per_key(df: DataFrame, key: str, ts_col: str, tiebreak: str) -> DataFrame:
+    """E5 dashboard 'current value' cards: newest row per key.
+
+    row_number over (ts DESC, tiebreak DESC) — deterministic under
+    duplicate timestamps; one shuffle on the key.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc(), F.col(tiebreak).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def first_value_per_key(df: DataFrame, key: str, ts_col: str, tiebreak: str) -> DataFrame:
+    """F7 dimension dedup: first-write-wins per key (the PK'd Devices sink,
+    reference iot-stream-analytics-query.sql:53-61 + README.MD:161)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -1,0 +1,269 @@
+"""DuckDB oracle SQL — the semantic ground truth for plans/queries.py.
+
+One ANSI-SQL string per query name, runnable by DuckDB against the same
+parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names/ordering match the
+Spark outputs exactly (the driver sorts columns by name and value-hashes).
+
+Dialect parity notes baked into these strings:
+- DuckDB CAST(double AS BIGINT) ROUNDS; Spark truncates -> oracles use
+  trunc() before casting.
+- DuckDB regexp_replace is first-match by default -> 'g' flag.
+- DuckDB row_number() is BIGINT; Spark's is INT -> CAST AS INTEGER.
+- DuckDB sum(INTEGER) is HUGEINT -> CAST AS BIGINT.
+- list_zip yields unnamed structs -> numeric access p[1], p[2].
+- float32 values upcast to DOUBLE before multiply/accumulate so dot
+  products are bit-identical with Spark's sequential f64 folds.
+
+Queries with engine-specific hashing (minhash/simhash/LSH buckets) have
+no oracle here on purpose: the driver records a rows-only check and
+their exactness is covered by package tests instead.
+"""
+
+STOP_IN = "('the','a','of','and','to','in','is')"
+
+ORACLES: dict[str, str] = {
+    "q_scan_events": "SELECT event_id, ts, user_id, event_type, value FROM events",
+    "q_from_json": (
+        "SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events"
+    ),
+    "q_incremental_tail": (
+        "SELECT event_id, ts, user_id, event_type, value FROM events "
+        "WHERE ts > TIMESTAMP '2024-01-25 00:00:00'"
+    ),
+    "q_offset_fetch": (
+        "SELECT event_id, ts, user_id, value FROM events "
+        "ORDER BY ts, event_id LIMIT 50 OFFSET 100"
+    ),
+    "q_cte": (
+        """
+        WITH enriched AS (
+          SELECT user_id, event_type, value FROM events WHERE user_id IS NOT NULL
+        ),
+        flagged AS (
+          SELECT user_id, event_type,
+                 CASE WHEN value > 150 THEN 1 ELSE 0 END AS hot
+          FROM enriched
+        )
+        SELECT user_id, event_type, COUNT(*) AS n, CAST(SUM(hot) AS BIGINT) AS n_hot
+        FROM flagged GROUP BY user_id, event_type
+        """
+    ),
+    "q_select_star": "SELECT * FROM events",
+    "q_project": "SELECT event_id, user_id, event_type FROM events",
+    "q_nested_access": (
+        "SELECT event_id, value AS lat, value + 1.0 AS lon FROM events"
+    ),
+    "q_filter_notnull": (
+        "SELECT event_id, 'dev-' || CAST(user_id AS VARCHAR) AS deviceId "
+        "FROM events WHERE event_type <> 'click'"
+    ),
+    "q_cast": (
+        "SELECT event_id, CAST(ts AS DATE) AS event_date, "
+        "CAST(trunc(value) AS BIGINT) AS value_int, "
+        "CAST(user_id AS VARCHAR) AS user_str FROM events"
+    ),
+    "q_magnitude": (
+        "SELECT l_orderkey, l_linenumber, "
+        "sqrt(l_quantity*l_quantity + l_discount*l_discount + l_tax*l_tax) AS magnitude "
+        "FROM lineitem"
+    ),
+    "q_case_when": (
+        "SELECT event_id, CASE WHEN event_type = 'error' THEN 'E' "
+        "WHEN value > 150 THEN 'H' WHEN user_id < 5 THEN 'L' ELSE 'N' END AS bucket "
+        "FROM events"
+    ),
+    "q_anomaly_flag": (
+        "SELECT event_id, CASE WHEN value > 180 THEN 1 "
+        "WHEN event_type = 'error' THEN 1 WHEN user_id = 0 THEN 1 ELSE 0 END AS anomaly "
+        "FROM events"
+    ),
+    "q_normalize": (
+        "SELECT 'default@v1' AS schema, CAST(event_id AS VARCHAR) AS message_id, "
+        "'dev-' || CAST(user_id AS VARCHAR) AS deviceId, ts AS enqueuedTime, "
+        "'telemetry' AS messageSource, event_type AS component, value FROM events"
+    ),
+    "q_array_transform": (
+        "SELECT doc_id, upper(tok) AS token FROM ("
+        "  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok"
+        "  FROM documents)"
+    ),
+    "q_map_from_entries": (
+        "SELECT event_id, value AS v, value * 2 AS v2 FROM events"
+    ),
+    "q_count": "SELECT COUNT(*) AS n FROM events",
+    "q_max_ts": "SELECT max(ts) AS max_ts FROM events",
+    "q_orderby": (
+        "SELECT event_id, ts, CAST(row_number() OVER (ORDER BY ts, event_id) AS INTEGER) AS rn "
+        "FROM events"
+    ),
+    "q_latest_value": (
+        "SELECT event_type, value AS latest_value, ts AS latest_ts FROM ("
+        "  SELECT event_type, value, ts, row_number() OVER ("
+        "    PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "WHERE rn = 1"
+    ),
+    "q_groupby_device": (
+        "SELECT user_id, event_type, n, "
+        "floor((s / n) * 10000 + 0.5) / 10000 AS avg_value, s AS sum_value FROM ("
+        "  SELECT user_id, event_type, COUNT(*) AS n, "
+        "  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s "
+        "  FROM events GROUP BY user_id, event_type)"
+    ),
+    "q_trailing_window": (
+        "SELECT event_id, user_id, "
+        "floor((CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (count(*) OVER w)) * 10000 + 0.5) / 10000 AS avg_1h, "
+        "count(*) OVER w AS n_1h "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
+    ),
+    "q_spike_dip": (
+        """
+        SELECT event_id, user_id, score,
+               CASE WHEN abs(score) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
+        FROM (
+          SELECT event_id, user_id,
+                 floor((CASE WHEN n <= 1 OR sd = 0 THEN 0.0
+                            ELSE (value - mean) / sd END) * 10000 + 0.5) / 10000 AS score
+          FROM (
+            SELECT event_id, user_id, value, n, mean,
+                   sqrt(greatest((s2 - s1 * mean) / (n - 1), 0.0)) AS sd
+            FROM (
+              SELECT event_id, user_id, value, n, s1, s2, s1 / n AS mean
+              FROM (
+                SELECT event_id, user_id, value,
+                       count(value) OVER w AS n,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+                       CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+              )
+            )
+          )
+        )
+        """
+    ),
+    "q_dedup_devices": (
+        "SELECT user_id, event_id AS first_event_id, ts AS first_ts, "
+        "event_type AS first_event_type FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+        "  FROM events) WHERE rn = 1"
+    ),
+    "q_join_devices": (
+        "SELECT user_id, c_name, c_mktsegment, COUNT(*) AS n, "
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
+        "FROM events JOIN customer ON user_id = c_custkey "
+        "GROUP BY user_id, c_name, c_mktsegment"
+    ),
+    "q_date_format": (
+        "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS ts_str FROM events"
+    ),
+    "q_coalesce": (
+        "SELECT event_id, "
+        "coalesce(CASE WHEN event_type <> 'click' THEN value END, 0.0) AS value_c, "
+        "coalesce(CASE WHEN user_id <> 0 THEN CAST(user_id AS VARCHAR) END, '') AS device_c "
+        "FROM events"
+    ),
+    "q_to_json": (
+        "SELECT event_id, to_json(struct_pack(event_id := event_id, "
+        "event_type := event_type)) AS payload FROM events"
+    ),
+    "q_dedup_exact": (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY md5(text)"
+    ),
+    "q_token_count": (
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) AS BIGINT) AS text_len FROM documents"
+    ),
+    "q_quality_score": (
+        f"""
+        SELECT doc_id,
+          floor((0.5 * (CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                      / length(text) END)
+              + 0.5 * (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, t -> t IN {STOP_IN})) AS DOUBLE)
+                      / len(toks) END)) * 10000 + 0.5) / 10000 AS quality
+        FROM (
+          SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents
+        )
+        """
+    ),
+    "q_lang_id": (
+        f"""
+        SELECT doc_id,
+          CASE WHEN len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+                                    t -> t IN {STOP_IN})) > 0
+               THEN 'en' ELSE 'und' END AS lang_pred
+        FROM documents
+        """
+    ),
+    "q_fingerprint": (
+        """
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                             t -> CAST(length(t) * 7 + ascii(substr(t, 1, 1)) AS BIGINT))),
+            (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+        FROM documents
+        """
+    ),
+    "q_ngram_jaccard": (
+        """
+        WITH docs AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents WHERE doc_id < 50
+        ),
+        idx AS (
+          SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+          FROM docs WHERE len(toks) >= 3
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM idx
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        """
+    ),
+    "q_topk_cosine": (
+        """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+        pairs AS (
+          SELECT query_id, cand_id,
+            floor((
+              list_sum(list_transform(list_zip(qv, cv),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              ) * 10000 + 0.5) / 10000 AS cosine
+          FROM q, c WHERE query_id <> cand_id
+        )
+        SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+          FROM pairs
+        ) WHERE rn <= 10
+        """
+    ),
+    # q_minhash_lsh, q_simhash, q_lsh_topk: intentionally no oracle
+    # (engine-specific hash functions); covered by rows-only driver check
+    # + exactness tests in tests/test_dedup.py / tests/test_similarity.py.
+}

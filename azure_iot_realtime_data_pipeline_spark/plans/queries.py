@@ -1,0 +1,508 @@
+"""The engine's query surface: one callable per operator of SURVEY.md §2.
+
+Every function has signature (spark, sf_dir) -> DataFrame and a DuckDB
+oracle twin in plans/oracles.py (same output column names — the driver
+hashes values under sorted column names). Reference-derived operators
+run against the `events` stream analog (event_id/ts/user_id/event_type/
+value/props ≙ message-id/enqueuedTime/deviceId/sensor/reading/payload);
+LLM-pipeline operators run against `documents`/`embeddings`.
+
+Float parity policy: aggregates whose accumulation order is engine-
+dependent (window/group sums) are rounded to 4 decimals on both sides;
+deterministic scalar math (sqrt, products) is left unrounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.functions.rounding import round_half_up
+
+from azure_iot_realtime_data_pipeline_spark.functions.magnitudes import magnitude3
+from azure_iot_realtime_data_pipeline_spark.functions.serialization import (
+    coalesce_device_id,
+    coalesce_double,
+    format_iso_millis,
+    row_to_json,
+)
+from azure_iot_realtime_data_pipeline_spark.operators import dedup, similarity, text
+from azure_iot_realtime_data_pipeline_spark.operators.incremental import incremental_tail
+from azure_iot_realtime_data_pipeline_spark.operators.windows import (
+    first_value_per_key,
+    latest_value_per_key,
+    spike_dip_score,
+    trailing_window,
+    with_epoch_seconds,
+)
+from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table, register_views
+
+# ---------------------------------------------------------------------------
+# §2.A sources
+
+
+def q_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 batch analog: scan the event stream table (column-pruned)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: JSON payload deserialize with an explicit schema (never inference
+    on a stream). props '{"k": 87}' -> typed column."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select("event_id", F.from_json("props", "k INT").alias("p"))
+    return parsed.select("event_id", F.col("p.k").alias("k"))
+
+
+def q_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/F6: high-watermark tail read — rows strictly newer than the
+    persisted watermark. Pushed-down range predicate -> partition pruning
+    on a date-partitioned fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    return incremental_tail(ev, "ts", "2024-01-25 00:00:00").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def q_offset_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/E4: ORDER BY ... OFFSET/FETCH pagination (deterministic via
+    event_id tiebreak). Parity op — not a scale access path."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT event_id, ts, user_id, value FROM events "
+        "ORDER BY ts, event_id LIMIT 50 OFFSET 100"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.B projection / filter / scalar
+
+
+def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: chained CTEs shared downstream (the ASA job's WITH ... shape,
+    reference iot-stream-analytics-query.sql:2-46)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH enriched AS (
+          SELECT user_id, event_type, value FROM events WHERE user_id IS NOT NULL
+        ),
+        flagged AS (
+          SELECT user_id, event_type,
+                 CASE WHEN value > 150 THEN 1 ELSE 0 END AS hot
+          FROM enriched
+        )
+        SELECT user_id, event_type, COUNT(*) AS n, CAST(SUM(hot) AS BIGINT) AS n_hot
+        FROM flagged GROUP BY user_id, event_type
+        """
+    )
+
+
+def q_select_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: identity projection (the bronze passthrough,
+    reference iot-stream-analytics-query.sql:49-50)."""
+    return load_table(spark, sf_dir, "events").select("*")
+
+
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: column-list projection; prunes the parquet scan to 3 columns."""
+    return load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+
+
+def q_nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: 2-level nested struct field access (telemetry.geolocation.lat
+    pattern, reference iot-stream-analytics-query.sql:15-17)."""
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.struct(
+                F.col("value").alias("lat"), (F.col("value") + 1.0).alias("lon")
+            ).alias("geo")
+        ).alias("loc"),
+    )
+    return nested.select(
+        "event_id",
+        F.col("loc.geo.lat").alias("lat"),
+        F.col("loc.geo.lon").alias("lon"),
+    )
+
+
+def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: IS NOT NULL predicate (WHERE deviceId IS NOT NULL,
+    reference iot-stream-analytics-query.sql:61,83). Nulls are minted via
+    a conditional first since the test events have none."""
+    ev = load_table(spark, sf_dir, "events")
+    dev = F.when(
+        F.col("event_type") != "click",
+        F.concat(F.lit("dev-"), F.col("user_id").cast("string")),
+    )
+    return (
+        ev.withColumn("deviceId", dev)
+        .filter(F.col("deviceId").isNotNull())
+        .select("event_id", "deviceId")
+    )
+
+
+def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: CAST coercions (timestamp->date, double->bigint truncating
+    toward zero, bigint->string)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("ts").cast("date").alias("event_date"),
+        F.col("value").cast("long").alias("value_int"),
+        F.col("user_id").cast("string").alias("user_str"),
+    )
+
+
+def q_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10/B11/C1-C3: 3-component Euclidean magnitude, written exactly as
+    the reference (x*x + y*y + z*z under SQRT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        magnitude3(F.col("l_quantity"), F.col("l_discount"), F.col("l_tax")).alias("magnitude"),
+    )
+
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: multi-branch CASE WHEN."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("event_type") == "error", "E")
+        .when(F.col("value") > 150, "H")
+        .when(F.col("user_id") < 5, "L")
+        .otherwise("N")
+    )
+    return ev.select("event_id", bucket.alias("bucket"))
+
+
+def q_anomaly_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: OR-fold of three anomaly conditions into one 0/1 flag
+    (reference iot-stream-analytics-query.sql:75-80)."""
+    ev = load_table(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("value") > 180, 1)
+        .when(F.col("event_type") == "error", 1)
+        .when(F.col("user_id") == 0, 1)
+        .otherwise(0)
+    )
+    return ev.select("event_id", flag.alias("anomaly"))
+
+
+# ---------------------------------------------------------------------------
+# §2.D normalization
+
+
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D4: envelope rebuild with literal injection ('default@v1') and
+    field renames — the IoT Central export transform shape
+    (reference iot-central/transformation.txt:3-15)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.lit("default@v1").alias("schema"),
+        F.col("event_id").cast("string").alias("message_id"),
+        F.concat(F.lit("dev-"), F.col("user_id").cast("string")).alias("deviceId"),
+        F.col("ts").alias("enqueuedTime"),
+        F.lit("telemetry").alias("messageSource"),
+        F.col("event_type").alias("component"),
+        F.col("value"),
+    )
+
+
+def q_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: map over an array (`.telemetry | map(...)`) — tokenize text,
+    uppercase each token, explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.select(
+        "doc_id", F.explode(F.transform(toks, lambda t: F.upper(t))).alias("token")
+    )
+
+
+def q_map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: array<{key,value}> -> map, then keyed extraction (from_entries,
+    reference iot-central/transformation.txt:10)."""
+    ev = load_table(spark, sf_dir, "events")
+    entries = F.array(
+        F.struct(F.lit("value").alias("key"), F.col("value").alias("val")),
+        F.struct(F.lit("double").alias("key"), (F.col("value") * 2).alias("val")),
+    )
+    m = F.map_from_entries(entries)
+    return ev.select(
+        "event_id",
+        m.getItem("value").alias("v"),
+        m.getItem("double").alias("v2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.E aggregates / sorts / limits
+
+
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: scalar COUNT(*) (drives the reference's pagination loop)."""
+    return load_table(spark, sf_dir, "events").agg(F.count("*").alias("n"))
+
+
+def q_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: running MAX(enqueuedTime) — the watermark candidate."""
+    return load_table(spark, sf_dir, "events").agg(F.max("ts").alias("max_ts"))
+
+
+def q_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: global event-time ordering, made hash-observable via
+    row_number. Range-partitioned sort (sampled bounds) in Spark."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select("event_id", "ts", F.row_number().over(w).cast("int").alias("rn"))
+
+
+def q_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: latest value per metric (dashboard 'current value' cards)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_value_per_key(ev, key="event_type", ts_col="ts", tiebreak="event_id")
+    return latest.select(
+        "event_type", F.col("value").alias("latest_value"), F.col("ts").alias("latest_ts")
+    )
+
+
+def q_groupby_device(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: per-device per-metric aggregation (dashboard bar series).
+    Map-side partial agg + one shuffle on the group keys."""
+    ev = load_table(spark, sf_dir, "events")
+    # Sum as exact DECIMAL so the result is independent of partial-agg
+    # accumulation order (bit-stable across engines); derive avg from it.
+    dec = F.col("value").cast("decimal(18,2)")
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"), F.sum(dec).alias("_s")
+    )
+    return agg.select(
+        "user_id",
+        "event_type",
+        "n",
+        round_half_up(F.col("_s").cast("double") / F.col("n")).alias("avg_value"),
+        F.col("_s").cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.F windowed / stateful (batch form)
+
+
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: trailing 1-hour event-time window per device (RANGE frame on
+    epoch seconds). Reference's window is global (no PARTITION BY) — the
+    partitioned form is the scale-correct default; global form is
+    exercised in tests (see SURVEY.md §7 hard part 1)."""
+    ev = with_epoch_seconds(load_table(spark, sf_dir, "events"), "ts")
+    w = trailing_window("ts_sec", key="user_id", window_seconds=3600)
+    n = F.count("*").over(w)
+    s = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    return ev.select(
+        "event_id",
+        "user_id",
+        round_half_up(s / n).alias("avg_1h"),
+        n.alias("n_1h"),
+    )
+
+
+def q_spike_dip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: deterministic spike/dip stand-in — trailing-window z-score with
+    struct(IsAnomaly, Score) interface (reference
+    iot-stream-analytics-query.sql:33-44; params README.MD:152-154)."""
+    ev = with_epoch_seconds(load_table(spark, sf_dir, "events"), "ts")
+    w = trailing_window("ts_sec", key="user_id", window_seconds=3600)
+    is_anom, score = spike_dip_score(F.col("value"), w)
+    return ev.select(
+        "event_id", "user_id", score.alias("score"), is_anom.alias("is_anomaly")
+    )
+
+
+def q_dedup_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: first-write-wins dedup into the PK'd device dimension
+    (reference iot-stream-analytics-query.sql:53-61, README.MD:161)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = first_value_per_key(ev, key="user_id", ts_col="ts", tiebreak="event_id")
+    return first.select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.col("ts").alias("first_ts"),
+        F.col("event_type").alias("first_event_type"),
+    )
+
+
+def q_join_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.I: the BI-time fact⋈dimension join (README.MD:56), dimension
+    broadcast — no shuffle of the fact side."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    return joined.groupBy("user_id", "c_name", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.G serialization / edge coercion
+
+
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: UTC ISO-8601 millisecond 'Z' formatting
+    (reference PushTelemetryFunction.cs:349)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", format_iso_millis(F.col("ts")).alias("ts_str"))
+
+
+def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3/G5: numeric NULL -> 0.0 and string NULL -> '' edge coercion
+    (reference PushTelemetryFunction.cs:341-384)."""
+    ev = load_table(spark, sf_dir, "events")
+    masked_value = F.when(F.col("event_type") != "click", F.col("value"))
+    masked_dev = F.when(F.col("user_id") != 0, F.col("user_id").cast("string"))
+    return ev.select(
+        "event_id",
+        coalesce_double(masked_value).alias("value_c"),
+        coalesce_device_id(masked_dev).alias("device_c"),
+    )
+
+
+def q_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: row -> flat JSON object string (the HTTP push payload unit,
+    reference PushTelemetryFunction.cs:336-400)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        row_to_json([F.col("event_id"), F.col("event_type")]).alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 4 — LLM-data-pipeline operators
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (one shuffle on md5 key)."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char length (map-side only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc quality heuristic: alpha ratio + stopword ratio blend."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive modular polynomial document fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for pairs sharing a shingle, candidate
+    generation via shingle equi-join (never O(n^2)). Bounded here to
+    doc_id < 50 to keep the oracle cheap; the plan shape is the 100 TB
+    path."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return dedup.ngram_jaccard_pairs(docs)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup candidates (sub-quadratic; rows-only
+    oracle — hash functions are engine-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, est_threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (rows-only oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup.simhash64(text.tokens(F.col("text"))).alias("simhash")
+    )
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors over all candidates
+    (broadcast queries, stream candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    return similarity.cosine_topk(q, c, k=10)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only oracle; the scale path
+    for similarity search)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    return similarity.lsh_topk(q, c, dim=64, k=10, num_planes=4)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_scan_events": q_scan_events,
+    "q_from_json": q_from_json,
+    "q_incremental_tail": q_incremental_tail,
+    "q_offset_fetch": q_offset_fetch,
+    "q_cte": q_cte,
+    "q_select_star": q_select_star,
+    "q_project": q_project,
+    "q_nested_access": q_nested_access,
+    "q_filter_notnull": q_filter_notnull,
+    "q_cast": q_cast,
+    "q_magnitude": q_magnitude,
+    "q_case_when": q_case_when,
+    "q_anomaly_flag": q_anomaly_flag,
+    "q_normalize": q_normalize,
+    "q_array_transform": q_array_transform,
+    "q_map_from_entries": q_map_from_entries,
+    "q_count": q_count,
+    "q_max_ts": q_max_ts,
+    "q_orderby": q_orderby,
+    "q_latest_value": q_latest_value,
+    "q_groupby_device": q_groupby_device,
+    "q_trailing_window": q_trailing_window,
+    "q_spike_dip": q_spike_dip,
+    "q_dedup_devices": q_dedup_devices,
+    "q_join_devices": q_join_devices,
+    "q_date_format": q_date_format,
+    "q_coalesce": q_coalesce,
+    "q_to_json": q_to_json,
+    "q_dedup_exact": q_dedup_exact,
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_lsh": q_minhash_lsh,
+    "q_simhash": q_simhash,
+    "q_topk_cosine": q_topk_cosine,
+    "q_lsh_topk": q_lsh_topk,
+}

@@ -1,0 +1,51 @@
+"""SparkSession factory with the engine's default tuning.
+
+Scale design notes (the local[32] numbers are the test stand-in; the
+same knobs are what a 1000-executor deployment would set):
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned shuffle counts.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  on a cluster AQE coalescing makes the initial number a ceiling, not
+  a target.
+- Arrow transfer on: the Pandas-UDF operators (simhash, multimodal
+  feature extraction, stateful anomaly) move data in columnar batches.
+- Session timezone pinned to UTC: the reference pipeline is UTC
+  end-to-end (ISO-8601 'Z' wire timestamps, see
+  reference azure-function/PushTelemetryFunction.cs:349).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "azure-iot-realtime-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,67 @@
+"""Batch parquet sources for the driver-provided test tables.
+
+The `events` table is the batch analog of the reference's Event Hub
+stream (reference stream-analytics/iot-stream-analytics-query.sql:2-5):
+event_id / ts / user_id / event_type / value / props(JSON string) play
+the roles of a telemetry message's id / enqueuedTime / deviceId /
+sensor-name / reading / payload.
+
+Scan-path notes for 100 TB: everything below is a plain
+``spark.read.parquet`` so Catalyst's data-source V2 path gives predicate
+pushdown, column pruning, and partition pruning for free; callers must
+keep filters/selects declarative (no ``collect()`` then filter) so they
+reach the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+#: timestamp type, so we read them as int64 nanos
+#: (spark.sql.legacy.parquet.nanosAsLong) and floor to microseconds,
+#: exactly how DuckDB coerces TIMESTAMP_NS to its microsecond TIMESTAMP.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer `div`, not `/`: double division of ~1.7e18 ns loses
+            # sub-µs bits and floors the wrong way by 1 µs
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view (idempotent) and return them."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
