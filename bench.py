@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query materializes fully via the `noop` sink (distributed write,
+no driver collect, no disk) — measures plan execution, not driver IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from azure_iot_realtime_data_pipeline_spark.plans.queries import QUERIES
+from azure_iot_realtime_data_pipeline_spark.session import get_spark
+
+#: headline set: one per operator family — scan+projection, shuffle agg,
+#: broadcast join, global sort, range-frame window, anomaly scoring,
+#: dedup families, text analysis, similarity search.
+HEADLINE = [
+    "q_scan_events",
+    "q_groupby_device",
+    "q_join_devices",
+    "q_orderby",
+    "q_trailing_window",
+    "q_spike_dip",
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_minhash_lsh",
+    "q_token_count",
+    "q_quality_score",
+    "q_fingerprint",
+    "q_topk_cosine",
+    "q_lsh_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so q1 doesn't pay one-time costs
+    materialize(QUERIES["q_count"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
