@@ -1,0 +1,137 @@
+"""Streaming pipeline topology: watermark + single-pass multi-sink fan-out.
+
+Reference semantics reproduced here:
+- F3 event-time policy — `withWatermark(60s)` stands in for ASA's
+  30 s reorder buffer + 60 s late tolerance
+  (reference terraform/main-example.tf:133-136). Divergence, documented:
+  ASA's `Adjust` policy clamps late timestamps; Spark drops rows later
+  than the watermark (SURVEY.md §7 hard part 4).
+- F4 multi-sink fan-out — ONE input stream feeds three sinks (bronze
+  raw archive, Devices dimension, curated Telemetry) exactly like the
+  three `SELECT ... INTO` of the ASA job
+  (reference stream-analytics/iot-stream-analytics-query.sql:48-83).
+  Spark does NOT share scans across independent streaming queries, so
+  the single-pass shape is `foreachBatch` + `persist()`: scan once per
+  micro-batch, write three times (SURVEY.md §4).
+- F5 trigger cadence — `processingTime="10 seconds"` mirrors the
+  worker's timer (reference PushTelemetryFunction.cs:20-23); tests use
+  `availableNow` for determinism.
+- F7 dimension dedup — the Devices sink upserts first-write-wins per
+  deviceId into a PK'd table (reference
+  iot-stream-analytics-query.sql:53-61 + README.MD:159-165): batch-local
+  dropDuplicates, then an anti-join against already-stored keys. On a
+  transactional store this is a Delta/JDBC MERGE; the parquet form keeps
+  the same semantics for the local stand.
+
+Scale notes: the per-batch persist is the canonical fan-out idiom; the
+dimension anti-join broadcasts the (tiny) new-keys side; bronze/telemetry
+appends are partitioned parquet writes with no shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from azure_iot_realtime_data_pipeline_spark.streaming.anomaly import spike_dip_stream
+
+WATERMARK_DELAY = "60 seconds"
+TRIGGER_INTERVAL = "10 seconds"
+
+
+def curated_stream(
+    events: DataFrame,
+    watermark_delay: str = WATERMARK_DELAY,
+    window_seconds: int = 60,
+    history_size: int | None = 85,
+) -> DataFrame:
+    """events stream -> watermarked, anomaly-scored curated telemetry.
+
+    The streaming analog of the `TelemetryWithAnoms` CTE
+    (reference iot-stream-analytics-query.sql:8-46): project, score,
+    flag — deviceId derivation matches the batch q_normalize surface.
+    """
+    scored = spike_dip_stream(
+        events.withWatermark("ts", watermark_delay),
+        key_col="user_id",
+        window_seconds=window_seconds,
+        history_size=history_size,
+    )
+    return scored.select(
+        F.col("event_id").alias("telemetryId"),
+        F.concat(F.lit("dev-"), F.col("user_id").cast("string")).alias("deviceId"),
+        F.col("ts").alias("enqueuedTime"),
+        F.col("value"),
+        F.col("score").alias("Score"),
+        F.col("is_anomaly").alias("Anomaly"),
+    ).filter(F.col("deviceId").isNotNull())
+
+
+def upsert_devices(batch: DataFrame, devices_dir: str) -> None:
+    """First-write-wins upsert of device metadata (F7).
+
+    New keys only: batch-local first-value dedup, anti-join against the
+    stored dimension, append. The stored side stays small (one row per
+    device), so the anti-join broadcasts.
+    """
+    spark = batch.sparkSession
+    devices = (
+        batch.select(
+            "deviceId",
+            F.col("enqueuedTime").alias("firstSeen"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("deviceId").orderBy(F.col("firstSeen").asc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if os.path.isdir(devices_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(devices_dir)
+    ):
+        existing = spark.read.parquet(devices_dir).select("deviceId")
+        devices = devices.join(F.broadcast(existing), "deviceId", "left_anti")
+    devices.write.mode("append").parquet(devices_dir)
+
+
+def multi_sink_batch_writer(
+    bronze_dir: str, devices_dir: str, telemetry_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: persist once, write three sinks (F4)."""
+
+    def write(batch: DataFrame, _batch_id: int) -> None:
+        batch.persist()
+        try:
+            batch.write.mode("append").parquet(bronze_dir)  # A3 bronze raw
+            upsert_devices(batch, devices_dir)  # A4/F7 dimension
+            batch.drop("value").write.mode("append").parquet(telemetry_dir)  # A5 fact
+        finally:
+            batch.unpersist()
+
+    return write
+
+
+def run_multi_sink(
+    curated: DataFrame,
+    bronze_dir: str,
+    devices_dir: str,
+    telemetry_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    trigger_interval: str = TRIGGER_INTERVAL,
+) -> StreamingQuery:
+    writer = curated.writeStream.foreachBatch(
+        multi_sink_batch_writer(bronze_dir, devices_dir, telemetry_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -1,0 +1,69 @@
+"""File-replay streaming source for the `events` table (operator A1).
+
+The reference consumes a 4-partition Event Hub
+(reference terraform/main-example.tf:108-118;
+iot-stream-analytics-query.sql:2-5). The local analog replays the
+driver's `events` parquet through Spark's file stream source: the table
+is staged into N chronological files, and `maxFilesPerTrigger=1` makes
+each file one micro-batch — a deterministic stand-in for partitioned,
+time-ordered hub delivery. In production this module is the one swap
+point: `readStream.format("kafka")` with the same downstream plan.
+
+Schema is always explicit (streaming sources never infer), mirroring the
+reference's schema-on-read-with-declared-shape policy (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+
+
+def stage_replay_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, num_files: int = 4
+) -> str:
+    """Stage `events` as `num_files` chronological parquet files.
+
+    Files split on event-time buckets (never inside a second), so replay
+    order == event-time order and rows sharing a timestamp land in one
+    micro-batch — the precondition for causal parity with the batch
+    RANGE-frame oracle (see anomaly.py). File mtimes are set in bucket
+    order because the file source sorts by modification time.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("lo"), F.max(F.unix_timestamp("ts")).alias("hi")
+    ).collect()[0]
+    span = max(int(bounds["hi"]) - int(bounds["lo"]), 1)
+    bucket = F.least(
+        F.lit(num_files - 1),
+        ((F.unix_timestamp("ts") - F.lit(int(bounds["lo"]))) * num_files / span).cast("int"),
+    )
+    staged = ev.withColumn("_bucket", bucket)
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(num_files):
+        part_dir = os.path.join(out_dir, f"bucket={i:02d}")
+        staged.filter(F.col("_bucket") == i).drop("_bucket").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        now = time.time()
+        for root, _dirs, files in os.walk(part_dir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i, now + i))
+    return out_dir
+
+
+def replay_events(
+    spark: SparkSession, replay_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """readStream over a staged replay dir; one file per micro-batch."""
+    schema = spark.read.parquet(os.path.join(replay_dir, "bucket=00")).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("recursiveFileLookup", "true").parquet(replay_dir)

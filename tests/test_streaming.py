@@ -1,0 +1,218 @@
+"""Phase 3 streaming tests: replay source, stateful anomaly parity with
+the batch oracle, multi-sink fan-out invariants, HTTP push + watermark
+commit protocol (SURVEY.md §5 streaming bullet)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.operators.windows import (
+    spike_dip_score,
+    trailing_window,
+    with_epoch_seconds,
+)
+from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+from azure_iot_realtime_data_pipeline_spark.streaming import http_sink
+from azure_iot_realtime_data_pipeline_spark.streaming.anomaly import spike_dip_stream
+from azure_iot_realtime_data_pipeline_spark.streaming.pipeline import (
+    curated_stream,
+    run_multi_sink,
+)
+from azure_iot_realtime_data_pipeline_spark.streaming.source import (
+    replay_events,
+    stage_replay_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_smoke, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("replay"))
+    return stage_replay_dir(spark, sf_smoke, out, num_files=4)
+
+
+def _run_available_now(stream_df, sink_fn, checkpoint):
+    q = (
+        stream_df.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+
+
+def test_replay_source_delivers_all_rows(spark, sf_smoke, replay_dir, tmp_path):
+    total = load_table(spark, sf_smoke, "events").count()
+    seen = {"rows": 0, "batches": 0}
+
+    def sink(batch, _bid):
+        seen["rows"] += batch.count()
+        seen["batches"] += 1
+
+    _run_available_now(
+        replay_events(spark, replay_dir), sink, str(tmp_path / "ckpt")
+    )
+    assert seen["rows"] == total
+    assert seen["batches"] >= 2  # maxFilesPerTrigger=1 -> multiple micro-batches
+
+
+def test_streaming_anomaly_matches_batch_oracle(spark, sf_smoke, replay_dir, tmp_path):
+    """Causal streaming evaluation == batch RANGE-frame computation, row
+    by row, across micro-batch boundaries (in-order replay)."""
+    stream = spike_dip_stream(
+        replay_events(spark, replay_dir),
+        key_col="user_id",
+        window_seconds=60,
+        history_size=None,
+    )
+    got = []
+
+    def sink(batch, _bid):
+        got.extend(batch.collect())
+
+    _run_available_now(stream, sink, str(tmp_path / "ckpt"))
+
+    ev = with_epoch_seconds(load_table(spark, sf_smoke, "events"), "ts")
+    w = trailing_window("ts_sec", key="user_id", window_seconds=60)
+    is_anom, score = spike_dip_score(F.col("value"), w)
+    expected = {
+        r["event_id"]: (r["score"], r["is_anomaly"])
+        for r in ev.select(
+            "event_id", score.alias("score"), is_anom.alias("is_anomaly")
+        ).collect()
+    }
+    assert len(got) == len(expected)
+    mismatches = [
+        (r["event_id"], (r["score"], r["is_anomaly"]), expected[r["event_id"]])
+        for r in got
+        if (r["score"], r["is_anomaly"]) != expected[r["event_id"]]
+    ]
+    assert mismatches == []
+
+
+def test_streaming_anomaly_state_bounded(spark, replay_dir, tmp_path):
+    """historySize cap: with history_size=2 no window ever uses more than
+    2 retained events + the current batch's same-window rows."""
+    stream = spike_dip_stream(
+        replay_events(spark, replay_dir),
+        key_col="user_id",
+        window_seconds=60,
+        history_size=2,
+    )
+    rows = []
+
+    def sink(batch, _bid):
+        rows.extend(batch.collect())
+
+    _run_available_now(stream, sink, str(tmp_path / "ckpt"))
+    assert rows  # runs to completion with bounded state
+
+
+def test_multi_sink_fanout(spark, replay_dir, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    devices = str(tmp_path / "devices")
+    telemetry = str(tmp_path / "telemetry")
+    q = run_multi_sink(
+        curated_stream(replay_events(spark, replay_dir), history_size=85),
+        bronze,
+        devices,
+        telemetry,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    b = spark.read.parquet(bronze)
+    d = spark.read.parquet(devices)
+    t = spark.read.parquet(telemetry)
+    # bronze is a raw passthrough of the curated stream rows
+    assert b.count() == t.count()
+    # dimension: exactly one row per deviceId (PK semantics, F7)
+    assert d.groupBy("deviceId").count().filter(F.col("count") > 1).count() == 0
+    assert d.count() == b.select("deviceId").distinct().count()
+    # fact keeps the anomaly flag column, 0/1 only
+    flags = {r["Anomaly"] for r in t.select("Anomaly").distinct().collect()}
+    assert flags <= {0, 1}
+
+
+def test_devices_upsert_is_first_write_wins(spark, replay_dir, tmp_path):
+    """Re-running the stream against an existing dimension adds no rows
+    and keeps the original firstSeen (F7 upsert, not append)."""
+    bronze = str(tmp_path / "b2")
+    devices = str(tmp_path / "d2")
+    telemetry = str(tmp_path / "t2")
+    for i in range(2):  # fresh checkpoint -> full replay, same dimension dir
+        q = run_multi_sink(
+            curated_stream(replay_events(spark, replay_dir)),
+            bronze,
+            devices,
+            telemetry,
+            str(tmp_path / f"ckpt{i}"),
+            available_now=True,
+        )
+        q.awaitTermination(300)
+    d = spark.read.parquet(devices)
+    assert d.groupBy("deviceId").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_push_rows_chunks_and_preserves_order(spark, sf_smoke):
+    df = (
+        load_table(spark, sf_smoke, "events")
+        .orderBy("ts", "event_id")
+        .limit(120)
+        .select("event_id", "event_type")
+    )
+    poster = http_sink.CollectingPoster()
+    sent = http_sink.push_rows(df, poster, batch_size=50, pace_seconds=0.0)
+    assert sent == 120
+    assert [len(c) for c in poster.chunks] == [50, 50, 20]
+    ids = [int(__import__("json").loads(r)["event_id"]) for r in poster.rows]
+    expected = [r["event_id"] for r in df.collect()]
+    assert ids == expected
+
+
+def test_incremental_push_watermark_protocol(spark, sf_smoke, tmp_path):
+    """F6: watermark advances only after full success; failed push leaves
+    it untouched and the next tick redelivers (at-least-once)."""
+    src = str(tmp_path / "fact")
+    load_table(spark, sf_smoke, "events").select(
+        "event_id", F.col("ts").alias("enqueuedTime"), "value"
+    ).write.parquet(src)
+    state = str(tmp_path / "wm.json")
+
+    # tick 1: initial load, everything delivered, watermark commits
+    ok = http_sink.CollectingPoster()
+    n1 = http_sink.incremental_push(
+        spark, src, state, ok, initial_load=True, pace_seconds=0.0
+    )
+    assert n1 == len(ok.rows) > 0
+    assert os.path.exists(state)
+
+    # tick 2: nothing new
+    n2 = http_sink.incremental_push(spark, src, state, ok, pace_seconds=0.0)
+    assert n2 == 0
+
+    # regress the watermark to simulate pending rows, then fail mid-push:
+    # state must NOT advance
+    wm_before = http_sink.read_watermark(state)
+    mid = spark.read.parquet(src).agg(
+        F.expr("percentile_approx(enqueuedTime, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    http_sink.write_watermark(state, mid)
+    failing = http_sink.CollectingPoster(fail_times=1)
+    with pytest.raises(ConnectionError):
+        http_sink.incremental_push(
+            spark, src, state, failing, batch_size=100, pace_seconds=0.0
+        )
+    assert http_sink.read_watermark(state) == http_sink.read_watermark(state)
+    assert http_sink.read_watermark(state).replace(tzinfo=None) == mid.replace(tzinfo=None)
+
+    # retry tick: delivers the tail and commits to the true max
+    retry = http_sink.CollectingPoster()
+    n3 = http_sink.incremental_push(spark, src, state, retry, pace_seconds=0.0)
+    assert n3 > 0
+    assert http_sink.read_watermark(state) >= wm_before
