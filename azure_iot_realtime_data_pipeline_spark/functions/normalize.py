@@ -1,4 +1,5 @@
-"""jq-style normalization of raw device messages (reference operators D1-D6).
+"""jq-style normalization of raw device messages (reference operators D1-D6)
+and the downstream curated/serve projections they feed.
 
 The reference runs a 15-line jq-dialect transform inside IoT Central
 (reference iot-central/transformation.txt:3-15) that reshapes the raw
@@ -7,15 +8,27 @@ envelope (iot-central/preview-output-example.json):
 
   D1 envelope rebuild, D2 literal `schema: "default@v1"`,
   D3 nested-path extraction (.device.id -> deviceId),
-  D4 passthrough fields,
+  D4 passthrough fields (incl. fields ABSENT from the input, which jq
+     reads as null: module, messageProperties, enrichments),
   D5 `.telemetry | map({key: .name, value: .value})`,
-  D6 `from_entries` (array<{key,value}> -> keyed object).
+  D6 `from_entries` (array<{key,value}> -> keyed object; entries with
+     no `value` become null-valued keys).
 
 Spark-first expression: `F.transform` for the array map,
 `F.map_from_entries` for the pivot, then extraction into the *closed*
 six-sensor struct (battery, barometer, accelerometer, gyroscope,
-magnetometer, geolocation) — a fixed StructType beats MapType here
-because the key set is closed and struct fields prune/pushdown.
+magnetometer, geolocation) — a fixed StructType beats MapType once the
+key set is closed, because struct fields prune and push down.
+
+Fidelity notes (each asserted by tests/test_normalize_golden.py against
+the reference's golden input/output pair):
+- `enqueuedTime` stays a STRING through the envelope — the jq transform
+  passes the nanosecond ISO-8601 text straight through; the timestamp
+  CAST happens downstream in the ASA job (B9,
+  reference iot-stream-analytics-query.sql:11). Spark's cast truncates
+  the 9-digit fraction to microseconds, matching DATETIME2's storage.
+- extreme doubles (2.3652105113135073e+305) and negative battery ints
+  survive the pivot unchanged.
 """
 
 from __future__ import annotations
@@ -23,7 +36,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from azure_iot_realtime_data_pipeline_spark.functions.magnitudes import magnitude3
+from azure_iot_realtime_data_pipeline_spark.functions.serialization import (
+    coalesce_device_id,
+    coalesce_double,
+    format_iso_millis,
+)
+
 SCHEMA_LITERAL = "default@v1"
+
+#: parse schema for raw device messages (FIXTURES.md F1, shape of
+#: reference iot-central/raw-data-template.json). Scalar sensor readings
+#: ride as doubles; struct-valued sensors carry no `value` field and
+#: surface as null map entries — exactly the golden template's shape.
+RAW_DEVICE_SCHEMA = (
+    "applicationId STRING, enqueuedTime STRING, messageSource STRING, "
+    "component STRING, module STRING, "
+    "messageProperties MAP<STRING,STRING>, enrichments MAP<STRING,STRING>, "
+    "telemetry ARRAY<STRUCT<name: STRING, value: DOUBLE>>, "
+    "device STRUCT<id: STRING, name: STRING, templateId: STRING, "
+    "templateName: STRING, simulated: BOOLEAN, approved: BOOLEAN, "
+    "blocked: BOOLEAN, provisioned: BOOLEAN>"
+)
 
 #: wire-event schema of the normalized envelope
 #: (shape of reference iot-central/preview-output-example.json:1-20)
@@ -38,12 +72,24 @@ EVENT_WIRE_SCHEMA = (
     "geolocation: STRUCT<lat: DOUBLE, lon: DOUBLE, alt: DOUBLE>>"
 )
 
+_VEC = "struct<x: double, y: double, z: double>"
+_GEO = "struct<lat: double, lon: double, alt: double>"
+
+
+def parse_raw_device_json(raw_json: DataFrame, json_col: str = "value") -> DataFrame:
+    """A2 for the ingest path: wire JSON text -> typed raw device record
+    (explicit schema, never inference — streaming requires it anyway)."""
+    return raw_json.select(
+        F.from_json(F.col(json_col), RAW_DEVICE_SCHEMA).alias("m")
+    ).select("m.*")
+
 
 def telemetry_entries_to_map(telemetry_array: Column) -> Column:
     """D5+D6: array<struct<name,value>> -> map<name,value>.
 
     `.telemetry | map({key: .name, value: .value}) | from_entries`
-    (reference iot-central/transformation.txt:10).
+    (reference iot-central/transformation.txt:10). Entries missing
+    `value` pivot to null-valued keys, matching jq.
     """
     entries = F.transform(
         telemetry_array,
@@ -53,20 +99,96 @@ def telemetry_entries_to_map(telemetry_array: Column) -> Column:
 
 
 def normalize_raw_events(raw: DataFrame) -> DataFrame:
-    """D1-D6: raw device message -> flat wire envelope.
+    """D1-D6: raw device message -> the 11-field flat wire envelope.
 
-    Input shape: FIXTURES.md F1 (`raw-data-template.json`); output shape:
-    FIXTURES.md F2 (`preview-output-example.json`). Scalar-sensor values
-    land in a map; callers needing the closed sensor struct extract keys.
+    Field-for-field the jq object of
+    reference iot-central/transformation.txt:3-15; `enqueuedTime` is a
+    string passthrough (see module docstring).
     """
     tmap = telemetry_entries_to_map(F.col("telemetry"))
     return raw.select(
-        F.lit(SCHEMA_LITERAL).alias("schema"),                    # D2
+        F.lit(SCHEMA_LITERAL).alias("schema"),                     # D2
         F.col("applicationId"),                                    # D4
         F.col("device.id").alias("deviceId"),                      # D3
         F.col("device.templateId").alias("templateId"),            # D3
         F.col("messageSource"),                                    # D4
-        F.to_timestamp(F.col("enqueuedTime")).alias("enqueuedTime"),
-        F.col("component"),                                        # D4
+        F.col("enqueuedTime"),                                     # D4 (string)
         tmap.alias("telemetry"),                                   # D5+D6
+        F.col("messageProperties"),                                # D4
+        F.col("enrichments"),                                      # D4
+        F.col("component"),                                        # D4
+        F.col("module"),                                           # D4
+    )
+
+
+def sensor_struct(tmap: Column) -> Column:
+    """Close the dynamic telemetry map into the six-sensor struct
+    (SURVEY.md §1.2: the key set is closed, so a typed struct beats
+    MapType for pruning/pushdown). Scalar-feed form: vector sensors
+    carried no scalar value on this wire, so their structs are null —
+    matching the golden output's null accelerometer/gyroscope/
+    magnetometer/geolocation."""
+    return F.struct(
+        tmap.getItem("battery").cast("bigint").alias("battery"),
+        tmap.getItem("barometer").alias("barometer"),
+        F.lit(None).cast(_VEC).alias("accelerometer"),
+        F.lit(None).cast(_VEC).alias("gyroscope"),
+        F.lit(None).cast(_VEC).alias("magnetometer"),
+        F.lit(None).cast(_GEO).alias("geolocation"),
+    )
+
+
+def curated_telemetry(envelope: DataFrame) -> DataFrame:
+    """The ASA Telemetry projection (B3/B4/B9/B11/C1-C3, reference
+    iot-stream-analytics-query.sql:64-74 over the CTE at :8-46):
+    CAST event time, flatten nested sensor paths, derive the three
+    magnitudes; Anomaly flag defaults 0 (DDL DEFAULT,
+    reference README.MD:173) until the stateful detector fills it."""
+    t = sensor_struct(F.col("telemetry"))
+    return envelope.select(
+        F.col("deviceId"),
+        F.col("enqueuedTime").cast("timestamp").alias("enqueuedTime"),  # B9
+        t.getField("battery").cast("int").alias("battery"),
+        t.getField("barometer").alias("barometer"),
+        t.getField("geolocation").getField("lat").alias("latitude"),    # B4
+        t.getField("geolocation").getField("lon").alias("longitude"),
+        t.getField("geolocation").getField("alt").alias("altitude"),
+        magnitude3(
+            t.getField("accelerometer").getField("x"),
+            t.getField("accelerometer").getField("y"),
+            t.getField("accelerometer").getField("z"),
+        ).alias("AccelMagnitude"),                                      # C1
+        magnitude3(
+            t.getField("gyroscope").getField("x"),
+            t.getField("gyroscope").getField("y"),
+            t.getField("gyroscope").getField("z"),
+        ).alias("GyroMagnitude"),                                       # C2
+        magnitude3(
+            t.getField("magnetometer").getField("x"),
+            t.getField("magnetometer").getField("y"),
+            t.getField("magnetometer").getField("z"),
+        ).alias("MagMagnitude"),                                        # C3
+        F.lit(0).alias("Anomaly"),
+    ).filter(F.col("deviceId").isNotNull())                             # B7
+
+
+def powerbi_rows(curated: DataFrame) -> DataFrame:
+    """The serve-path payload row (G1-G5, FIXTURES.md F5): every numeric
+    null-coalesced to 0.0, deviceId to '', UTC millisecond 'Z' text
+    timestamp (reference PushTelemetryFunction.cs:336-400)."""
+    nums = (
+        "battery",
+        "barometer",
+        "latitude",
+        "longitude",
+        "altitude",
+        "AccelMagnitude",
+        "GyroMagnitude",
+        "MagMagnitude",
+        "Anomaly",
+    )
+    return curated.select(
+        coalesce_device_id(F.col("deviceId")).alias("deviceId"),
+        format_iso_millis(F.col("enqueuedTime")).alias("enqueuedTime"),
+        *[coalesce_double(F.col(c).cast("double")).alias(c) for c in nums],
     )
