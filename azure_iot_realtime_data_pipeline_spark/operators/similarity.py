@@ -73,6 +73,75 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    query_vec: str = "qv",
+    cand_vec: str = "cv",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition candidates into
+    `n_cells` Voronoi cells around centroids, search only the `n_probe`
+    cells nearest each query.
+
+    Centroid choice is DETERMINISTIC — the `n_cells` lowest-id candidate
+    vectors — so results are exactly reproducible (and SQL-oracle-able);
+    production would swap in k-means centroids (MLlib) with zero plan
+    change, since centroids are just a tiny broadcast table either way.
+
+    Plan shape at 100 TB: assignment = broadcast-join candidates x
+    centroids (narrow, no shuffle of the big side) -> one shuffle on
+    cell_id for the probe join; the cross product never materializes.
+    Recall/latency trade via n_probe.
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        candidates.orderBy(F.col(cand_id).asc())
+        .limit(n_cells)
+        .select(F.col(cand_id).alias("cent_id"), F.col(cand_vec).alias("cent_vec"))
+    )
+
+    # assign every candidate to its nearest centroid (rounded cosine,
+    # ties -> lowest centroid id: deterministic across engines)
+    wc = Window.partitionBy(cand_id).orderBy(F.col("_cos").desc(), F.col("cent_id").asc())
+    assigned = (
+        candidates.crossJoin(F.broadcast(cents))
+        .withColumn("_cos", round_half_up(cosine(F.col(cand_vec), F.col("cent_vec"))))
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(cand_id, cand_vec, F.col("cent_id").alias("cell_id"))
+    )
+
+    # each query probes its n_probe nearest cells
+    wq = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col("cent_id").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("_cos", round_half_up(cosine(F.col(query_vec), F.col("cent_vec"))))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id, query_vec, F.col("cent_id").alias("cell_id"))
+    )
+
+    pairs = (
+        probes.join(assigned, "cell_id")
+        .filter(F.col(query_id) != F.col(cand_id))
+        .select(
+            query_id,
+            cand_id,
+            round_half_up(cosine(F.col(query_vec), F.col(cand_vec))).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
+    return pairs.withColumn("rank", F.row_number().over(wk).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane via splitmix64."""
     vals = []

@@ -266,4 +266,109 @@ ORACLES: dict[str, str] = {
     # q_minhash_lsh, q_simhash, q_lsh_topk: intentionally no oracle
     # (engine-specific hash functions); covered by rows-only driver check
     # + exactness tests in tests/test_dedup.py / tests/test_similarity.py.
+    "q_adjust_clamp": (
+        """
+        SELECT event_id, user_id, ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS adjusted_ts
+        FROM events
+        """
+    ),
+    "q_drop_late": (
+        """
+        SELECT event_id, user_id, ts FROM (
+          SELECT event_id, user_id, ts,
+                 max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+          FROM events
+        ) WHERE CAST(floor(epoch(ts)) AS BIGINT) >= hwm - 60
+        """
+    ),
+    "q_identity": (
+        "SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS telemetryId, "
+        "event_id, user_id, ts FROM events"
+    ),
+    "q_multimodal_meta": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "sha256(text) AS sha256, lower(hex(encode(substr(text, 1, 4)))) AS magic "
+        "FROM documents"
+    ),
+    "q_image_meta": (
+        """
+        SELECT doc_id,
+               CAST(64 + ('0x' || substr(h, 1, 2))::INTEGER % 192 AS INTEGER) AS width,
+               CAST(64 + ('0x' || substr(h, 3, 2))::INTEGER % 192 AS INTEGER) AS height,
+               CAST(1 + ('0x' || substr(h, 5, 2))::INTEGER % 4 AS INTEGER) AS channels
+        FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+        """
+    ),
+    "q_embed_dedup": (
+        """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            floor((
+              list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              ) * 10000 + 0.5) / 10000 AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+        """
+    ),
+    "q_ivf_topk": (
+        """
+        WITH cands AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        assigned AS (
+          SELECT cand_id, cv, cent_id AS cell_id FROM (
+            SELECT cands.cand_id, cands.cv, cents.cent_id,
+              row_number() OVER (PARTITION BY cands.cand_id ORDER BY
+                floor((
+                  list_sum(list_transform(list_zip(cv, cent_vec),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(cent_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                  ) * 10000 + 0.5) / 10000 DESC, cent_id) AS rn
+            FROM cands, cents
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, qv, cent_id AS cell_id FROM (
+            SELECT q.query_id, q.qv, cents.cent_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                floor((
+                  list_sum(list_transform(list_zip(qv, cent_vec),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(cent_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                  ) * 10000 + 0.5) / 10000 DESC, cent_id) AS rn
+            FROM q, cents
+          ) WHERE rn <= 4
+        ),
+        pairs AS (
+          SELECT query_id, cand_id,
+            floor((
+              list_sum(list_transform(list_zip(qv, cv),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              ) * 10000 + 0.5) / 10000 AS cosine
+          FROM probes JOIN assigned USING (cell_id)
+          WHERE query_id <> cand_id
+        )
+        SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+          FROM pairs
+        ) WHERE rn <= 10
+        """
+    ),
 }

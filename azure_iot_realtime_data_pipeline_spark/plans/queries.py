@@ -28,7 +28,13 @@ from azure_iot_realtime_data_pipeline_spark.functions.serialization import (
     format_iso_millis,
     row_to_json,
 )
-from azure_iot_realtime_data_pipeline_spark.operators import dedup, similarity, text
+from azure_iot_realtime_data_pipeline_spark.operators import (
+    dedup,
+    eventtime,
+    multimodal,
+    similarity,
+    text,
+)
 from azure_iot_realtime_data_pipeline_spark.operators.incremental import incremental_tail
 from azure_iot_realtime_data_pipeline_spark.operators.windows import (
     first_value_per_key,
@@ -466,6 +472,78 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(q, c, dim=64, k=10, num_planes=4)
 
 
+def q_adjust_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 'Adjust' out-of-order policy, batch form: clamp event time
+    forward to the running per-device high-water mark in arrival order
+    (reference terraform/main-example.tf:133-135)."""
+    ev = load_table(spark, sf_dir, "events")
+    return eventtime.adjust_clamp(ev, ts_col="ts", key="user_id", order_col="event_id").select(
+        "event_id", "user_id", "ts", "adjusted_ts"
+    )
+
+
+def q_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 late-arrival tolerance, batch form: drop events >60 s behind
+    the running high-water mark (the watermark-discard analog,
+    reference terraform/main-example.tf:136)."""
+    ev = load_table(spark, sf_dir, "events")
+    return eventtime.drop_late(
+        ev, ts_col="ts", key="user_id", order_col="event_id", tolerance_seconds=60
+    ).select("event_id", "user_id", "ts")
+
+
+def q_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 IDENTITY surrogate key: deterministic row_number over event
+    time (reference README.MD:169). Scale note: a global row_number is a
+    single-partition sort bottleneck — at 100 TB the engine's default is
+    monotonically_increasing_id (non-contiguous, documented); this
+    contiguous form exists for DDL parity and the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        F.row_number().over(w).cast("long").alias("telemetryId"),
+        "event_id",
+        "user_id",
+        "ts",
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + mapInPandas feature
+    extraction (byte length, sha256, magic prefix) — Arrow-batched,
+    narrow map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.media_features(multimodal.attach_payload(docs))
+
+
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode stub: deterministic fake image dimensions via
+    mapInPandas (the decode swap point is the only non-real part; plan
+    shape is production)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_meta(multimodal.attach_payload(docs))
+
+
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact form on a bounded slice;
+    the LSH-bucketed form is the scale path, tested in package tests).
+    Threshold 0.3 is tuned to the synthetic corpus (near-random vectors,
+    max pairwise cosine ~0.44) so the operator path is non-trivial."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return dedup.embedding_near_dup(emb, threshold=0.3)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest-neighbor: deterministic centroids,
+    4-of-16 cell probe, exact cosine within probed cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    return similarity.ivf_topk(q, c, n_cells=16, n_probe=4, k=10)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_events": q_scan_events,
     "q_from_json": q_from_json,
@@ -505,4 +583,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_topk_cosine": q_topk_cosine,
     "q_lsh_topk": q_lsh_topk,
+    "q_adjust_clamp": q_adjust_clamp,
+    "q_drop_late": q_drop_late,
+    "q_identity": q_identity,
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_image_meta": q_image_meta,
+    "q_embed_dedup": q_embed_dedup,
+    "q_ivf_topk": q_ivf_topk,
 }

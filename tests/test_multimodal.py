@@ -1,0 +1,92 @@
+"""Multimodal plumbing tests: binary columns, mapInPandas batch shapes,
+decode-stub gating, frame-sampling fan-out (Phase 4 north-star ops)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.operators import dedup, multimodal
+from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    return multimodal.attach_payload(docs)
+
+
+def test_payload_is_binary_with_typed_meta(media):
+    dtypes = dict(media.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["meta"].startswith("struct<content_type:string,n_bytes:bigint")
+    row = media.limit(1).collect()[0]
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["meta"]["n_bytes"] == len(row["payload"])
+
+
+def test_media_features_match_local_hash(spark, sf_smoke, media):
+    feats = {r["doc_id"]: r for r in multimodal.media_features(media).collect()}
+    docs = load_table(spark, sf_smoke, "documents").limit(20).collect()
+    for d in docs:
+        payload = d["text"].encode("utf-8")
+        f = feats[d["doc_id"]]
+        assert f["n_bytes"] == len(payload)
+        assert f["sha256"] == hashlib.sha256(payload).hexdigest()
+        assert f["magic"] == payload[:4].hex()
+
+
+def test_image_meta_deterministic_and_bounded(media):
+    rows = multimodal.image_meta(media).collect()
+    assert rows
+    for r in rows:
+        assert 64 <= r["width"] < 256
+        assert 64 <= r["height"] < 256
+        assert 1 <= r["channels"] <= 4
+    again = {(r["doc_id"], r["width"], r["height"]) for r in multimodal.image_meta(media).collect()}
+    assert {(r["doc_id"], r["width"], r["height"]) for r in rows} == again
+
+
+def test_decode_stub_raises_without_codec():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n")
+
+
+def test_frame_sampling_fans_out(media):
+    frames = multimodal.sample_frames(media, frame_bytes=64, every_n=2)
+    n_media = media.count()
+    assert frames.count() >= n_media  # >=1 frame per doc, fan-out allowed
+    one = (
+        frames.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.min("frame_idx").alias("first_idx"))
+        .collect()
+    )
+    assert all(r["first_idx"] == 0 for r in one)
+    sizes = media.select("doc_id", F.length("payload").alias("n_bytes")).collect()
+    by_id = {r["doc_id"]: r["n_bytes"] for r in sizes}
+    import math
+
+    for r in one:
+        expected = math.ceil(max(by_id[r["doc_id"]] // 64, 1) / 2)
+        assert r["n"] == expected, r["doc_id"]
+
+
+def test_embedding_near_dup_lsh_is_subset_of_exact(spark, sf_smoke):
+    """The LSH-bucketed scale path returns a subset of the exact pairs
+    (candidate generation may miss, must never invent)."""
+    emb = load_table(spark, sf_smoke, "embeddings").filter(F.col("vec_id") < 120)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup(emb, threshold=0.25).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup(
+            emb, threshold=0.25, num_planes=2, dim=64
+        ).collect()
+    }
+    assert lsh <= exact
+    assert exact  # threshold tuned so the test is non-vacuous
