@@ -127,8 +127,10 @@ def ivf_topk(
         .select(query_id, query_vec, F.col("cent_id").alias("cell_id"))
     )
 
+    # probes = |Q| * n_probe rows — tiny by construction; broadcast it so
+    # the big assigned side never shuffles (AQE would otherwise pick SMJ)
     pairs = (
-        probes.join(assigned, "cell_id")
+        F.broadcast(probes).join(assigned, "cell_id")
         .filter(F.col(query_id) != F.col(cand_id))
         .select(
             query_id,

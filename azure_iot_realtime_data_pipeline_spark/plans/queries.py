@@ -35,7 +35,9 @@ from azure_iot_realtime_data_pipeline_spark.operators import (
     similarity,
     text,
 )
-from azure_iot_realtime_data_pipeline_spark.operators.incremental import incremental_tail
+from azure_iot_realtime_data_pipeline_spark.operators.incremental import (
+    incremental_tail_scan,
+)
 from azure_iot_realtime_data_pipeline_spark.operators.windows import (
     first_value_per_key,
     latest_value_per_key,
@@ -65,12 +67,13 @@ def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_incremental_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/F6: high-watermark tail read — rows strictly newer than the
-    persisted watermark. Pushed-down range predicate -> partition pruning
-    on a date-partitioned fact table."""
-    ev = load_table(spark, sf_dir, "events")
-    return incremental_tail(ev, "ts", "2024-01-25 00:00:00").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
+    persisted watermark. The filter runs in the STORED (int64-nanos)
+    domain so the range predicate reaches the parquet scan
+    (PushedFilters: GreaterThan(ts, ...) -> row-group pruning); the
+    timestamp conversion happens above it."""
+    return incremental_tail_scan(
+        spark, sf_dir, "events", "ts", "2024-01-25 00:00:00"
+    ).select("event_id", "ts", "user_id", "event_type", "value")
 
 
 def q_offset_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,19 +27,24 @@ from azure_iot_realtime_data_pipeline_spark.session import get_spark
 #: dedup families, text analysis, similarity search.
 HEADLINE = [
     "q_scan_events",
+    "q_incremental_tail",
     "q_groupby_device",
     "q_join_devices",
     "q_orderby",
     "q_trailing_window",
     "q_spike_dip",
+    "q_adjust_clamp",
     "q_dedup_exact",
     "q_ngram_jaccard",
     "q_minhash_lsh",
     "q_token_count",
     "q_quality_score",
     "q_fingerprint",
+    "q_multimodal_meta",
     "q_topk_cosine",
     "q_lsh_topk",
+    "q_ivf_topk",
+    "q_embed_dedup",
 ]
 
 
