@@ -1,0 +1,92 @@
+"""Skew mitigation: salted aggregation and salted replicate joins.
+
+AQE's skew-join splitting (on in session.py) handles sort-merge join
+skew at runtime, but two hot-key cases remain on a 100 TB cluster:
+aggregations whose group key is pathologically hot (one device emitting
+40% of events), and joins where the build side must be replicated
+because the probe side's hot key exceeds a single task. The classic fix
+is salting — widen the hot key with a deterministic salt, do the heavy
+work per (key, salt), then collapse.
+
+Correctness invariant (oracle-checked): every salted operator here is
+RESULT-IDENTICAL to its unsalted form — salting only reshapes the
+shuffle. Sums run as exact DECIMAL so the two-stage re-aggregation is
+order-independent down to the bit.
+
+The salt derives from a row-unique column (`pmod(salt_src, n)`), not
+from rand(): deterministic retries/replays are non-negotiable in a
+recovery-oriented engine (speculative execution, stage retries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 8
+
+
+def with_salt(df: DataFrame, salt_src: str, n_salts: int = DEFAULT_SALTS) -> DataFrame:
+    return df.withColumn("_salt", F.pmod(F.col(salt_src), F.lit(n_salts)).cast("int"))
+
+
+def salted_agg_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    salt_src: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation: (key, salt) partials, then key
+    finals. A key receiving K% of all rows spreads over n_salts tasks in
+    stage 1; stage 2 reduces n_salts tiny partials per key.
+
+    Returns (key_cols..., n BIGINT, sum_value DOUBLE) — sum accumulated
+    as DECIMAL end-to-end, cast at the edge.
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    partial = (
+        with_salt(df, salt_src, n_salts)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.count("*").alias("_n"), F.sum(dec).alias("_s"))
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").cast("double").alias("sum_value"),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_src: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Replicate-join for hot probe keys: salt the big side from a
+    row-unique column, explode the small side across all salts, equi-join
+    on (key, salt). A hot key's rows land in n_salts different tasks
+    instead of one. Use when the small side is too big to broadcast but
+    small enough to replicate n_salts times (classic mid-size dim)."""
+    salted_big = with_salt(big, salt_src, n_salts)
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    cond = (salted_big[big_key] == replicated[small_key]) & (
+        salted_big["_salt"] == replicated["_salt"]
+    )
+    return salted_big.join(replicated, cond).drop("_salt")
+
+
+def top_keys_by_count(df: DataFrame, key: str, k: int = 10) -> DataFrame:
+    """Skew diagnostic: the k heaviest keys and their row share — the
+    input to deciding whether salting is warranted."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .withColumn("share", F.col("n").cast("double") / F.lit(float(total)))
+        .orderBy(F.col("n").desc())
+        .limit(k)
+    )

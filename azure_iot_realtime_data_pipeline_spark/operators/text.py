@@ -69,6 +69,24 @@ def lang_id(text: Column) -> Column:
     return F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("und"))
 
 
+#: BPE-ish pre-tokenizer: word / number / single-punctuation pieces —
+#: the ASCII-deterministic core of GPT-style pre-tokenization splits.
+#: Kept free of lookarounds/classes that differ between Java regex
+#: (Spark) and the oracle engine's dialect.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Regex pre-tokenization (the 'BPE-ish' counting basis): runs of
+    letters, runs of digits, and single punctuation marks. Whitespace
+    never produces a token. Pure JVM regexp_extract_all — map-side."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")
+
+
 def fingerprint(text: Column) -> Column:
     """Order-sensitive modular polynomial fingerprint over tokens.
 

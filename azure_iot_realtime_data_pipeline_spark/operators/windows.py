@@ -66,6 +66,21 @@ def windowed_moments(value: Column, w: WindowSpec) -> tuple[Column, Column, Colu
     return n, mean, F.sqrt(var)
 
 
+#: relative degenerate-window threshold, applied in the STDDEV domain:
+#: a window is flat when sd <= |mean| * 1e-6. Rationale: the
+#: decimal-exact sums convert to double before the
+#: var = (s2 - s1*mean)/(n-1) cancellation, leaving a rounding residual
+#: of at most ~1e-15 * mean^2 (sd ~ 3e-8 * |mean|) on a truly flat
+#: window (n<=85), while the smallest REAL variance that 2-decimal-
+#: quantized values can express is ~(0.01)^2/n (sd >= ~1e-3/sqrt(n)).
+#: 1e-6 sits orders clear of both, so a flat line never divides by its
+#: own rounding noise (found by the hypothesis flat-line property at
+#: value=0.375) and no distinguishable window reads as flat. Same
+#: constant in the streaming scorer and the SQL oracle — the three
+#: implementations must agree bit-for-bit.
+DEGENERATE_REL_SD = 1e-6
+
+
 def spike_dip_score(
     value: Column,
     w: WindowSpec,
@@ -74,13 +89,14 @@ def spike_dip_score(
     """Deterministic spike/dip stand-in: (is_anomaly 0/1, score).
 
     score = (x - mean_window) / stddev_window, 0.0 when the window is
-    degenerate (single point or flat line — matches the property
-    "no flag when window variance is 0", SURVEY.md §5). The flag uses
-    the 4-decimal-rounded score so batch/oracle/streaming agree at the
-    threshold boundary.
+    degenerate: a single point, or variance at rounding-noise scale
+    relative to mean^2 (the flat-line property of SURVEY.md §5 — see
+    DEGENERATE_REL_VAR). The flag uses the 4-decimal-rounded score so
+    batch/oracle/streaming agree at the threshold boundary.
     """
     n, mean, sd = windowed_moments(value, w)
-    raw = F.when((n <= 1) | (sd == 0), F.lit(0.0)).otherwise((value - mean) / sd)
+    degenerate = (n <= 1) | (sd <= F.abs(mean) * DEGENERATE_REL_SD)
+    raw = F.when(degenerate, F.lit(0.0)).otherwise((value - mean) / sd)
     score = round_half_up(raw)
     is_anomaly = (F.abs(score) > z_threshold).cast("int")
     return is_anomaly, score

@@ -124,7 +124,7 @@ ORACLES: dict[str, str] = {
                CASE WHEN abs(score) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
         FROM (
           SELECT event_id, user_id,
-                 floor((CASE WHEN n <= 1 OR sd = 0 THEN 0.0
+                 floor((CASE WHEN n <= 1 OR sd <= abs(mean) * 1e-6 THEN 0.0
                             ELSE (value - mean) / sd END) * 10000 + 0.5) / 10000 AS score
           FROM (
             SELECT event_id, user_id, value, n, mean,
@@ -318,6 +318,29 @@ ORACLES: dict[str, str] = {
           FROM e a JOIN e b ON a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+        """
+    ),
+    "q_bpe_token_count": (
+        r"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        FROM documents
+        """
+    ),
+    # salted operators: the oracle is the UNSALTED form on purpose —
+    # the operator's contract is result-identity under shuffle reshaping
+    "q_salted_agg": (
+        "SELECT user_id, COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY user_id"
+    ),
+    "q_salted_join": (
+        """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment
         """
     ),
     "q_ivf_topk": (

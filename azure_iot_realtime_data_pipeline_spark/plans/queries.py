@@ -33,6 +33,7 @@ from azure_iot_realtime_data_pipeline_spark.operators import (
     eventtime,
     multimodal,
     similarity,
+    skew,
     text,
 )
 from azure_iot_realtime_data_pipeline_spark.operators.incremental import (
@@ -547,6 +548,42 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(q, c, n_cells=16, n_probe=4, k=10)
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization counts next to whitespace counts —
+    the token-accounting pair an LLM corpus pipeline tracks per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation; result bit-identical to the plain
+    groupBy (the oracle IS the unsalted form — salting only reshapes the
+    shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return skew.salted_agg_sum(
+        ev, key_cols=["user_id"], value_col="value", salt_src="event_id", n_salts=8
+    )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe replicate join (salted big side x exploded dim), result
+    identical to the plain join; for dims too big to broadcast under a
+    hot probe key."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = skew.salted_join(
+        ev, cust, big_key="user_id", small_key="c_custkey", salt_src="event_id", n_salts=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_events": q_scan_events,
     "q_from_json": q_from_json,
@@ -593,4 +630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_meta": q_image_meta,
     "q_embed_dedup": q_embed_dedup,
     "q_ivf_topk": q_ivf_topk,
+    "q_bpe_token_count": q_bpe_token_count,
+    "q_salted_agg": q_salted_agg,
+    "q_salted_join": q_salted_join,
 }

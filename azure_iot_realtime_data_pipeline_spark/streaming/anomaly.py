@@ -89,6 +89,12 @@ def _dec2(v: float) -> Decimal:
     return Decimal(repr(v)).quantize(_CENT, rounding=ROUND_HALF_UP)
 
 
+#: same degenerate-window rule as the batch operator (see
+#: operators/windows.py:DEGENERATE_REL_SD) — flat windows must score 0
+#: identically in all three implementations.
+DEGENERATE_REL_SD = 1e-6
+
+
 def _score_one(x: float, window_vals: list[Decimal]) -> tuple[float, int]:
     n = len(window_vals)
     if n <= 1:
@@ -97,9 +103,10 @@ def _score_one(x: float, window_vals: list[Decimal]) -> tuple[float, int]:
     s2 = float(sum(v * v for v in window_vals))
     mean = s1 / n
     var = max((s2 - s1 * mean) / (n - 1), 0.0)
-    if var == 0.0:
+    sd = math.sqrt(var)
+    if sd <= abs(mean) * DEGENERATE_REL_SD:
         return 0.0, 0
-    raw = (x - mean) / math.sqrt(var)
+    raw = (x - mean) / sd
     score = math.floor(raw * 10000.0 + 0.5) / 10000.0
     return score, int(abs(score) > Z_THRESHOLD)
 

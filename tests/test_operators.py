@@ -1,0 +1,164 @@
+"""Property-based and invariant tests for the algorithmic operators
+(SURVEY.md §5: anomaly properties, dedup estimator sanity, skew
+result-identity, reference-faithful GLOBAL anomaly window)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.operators import dedup, skew, text
+from azure_iot_realtime_data_pipeline_spark.operators.windows import (
+    spike_dip_score,
+    trailing_window,
+    with_epoch_seconds,
+)
+from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+from azure_iot_realtime_data_pipeline_spark.streaming.anomaly import spike_dip_stream
+from azure_iot_realtime_data_pipeline_spark.streaming.source import (
+    replay_events,
+    stage_replay_dir,
+)
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _score_series(spark, values: list[float]):
+    """Score a 1-per-second series with the batch spike/dip operator."""
+    rows = [
+        (i, T0 + timedelta(seconds=i), 1, float(v)) for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    ev = with_epoch_seconds(df, "ts")
+    w = trailing_window("ts_sec", key="user_id", window_seconds=60)
+    is_anom, score = spike_dip_score(F.col("value"), w)
+    return (
+        ev.select("event_id", score.alias("score"), is_anom.alias("is_anomaly"))
+        .orderBy("event_id")
+        .collect()
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), st.integers(min_value=2, max_value=20))
+def test_no_flag_on_flat_line(spark, const, n):
+    """Zero window variance -> score 0, no flag, for any constant."""
+    out = _score_series(spark, [const] * n)
+    assert all(r["score"] == 0.0 and r["is_anomaly"] == 0 for r in out)
+
+
+def test_flag_fires_on_injected_spike(spark):
+    base = [10.0 + (i % 3) * 0.1 for i in range(30)]
+    out = _score_series(spark, base + [500.0])
+    assert out[-1]["is_anomaly"] == 1
+    assert out[-1]["score"] > 3.0
+    # and the dip direction too
+    out2 = _score_series(spark, base + [-500.0])
+    assert out2[-1]["is_anomaly"] == 1
+    assert out2[-1]["score"] < -3.0
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_smoke):
+    """est_jaccard from 32 minhashes within 0.35 of exact shingle Jaccard
+    for every LSH candidate pair (coarse statistical bound, no flakes:
+    data and hashes are deterministic)."""
+    docs = load_table(spark, sf_smoke, "documents").filter(F.col("doc_id") < 80)
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_candidates(docs, est_threshold=0.0).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    assert est  # candidates exist
+    for pair, e in est.items():
+        x = exact.get(pair, 0.0)
+        assert abs(e - x) <= 0.35, (pair, e, x)
+
+
+def test_simhash_close_for_near_identical_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river shore"),
+        (3, "completely unrelated text about spark execution engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", dedup.simhash64(text.tokens(F.col("text"))).alias("s")).collect()
+    }
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+    assert hamming(sh[1], sh[2]) <= 16
+
+
+def test_salted_agg_matches_plain(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    salted = {
+        r["user_id"]: (r["n"], r["sum_value"])
+        for r in skew.salted_agg_sum(ev, ["user_id"], "value", "event_id").collect()
+    }
+    plain = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_bpe_tokens_contract(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! v2.0 costs $15 (today)")], "doc_id long, text string"
+    )
+    toks = df.select(text.bpe_tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert toks == [
+        "Hello", ",", "world", "!", "v", "2", ".", "0",
+        "costs", "$", "15", "(", "today", ")",
+    ]
+
+
+def test_global_window_streaming_parity(spark, sf_smoke, tmp_path):
+    """Reference-faithful GLOBAL anomaly window (no PARTITION BY,
+    SURVEY.md §7 hard part 1): streaming with a constant key must match
+    the batch global RANGE frame bit-for-bit."""
+    replay = stage_replay_dir(spark, sf_smoke, str(tmp_path / "replay"), num_files=3)
+    stream = spike_dip_stream(
+        replay_events(spark, replay).withColumn("_g", F.lit(0)),
+        key_col="_g",
+        window_seconds=60,
+        history_size=None,
+    )
+    got = {}
+
+    def sink(batch, _bid):
+        for r in batch.collect():
+            got[r["event_id"]] = (r["score"], r["is_anomaly"])
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    ev = with_epoch_seconds(load_table(spark, sf_smoke, "events"), "ts")
+    w = trailing_window("ts_sec", key=None, window_seconds=60)
+    is_anom, score = spike_dip_score(F.col("value"), w)
+    expected = {
+        r["event_id"]: (r["score"], r["is_anomaly"])
+        for r in ev.select("event_id", score.alias("score"), is_anom.alias("is_anomaly")).collect()
+    }
+    assert got == expected
