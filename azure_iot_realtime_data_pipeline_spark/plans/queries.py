@@ -32,6 +32,7 @@ from azure_iot_realtime_data_pipeline_spark.operators import (
     dedup,
     eventtime,
     multimodal,
+    ordering,
     similarity,
     skew,
     text,
@@ -267,7 +268,9 @@ def q_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: global event-time ordering, made hash-observable via
-    row_number. Range-partitioned sort (sampled bounds) in Spark."""
+    row_number. NOTE: the empty-partition window is a single-task sort —
+    kept as the direct parity form; the scale path for the same result
+    is operators/ordering.py:global_row_number (used by q_identity)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return ev.select("event_id", "ts", F.row_number().over(w).cast("int").alias("rn"))
@@ -497,19 +500,15 @@ def q_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H2 IDENTITY surrogate key: deterministic row_number over event
-    time (reference README.MD:169). Scale note: a global row_number is a
-    single-partition sort bottleneck — at 100 TB the engine's default is
-    monotonically_increasing_id (non-contiguous, documented); this
-    contiguous form exists for DDL parity and the oracle."""
+    """H2 IDENTITY surrogate key (reference README.MD:169), computed the
+    scale-correct way: range-partitioned parallel sort + per-partition
+    offset prefix-sum (operators/ordering.py) instead of a single-task
+    global window — bit-identical to `row_number() OVER (ORDER BY ...)`
+    (the oracle) without the one-partition cliff."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    return ev.select(
-        F.row_number().over(w).cast("long").alias("telemetryId"),
-        "event_id",
-        "user_id",
-        "ts",
-    )
+    return ordering.global_row_number(
+        ev, ["ts", "event_id"], out_col="telemetryId"
+    ).select("telemetryId", "event_id", "user_id", "ts")
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
