@@ -1,0 +1,171 @@
+"""Event-time analytics operators beyond the reference surface: gap
+sessionization, tumbling/hopping window aggregation, as-of join, and
+top-n per group.
+
+The reference's only windowing is the trailing 60-s anomaly frame
+(reference stream-analytics/iot-stream-analytics-query.sql:33-44) and its
+dashboard groups by raw (deviceId, enqueuedTime)
+(reference docs/Power_BI_Dashboard.png, README.MD:182). A standalone
+analytics engine over the same telemetry needs the standard event-time
+toolkit; each operator here is the batch form of a Structured-Streaming
+idiom (``F.window`` / ``F.session_window`` accept streaming frames
+unchanged — the batch query IS the streaming query body).
+
+Scale notes:
+- Sessionization is one shuffle on the key (lag + running sum in the same
+  window spec — Catalyst plans a single Exchange + Sort, both window
+  functions share the frame sort).
+- Tumbling/hopping aggregation is a plain hash aggregate on (key, bucket)
+  — partial map-side combine applies; hopping fan-out multiplies rows by
+  size/slide BEFORE the shuffle, so slide should divide size with a small
+  quotient (here 4×).
+- The as-of join avoids the O(probe × build) range-join explosion: both
+  sides union into ONE dataset sorted per key, and a last-non-null window
+  carries the build value forward — one shuffle on the key, linear in
+  rows, the classic distributed merge-asof. A range join would re-scan
+  the build side per probe row; at 100 TB that is the difference between
+  a sort-merge pass and a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a row starts a new session
+    when it arrives more than ``gap_seconds`` after the previous row of
+    the same key. Adds ``session_id`` (1-based per key, ordered by time).
+
+    Batch twin of ``F.session_window(ts, gap)``; the explicit lag+cumsum
+    form is used because it is expressible in ANSI SQL (oracle-checkable)
+    and gives stable integer session ids rather than [start, end) structs.
+    """
+    ts_sec = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key).orderBy(ts_sec, F.col(tiebreak))
+    prev = F.lag(ts_sec).over(w)
+    new_session = (
+        prev.isNull() | (ts_sec - prev > F.lit(gap_seconds * 1_000_000))
+    ).cast("long")
+    run = Window.partitionBy(key).orderBy(ts_sec, F.col(tiebreak)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_id", F.sum(new_session).over(run))
+
+
+def tumbling_window(ts_col: str, size_seconds: int) -> Column:
+    """Epoch-aligned tumbling bucket start (timestamp). Batch twin of
+    ``F.window(ts, f"{size} seconds").start`` — computed arithmetically so
+    the DuckDB oracle can reproduce it bit-for-bit."""
+    start_sec = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(size_seconds * 1_000_000)) * size_seconds
+    return F.timestamp_seconds(start_sec)
+
+
+def hopping_windows(ts_col: str, size_seconds: int, slide_seconds: int) -> Column:
+    """Array of the ``size/slide`` epoch-aligned hopping-window starts an
+    event belongs to (newest first). Fan-out happens via ``F.explode``
+    BEFORE the aggregation shuffle — map-side multiplication, no join."""
+    if size_seconds % slide_seconds != 0:
+        raise ValueError("slide must divide size")
+    hops = size_seconds // slide_seconds
+    anchor = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(slide_seconds * 1_000_000)) * slide_seconds
+    return F.array(
+        *[F.timestamp_seconds(anchor - F.lit(k * slide_seconds)) for k in range(hops)]
+    )
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    probe_tiebreak: str,
+) -> DataFrame:
+    """Distributed merge-asof: for every probe row, the newest build row
+    of the same key with ``build.ts <= probe.ts``.
+
+    Both sides are unioned with a side marker, sorted per key by
+    (ts, side) — build rows sort BEFORE probe rows at equal timestamps,
+    so an exact-tie build row is visible to the probe row (>= semantics,
+    matching DuckDB's ASOF JOIN) — and a last-non-null window carries each
+    build value forward onto subsequent probe rows. One shuffle on the
+    key; linear in |probe| + |build|.
+
+    ``build`` must be unique per (key, ts) — pre-dedupe for determinism.
+    """
+    carried = [f"_asof_{c}" for c in value_cols]
+    b = build.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("_probe_tb"),
+        *[F.col(c).alias(a) for c, a in zip(value_cols, carried)],
+        *[F.lit(None).cast(t.dataType).alias(f"_p_{t.name}") for t in probe.schema],
+    )
+    p = probe.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.col(probe_tiebreak).cast("long").alias("_probe_tb"),
+        *[F.lit(None).cast(build.schema[c].dataType).alias(a) for c, a in zip(value_cols, carried)],
+        *[F.col(t.name).alias(f"_p_{t.name}") for t in probe.schema],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col), F.col("_side"), F.col("_probe_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = b.unionByName(p)
+    for a in carried:
+        merged = merged.withColumn(a, F.last(a, ignorenulls=True).over(w))
+    out = merged.filter(F.col("_side") == 1)
+    return out.select(
+        *[F.col(f"_p_{t.name}").alias(t.name) for t in probe.schema],
+        *[F.col(a).alias(f"asof_{c}") for c, a in zip(value_cols, carried)],
+    )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group: str,
+    order_col: str,
+    tiebreak: str,
+    n: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-n rows per group (deterministic tiebreak). One shuffle on the
+    group key; rank prune happens before any further join/agg so only
+    n×|groups| rows survive the window stage."""
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    tb = F.col(tiebreak).desc() if descending else F.col(tiebreak).asc()
+    w = Window.partitionBy(group).orderBy(oc, tb)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .withColumnRenamed("_rn", "rank")
+    )
+
+
+def lower_median_per_group(
+    df: DataFrame, group: str, value_col: str, tiebreak: str
+) -> DataFrame:
+    """Exact lower median per group: the element at 1-based position
+    ceil(n/2) under (value, tiebreak) order. Selection, not interpolation
+    — the result is an actual data value, so Spark and any ANSI oracle
+    agree bit-for-bit (percentile_cont interpolation does not)."""
+    w = Window.partitionBy(group).orderBy(F.col(value_col), F.col(tiebreak))
+    cnt = Window.partitionBy(group)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("_rn") == F.ceil(F.col("_n") / 2))
+        .select(F.col(group), F.col(value_col).alias("median_" + value_col))
+    )

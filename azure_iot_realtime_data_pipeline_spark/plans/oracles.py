@@ -394,4 +394,84 @@ ORACLES: dict[str, str] = {
         ) WHERE rn <= 10
         """
     ),
+    "q_sessionize": (
+        """
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id
+        """
+    ),
+    "q_tumbling_agg": (
+        """
+        SELECT event_type,
+               make_timestamp(CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                              * 86400000000) AS window_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type, window_start
+        """
+    ),
+    "q_hopping_agg": (
+        """
+        SELECT event_type,
+               make_timestamp((CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT)
+                               * 21600 - hops.k * 21600) * 1000000) AS window_start,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events CROSS JOIN generate_series(0, 3) AS hops(k)
+        GROUP BY event_type, window_start
+        """
+    ),
+    "q_asof_join": (
+        """
+        WITH build AS (
+          SELECT user_id, ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) = 1
+        ),
+        probe AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               b.purchase_value AS asof_purchase_value
+        FROM probe p
+        ASOF LEFT JOIN build b ON p.user_id = b.user_id AND p.ts >= b.ts
+        """
+    ),
+    "q_topn_per_group": (
+        """
+        SELECT event_type,
+               CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id DESC) AS INTEGER) AS rank,
+               event_id, value
+        FROM events
+        QUALIFY rank <= 5
+        """
+    ),
+    "q_median_value": (
+        """
+        SELECT event_type, value AS median_value FROM (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+        """
+    ),
 }

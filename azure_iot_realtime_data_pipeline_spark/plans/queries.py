@@ -33,6 +33,7 @@ from azure_iot_realtime_data_pipeline_spark.operators import (
     eventtime,
     multimodal,
     ordering,
+    sessions,
     similarity,
     skew,
     text,
@@ -583,6 +584,96 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (1-h inactivity gap) + per-session rollup —
+    the event-time surface a telemetry engine needs beyond the
+    reference's raw (deviceId, enqueuedTime) dashboard grouping. One
+    shuffle on the device key; batch twin of F.session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessions.sessionize(
+        ev, key="user_id", ts_col="ts", gap_seconds=3600, tiebreak="event_id"
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned daily tumbling-window aggregate per event type —
+    batch twin of the Structured Streaming F.window groupBy. Plain hash
+    aggregate on (type, bucket): map-side combine applies."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type"),
+        sessions.tumbling_window("ts", 86400).alias("window_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate (1-day window, 6-h slide): explode each
+    event into its 4 overlapping windows BEFORE the shuffle (map-side
+    fan-out, no join), then hash-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hw = sessions.hopping_windows("ts", 86400, 21600)
+    return (
+        ev.select("event_type", "value", F.explode(hw).alias("window_start"))
+        .groupBy("event_type", "window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's newest
+    purchase at-or-before it — the canonical time-series enrichment
+    (sensor reading -> latest calibration). Distributed merge-asof:
+    union + per-key last-non-null carry-forward, ONE shuffle, linear —
+    never the O(probe x build) range-join plan."""
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    return sessions.asof_join(
+        probe,
+        build,
+        key="user_id",
+        ts_col="ts",
+        value_cols=["purchase_value"],
+        probe_tiebreak="event_id",
+    )
+
+
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 readings per event type with deterministic tiebreak — the
+    per-group rank prune that cuts a 100 TB scan to n x |groups| rows
+    before any downstream join."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.top_n_per_group(
+        ev, group="event_type", order_col="value", tiebreak="event_id", n=5
+    ).select("event_type", "rank", "event_id", "value")
+
+
+def q_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower median per event type by rank selection (an actual
+    data value, not interpolation — bit-exact against any ANSI oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.lower_median_per_group(
+        ev, group="event_type", value_col="value", tiebreak="event_id"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_events": q_scan_events,
     "q_from_json": q_from_json,
@@ -632,4 +723,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe_token_count": q_bpe_token_count,
     "q_salted_agg": q_salted_agg,
     "q_salted_join": q_salted_join,
+    "q_sessionize": q_sessionize,
+    "q_tumbling_agg": q_tumbling_agg,
+    "q_hopping_agg": q_hopping_agg,
+    "q_asof_join": q_asof_join,
+    "q_topn_per_group": q_topn_per_group,
+    "q_median_value": q_median_value,
 }

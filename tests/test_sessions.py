@@ -1,0 +1,93 @@
+"""Edge-semantics tests for the event-time operators in operators/sessions.py
+(gap sessionization, tumbling/hopping buckets, distributed merge-asof).
+
+The sf0.01 oracle parity test covers bulk correctness; these pin the
+boundary cases an oracle diff can miss when the data never exercises them:
+exact-timestamp ties in the as-of join, probes before any build row, and
+the gap boundary (> gap starts a session, == gap does not).
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.operators import sessions
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_sessionize_gap_boundary_exclusive(spark):
+    # gap=60s: a row exactly 60s after the previous row stays in the same
+    # session; 61s starts a new one.
+    df = spark.createDataFrame(
+        [
+            ("u", 1, _ts("2024-01-01 00:00:00")),
+            ("u", 2, _ts("2024-01-01 00:01:00")),  # +60s  -> same session
+            ("u", 3, _ts("2024-01-01 00:02:01")),  # +61s  -> new session
+        ],
+        "user_id string, event_id int, ts timestamp",
+    )
+    out = sessions.sessionize(df, "user_id", "ts", 60, "event_id")
+    got = {r.event_id: r.session_id for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_asof_join_exact_tie_and_no_match(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01 00:00:00")),  # before any build -> null
+            (2, "u", _ts("2024-01-01 00:10:00")),  # exact tie -> sees 10.0
+            (3, "u", _ts("2024-01-01 00:30:00")),  # after both -> newest (20.0)
+            (4, "v", _ts("2024-01-01 00:30:00")),  # key with no build -> null
+        ],
+        "event_id int, user_id string, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 00:10:00"), 10.0),
+            ("u", _ts("2024-01-01 00:20:00"), 20.0),
+        ],
+        "user_id string, ts timestamp, purchase_value double",
+    )
+    out = sessions.asof_join(
+        probe, build, key="user_id", ts_col="ts",
+        value_cols=["purchase_value"], probe_tiebreak="event_id",
+    )
+    got = {r.event_id: r.asof_purchase_value for r in out.collect()}
+    assert got == {1: None, 2: 10.0, 3: 20.0, 4: None}
+    # left-join contract: every probe row survives exactly once
+    assert out.count() == probe.count()
+
+
+def test_tumbling_and_hopping_alignment(spark):
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 05:59:59"),)], "ts timestamp"
+    )
+    tumb = df.select(sessions.tumbling_window("ts", 3600).alias("w")).first().w
+    assert tumb == _ts("2024-01-01 05:00:00")
+    hops = df.select(
+        F.explode(sessions.hopping_windows("ts", 3600, 900)).alias("w")
+    ).orderBy("w").collect()
+    assert [r.w for r in hops] == [
+        _ts("2024-01-01 05:00:00"),
+        _ts("2024-01-01 05:15:00"),
+        _ts("2024-01-01 05:30:00"),
+        _ts("2024-01-01 05:45:00"),
+    ]
+
+
+def test_top_n_and_median_small(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 5)] + [("b", 9, 7.0)],
+        "event_type string, event_id int, value double",
+    )
+    top = sessions.top_n_per_group(df, "event_type", "value", "event_id", 2)
+    assert {(r.event_type, r.rank, r.value) for r in top.collect()} == {
+        ("a", 1, 4.0), ("a", 2, 3.0), ("b", 1, 7.0)
+    }
+    med = sessions.lower_median_per_group(df, "event_type", "value", "event_id")
+    assert {(r.event_type, r.median_value) for r in med.collect()} == {
+        ("a", 2.0), ("b", 7.0)
+    }
