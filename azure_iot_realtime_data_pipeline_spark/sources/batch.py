@@ -55,6 +55,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan has fewer partitions
+    than the cluster's parallelism — a guard for CPU-bound scalar stages
+    (tokenize/shingle/hash, decode UDFs) reading few/unsplittable files.
+
+    Local testdata is one single-row-group parquet file per table, so a
+    scan is ONE task and a heavy map stage serializes on one core. At
+    100 TB the scan has thousands of splits, the condition is false, and
+    this is a no-op — the extra shuffle exists only where it buys strict
+    speedup. Call it on a narrow projection (id + payload) so the
+    shuffle moves the minimum bytes.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -65,6 +65,9 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop persisted intermediates (LSH signature tables etc.) so
+        # earlier queries' cache doesn't GC-pressure later ones
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

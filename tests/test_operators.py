@@ -81,6 +81,34 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_smoke):
         assert abs(e - x) <= 0.35, (pair, e, x)
 
 
+def test_minhash_codegen_form_bit_identical(spark, sf_smoke):
+    """The exploded groupBy signature path must reproduce the Column-form
+    F.aggregate fold bit-for-bit, including empty-shingle docs (init
+    signature)."""
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    docs = docs.unionByName(
+        spark.createDataFrame([(999999, "one two")], "doc_id long, text string")
+    )
+    fast = {
+        r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs).collect()
+    }
+    slow = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id",
+            dedup.minhash_signature(
+                dedup.shingle_hashes(text.tokens(F.col("text")), 3), 32
+            ).alias("sig"),
+        ).collect()
+    }
+    assert fast == slow
+    assert fast[999999] == [dedup.MERSENNE_31] * 32
+
+
 def test_simhash_close_for_near_identical_docs(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog near the river bank"),
