@@ -269,12 +269,13 @@ def q_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: global event-time ordering, made hash-observable via
-    row_number. NOTE: the empty-partition window is a single-task sort —
-    kept as the direct parity form; the scale path for the same result
-    is operators/ordering.py:global_row_number (used by q_identity)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    return ev.select("event_id", "ts", F.row_number().over(w).cast("int").alias("rn"))
+    row_number. Uses the distributed two-phase numbering
+    (operators/ordering.py:global_row_number — range shuffle + parallel
+    local sorts + partition-offset prefix sum), bit-identical to the
+    naive empty-partition window but without its single-task sort."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    out = ordering.global_row_number(ev, ["ts", "event_id"], out_col="rn")
+    return out.select("event_id", "ts", F.col("rn").cast("int").alias("rn"))
 
 
 def q_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
