@@ -270,9 +270,10 @@ def q_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: global event-time ordering, made hash-observable via
     row_number. Uses the distributed two-phase numbering
-    (operators/ordering.py:global_row_number — range shuffle + parallel
-    local sorts + partition-offset prefix sum), bit-identical to the
-    naive empty-partition window but without its single-task sort."""
+    (operators/ordering.py:global_row_number — deterministic quantile
+    buckets + per-bucket row_number windows + bucket-offset prefix sum),
+    bit-identical to the naive empty-partition window but without its
+    single-task sort."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     out = ordering.global_row_number(ev, ["ts", "event_id"], out_col="rn")
     return out.select("event_id", "ts", F.col("rn").cast("int").alias("rn"))
@@ -503,10 +504,10 @@ def q_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2 IDENTITY surrogate key (reference README.MD:169), computed the
-    scale-correct way: range-partitioned parallel sort + per-partition
-    offset prefix-sum (operators/ordering.py) instead of a single-task
-    global window — bit-identical to `row_number() OVER (ORDER BY ...)`
-    (the oracle) without the one-partition cliff."""
+    scale-correct way: deterministic quantile-bucket numbering
+    (operators/ordering.py) instead of a single-task global window —
+    bit-identical to `row_number() OVER (ORDER BY ...)` (the oracle)
+    without the one-partition cliff."""
     ev = load_table(spark, sf_dir, "events")
     return ordering.global_row_number(
         ev, ["ts", "event_id"], out_col="telemetryId"
