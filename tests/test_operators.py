@@ -190,3 +190,68 @@ def test_global_window_streaming_parity(spark, sf_smoke, tmp_path):
         for r in ev.select("event_id", score.alias("score"), is_anom.alias("is_anomaly")).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# global_row_number (operators/ordering.py): deterministic quantile-bucket
+# numbering must be bit-identical to the naive global window on every edge
+# the bucketing could get wrong — nulls in the leading key (bucket 0,
+# nulls-first), heavy ties on the leading key (one bucket, tiebreaker
+# ordering), tiny inputs (fewer rows than buckets), and repeat invocation
+# (job-to-job determinism, the AQE-recompute regression).
+# ---------------------------------------------------------------------------
+
+def _naive_numbering(df, order_cols, out_col):
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*[F.col(c).asc() for c in order_cols])
+    return df.withColumn(out_col, F.row_number().over(w).cast("long"))
+
+
+def _assert_matches_naive(spark, rows, schema, order_cols):
+    from azure_iot_realtime_data_pipeline_spark.operators.ordering import (
+        global_row_number,
+    )
+
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        tuple(r) for r in global_row_number(df, order_cols, out_col="rn").collect()
+    }
+    want = {tuple(r) for r in _naive_numbering(df, order_cols, "rn").collect()}
+    assert got == want
+
+
+def test_row_number_nulls_first_and_ties(spark):
+    rows = [
+        (None, 3),
+        (5.0, 1),
+        (5.0, 2),  # tie on leading key -> tiebreaker decides
+        (None, 1),  # null leading keys sort first, among themselves by id
+        (1.0, 4),
+        (9.0, 5),
+    ]
+    _assert_matches_naive(spark, rows, "k double, id long", ["k", "id"])
+
+
+def test_row_number_fewer_rows_than_buckets(spark):
+    _assert_matches_naive(spark, [(2.0, 1)], "k double, id long", ["k", "id"])
+    _assert_matches_naive(
+        spark, [(2.0, 1), (1.0, 2)], "k double, id long", ["k", "id"]
+    )
+
+
+def test_row_number_stable_across_invocations(spark, sf_smoke):
+    from azure_iot_realtime_data_pipeline_spark.operators.ordering import (
+        global_row_number,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "ts")
+    out = global_row_number(ev, ["ts", "event_id"], out_col="rn")
+    first = sorted((r["event_id"], r["rn"]) for r in out.collect())
+    # re-collecting re-runs the numbering job; a partition-id-dependent
+    # scheme can renumber differently here — values must not move
+    second = sorted((r["event_id"], r["rn"]) for r in out.collect())
+    assert first == second
+    assert [rn for _, rn in sorted(first, key=lambda t: t[1])] == list(
+        range(1, len(first) + 1)
+    )
