@@ -406,8 +406,8 @@ ORACLES: dict[str, str] = {
         ),
         sess AS (
           SELECT user_id, ts,
-                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM marked
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,
