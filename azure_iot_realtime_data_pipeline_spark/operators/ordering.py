@@ -36,8 +36,25 @@ Non-contiguous alternative when ordering doesn't matter at all:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _bucket_search(key: Column, bounds: list[float], lo: int, hi: int) -> Column:
+    """Binary-search CASE tree: leftmost i in [lo, hi] with bounds[i] >= key,
+    i.e. the count of bounds strictly below key. Pure Column API (no SQL
+    text — arbitrary column exprs and non-finite bounds are safe), and a
+    row evaluates only the log2(len(bounds)) comparisons on its root-to-
+    leaf path, not a linear scan of every bound. NULL keys fail every
+    `bound < key` predicate and land in bucket 0, consistent with
+    NULLS FIRST ascending sort order."""
+    if lo == hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return F.when(
+        F.lit(bounds[mid]) < key, _bucket_search(key, bounds, mid + 1, hi)
+    ).otherwise(_bucket_search(key, bounds, lo, mid))
 
 
 def global_row_number(
@@ -49,38 +66,51 @@ def global_row_number(
     """Contiguous 1-based global row numbers in (order_cols) order,
     computed without a single-task sort. Ordering keys must be unique
     for a deterministic result (pass a tiebreaker column). The leading
-    order column must be numeric or timestamp (it is range-bucketed)."""
+    order column must be numeric or timestamp (it is range-bucketed).
+
+    Scan accounting (the 100 TB bill): the bounds pass and the exact
+    per-bucket count pass both need only the leading key column, so they
+    share ONE column-pruned scan cached as `_k` (8 bytes/row,
+    MEMORY_AND_DISK, released before return); the only full-width pass
+    over the data is the numbering job itself.
+    """
     spark = df.sparkSession
     n = num_buckets or spark.sparkContext.defaultParallelism
     lead = F.col(order_cols[0]).cast("double")
 
     probs = [i / n for i in range(1, n)]
     bounds: list[float] = []
-    if probs:
-        sample = df.select(lead.alias("_k")).where(F.col("_k").isNotNull())
-        bounds = sorted(set(sample.stat.approxQuantile("_k", probs, 0.001)))
-
-    if bounds:
-        arr = "array({})".format(
-            ", ".join(f"cast({repr(b)} as double)" for b in bounds)
+    counts: list[tuple[int, int]] = []
+    keys = df.select(lead.alias("_k")).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if probs:
+            sample = keys.where(F.col("_k").isNotNull())
+            bounds = sorted(set(sample.stat.approxQuantile("_k", probs, 0.001)))
+        key_bucket = (
+            _bucket_search(F.col("_k"), bounds, 0, len(bounds))
+            if bounds
+            else F.lit(0)
         )
-        bucket = F.expr(
-            f"size(filter({arr}, b -> b < cast({order_cols[0]} as double)))"
-        )
-    else:
-        bucket = F.lit(0)
-    bucketed = df.withColumn("_bucket", bucket)
+        counts = [
+            (r["_bucket"], r["_n"])
+            for r in keys.groupBy(key_bucket.alias("_bucket"))
+            .agg(F.count("*").alias("_n"))
+            .collect()
+        ]
+    finally:
+        keys.unpersist()
 
-    counts = bucketed.groupBy("_bucket").agg(F.count("*").alias("_n")).collect()
     acc = 0
     offsets: dict[int, int] = {}
-    for row in sorted(counts, key=lambda r: r["_bucket"]):
-        offsets[row["_bucket"]] = acc
-        acc += row["_n"]
+    for b, c in sorted(counts):
+        offsets[b] = acc
+        acc += c
     offset_map = F.create_map(
         *[F.lit(x) for pair in offsets.items() for x in pair]
     )
 
+    bucket = _bucket_search(lead, bounds, 0, len(bounds)) if bounds else F.lit(0)
+    bucketed = df.withColumn("_bucket", bucket)
     w = Window.partitionBy("_bucket").orderBy(*[F.col(c).asc() for c in order_cols])
     return (
         bucketed.withColumn(

@@ -58,7 +58,11 @@ def windowed_moments(value: Column, w: WindowSpec) -> tuple[Column, Column, Colu
     arithmetic: mean = s1/n, var = (s2 - s1*mean)/(n-1).
     """
     dec = value.cast("decimal(18,2)")
-    n = F.count(value).over(w)
+    # Count the CAST column, not the raw value: a cast that overflows
+    # decimal(18,2) (|v| >= 10^16) nulls out under non-ANSI mode and is
+    # skipped by the sums — n must see exactly the rows the sums see or
+    # mean/variance silently skew with no error.
+    n = F.count(dec).over(w)
     s1 = F.sum(dec).over(w).cast("double")
     s2 = F.sum(dec * dec).over(w).cast("double")
     mean = s1 / n

@@ -9,9 +9,17 @@ numbers, different execution: `applyInPandasWithState` carrying a
 bounded per-key history instead of a Catalyst RANGE window.
 
 Parity contract (tested): for in-order input where rows sharing an
-epoch second arrive in one micro-batch, every (score, is_anomaly) is
-bit-identical to the batch `spike_dip_score` over
-`trailing_window(key, window_seconds)`. The replicated arithmetic:
+epoch second arrive in one micro-batch AND no key has more than
+`history_size` events inside any `window_seconds` span (always true
+when `history_size=None`), every (score, is_anomaly) is bit-identical
+to the batch `spike_dip_score` over
+`trailing_window(key, window_seconds)`. The density bound exists
+because the batch RANGE frame is unbounded within the window while
+streaming state keeps at most `history_size` events (the reference's
+own 85-event cap, README.MD:152-154): denser-than-85/window keys score
+from a truncated history after the first batch boundary. Run with
+`history_size=None` when batch parity matters more than the bounded-
+state guarantee. The replicated arithmetic:
 
   dec(v)  = decimal(18,2) HALF_UP of the double's shortest repr
             (Spark's double->decimal cast)

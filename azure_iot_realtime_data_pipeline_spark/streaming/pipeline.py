@@ -101,17 +101,40 @@ def upsert_devices(batch: DataFrame, devices_dir: str) -> None:
     devices.write.mode("append").parquet(devices_dir)
 
 
+def _write_batch_scoped(batch: DataFrame, batch_id: int, out_dir: str) -> None:
+    """Idempotent parquet append: each micro-batch owns a `batch_id=`
+    partition and replay OVERWRITES exactly that partition (dynamic
+    partition-overwrite), so a batch replayed after a mid-fan-out crash
+    rewrites its own files instead of appending duplicates."""
+    (
+        batch.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
 def multi_sink_batch_writer(
     bronze_dir: str, devices_dir: str, telemetry_dir: str
 ) -> Callable[[DataFrame, int], None]:
-    """foreachBatch body: persist once, write three sinks (F4)."""
+    """foreachBatch body: persist once, write three sinks (F4).
 
-    def write(batch: DataFrame, _batch_id: int) -> None:
+    Exactly-once per sink under micro-batch replay: Structured Streaming
+    re-runs a batch after a crash between sink writes, so each sink must
+    absorb the same (batch_id, rows) twice. Bronze/telemetry do it by
+    batch-id-scoped dynamic partition overwrite; the Devices upsert is
+    naturally idempotent (first-write-wins anti-join — replayed keys are
+    already stored and anti-join away). On a transactional store the
+    equivalent is Delta `MERGE` / txn-log `txnAppId+txnVersion`.
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
-            batch.write.mode("append").parquet(bronze_dir)  # A3 bronze raw
+            _write_batch_scoped(batch, batch_id, bronze_dir)  # A3 bronze raw
             upsert_devices(batch, devices_dir)  # A4/F7 dimension
-            batch.drop("value").write.mode("append").parquet(telemetry_dir)  # A5 fact
+            _write_batch_scoped(batch.drop("value"), batch_id, telemetry_dir)  # A5 fact
         finally:
             batch.unpersist()
 

@@ -139,6 +139,39 @@ def test_multi_sink_fanout(spark, replay_dir, tmp_path):
     assert flags <= {0, 1}
 
 
+def test_multi_sink_replay_is_idempotent(spark, sf_smoke, tmp_path):
+    """Crash-replay semantics: foreachBatch re-delivers a micro-batch
+    after a failure between sink writes; re-running the SAME (batch_id,
+    rows) through the writer must not duplicate rows in any sink."""
+    from azure_iot_realtime_data_pipeline_spark.streaming.pipeline import (
+        multi_sink_batch_writer,
+    )
+
+    bronze = str(tmp_path / "b3")
+    devices = str(tmp_path / "d3")
+    telemetry = str(tmp_path / "t3")
+    batch = (
+        load_table(spark, sf_smoke, "events")
+        .limit(200)
+        .select(
+            F.col("event_id").alias("telemetryId"),
+            F.concat(F.lit("dev-"), F.col("user_id").cast("string")).alias("deviceId"),
+            F.col("ts").alias("enqueuedTime"),
+            "value",
+            F.lit(0.0).alias("Score"),
+            F.lit(0).alias("Anomaly"),
+        )
+    )
+    write = multi_sink_batch_writer(bronze, devices, telemetry)
+    write(batch, 7)
+    counts1 = [spark.read.parquet(p).count() for p in (bronze, devices, telemetry)]
+    write(batch, 7)  # replay of the same micro-batch
+    counts2 = [spark.read.parquet(p).count() for p in (bronze, devices, telemetry)]
+    assert counts1 == counts2
+    write(batch.limit(50), 8)  # a NEW batch still appends
+    assert spark.read.parquet(bronze).count() == counts1[0] + 50
+
+
 def test_devices_upsert_is_first_write_wins(spark, replay_dir, tmp_path):
     """Re-running the stream against an existing dimension adds no rows
     and keeps the original firstSeen (F7 upsert, not append)."""
