@@ -1,0 +1,127 @@
+"""Streaming bindings for the K-family event-time operators (K1-K3).
+
+The batch forms live in operators/sessions.py (sessionize, tumbling,
+hopping — oracle-checked as q_sessionize / q_tumbling_agg /
+q_hopping_agg). These are their Structured-Streaming twins over the
+watermarked events stream, mirroring how the F2 anomaly operator ships
+both forms (operators/windows.py <-> streaming/anomaly.py):
+
+- tumbling/hopping: ``F.window(ts, size[, slide])`` — bit-equivalent to
+  the batch arithmetic form (both are epoch-aligned buckets, and the sum
+  runs as exact decimal before the double cast), asserted by the
+  batch-equivalence tests in tests/test_streaming_windows.py.
+- session: ``F.session_window(ts, gap)``. Boundary semantics, documented:
+  ``sessionize`` starts a new session when the inter-event gap is
+  STRICTLY greater than ``gap_seconds`` (ANSI-SQL expressible, the
+  oracle-checked form); ``F.session_window`` closes a session when the
+  next event is >= session_end = last_ts + gap — an event landing at
+  exactly ``gap`` seconds stays in-session under the batch operator but
+  opens a new one here. Equivalence tests therefore compare the
+  streaming form against the BATCH ``F.session_window`` aggregation
+  (same engine semantics), not against ``sessionize``.
+
+Scale notes: all three are ordinary streaming hash aggregations — state
+is one row per open (key, window), pruned by the watermark; the hopping
+fan-out multiplies rows map-side by size/slide before the shuffle,
+identical to the batch plan. In production `append` output mode plus
+``withWatermark`` bounds state; the equivalence tests run `complete`
+mode on a finite replay so every window emits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "60 seconds"
+
+
+def _sum_value_dec(col: str = "value"):
+    # identical arithmetic to the batch q_tumbling_agg/q_hopping_agg
+    # surface: order-independent exact decimal sum, then double.
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias("sum_value")
+
+
+def tumbling_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    size_seconds: int = 86_400,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """K2 streaming: per-key tumbling-window count + decimal-exact sum.
+    Output (key, window_start, n, sum_value) matches q_tumbling_agg."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(key_col, F.window(ts_col, f"{size_seconds} seconds"))
+        .agg(F.count("*").alias("n"), _sum_value_dec())
+        .select(
+            key_col,
+            F.col("window.start").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def hopping_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    size_seconds: int = 86_400,
+    slide_seconds: int = 21_600,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """K3 streaming: overlapping windows of `size` sliding by `slide`.
+    Output matches q_hopping_agg (one row per key per covering window)."""
+    return (
+        (events.withWatermark(ts_col, watermark) if watermark else events)
+        .groupBy(
+            key_col,
+            F.window(ts_col, f"{size_seconds} seconds", f"{slide_seconds} seconds"),
+        )
+        .agg(F.count("*").alias("n"), _sum_value_dec())
+        .select(
+            key_col,
+            F.col("window.start").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 3_600,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """K1 streaming: gap sessionization via ``F.session_window``.
+    Output (key, session_start, session_end_ts, n_events) — session_end_ts
+    is MAX(ts) of the session (the batch `sessionize` surface), not the
+    session_window's end (= last_ts + gap)."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(key_col, F.session_window(ts_col, f"{gap_seconds} seconds"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end_ts"),
+        )
+        .select(key_col, "session_start", "session_end_ts", "n_events")
+    )
+
+
+def session_batch_twin(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 3_600,
+) -> DataFrame:
+    """The same F.session_window aggregation on a BATCH frame — the
+    equivalence oracle for session_stream (engine-identical gap
+    semantics; see module docstring on the `>` vs `>=` boundary)."""
+    return session_stream(events, key_col, ts_col, gap_seconds, watermark=None)
