@@ -118,6 +118,15 @@ ORACLES: dict[str, str] = {
         "WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
     ),
+    "q_trailing_window_global": (
+        # reference-faithful: NO PARTITION BY (iot-stream-analytics-query.sql:33-44)
+        "SELECT event_id, "
+        "floor((CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (count(*) OVER w)) * 10000 + 0.5) / 10000 AS avg_1h, "
+        "count(*) OVER w AS n_1h "
+        "FROM events "
+        "WINDOW w AS (ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
+    ),
     "q_spike_dip": (
         """
         SELECT event_id, user_id, score,

@@ -328,6 +328,27 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trailing_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1, reference-faithful GLOBAL form: the reference's anomaly window
+    has NO PARTITION BY (reference
+    stream-analytics/iot-stream-analytics-query.sql:33-44) — every row
+    shares one window state. That is a deliberate single-task cliff
+    (SURVEY.md §7 hard part 1): the plan contains an
+    `Exchange SinglePartition` and wall clock is bounded by one core
+    regardless of cluster size. Registered for semantic parity with the
+    reference; the per-key `q_trailing_window` is the scale default.
+    Exempted by name in the plan gates (GLOBAL_WINDOW_ALLOWED)."""
+    ev = with_epoch_seconds(load_table(spark, sf_dir, "events"), "ts")
+    w = trailing_window("ts_sec", key=None, window_seconds=3600)
+    n = F.count("*").over(w)
+    s = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    return ev.select(
+        "event_id",
+        round_half_up(s / n).alias("avg_1h"),
+        n.alias("n_1h"),
+    )
+
+
 def q_spike_dip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: deterministic spike/dip stand-in — trailing-window z-score with
     struct(IsAnomaly, Score) interface (reference
@@ -699,6 +720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_latest_value": q_latest_value,
     "q_groupby_device": q_groupby_device,
     "q_trailing_window": q_trailing_window,
+    "q_trailing_window_global": q_trailing_window_global,
     "q_spike_dip": q_spike_dip,
     "q_dedup_devices": q_dedup_devices,
     "q_join_devices": q_join_devices,

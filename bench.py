@@ -24,7 +24,10 @@ from azure_iot_realtime_data_pipeline_spark.session import get_spark
 
 #: headline set: one per operator family — scan+projection, shuffle agg,
 #: broadcast join, global sort, range-frame window, anomaly scoring,
-#: dedup families, text analysis, similarity search.
+#: dedup families, text analysis, similarity search, event-time K-ops
+#: (sessionize/tumbling/hopping/as-of/top-n/median). The deliberate
+#: single-task q_trailing_window_global is correctness-gated but kept
+#: out of the headline — it measures the reference's cliff, not ours.
 HEADLINE = [
     "q_scan_events",
     "q_incremental_tail",
@@ -45,6 +48,12 @@ HEADLINE = [
     "q_lsh_topk",
     "q_ivf_topk",
     "q_embed_dedup",
+    "q_sessionize",
+    "q_tumbling_agg",
+    "q_hopping_agg",
+    "q_asof_join",
+    "q_topn_per_group",
+    "q_median_value",
 ]
 
 

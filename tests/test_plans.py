@@ -30,6 +30,12 @@ from azure_iot_realtime_data_pipeline_spark.plans.queries import QUERIES
 #: is bounded (k queries / centroid table), not a data×data cross.
 BNLJ_ALLOWED = {"q_topk_cosine", "q_ivf_topk", "q_embed_dedup"}
 
+#: the reference's anomaly window has no PARTITION BY
+#: (iot-stream-analytics-query.sql:33-44); its faithful reproduction is
+#: BY DESIGN a single-partition global window — the one sanctioned
+#: Exchange SinglePartition in the repo. Every other query must scale out.
+GLOBAL_WINDOW_ALLOWED = {"q_trailing_window_global"}
+
 
 def plan_of(spark, sf_smoke, name: str, mode: str = "formatted") -> str:
     buf = io.StringIO()
@@ -101,7 +107,8 @@ def test_no_pathological_plan_shapes(spark, sf_smoke, name):
     # or a pre-bucketed equi-join at this surface).
     p = plan_of(spark, sf_smoke, name)
     assert "CartesianProduct" not in p, name
-    assert "Exchange SinglePartition" not in p, name
+    if name not in GLOBAL_WINDOW_ALLOWED:
+        assert "Exchange SinglePartition" not in p, name
     assert "SortMergeJoin" not in p, name
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in p, name
