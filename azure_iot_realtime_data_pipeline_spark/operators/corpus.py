@@ -1,0 +1,184 @@
+"""Training-corpus management operators (J19-J23): deterministic
+train/val/test splitting, benchmark decontamination, text normalization,
+repetition scoring, and PII masking.
+
+These extend the LLM-data-pipeline family (SURVEY.md §2.J) with the ops
+a corpus curation pass runs between dedup and tokenization. Design rules
+are the same as operators/text.py: every hot path is built-in
+`pyspark.sql.functions` (JVM, whole-stage codegen, zero Python rows),
+and every op is expressed so an ANSI-SQL oracle can reproduce it
+bit-for-bit.
+
+Scale notes:
+- hash_split / normalize / repetition / masking are pure map-side
+  expressions — no shuffle at any scale.
+- decontamination's only shuffle is the shingle equi-join against the
+  (small) benchmark shingle set; the benchmark side broadcasts, so the
+  corpus never moves. Shingles join as strings for oracle exactness; at
+  100 TB hash them to int64 first (xxhash64) to shrink shuffle/broadcast
+  bytes — one extra expression, same plan shape, with a ~2^-64 per-pair
+  false-positive rate that a decontamination pass tolerates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.functions.rounding import round_half_up
+from azure_iot_realtime_data_pipeline_spark.operators.text import tokens
+from azure_iot_realtime_data_pipeline_spark.sources.batch import ensure_parallelism
+
+#: email-ish and long-digit-run patterns shared by Spark (Java regex) and
+#: DuckDB (RE2) — keep to the common syntax subset (char classes, +, {m,}).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGIT_RUN_PATTERN = r"[0-9]{7,}"
+
+
+def split_bounds(train: float, val: float) -> tuple[str, str]:
+    """Hex thresholds over the first 4 md5 digits (16-bit space)."""
+    if not 0 < train < 1 or val < 0 or train + val > 1:
+        raise ValueError("need 0<train<1, val>=0, train+val<=1")
+    return (
+        format(int(train * 0x10000), "04x"),
+        format(int((train + val) * 0x10000), "04x"),
+    )
+
+
+def hash_split(
+    id_col: Column, train: float = 0.8, val: float = 0.1
+) -> Column:
+    """J19: deterministic, order-free train/val/test assignment.
+
+    The split key is the first 4 hex digits of md5(id) compared against
+    hex thresholds — stable across runs, partitionings and engines
+    (DuckDB's md5 produces the identical lowercase hex), unlike
+    `rand(seed)` (plan-dependent) or `id % n` (correlates with any
+    id-ordered property of the corpus). Map-side only.
+    """
+    lo, hi = split_bounds(train, val)
+    h = F.substring(F.md5(id_col.cast("string")), 1, 4)
+    return F.when(h < lo, "train").when(h < hi, "val").otherwise("test")
+
+
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """Array of k-gram shingle strings from a TOKENS ARRAY COLUMN; empty
+    array below k tokens.
+
+    `toks` must be a materialized column reference, not an inline
+    tokenizer expression: the transform lambda references it k times per
+    array element, and Catalyst re-evaluates a non-trivial subtree at
+    every reference inside a higher-order function — measured 14x slower
+    at sf0.1 with `tokens(text)` inlined here. Callers stage the tokens
+    with `.select(..., tokens(col).alias("_toks"))` first (CollapseProject
+    keeps the alias because it is referenced more than once).
+    """
+    n = F.size(toks) - (k - 1)
+    # sequence(1, 0) is DESCENDING in Spark (step defaults to -1 when
+    # start > stop), so short docs must branch to an empty array rather
+    # than rely on an empty sequence.
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+
+
+def shingle_strings(text: Column, k: int = 3) -> Column:
+    """Inline-tokenizer convenience form — fine for literals and tests,
+    NOT for corpus-sized scans (see shingles_of on re-evaluation cost)."""
+    return shingles_of(tokens(text), k)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """J20: drop every corpus doc sharing at least one k-gram with the
+    benchmark set (the standard eval-contamination guard).
+
+    Plan: explode corpus shingles -> left-semi join the DISTINCT
+    benchmark shingle set (small => broadcast; the corpus side never
+    shuffles) -> distinct contaminated ids -> broadcast anti-join back.
+    Docs with < k tokens have no shingles and always survive.
+    """
+    doc_sh = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_of(F.col("_toks"), k)).alias("_sh"))
+    )
+    bench_sh = (
+        benchmark.select(tokens(F.col(text_col)).alias("_toks"))
+        .select(F.explode(shingles_of(F.col("_toks"), k)).alias("_sh"))
+        .distinct()
+    )
+    contaminated = (
+        doc_sh.join(F.broadcast(bench_sh), "_sh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def normalize_text(text: Column) -> Column:
+    """J21: canonical text form — lowercase, control/whitespace runs
+    collapsed to single spaces, trimmed. (Unicode NFC is intentionally
+    out: not expressible in the portable SQL subset; plug a
+    `mapInPandas` stage for it when the corpus needs it.)"""
+    return F.trim(F.regexp_replace(F.lower(text), r"[ \t\n\r]+", " "))
+
+
+def repetition_score_of(sh: Column) -> Column:
+    """Duplicated-shingle ratio from a shingle-array column."""
+    total = F.size(sh)
+    rep = F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / total
+    return round_half_up(F.when(total <= 0, F.lit(0.0)).otherwise(rep))
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", k: int = 3, out: str = "rep_score"
+) -> DataFrame:
+    """J22: duplicated-shingle ratio in [0,1] — the classic boilerplate /
+    degenerate-generation signal: 1 - distinct_kgrams/total_kgrams,
+    0.0 for docs with fewer than k tokens. Map-side arrays only; tokens
+    staged as a column so the tokenizer runs once per row (shingles_of)."""
+    staged = df.withColumn("_toks", tokens(F.col(text_col)))
+    return (
+        staged.withColumn(out, repetition_score_of(shingles_of(F.col("_toks"), k)))
+        .drop("_toks")
+    )
+
+
+def repetition_score(text: Column, k: int = 3) -> Column:
+    """Inline convenience form of J22 — tests/literals only (tokenizer
+    re-evaluation inside the HOF, see shingles_of)."""
+    return repetition_score_of(shingle_strings(text, k))
+
+
+def mask_pii(text: Column) -> Column:
+    """J23: redact email-shaped tokens and 7+-digit runs (ids, phones).
+    Two codegen'd regexp_replace passes; order matters — emails first so
+    digit runs inside addresses are already gone."""
+    masked = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(masked, DIGIT_RUN_PATTERN, "<NUM>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_digit_runs) found in the raw text — the audit metric
+    next to mask_pii's redaction."""
+    n_email = F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0)))
+    n_digit = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+            F.lit(DIGIT_RUN_PATTERN),
+            F.lit(0),
+        )
+    )
+    return n_email.cast("long"), n_digit.cast("long")

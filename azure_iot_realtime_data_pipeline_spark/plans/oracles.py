@@ -483,4 +483,91 @@ ORACLES: dict[str, str] = {
         ) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
         """
     ),
+    # --- §2.J corpus management (J19-J23) ---
+    "q_hash_split": (
+        # thresholds = split_bounds(0.8, 0.1): 0xcccc / 0xe666 of the
+        # 16-bit md5-prefix space; DuckDB md5 emits the same lowercase hex
+        """
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        """
+    ),
+    "q_decontaminate": (
+        """
+        WITH docs AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+          FROM docs WHERE len(toks) >= 3
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM idx
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+        contaminated AS (
+          SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """
+    ),
+    "q_normalize_text": (
+        """
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text
+        FROM documents
+        """
+    ),
+    "q_repetition_score": (
+        """
+        WITH docs AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+          FROM docs WHERE len(toks) >= 3
+        ),
+        sh AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM idx
+        ),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT shingle) AS dis
+          FROM sh GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(floor((1.0 - CAST(dis AS DOUBLE) / total) * 10000 + 0.5) / 10000, 0.0) AS rep_score
+        FROM documents d LEFT JOIN agg USING (doc_id)
+        """
+    ),
+    "q_mask_pii": (
+        # identical enrichment string to the Spark side, then the same
+        # two-pass masking (emails first, then 7+-digit runs)
+        """
+        WITH enriched AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com ref '
+                      || CAST(doc_id * 9999991 + 1234567 AS VARCHAR) AS t
+          FROM documents
+        ),
+        masked AS (
+          SELECT doc_id,
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS m
+          FROM enriched
+        )
+        SELECT e.doc_id,
+               regexp_replace(m.m, '[0-9]{7,}', '<NUM>', 'g') AS masked_text,
+               CAST(len(regexp_extract_all(e.t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(m.m, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs
+        FROM enriched e JOIN masked m USING (doc_id)
+        """
+    ),
 }

@@ -29,6 +29,7 @@ from azure_iot_realtime_data_pipeline_spark.functions.serialization import (
     row_to_json,
 )
 from azure_iot_realtime_data_pipeline_spark.operators import (
+    corpus,
     dedup,
     eventtime,
     multimodal,
@@ -697,6 +698,72 @@ def q_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.J corpus management (J19-J23, operators/corpus.py)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J19: deterministic md5-prefix train/val/test split (80/10/10) —
+    stable across runs/partitionings/engines, map-side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", corpus.hash_split(F.col("doc_id")).alias("split")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J20: benchmark decontamination — every 20th doc plays the held-out
+    eval set; corpus docs sharing any 3-gram with it are dropped. The
+    benchmark shingle set broadcasts; the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return corpus.decontaminate(docs, bench).select("doc_id")
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J21: canonical text form (lowercase, whitespace-run collapse,
+    trim) — pure codegen map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", corpus.normalize_text(F.col("text")).alias("norm_text")
+    )
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J22: duplicated-3-gram ratio per doc (boilerplate / degenerate
+    text signal); 0.0 for sub-3-token docs. Tokens staged as a column
+    (one tokenizer pass per row) + parallelism guard for the
+    single-file local scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    return corpus.repetition_scores(
+        ensure_parallelism(docs.select("doc_id", "text"))
+    ).select("doc_id", "rep_score")
+
+
+def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J23: PII masking + audit counts. The synthetic corpus contains no
+    PII, so a deterministic email + 7+-digit ref is appended per doc
+    BEFORE masking — the oracle builds the identical string — so the
+    check exercises real replacements, not a no-op regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 9_999_991 + 1_234_567).cast("string"),
+    )
+    n_email, n_digit = corpus.pii_counts(enriched)
+    return docs.select(
+        "doc_id",
+        corpus.mask_pii(enriched).alias("masked_text"),
+        n_email.alias("n_emails"),
+        n_digit.alias("n_digit_runs"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_events": q_scan_events,
     "q_from_json": q_from_json,
@@ -753,4 +820,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_topn_per_group": q_topn_per_group,
     "q_median_value": q_median_value,
+    "q_hash_split": q_hash_split,
+    "q_decontaminate": q_decontaminate,
+    "q_normalize_text": q_normalize_text,
+    "q_repetition_score": q_repetition_score,
+    "q_mask_pii": q_mask_pii,
 }

@@ -69,9 +69,18 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # `inputFiles()` probes the analyzed plan only; the previous
+    # `df.rdd.getNumPartitions()` built an RDD lineage (and forced full
+    # physical planning) on every call. One file can still split into
+    # multiple scan tasks (maxPartitionBytes), so this guard errs toward
+    # an extra narrow-projection shuffle, never toward serializing.
+    files = df.inputFiles()
+    if files and len(files) >= target:
+        return df
+    if not files and df.rdd.getNumPartitions() >= target:
+        # non-file-backed plan (in-memory relation, stream): RDD probe
+        return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

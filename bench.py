@@ -54,6 +54,8 @@ HEADLINE = [
     "q_asof_join",
     "q_topn_per_group",
     "q_median_value",
+    "q_decontaminate",
+    "q_repetition_score",
 ]
 
 

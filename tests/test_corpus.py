@@ -1,0 +1,100 @@
+"""Corpus-management operators (J19-J23): properties the oracle parity
+check can't see — split stability and balance, decontamination edge
+cases, masking behavior on adversarial strings."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.operators import corpus
+from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+
+
+def test_hash_split_is_deterministic_and_balanced(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    split = docs.select("doc_id", corpus.hash_split(F.col("doc_id")).alias("s"))
+    counts = {r["s"]: r["n"] for r in split.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    # 80/10/10 within loose binomial bounds at n=500
+    assert 0.7 < counts["train"] / total < 0.9
+    assert 0.04 < counts["val"] / total < 0.18
+    assert 0.04 < counts["test"] / total < 0.18
+    # deterministic: re-evaluation and re-partitioning give the same map
+    again = {
+        r["doc_id"]: r["s"]
+        for r in split.repartition(7).collect()
+    }
+    first = {r["doc_id"]: r["s"] for r in split.collect()}
+    assert first == again
+
+
+def test_hash_split_bounds_validation():
+    with pytest.raises(ValueError):
+        corpus.split_bounds(0.0, 0.5)
+    with pytest.raises(ValueError):
+        corpus.split_bounds(0.9, 0.2)
+    lo, hi = corpus.split_bounds(0.8, 0.1)
+    assert (lo, hi) == ("cccc", "e666")
+
+
+def test_decontaminate_removes_benchmark_and_keeps_short_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),        # overlaps benchmark -> drop
+        (2, "one two three four five"),       # clean -> keep
+        (3, "tiny doc"),                      # < 3 tokens, no shingles -> keep
+        (4, "alpha beta gamma"),              # the benchmark doc itself -> drop
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter(F.col("doc_id") == 4)
+    kept = sorted(r["doc_id"] for r in corpus.decontaminate(docs, bench).collect())
+    assert kept == [2, 3]
+
+
+def test_repetition_score_extremes(spark):
+    rows = [
+        (1, "a b c a b c a b c a b c"),  # heavy 3-gram repetition
+        (2, "q w e r t y u i o p"),      # all distinct
+        (3, "xy"),                        # sub-3-token
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in docs.select(
+            "doc_id", corpus.repetition_score(F.col("text")).alias("rep")
+        ).collect()
+    }
+    assert got[3] == 0.0
+    assert got[2] == 0.0
+    assert got[1] > 0.5
+
+
+def test_mask_pii_patterns(spark):
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.org thanks"),
+        (2, "card 12345678901234 and short 123456 stays"),
+        (3, "no pii here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    n_email, n_digit = corpus.pii_counts(F.col("text"))
+    got = {
+        r["doc_id"]: (r["m"], r["ne"], r["nd"])
+        for r in docs.select(
+            "doc_id",
+            corpus.mask_pii(F.col("text")).alias("m"),
+            n_email.alias("ne"),
+            n_digit.alias("nd"),
+        ).collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> thanks", 1, 0)
+    # 7+ digits masked, 6-digit run untouched
+    assert got[2] == ("card <NUM> and short 123456 stays", 0, 1)
+    assert got[3] == ("no pii here", 0, 0)
+
+
+def test_normalize_text_collapses_whitespace(spark):
+    rows = [(1, "  Hello\t\tWORLD \n mixed   Case  ")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = docs.select(corpus.normalize_text(F.col("text")).alias("t")).collect()[0]["t"]
+    assert got == "hello world mixed case"
