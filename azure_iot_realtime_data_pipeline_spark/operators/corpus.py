@@ -162,6 +162,55 @@ def repetition_score(text: Column, k: int = 3) -> Column:
     return repetition_score_of(shingle_strings(text, k))
 
 
+def stratified_sample_flag(
+    stratum_col: Column,
+    id_col: Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> Column:
+    """J25 predicate: deterministic per-stratum hash sampling.
+
+    The sample key is md5(stratum || ':' || id) — salting with the
+    stratum makes the draws independent across strata (the same id can
+    be in-sample for one stratum's rate and out for another), and the
+    hash threshold gives an order-free, rerun-stable sample with no
+    `rand()` in the plan (rand is partitioning-dependent and breaks
+    retries/speculation). Map-side only; composes with any filter
+    pushdown since it is a pure expression over two columns.
+    """
+    h = F.substring(
+        F.md5(
+            F.concat(
+                stratum_col.cast("string"), F.lit(":"), id_col.cast("string")
+            )
+        ),
+        1,
+        4,
+    )
+    threshold = F.lit(format(int(default_rate * 0x10000), "04x"))
+    for stratum, rate in sorted(rates.items()):
+        if not 0 <= rate <= 1:
+            raise ValueError(f"rate for {stratum!r} outside [0,1]")
+        threshold = F.when(
+            stratum_col == stratum, F.lit(format(int(rate * 0x10000), "04x"))
+        ).otherwise(threshold)
+    return h < threshold
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """J25: keep a deterministic hash-sample of each stratum at its own
+    rate (e.g. downsample dominant languages, keep the tail)."""
+    return df.filter(
+        stratified_sample_flag(F.col(stratum_col), F.col(id_col), rates, default_rate)
+    )
+
+
 def mask_pii(text: Column) -> Column:
     """J23: redact email-shaped tokens and 7+-digit runs (ids, phones).
     Two codegen'd regexp_replace passes; order matters — emails first so

@@ -1,0 +1,104 @@
+"""Term-relevance scoring (J24): TF-IDF and BM25 over the documents
+table — the ranking/weighting pass a corpus pipeline runs for quality
+weighting, keyword extraction, or lightweight retrieval.
+
+Plan shape (the 100 TB story):
+- term frequencies: explode tokens -> hash aggregate on (doc_id, term).
+  ONE shuffle of (doc_id, term, count) — map-side combine collapses
+  repeated terms before the exchange.
+- document frequencies: re-aggregate the (small) tf table by term —
+  second shuffle moves one row per (doc, term), not the corpus text.
+- idf joins back BROADCAST (|vocabulary| rows), so the corpus-sized tf
+  table never reshuffles.
+- corpus scalars (N, avgdl) are single-row aggregates collected on the
+  driver — O(1) rows, the same bounded-collect pattern as
+  streaming/source.py's min/max staging.
+
+Scores are rounded half-up to 4 decimals: ln() and double division are
+accumulation-order-free, but rounding pins the last ulp so any ANSI
+oracle (DuckDB twin in plans/oracles.py) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.functions.rounding import round_half_up
+from azure_iot_realtime_data_pipeline_spark.operators.text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def term_frequencies(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf) — one row per distinct term per doc."""
+    return (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tf_idf(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """J24a: smoothed TF-IDF — tf * (ln((N+1)/(df+1)) + 1), rounded to 4
+    decimals. Returns (doc_id, term, tf, tf_idf)."""
+    n_docs = docs.count()  # scalar; O(1) rows to the driver
+    tf = term_frequencies(docs, text_col, id_col)
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            round_half_up(F.col("tf") * idf).alias("tf_idf"),
+        )
+    )
+
+
+def bm25(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """J24b: Okapi BM25 term weight per (doc, term), rounded to 4
+    decimals. idf = ln(1 + (N - df + 0.5)/(df + 0.5)); the doc-length
+    normalization uses whitespace token counts (dl / avgdl).
+
+    dl is NOT a separate scan+join: dl == sum(tf) over the doc, so it
+    comes from a window over the compact tf table (one reshuffle of
+    (doc, term, tf) rows on doc_id — never a corpus-sized broadcast),
+    and avgdl = total_tokens / N is a 1-row aggregate of the same table.
+    Returns (doc_id, term, tf, bm25)."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # scalar
+    tf = term_frequencies(docs, text_col, id_col)
+    total_tokens = tf.agg(F.sum("tf")).collect()[0][0]  # scalar
+    avgdl = float(total_tokens) / float(n_docs)
+    dl = F.sum("tf").over(Window.partitionBy(id_col))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl))
+    )
+    return (
+        tf.withColumn("_dl", dl)
+        .join(F.broadcast(df_t), "term")
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            round_half_up(idf * norm).alias("bm25"),
+        )
+    )

@@ -570,4 +570,51 @@ ORACLES: dict[str, str] = {
         FROM enriched e JOIN masked m USING (doc_id)
         """
     ),
+    "q_tf_idf": (
+        """
+        WITH docs AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents
+        ),
+        terms AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf,
+               floor((tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)) * 10000 + 0.5) / 10000 AS tf_idf
+        FROM tf JOIN dft USING (term) CROSS JOIN n
+        """
+    ),
+    "q_bm25": (
+        # same literal structure as operators/relevance.py:bm25 —
+        # k1=1.2, b=0.75, norm denominator (tf + 1.2*((1-0.75) + (0.75*dl)/avgdl))
+        """
+        WITH docs AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents
+        ),
+        terms AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+        dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        s AS (
+          SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+                 CAST((SELECT SUM(tf) FROM tf) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM documents) AS avgdl
+        )
+        SELECT tf.doc_id, tf.term, tf.tf,
+               floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                      * ((tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / avgdl))))
+                     * 10000 + 0.5) / 10000 AS bm25
+        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN s
+        """
+    ),
+    "q_stratified_sample": (
+        """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN 'c000' ELSE '8000' END
+        """
+    ),
 }

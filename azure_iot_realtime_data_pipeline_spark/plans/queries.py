@@ -764,6 +764,46 @@ def q_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J24a: smoothed TF-IDF per (doc, term). Two aggregations of the
+    compact (doc, term, tf) table; idf joins back broadcast so the tf
+    table never reshuffles."""
+    from azure_iot_realtime_data_pipeline_spark.operators import relevance
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return relevance.tf_idf(docs)
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J24b: Okapi BM25 term weights; doc length = sum(tf) via a window
+    over the tf table (no corpus-sized broadcast)."""
+    from azure_iot_realtime_data_pipeline_spark.operators import relevance
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return relevance.bm25(docs)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J25: per-language deterministic hash sampling — downsample the
+    dominant language, keep the tail (the standard corpus rebalancing
+    move). Pure map-side predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        corpus.stratified_sample_flag(
+            F.col("lang"),
+            F.col("doc_id"),
+            rates={"en": 0.25, "zh": 0.75},
+            default_rate=0.5,
+        )
+    ).select("doc_id", "lang")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_events": q_scan_events,
     "q_from_json": q_from_json,
@@ -825,4 +865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_normalize_text": q_normalize_text,
     "q_repetition_score": q_repetition_score,
     "q_mask_pii": q_mask_pii,
+    "q_tf_idf": q_tf_idf,
+    "q_bm25": q_bm25,
+    "q_stratified_sample": q_stratified_sample,
 }

@@ -56,6 +56,7 @@ HEADLINE = [
     "q_median_value",
     "q_decontaminate",
     "q_repetition_score",
+    "q_bm25",
 ]
 
 

@@ -98,3 +98,50 @@ def test_normalize_text_collapses_whitespace(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     got = docs.select(corpus.normalize_text(F.col("text")).alias("t")).collect()[0]["t"]
     assert got == "hello world mixed case"
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    rates = {"en": 0.25, "zh": 0.75}
+    got = corpus.stratified_sample(docs, "lang", "doc_id", rates, default_rate=0.5)
+    by_lang = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # loose binomial bounds per stratum
+    assert 0.1 < by_lang["en"] / base["en"] < 0.45
+    assert 0.55 < by_lang["zh"] / base["zh"] < 0.95
+    # deterministic under repartitioning
+    ids1 = sorted(r["doc_id"] for r in got.collect())
+    ids2 = sorted(r["doc_id"] for r in corpus.stratified_sample(
+        docs.repartition(13), "lang", "doc_id", rates, default_rate=0.5).collect())
+    assert ids1 == ids2
+
+
+def test_stratified_sample_rate_validation():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus.stratified_sample_flag(F.lit("x"), F.lit(1), {"x": 1.5})
+
+
+def test_tf_idf_and_bm25_properties(spark):
+    from azure_iot_realtime_data_pipeline_spark.operators import relevance
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "apple banana cherry durian"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ti = {(r["doc_id"], r["term"]): (r["tf"], r["tf_idf"]) for r in relevance.tf_idf(docs).collect()}
+    # tf counts repeated terms
+    assert ti[(1, "apple")][0] == 2
+    # rarer term ("durian", df=1) outweighs ubiquitous "banana" (df=3) at equal tf
+    assert ti[(3, "durian")][1] > ti[(3, "banana")][1]
+    bm = {(r["doc_id"], r["term"]): r["bm25"] for r in relevance.bm25(docs).collect()}
+    assert bm[(3, "durian")] > bm[(3, "banana")]
+    # BM25 term-frequency saturation: tf=2 scores higher than tf=1 for the
+    # same term, but less than 2x (diminishing returns)
+    one = {(r["doc_id"], r["term"]): r["bm25"] for r in relevance.bm25(
+        spark.createDataFrame([(1, "apple pear"), (2, "apple apple pear")], ["doc_id", "text"])
+    ).collect()}
+    assert one[(2, "apple")] > one[(1, "apple")]
+    assert one[(2, "apple")] < 2 * one[(1, "apple")]
