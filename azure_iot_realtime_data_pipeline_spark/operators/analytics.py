@@ -1,0 +1,132 @@
+"""General analytics operators (§2.L): pivot, rollup, inter-event gaps,
+exact multi-percentiles, and embedding centroids.
+
+The reference's dashboard layer (reference README.MD:182,
+docs/Power_BI_Dashboard.png) consumes flat per-device aggregates; these
+are the next analytics asks a user of that dashboard makes (wide
+per-category tables, subtotals, latency-between-events, tail
+percentiles) plus the embedding-space analog (per-label centroids).
+
+Plan shapes:
+- pivot: one hash aggregate on (row_key); the pivot values are a FIXED
+  list so the plan is a plain groupBy with |values| conditional
+  aggregates — never a distinct-scan to discover columns.
+- rollup: Spark's Expand + single hash aggregate (each input row
+  contributes to every grouping set map-side; one shuffle).
+- gaps: lag() over (key, time) — one shuffle on the key, the same
+  partitioning the sessionizer uses.
+- percentiles: rank selection (row_number + count over the key), so the
+  result is an actual data value and any ANSI oracle agrees bit-for-bit
+  — same policy as lower_median_per_group (operators/sessions.py).
+- centroid: posexplode(embedding) -> hash agg on (label, dim). The sum
+  runs over int64 micro-units (floor(v*1e6 + 0.5)) because float sums
+  are accumulation-order-dependent and float->DECIMAL casts round
+  differently across engines (Spark: shortest-repr; DuckDB: exact
+  binary) — integer micro-units are bit-identical everywhere and make
+  the aggregate order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.functions.rounding import round_half_up
+
+
+def pivot_counts(
+    df: DataFrame, row_key: str, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """Wide per-key table: one column per pivot value with the row count
+    (0, not NULL, for empty cells — ANSI FILTER semantics)."""
+    wide = df.groupBy(row_key).pivot(pivot_col, values).agg(F.count(F.lit(1)))
+    return wide.select(
+        row_key, *[F.coalesce(F.col(v), F.lit(0)).alias(v) for v in values]
+    )
+
+
+def rollup_agg(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group count + decimal-exact sum WITH the grand-total row
+    (group_col NULL), via ROLLUP's grouping sets."""
+    dec = F.col(value_col).cast("decimal(18,2)")
+    return (
+        df.rollup(group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def event_gaps(
+    df: DataFrame, key: str, ts_col: str, tiebreak: str, out: str = "gap_us"
+) -> DataFrame:
+    """Microseconds since the previous event of the same key (NULL for
+    each key's first event) — the inter-arrival-time signal under
+    latency dashboards and sessionization tuning."""
+    ts_us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key).orderBy(ts_us, F.col(tiebreak))
+    return df.withColumn(out, ts_us - F.lag(ts_us).over(w))
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    tiebreak: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact per-group percentiles by rank selection: the element at
+    1-based position ceil(q*n) under (value, tiebreak) order — an actual
+    data value (percentile_disc), never interpolation. One shuffle on
+    the group key; the quantile fan-out is a map-side explode of a
+    |quantiles|-element literal array."""
+    w = Window.partitionBy(group).orderBy(F.col(value_col), F.col(tiebreak))
+    cnt = Window.partitionBy(group)
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    ranked = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt))
+        .select(F.col(group), F.col(value_col), F.col("_rn"), F.col("_n"), qs)
+    )
+    return ranked.filter(
+        F.col("_rn") == F.ceil(F.col("q") * F.col("_n"))
+    ).select(group, "q", F.col(value_col).alias("p_value"))
+
+
+MICRO = 1_000_000.0
+
+
+def micro_units(v: Column) -> Column:
+    """Half-up integer micro-units of a float/double value — the
+    order-free, engine-portable accumulation domain (see module doc)."""
+    return F.floor(v.cast("double") * MICRO + F.lit(0.5)).cast("long")
+
+
+def embedding_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals_out: int = 4,
+) -> DataFrame:
+    """Per-label per-dimension centroid of an array<float> column:
+    (label, dim (1-based), centroid). posexplode -> ONE hash aggregate
+    on (label, dim) with int64 micro-unit sums (map-side combine; at
+    100 TB the shuffle carries |labels|x|dims| partial rows per task,
+    not vectors)."""
+    exploded = emb.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_v"),
+    )
+    # dim as int64 (matches SQL generate_series); count the VALUE column
+    # so NULL elements are excluded from n exactly as the sum excludes them
+    agg = exploded.groupBy(
+        label_col, (F.col("_pos") + 1).cast("long").alias("dim")
+    ).agg(
+        F.sum(micro_units(F.col("_v"))).alias("_s"),
+        F.count("_v").alias("_n"),
+    )
+    centroid = round_half_up(
+        F.col("_s").cast("double") / F.lit(MICRO) / F.col("_n")
+    )
+    return agg.select(label_col, "dim", centroid.alias("centroid"))

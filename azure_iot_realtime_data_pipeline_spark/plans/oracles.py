@@ -617,4 +617,62 @@ ORACLES: dict[str, str] = {
               < CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN 'c000' ELSE '8000' END
         """
     ),
+    # --- §2.L general analytics ---
+    "q_pivot_counts": (
+        """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events GROUP BY user_id
+        """
+    ),
+    "q_rollup_agg": (
+        """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY ROLLUP(event_type)
+        """
+    ),
+    "q_event_gaps": (
+        """
+        SELECT event_id, user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        FROM events
+        """
+    ),
+    "q_percentiles": (
+        """
+        WITH ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_type, q, value AS p_value
+        FROM ranked CROSS JOIN
+             (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q) qs
+        WHERE rn = CAST(ceil(q * n) AS BIGINT)
+        """
+    ),
+    "q_embedding_centroid": (
+        # int64 micro-unit sums: float->DECIMAL casts round differently
+        # across engines (shortest-repr vs exact binary); floor(v*1e6+0.5)
+        # over the exact float->double value is bit-identical everywhere
+        """
+        SELECT label, i AS dim,
+               floor((CAST(s AS DOUBLE) / 1000000.0 / n) * 10000 + 0.5) / 10000 AS centroid
+        FROM (
+          SELECT label, i,
+                 SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s,
+                 COUNT(embedding[i]) AS n
+          FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)
+          GROUP BY label, i
+        )
+        """
+    ),
 }

@@ -804,6 +804,60 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+# ---------------------------------------------------------------------------
+# §2.L general analytics (operators/analytics.py)
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: wide per-user table, one count column per event type. Fixed
+    pivot value list — one hash aggregate, no discovery scan."""
+    from azure_iot_realtime_data_pipeline_spark.operators import analytics
+
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.pivot_counts(ev, "user_id", "event_type", EVENT_TYPES)
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: per-type aggregate + grand-total row via ROLLUP grouping sets
+    (Expand + one hash aggregate, one shuffle)."""
+    from azure_iot_realtime_data_pipeline_spark.operators import analytics
+
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.rollup_agg(ev, "event_type", "value")
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: inter-arrival microseconds per user (lag window; NULL for a
+    user's first event)."""
+    from azure_iot_realtime_data_pipeline_spark.operators import analytics
+
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.event_gaps(ev, "user_id", "ts", "event_id").select(
+        "event_id", "user_id", "gap_us"
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: exact p50/p95/p99 per event type by rank selection (actual
+    data values — percentile_disc semantics, oracle bit-parity)."""
+    from azure_iot_realtime_data_pipeline_spark.operators import analytics
+
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.exact_percentiles(ev, "event_type", "value", "event_id")
+
+
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: per-label embedding centroid via posexplode + one (label,dim)
+    hash aggregate over int64 micro-units (order-free, engine-portable
+    — float sums/decimal casts are not)."""
+    from azure_iot_realtime_data_pipeline_spark.operators import analytics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return analytics.embedding_centroids(emb)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_events": q_scan_events,
     "q_from_json": q_from_json,
@@ -868,4 +922,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tf_idf": q_tf_idf,
     "q_bm25": q_bm25,
     "q_stratified_sample": q_stratified_sample,
+    "q_pivot_counts": q_pivot_counts,
+    "q_rollup_agg": q_rollup_agg,
+    "q_event_gaps": q_event_gaps,
+    "q_percentiles": q_percentiles,
+    "q_embedding_centroid": q_embedding_centroid,
 }
