@@ -313,6 +313,28 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, sha256(text) AS h FROM documents)
         """
     ),
+    "q_frame_sample": (
+        # frames = payload split into 256-byte windows, every 4th kept;
+        # n_frames = max(len // 256, 1); the tail frame may be short.
+        # DuckDB cannot slice BLOBs, so the slice runs in the char domain
+        # and re-encodes — byte-exact because the synthetic corpus is
+        # pure ASCII at every SF (verified: octet_length == length for
+        # all docs); a non-ASCII corpus would need a blob-slicing oracle.
+        """
+        WITH p AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS len
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, greatest(len // 256, 1) - 1, 4)) AS i
+          FROM p
+        )
+        SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+               encode(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_payload
+        FROM f
+        """
+    ),
     "q_embed_dedup": (
         """
         WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),

@@ -552,6 +552,14 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_meta(multimodal.attach_payload(docs))
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15: video-analog frame sampling — payload split into 256-byte
+    frames, every 4th emitted. Fan-out happens INSIDE the narrow
+    mapInPandas stage (more output rows than input, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.attach_payload(docs))
+
+
 def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact form on a bounded slice;
     the LSH-bucketed form is the scale path, tested in package tests).
@@ -903,6 +911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_identity": q_identity,
     "q_multimodal_meta": q_multimodal_meta,
     "q_image_meta": q_image_meta,
+    "q_frame_sample": q_frame_sample,
     "q_embed_dedup": q_embed_dedup,
     "q_ivf_topk": q_ivf_topk,
     "q_bpe_token_count": q_bpe_token_count,
