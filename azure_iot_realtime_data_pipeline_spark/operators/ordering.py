@@ -85,7 +85,17 @@ def global_row_number(
     try:
         if probs:
             sample = keys.where(F.col("_k").isNotNull())
-            bounds = sorted(set(sample.stat.approxQuantile("_k", probs, 0.001)))
+            raw = sample.stat.approxQuantile("_k", probs, 0.001)
+            # FINITE bounds only: a NaN bound breaks Python's sorted()
+            # invariant (NaN is unordered) and the search-tree monotonicity;
+            # an inf bound separates nothing. Dropping them just merges the
+            # extremes into the edge buckets: NaN keys compare greater than
+            # every finite bound (Spark sorts NaN last) -> last bucket;
+            # -inf/NULL keys fail every `bound < key` -> bucket 0. Order
+            # stays consistent with the window sort either way.
+            import math
+
+            bounds = sorted({b for b in raw if math.isfinite(b)})
         key_bucket = (
             _bucket_search(F.col("_k"), bounds, 0, len(bounds))
             if bounds

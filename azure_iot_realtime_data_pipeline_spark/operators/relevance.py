@@ -21,6 +21,10 @@ oracle (DuckDB twin in plans/oracles.py) matches bit-for-bit.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,6 +33,20 @@ from azure_iot_realtime_data_pipeline_spark.operators.text import tokens
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+
+def _stage(df: DataFrame, prefix: str, spill_dir: str | None) -> DataFrame:
+    """Materialize a compact intermediate to parquet and read it back —
+    the tf table feeds 2-3 downstream consumers (df_t aggregate, dl
+    window, corpus scalars) and without staging Catalyst recomputes the
+    corpus explode per consumer (verified in the physical plan: two
+    full explode+aggregate branches under the join). Same pattern as
+    dedup.minhash_lsh_candidates: stage once, no session cache leak."""
+    if spill_dir is None:
+        spill_dir = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
+    df.write.mode("overwrite").parquet(spill_dir)
+    return df.sparkSession.read.parquet(spill_dir)
 
 
 def term_frequencies(
@@ -43,12 +61,15 @@ def term_frequencies(
 
 
 def tf_idf(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """J24a: smoothed TF-IDF — tf * (ln((N+1)/(df+1)) + 1), rounded to 4
     decimals. Returns (doc_id, term, tf, tf_idf)."""
     n_docs = docs.count()  # scalar; O(1) rows to the driver
-    tf = term_frequencies(docs, text_col, id_col)
+    tf = _stage(term_frequencies(docs, text_col, id_col), "tfidf_tf_", spill_dir)
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
     return (
@@ -68,6 +89,7 @@ def bm25(
     id_col: str = "doc_id",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """J24b: Okapi BM25 term weight per (doc, term), rounded to 4
     decimals. idf = ln(1 + (N - df + 0.5)/(df + 0.5)); the doc-length
@@ -81,7 +103,7 @@ def bm25(
     from pyspark.sql import Window
 
     n_docs = docs.count()  # scalar
-    tf = term_frequencies(docs, text_col, id_col)
+    tf = _stage(term_frequencies(docs, text_col, id_col), "bm25_tf_", spill_dir)
     total_tokens = tf.agg(F.sum("tf")).collect()[0][0]  # scalar
     avgdl = float(total_tokens) / float(n_docs)
     dl = F.sum("tf").over(Window.partitionBy(id_col))

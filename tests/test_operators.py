@@ -255,3 +255,36 @@ def test_row_number_stable_across_invocations(spark, sf_smoke):
     assert [rn for _, rn in sorted(first, key=lambda t: t[1])] == list(
         range(1, len(first) + 1)
     )
+
+
+def test_row_number_nonfinite_leading_keys(spark):
+    """inf/nan in the leading key: approxQuantile can emit non-finite
+    bucket bounds — the Column-API binary-search tree must stay
+    analyzable (the old SQL-text interpolation failed at analysis time)
+    and order them like Spark sort does (nan last, after +inf)."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from azure_iot_realtime_data_pipeline_spark.operators.ordering import (
+        global_row_number,
+    )
+
+    rows = [
+        (float("nan"), 1),
+        (float("inf"), 2),
+        (float("-inf"), 3),
+        (0.0, 4),
+        (None, 5),
+        (float("nan"), 6),
+        (1e308, 7),
+        (-1e308, 8),
+    ] + [(float(i), 100 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k double, id long")
+    # compare id->rn maps (ids are unique): tuple/set compares would
+    # break on NaN != NaN, not on actual numbering differences
+    got = {r["id"]: r["rn"] for r in global_row_number(df, ["k", "id"], out_col="rn").collect()}
+    w = Window.orderBy(F.col("k").asc(), F.col("id").asc())
+    want = {r["id"]: r["rn"] for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want
