@@ -35,14 +35,23 @@ EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 DIGIT_RUN_PATTERN = r"[0-9]{7,}"
 
 
+def hex_threshold(rate: float) -> str:
+    """Threshold string for `md5_prefix < threshold` over the first 4 hex
+    digits (16-bit space). rate >= 1.0 must accept EVERY prefix, and
+    format(0x10000, "04x") == "10000" compares lexicographically BELOW
+    most 4-char prefixes — so saturated rates return "g", which is
+    greater than any hex digit."""
+    if not 0 <= rate <= 1:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    n = int(rate * 0x10000)
+    return "g" if n >= 0x10000 else format(n, "04x")
+
+
 def split_bounds(train: float, val: float) -> tuple[str, str]:
     """Hex thresholds over the first 4 md5 digits (16-bit space)."""
     if not 0 < train < 1 or val < 0 or train + val > 1:
         raise ValueError("need 0<train<1, val>=0, train+val<=1")
-    return (
-        format(int(train * 0x10000), "04x"),
-        format(int((train + val) * 0x10000), "04x"),
-    )
+    return hex_threshold(train), hex_threshold(train + val)
 
 
 def hash_split(
@@ -55,6 +64,10 @@ def hash_split(
     (DuckDB's md5 produces the identical lowercase hex), unlike
     `rand(seed)` (plan-dependent) or `id % n` (correlates with any
     id-ordered property of the corpus). Map-side only.
+
+    NULL ids: md5(NULL) is NULL, every `<` compare is NULL, and all
+    NULL-id rows fall through to 'test' — deterministic, but a corpus
+    with NULL ids should be repaired upstream, not split.
     """
     lo, hi = split_bounds(train, val)
     h = F.substring(F.md5(id_col.cast("string")), 1, 4)
@@ -136,10 +149,15 @@ def normalize_text(text: Column) -> Column:
 
 
 def repetition_score_of(sh: Column) -> Column:
-    """Duplicated-shingle ratio from a shingle-array column."""
+    """Duplicated-shingle ratio from a shingle-array column. NULL input
+    (NULL text upstream) scores 0.0, matching the SQL oracle's
+    LEFT JOIN + COALESCE — `size(NULL)` is NULL and would otherwise
+    propagate."""
     total = F.size(sh)
     rep = F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / total
-    return round_half_up(F.when(total <= 0, F.lit(0.0)).otherwise(rep))
+    return round_half_up(
+        F.when(total.isNull() | (total <= 0), F.lit(0.0)).otherwise(rep)
+    )
 
 
 def repetition_scores(
@@ -149,10 +167,11 @@ def repetition_scores(
     degenerate-generation signal: 1 - distinct_kgrams/total_kgrams,
     0.0 for docs with fewer than k tokens. Map-side arrays only; tokens
     staged as a column so the tokenizer runs once per row (shingles_of)."""
-    staged = df.withColumn("_toks", tokens(F.col(text_col)))
+    tok_col = "__rep_toks"
+    staged = df.withColumn(tok_col, tokens(F.col(text_col)))
     return (
-        staged.withColumn(out, repetition_score_of(shingles_of(F.col("_toks"), k)))
-        .drop("_toks")
+        staged.withColumn(out, repetition_score_of(shingles_of(F.col(tok_col), k)))
+        .drop(tok_col)
     )
 
 
@@ -187,12 +206,10 @@ def stratified_sample_flag(
         1,
         4,
     )
-    threshold = F.lit(format(int(default_rate * 0x10000), "04x"))
+    threshold = F.lit(hex_threshold(default_rate))
     for stratum, rate in sorted(rates.items()):
-        if not 0 <= rate <= 1:
-            raise ValueError(f"rate for {stratum!r} outside [0,1]")
         threshold = F.when(
-            stratum_col == stratum, F.lit(format(int(rate * 0x10000), "04x"))
+            stratum_col == stratum, F.lit(hex_threshold(rate))
         ).otherwise(threshold)
     return h < threshold
 

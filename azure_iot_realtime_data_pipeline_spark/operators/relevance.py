@@ -21,32 +21,21 @@ oracle (DuckDB twin in plans/oracles.py) matches bit-for-bit.
 
 from __future__ import annotations
 
-import atexit
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from azure_iot_realtime_data_pipeline_spark.functions.rounding import round_half_up
 from azure_iot_realtime_data_pipeline_spark.operators.text import tokens
+from azure_iot_realtime_data_pipeline_spark.sources.batch import stage_to_parquet
+
+# The (doc, term, tf) table feeds 2-3 downstream consumers (df_t
+# aggregate, dl window, corpus scalars); without staging Catalyst
+# recomputes the corpus explode per consumer (verified in the physical
+# plan: two full explode+aggregate branches under the join).
+_stage = stage_to_parquet
 
 BM25_K1 = 1.2
 BM25_B = 0.75
-
-
-def _stage(df: DataFrame, prefix: str, spill_dir: str | None) -> DataFrame:
-    """Materialize a compact intermediate to parquet and read it back —
-    the tf table feeds 2-3 downstream consumers (df_t aggregate, dl
-    window, corpus scalars) and without staging Catalyst recomputes the
-    corpus explode per consumer (verified in the physical plan: two
-    full explode+aggregate branches under the join). Same pattern as
-    dedup.minhash_lsh_candidates: stage once, no session cache leak."""
-    if spill_dir is None:
-        spill_dir = tempfile.mkdtemp(prefix=prefix)
-        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
-    df.write.mode("overwrite").parquet(spill_dir)
-    return df.sparkSession.read.parquet(spill_dir)
 
 
 def term_frequencies(

@@ -29,11 +29,13 @@ from azure_iot_realtime_data_pipeline_spark.functions.serialization import (
     row_to_json,
 )
 from azure_iot_realtime_data_pipeline_spark.operators import (
+    analytics,
     corpus,
     dedup,
     eventtime,
     multimodal,
     ordering,
+    relevance,
     sessions,
     similarity,
     skew,
@@ -49,7 +51,11 @@ from azure_iot_realtime_data_pipeline_spark.operators.windows import (
     trailing_window,
     with_epoch_seconds,
 )
-from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table, register_views
+from azure_iot_realtime_data_pipeline_spark.sources.batch import (
+    ensure_parallelism,
+    load_table,
+    register_views,
+)
 
 # ---------------------------------------------------------------------------
 # §2.A sources
@@ -743,8 +749,6 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one tokenizer pass per row) + parallelism guard for the
     single-file local scan."""
     docs = load_table(spark, sf_dir, "documents")
-    from azure_iot_realtime_data_pipeline_spark.sources.batch import ensure_parallelism
-
     return corpus.repetition_scores(
         ensure_parallelism(docs.select("doc_id", "text"))
     ).select("doc_id", "rep_score")
@@ -776,9 +780,6 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J24a: smoothed TF-IDF per (doc, term). Two aggregations of the
     compact (doc, term, tf) table; idf joins back broadcast so the tf
     table never reshuffles."""
-    from azure_iot_realtime_data_pipeline_spark.operators import relevance
-    from azure_iot_realtime_data_pipeline_spark.sources.batch import ensure_parallelism
-
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
@@ -788,9 +789,6 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J24b: Okapi BM25 term weights; doc length = sum(tf) via a window
     over the tf table (no corpus-sized broadcast)."""
-    from azure_iot_realtime_data_pipeline_spark.operators import relevance
-    from azure_iot_realtime_data_pipeline_spark.sources.batch import ensure_parallelism
-
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
@@ -821,8 +819,6 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1: wide per-user table, one count column per event type. Fixed
     pivot value list — one hash aggregate, no discovery scan."""
-    from azure_iot_realtime_data_pipeline_spark.operators import analytics
-
     ev = load_table(spark, sf_dir, "events")
     return analytics.pivot_counts(ev, "user_id", "event_type", EVENT_TYPES)
 
@@ -830,8 +826,6 @@ def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: per-type aggregate + grand-total row via ROLLUP grouping sets
     (Expand + one hash aggregate, one shuffle)."""
-    from azure_iot_realtime_data_pipeline_spark.operators import analytics
-
     ev = load_table(spark, sf_dir, "events")
     return analytics.rollup_agg(ev, "event_type", "value")
 
@@ -839,8 +833,6 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: inter-arrival microseconds per user (lag window; NULL for a
     user's first event)."""
-    from azure_iot_realtime_data_pipeline_spark.operators import analytics
-
     ev = load_table(spark, sf_dir, "events")
     return analytics.event_gaps(ev, "user_id", "ts", "event_id").select(
         "event_id", "user_id", "gap_us"
@@ -850,8 +842,6 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: exact p50/p95/p99 per event type by rank selection (actual
     data values — percentile_disc semantics, oracle bit-parity)."""
-    from azure_iot_realtime_data_pipeline_spark.operators import analytics
-
     ev = load_table(spark, sf_dir, "events")
     return analytics.exact_percentiles(ev, "event_type", "value", "event_id")
 
@@ -860,8 +850,6 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: per-label embedding centroid via posexplode + one (label,dim)
     hash aggregate over int64 micro-units (order-free, engine-portable
     — float sums/decimal casts are not)."""
-    from azure_iot_realtime_data_pipeline_spark.operators import analytics
-
     emb = load_table(spark, sf_dir, "embeddings")
     return analytics.embedding_centroids(emb)
 

@@ -15,7 +15,10 @@ reach the scan.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,3 +96,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def stage_to_parquet(df: DataFrame, prefix: str, spill_dir: str | None = None) -> DataFrame:
+    """Materialize a compact intermediate to parquet and read it back.
+
+    For intermediates feeding MULTIPLE consumers (self-joins, an
+    aggregate reused by a window and a scalar), Catalyst recomputes the
+    full upstream pipeline per consumer; staging cuts that to one
+    computation with no session-cache leak (unlike persist()), and it is
+    the literal 100 TB pattern — stage the small table, join against the
+    staged copy. NOTE: runs the upstream job EAGERLY at call time; the
+    caller's returned plan starts at the staged scan.
+    """
+    if spill_dir is None:
+        spill_dir = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
+    df.write.mode("overwrite").parquet(spill_dir)
+    return df.sparkSession.read.parquet(spill_dir)

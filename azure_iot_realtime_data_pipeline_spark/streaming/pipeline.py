@@ -127,6 +127,11 @@ def multi_sink_batch_writer(
     naturally idempotent (first-write-wins anti-join — replayed keys are
     already stored and anti-join away). On a transactional store the
     equivalent is Delta `MERGE` / txn-log `txnAppId+txnVersion`.
+
+    Layout migration note: sinks written by the pre-batch-id layout
+    (loose part files at the root) cannot be mixed with the partitioned
+    layout — point new streams at fresh sink directories (or move old
+    files under a `batch_id=-1/` subdir) before upgrading.
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:

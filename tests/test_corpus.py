@@ -145,3 +145,33 @@ def test_tf_idf_and_bm25_properties(spark):
     ).collect()}
     assert one[(2, "apple")] > one[(1, "apple")]
     assert one[(2, "apple")] < 2 * one[(1, "apple")]
+
+
+def test_hex_threshold_saturation_and_edges(spark):
+    """rate=1.0 must keep EVERY row: format(0x10000,'04x')=='10000'
+    compares lexicographically below most md5 prefixes, so saturated
+    thresholds use 'g' (> any hex digit)."""
+    assert corpus.hex_threshold(1.0) == "g"
+    assert corpus.hex_threshold(0.0) == "0000"
+    assert corpus.hex_threshold(0.5) == "8000"
+    rows = [(i, "s" if i % 2 else "t") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    keep_all = corpus.stratified_sample(df, "stratum", "id", {"s": 1.0, "t": 1.0})
+    assert keep_all.count() == 200
+    keep_none = corpus.stratified_sample(df, "stratum", "id", {"s": 0.0}, default_rate=0.0)
+    assert keep_none.count() == 0
+    # default_rate is validated like per-stratum rates
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus.stratified_sample_flag(F.lit("x"), F.lit(1), {}, default_rate=1.5)
+
+
+def test_repetition_score_null_text(spark):
+    """NULL text scores 0.0 (the oracle's COALESCE), never NULL."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    docs = spark.createDataFrame([(1, None), (2, "a b c d")], schema)
+    got = {r["doc_id"]: r["rep_score"] for r in corpus.repetition_scores(docs).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 0.0

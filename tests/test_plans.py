@@ -98,6 +98,35 @@ def test_scalar_hot_path_is_whole_stage_codegen(spark, sf_smoke):
     assert "*(1)" in p or "WholeStageCodegen" in p, p
 
 
+def test_staged_pipelines_upstream_plans_are_clean(spark, sf_smoke):
+    # q_minhash_lsh / q_tf_idf / q_bm25 stage a compact intermediate to
+    # parquet EAGERLY, so the repo-wide gate below only ever sees their
+    # post-staging sub-plan. Assert the pre-staging pipelines directly:
+    # a pathology introduced upstream of the stage must not hide.
+    import contextlib
+    import io
+
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from azure_iot_realtime_data_pipeline_spark.operators.relevance import (
+        term_frequencies,
+    )
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    for upstream in (minhash_signatures(docs), term_frequencies(docs)):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            upstream.explain(mode="formatted")
+        p = buf.getvalue()
+        assert "CartesianProduct" not in p, p
+        assert "Exchange SinglePartition" not in p, p
+        assert "SortMergeJoin" not in p, p
+        # the aggregate must combine map-side before the exchange
+        assert len(re.findall(r"\bHashAggregate\b", p)) >= 2, p
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_pathological_plan_shapes(spark, sf_smoke, name):
     # Repo-wide invariants: no cartesian product ever; nested-loop joins
