@@ -75,8 +75,12 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     # `inputFiles()` probes the analyzed plan only; the previous
     # `df.rdd.getNumPartitions()` built an RDD lineage (and forced full
     # physical planning) on every call. One file can still split into
-    # multiple scan tasks (maxPartitionBytes), so this guard errs toward
-    # an extra narrow-projection shuffle, never toward serializing.
+    # multiple scan tasks (maxPartitionBytes), so for a SINGLE-relation
+    # plan this guard errs toward an extra narrow-projection shuffle,
+    # never toward serializing. CALLER CONTRACT: pass a projection of
+    # ONE scan (every call site does) — inputFiles() aggregates across
+    # all relations, so a multi-relation plan could count a small dim's
+    # files toward the threshold and skip a needed repartition.
     files = df.inputFiles()
     if files and len(files) >= target:
         return df
