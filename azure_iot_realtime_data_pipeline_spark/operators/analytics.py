@@ -130,3 +130,30 @@ def embedding_centroids(
         F.col("_s").cast("double") / F.lit(MICRO) / F.col("_n")
     )
     return agg.select(label_col, "dim", centroid.alias("centroid"))
+
+
+def value_histogram(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """L6: fixed-width histogram per group: (group, bucket, n, bucket_lo).
+    bucket = clamp(floor((v - lo)/width), 0, n_buckets-1) — pure map-side
+    arithmetic (portable, unlike engine width_bucket variants), then ONE
+    hash aggregate on (group, bucket) with map-side combine. Empty
+    buckets are absent (sparse output), matching plain SQL GROUP BY."""
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)).cast("long")
+    return (
+        df.groupBy(group, bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            group,
+            "bucket",
+            "n",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+        )
+    )

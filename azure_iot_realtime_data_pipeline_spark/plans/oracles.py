@@ -681,6 +681,15 @@ ORACLES: dict[str, str] = {
         WHERE rn = CAST(ceil(q * n) AS BIGINT)
         """
     ),
+    "q_histogram": (
+        """
+        SELECT event_type,
+               CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               0.0::DOUBLE + CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) * 32.0::DOUBLE AS bucket_lo
+        FROM events GROUP BY 1, 2
+        """
+    ),
     "q_embedding_centroid": (
         # int64 micro-unit sums: float->DECIMAL casts round differently
         # across engines (shortest-repr vs exact binary); floor(v*1e6+0.5)

@@ -854,6 +854,15 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.embedding_centroids(emb)
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: 16-bucket fixed-width value histogram per event type (range
+    [0, 512), width 32, out-of-range clamped to edge buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.value_histogram(
+        ev, "event_type", "value", lo=0.0, width=32.0, n_buckets=16
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_events": q_scan_events,
     "q_from_json": q_from_json,
@@ -924,4 +933,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_gaps": q_event_gaps,
     "q_percentiles": q_percentiles,
     "q_embedding_centroid": q_embedding_centroid,
+    "q_histogram": q_histogram,
 }
