@@ -133,6 +133,61 @@ def asof_join(
     )
 
 
+def interval_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """K7: event-interval join — every (probe, build) pair of the same
+    key with ``build_ts in [probe_ts, probe_ts + window]`` (e.g. "purchase
+    within 1 h of a click").
+
+    Scale shape: the naive plan is an equi-join on `key` + range filter,
+    which cross-products per key (a key with n probes and m builds
+    materializes n*m pairs before filtering). This form buckets time at
+    window width and joins on (key, bucket): the build side replicates
+    into its 2 covering buckets MAP-SIDE (explode of a 2-element array),
+    the join is a pure equi-join AQE can re-plan, and each pair is
+    produced exactly once (the range filter then keeps true matches).
+    Cross-product scope shrinks from per-key to per-(key, window-bucket).
+
+    Returned columns: probe columns + build columns suffixed `_b`.
+    """
+    w_us = window_seconds * 1_000_000
+    p_us = F.unix_micros(F.col(probe_ts))
+    b_us = F.unix_micros(F.col(build_ts))
+    p = probe.withColumn("_pbucket", F.floor(p_us / F.lit(w_us)))
+    b = build.withColumn(
+        "_bbucket",
+        F.explode(
+            F.array(
+                F.floor(b_us / F.lit(w_us)),
+                F.floor(b_us / F.lit(w_us)) - 1,
+            )
+        ),
+    ).select(
+        F.col(key).alias("_bkey"),
+        F.col("_bbucket"),
+        *[
+            F.col(c).alias(f"{c}_b")
+            for c in build.columns
+            if c != key
+        ],
+    )
+    joined = p.join(
+        b,
+        (F.col(key) == F.col("_bkey")) & (F.col("_pbucket") == F.col("_bbucket")),
+    )
+    in_range = (F.unix_micros(F.col(f"{build_ts}_b")) >= F.unix_micros(F.col(probe_ts))) & (
+        F.unix_micros(F.col(f"{build_ts}_b"))
+        <= F.unix_micros(F.col(probe_ts)) + F.lit(w_us)
+    )
+    return joined.filter(in_range).drop("_pbucket", "_bbucket", "_bkey")
+
+
 def top_n_per_group(
     df: DataFrame,
     group: str,

@@ -681,6 +681,17 @@ ORACLES: dict[str, str] = {
         WHERE rn = CAST(ceil(q * n) AS BIGINT)
         """
     ),
+    "q_interval_join": (
+        """
+        SELECT c.user_id, c.event_id, c.ts,
+               p.event_id AS event_id_b, p.ts AS ts_b, p.value AS value_b
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) >= epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        """
+    ),
     "q_histogram": (
         """
         SELECT event_type,

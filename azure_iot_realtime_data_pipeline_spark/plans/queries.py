@@ -854,6 +854,23 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.embedding_centroids(emb)
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: purchases within 1 h after a click, same user — bucketized
+    interval join (map-side 2-bucket replication -> pure equi-join ->
+    range filter; never a per-key cross product)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return sessions.interval_join(
+        clicks, purchases, key="user_id", probe_ts="ts", build_ts="ts",
+        window_seconds=3600,
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: 16-bucket fixed-width value histogram per event type (range
     [0, 512), width 32, out-of-range clamped to edge buckets)."""
@@ -934,4 +951,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentiles": q_percentiles,
     "q_embedding_centroid": q_embedding_centroid,
     "q_histogram": q_histogram,
+    "q_interval_join": q_interval_join,
 }

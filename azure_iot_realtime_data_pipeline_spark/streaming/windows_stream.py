@@ -115,6 +115,40 @@ def session_stream(
     )
 
 
+def interval_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 3_600,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """K7 streaming: stream-stream inner join with an event-time range
+    condition — each click matches purchases of the same user within
+    [click_ts, click_ts + window]. Watermarks on BOTH sides bound the
+    join state (Spark retains each side only until the other side's
+    watermark passes the range edge); inner joins emit matches as rows
+    arrive. Output columns mirror the batch `sessions.interval_join`
+    surface (build side suffixed `_b`)."""
+    c = clicks.withWatermark(ts_col, watermark) if watermark else clicks
+    p = purchases.withWatermark(ts_col, watermark) if watermark else purchases
+    c = c.alias("c")
+    p = p.alias("p")
+    cond = F.expr(
+        f"c.{key} = p.{key}"
+        f" AND p.{ts_col} >= c.{ts_col}"
+        f" AND p.{ts_col} <= c.{ts_col} + interval {window_seconds} seconds"
+    )
+    return c.join(p, cond).select(
+        F.col(f"c.{key}").alias(key),
+        F.col("c.event_id").alias("event_id"),
+        F.col(f"c.{ts_col}").alias(ts_col),
+        F.col("p.event_id").alias("event_id_b"),
+        F.col(f"p.{ts_col}").alias("ts_b"),
+        F.col("p.value").alias("value_b"),
+    )
+
+
 def session_batch_twin(
     events: DataFrame,
     key_col: str = "user_id",

@@ -115,3 +115,35 @@ def test_session_stream_append_mode_with_watermark(spark, replay_dir, tmp_path):
     # every appended row must be one of the final sessions
     cols = ["user_id", "session_start", "session_end_ts", "n_events"]
     assert _as_set(emitted, cols) <= _as_set(final, cols)
+
+
+def test_interval_join_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """K7 stream-stream range join == the batch bucketized interval join
+    on the same data (inner join emits every true match once)."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import q_interval_join
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        interval_join_stream,
+    )
+
+    stream = replay_events(spark, replay_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    q = (
+        interval_join_stream(clicks, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from ij")
+    want = q_interval_join(spark, sf_smoke)
+    cols = ["user_id", "event_id", "ts", "event_id_b", "ts_b", "value_b"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() > 0
