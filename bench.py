@@ -57,6 +57,8 @@ HEADLINE = [
     "q_decontaminate",
     "q_repetition_score",
     "q_bm25",
+    "q_interval_join",
+    "q_embedding_centroid",
 ]
 
 

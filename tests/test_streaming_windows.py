@@ -147,3 +147,45 @@ def test_interval_join_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_pat
     cols = ["user_id", "event_id", "ts", "event_id_b", "ts_b", "value_b"]
     assert _as_set(got, cols) == _as_set(want, cols)
     assert got.count() > 0
+
+
+def test_dedup_stream_suppresses_redeliveries(spark, sf_smoke, tmp_path):
+    """J1 streaming: a source that re-delivers every event (duplicated
+    replay files) yields exactly the distinct event set."""
+    import os
+    import time as _time
+
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        dedup_stream,
+    )
+
+    # stage a replay dir where every file is written TWICE (dup delivery)
+    src = load_table(spark, sf_smoke, "events").limit(500)
+    dup_dir = str(tmp_path / "dup_replay")
+    os.makedirs(dup_dir)
+    for i in range(2):
+        src.coalesce(1).write.mode("overwrite").parquet(f"{dup_dir}/copy={i}")
+        now = _time.time()
+        for root, _dirs, files in os.walk(f"{dup_dir}/copy={i}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i, now + i))
+    schema = spark.read.parquet(f"{dup_dir}/copy=0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(dup_dir)
+    )
+    q = (
+        dedup_stream(stream, ["event_id"], watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select event_id from dedup_stream")
+    assert got.count() == 500
+    assert got.distinct().count() == 500
