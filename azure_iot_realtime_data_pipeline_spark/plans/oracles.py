@@ -681,6 +681,40 @@ ORACLES: dict[str, str] = {
         WHERE rn = CAST(ceil(q * n) AS BIGINT)
         """
     ),
+    "q_dup_clusters": (
+        # transitive closure via recursive CTE: reach(node, r) = node can
+        # reach r; cluster_id = MIN reachable id (includes self)
+        """
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents WHERE doc_id < 50
+        ),
+        idx AS (
+          SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+          FROM docs WHERE len(toks) >= 3
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM idx
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(node, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+        )
+        SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+        """
+    ),
     "q_interval_join": (
         """
         SELECT c.user_id, c.event_id, c.ts,

@@ -854,6 +854,17 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.embedding_centroids(emb)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J26: duplicate clusters — connected components (min-label
+    propagation) over the n-gram candidate pairs; cluster_id is the MIN
+    doc id of the component (the canonical-doc selection rule). The one
+    iterative operator in the engine; each round is an equi-join + hash
+    aggregate with lineage truncated per round."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7: purchases within 1 h after a click, same user — bucketized
     interval join (map-side 2-bucket replication -> pure equi-join ->
@@ -952,4 +963,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_centroid": q_embedding_centroid,
     "q_histogram": q_histogram,
     "q_interval_join": q_interval_join,
+    "q_dup_clusters": q_dup_clusters,
 }

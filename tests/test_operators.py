@@ -288,3 +288,20 @@ def test_row_number_nonfinite_leading_keys(spark):
     w = Window.orderBy(F.col("k").asc(), F.col("id").asc())
     want = {r["id"]: r["rn"] for r in df.withColumn("rn", F.row_number().over(w)).collect()}
     assert got == want
+
+
+def test_duplicate_clusters_components_and_convergence(spark):
+    """J26: a 6-node chain (needs multiple propagation rounds), a
+    triangle closed the 'wrong' way, and an isolated pair all resolve to
+    min-id components."""
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
