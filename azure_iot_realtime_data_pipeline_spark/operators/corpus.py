@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from azure_iot_realtime_data_pipeline_spark.functions.rounding import round_half_up
@@ -248,3 +248,42 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
         )
     )
     return n_email.cast("long"), n_digit.cast("long")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """J27: sequence packing — assign docs to fixed token-budget bins
+    (training context windows). Greedy global packing is inherently
+    sequential; the distributed form packs CONTIGUOUSLY WITHIN SHARDS:
+    shard = id % n_shards, docs ordered by id, bin = preceding-cumulative
+    tokens // budget. One window per shard (hash shuffle on shard), all
+    integer arithmetic — deterministic, engine-portable, and each shard
+    packs in parallel. A doc longer than the budget still gets its own
+    bin (bin boundaries are by preceding cumsum, so an oversized doc
+    never splits — truncation is the tokenizer's job upstream).
+
+    Returns (id, shard, n_tokens, bin) — writers partition output by
+    (shard, bin) to lay training shards out contiguously.
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.text import token_count
+
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    staged = df.select(
+        F.col(id_col),
+        shard,
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return staged.withColumn(
+        "bin", F.floor((cum - F.col("n_tokens")) / F.lit(token_budget))
+    )

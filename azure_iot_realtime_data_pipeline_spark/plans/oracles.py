@@ -681,6 +681,20 @@ ORACLES: dict[str, str] = {
         WHERE rn = CAST(ceil(q * n) AS BIGINT)
         """
     ),
+    "q_pack_sequences": (
+        """
+        SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+               CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin
+        FROM (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+                 SUM(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT))
+                   OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents
+        )
+        """
+    ),
     "q_dup_clusters": (
         # transitive closure via recursive CTE: reach(node, r) = node can
         # reach r; cluster_id = MIN reachable id (includes self)

@@ -854,6 +854,13 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.embedding_centroids(emb)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J27: shard-local contiguous sequence packing into 2048-token bins
+    (training context windows) — one window per shard, integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.pack_sequences(docs, token_budget=2048, n_shards=8)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J26: duplicate clusters — connected components (min-label
     propagation) over the n-gram candidate pairs; cluster_id is the MIN
@@ -964,4 +971,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_histogram": q_histogram,
     "q_interval_join": q_interval_join,
     "q_dup_clusters": q_dup_clusters,
+    "q_pack_sequences": q_pack_sequences,
 }

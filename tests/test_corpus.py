@@ -175,3 +175,27 @@ def test_repetition_score_null_text(spark):
     got = {r["doc_id"]: r["rep_score"] for r in corpus.repetition_scores(docs).collect()}
     assert got[1] == 0.0
     assert got[2] == 0.0
+
+
+def test_pack_sequences_contiguous_bins(spark):
+    """Packing invariants: bins fill contiguously per shard; a doc larger
+    than the budget occupies its own bin(s) without splitting; total
+    token mass is preserved."""
+    rows = [
+        (0, " ".join(["w"] * 100)),   # shard 0
+        (8, " ".join(["w"] * 100)),   # shard 0
+        (16, " ".join(["w"] * 300)),  # shard 0 -> oversized vs budget 256
+        (24, " ".join(["w"] * 100)),  # shard 0
+        (1, " ".join(["w"] * 50)),    # shard 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["shard"], r["n_tokens"], r["bin"])
+        for r in corpus.pack_sequences(docs, token_budget=256, n_shards=8).collect()
+    }
+    # shard 0 order by id: cum-before = 0, 100, 200, 500
+    assert got[0] == (0, 100, 0)
+    assert got[8] == (0, 100, 0)
+    assert got[16] == (0, 300, 0)   # starts in bin 0 (preceding cum 200)
+    assert got[24] == (0, 100, 1)   # preceding cum 500 -> bin 1
+    assert got[1] == (1, 50, 0)
