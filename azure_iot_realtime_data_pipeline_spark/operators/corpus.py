@@ -287,3 +287,35 @@ def pack_sequences(
     return staged.withColumn(
         "bin", F.floor((cum - F.col("n_tokens")) / F.lit(token_budget))
     )
+
+
+#: Knuth multiplicative constant; modulus 2^31-1 keeps every product
+#: within exact int64/double range in any engine.
+_UHASH_MULT = 2_654_435_761
+_UHASH_MOD = 2_147_483_647
+
+
+def uniform_hash(id_col: Column) -> Column:
+    """Deterministic uniform [0,1) draw from an integer id — pure int64
+    arithmetic, so ANY SQL engine reproduces it exactly (the md5-prefix
+    trick needs hex->int, which is not portable). For per-row
+    PROBABILITY thresholds (importance sampling) this is the right tool;
+    for fixed-rate splits prefer the md5 prefix (better avalanche)."""
+    return (
+        ((id_col.cast("long") * _UHASH_MULT + 12345) % _UHASH_MOD).cast("double")
+        / F.lit(float(_UHASH_MOD))
+    )
+
+
+def importance_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+) -> DataFrame:
+    """J28: keep each row with probability = clamp(weight, 0, 1), decided
+    by the deterministic uniform_hash draw — quality-weighted corpus
+    downsampling (keep good docs with high probability, boilerplate with
+    low) that is rerun-stable and partitioning-independent, unlike
+    rand()-based sampling. Map-side predicate; composes with pushdown."""
+    p = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(uniform_hash(F.col(id_col)) < p)

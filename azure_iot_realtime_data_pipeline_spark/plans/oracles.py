@@ -681,6 +681,28 @@ ORACLES: dict[str, str] = {
         WHERE rn = CAST(ceil(q * n) AS BIGINT)
         """
     ),
+    "q_importance_sample": (
+        # uniform draw = ((id*2654435761 + 12345) % (2^31-1)) / (2^31-1);
+        # keep when draw < quality score (same blend as q_quality_score)
+        f"""
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            CAST((doc_id * 2654435761 + 12345) % 2147483647 AS DOUBLE)
+              / 2147483647.0 AS u,
+            floor((0.5 * (CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                        / length(text) END)
+                + 0.5 * (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(toks, t -> t IN {STOP_IN})) AS DOUBLE)
+                        / len(toks) END)) * 10000 + 0.5) / 10000 AS quality
+          FROM (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+          )
+        ) WHERE u < least(greatest(quality, 0.0), 1.0)
+        """
+    ),
     "q_pack_sequences": (
         """
         SELECT doc_id, doc_id % 8 AS shard, n_tokens,

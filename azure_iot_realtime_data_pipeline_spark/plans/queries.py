@@ -861,6 +861,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_sequences(docs, token_budget=2048, n_shards=8)
 
 
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J28: quality-weighted downsampling — keep each doc with
+    probability = its quality score, decided by a deterministic
+    arithmetic uniform hash (rerun-stable, no rand() in the plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.importance_sample(
+        docs, "doc_id", text.quality_score(F.col("text"))
+    ).select("doc_id")
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J26: duplicate clusters — connected components (min-label
     propagation) over the n-gram candidate pairs; cluster_id is the MIN
@@ -972,4 +982,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_interval_join": q_interval_join,
     "q_dup_clusters": q_dup_clusters,
     "q_pack_sequences": q_pack_sequences,
+    "q_importance_sample": q_importance_sample,
 }

@@ -199,3 +199,16 @@ def test_pack_sequences_contiguous_bins(spark):
     assert got[16] == (0, 300, 0)   # starts in bin 0 (preceding cum 200)
     assert got[24] == (0, 100, 1)   # preceding cum 500 -> bin 1
     assert got[1] == (1, 50, 0)
+
+
+def test_importance_sample_tracks_weight(spark):
+    """Keep-rate follows the weight: weight 0 keeps nothing, 1 keeps all,
+    0.3 keeps ~30%; deterministic under repartitioning."""
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    assert corpus.importance_sample(df, "doc_id", F.lit(0.0)).count() == 0
+    assert corpus.importance_sample(df, "doc_id", F.lit(1.0)).count() == 2000
+    n = corpus.importance_sample(df, "doc_id", F.lit(0.3)).count()
+    assert 0.22 < n / 2000 < 0.38
+    a = sorted(r["doc_id"] for r in corpus.importance_sample(df, "doc_id", F.lit(0.3)).collect())
+    b = sorted(r["doc_id"] for r in corpus.importance_sample(df.repartition(7), "doc_id", F.lit(0.3)).collect())
+    assert a == b
