@@ -305,3 +305,35 @@ def test_duplicate_clusters_components_and_convergence(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_ann_recall_at_10_vs_brute_force(spark, sf_smoke):
+    """ANN quality floor: IVF (4-of-16 probes) and hyperplane-LSH top-10
+    must recover a meaningful fraction of the exact cosine top-10 —
+    recall is THE quality metric for the approximate scale paths, and a
+    silent regression (bad centroids, broken bucketing) shows here long
+    before rows-only checks notice."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import (
+        q_ivf_topk,
+        q_lsh_topk,
+        q_topk_cosine,
+    )
+
+    def pair_set(df):
+        return {(r["query_id"], r["cand_id"]) for r in df.collect()}
+
+    exact = pair_set(q_topk_cosine(spark, sf_smoke))
+    assert len(exact) == 50  # 5 queries x top-10 (self-matches excluded)
+    ivf = pair_set(q_ivf_topk(spark, sf_smoke))
+    lsh = pair_set(q_lsh_topk(spark, sf_smoke))
+    ivf_recall = len(ivf & exact) / len(exact)
+    lsh_recall = len(lsh & exact) / len(exact)
+    # Deterministic data + hashes -> these are fixed numbers (measured:
+    # IVF 0.88, LSH 0.04); floors leave headroom for parameter tuning.
+    # IVF probes 4-of-16 exact-cosine cells -> high recall. Hyperplane
+    # LSH on THIS corpus (near-random vectors, best cosine ~0.44 means
+    # ~66-degree angles) collides true neighbors rarely by geometry —
+    # the floor only pins it above the 10/500 = 2% random baseline; on a
+    # clustered corpus the same operator scores far higher.
+    assert ivf_recall >= 0.5, ivf_recall
+    assert lsh_recall >= 0.03, lsh_recall
