@@ -140,6 +140,7 @@ def interval_join(
     probe_ts: str,
     build_ts: str,
     window_seconds: int,
+    how: str = "inner",
 ) -> DataFrame:
     """K7: event-interval join — every (probe, build) pair of the same
     key with ``build_ts in [probe_ts, probe_ts + window]`` (e.g. "purchase
@@ -155,7 +156,16 @@ def interval_join(
     Cross-product scope shrinks from per-key to per-(key, window-bucket).
 
     Returned columns: probe columns + build columns suffixed `_b`.
+
+    ``how="left"`` keeps probes with no in-window build row (build
+    columns NULL). For a LEFT join the range predicate moves INTO the
+    join condition (a post-join filter would delete the NULL rows the
+    LEFT join exists to keep); an unmatched probe survives exactly once
+    because only the build side is bucket-replicated, and a matched pair
+    still appears once (the pair joins only in the probe's bucket).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     w_us = window_seconds * 1_000_000
     p_us = F.unix_micros(F.col(probe_ts))
     b_us = F.unix_micros(F.col(build_ts))
@@ -177,15 +187,18 @@ def interval_join(
             if c != key
         ],
     )
-    joined = p.join(
-        b,
-        (F.col(key) == F.col("_bkey")) & (F.col("_pbucket") == F.col("_bbucket")),
-    )
-    in_range = (F.unix_micros(F.col(f"{build_ts}_b")) >= F.unix_micros(F.col(probe_ts))) & (
+    in_range = (
+        F.unix_micros(F.col(f"{build_ts}_b")) >= F.unix_micros(F.col(probe_ts))
+    ) & (
         F.unix_micros(F.col(f"{build_ts}_b"))
         <= F.unix_micros(F.col(probe_ts)) + F.lit(w_us)
     )
-    return joined.filter(in_range).drop("_pbucket", "_bbucket", "_bkey")
+    cond = (
+        (F.col(key) == F.col("_bkey"))
+        & (F.col("_pbucket") == F.col("_bbucket"))
+        & in_range
+    )
+    return p.join(b, cond, how).drop("_pbucket", "_bbucket", "_bkey")
 
 
 def top_n_per_group(

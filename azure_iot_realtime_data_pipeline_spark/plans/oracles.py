@@ -762,6 +762,17 @@ ORACLES: dict[str, str] = {
          AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         """
     ),
+    "q_interval_join_left": (
+        """
+        SELECT c.user_id, c.event_id, c.ts,
+               p.event_id AS event_id_b, p.ts AS ts_b, p.value AS value_b
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND epoch_us(p.ts) >= epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        """
+    ),
     "q_histogram": (
         """
         SELECT event_type,

@@ -899,6 +899,23 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 left form: every click, with its in-window purchases or NULLs —
+    the range predicate lives in the join condition (a post-join filter
+    would delete exactly the NULL rows a LEFT join exists to keep)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return sessions.interval_join(
+        clicks, purchases, key="user_id", probe_ts="ts", build_ts="ts",
+        window_seconds=3600, how="left",
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6: 16-bucket fixed-width value histogram per event type (range
     [0, 512), width 32, out-of-range clamped to edge buckets)."""
@@ -980,6 +997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_centroid": q_embedding_centroid,
     "q_histogram": q_histogram,
     "q_interval_join": q_interval_join,
+    "q_interval_join_left": q_interval_join_left,
     "q_dup_clusters": q_dup_clusters,
     "q_pack_sequences": q_pack_sequences,
     "q_importance_sample": q_importance_sample,
