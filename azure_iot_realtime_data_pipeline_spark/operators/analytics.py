@@ -144,7 +144,10 @@ def value_histogram(
     bucket = clamp(floor((v - lo)/width), 0, n_buckets-1) — pure map-side
     arithmetic (portable, unlike engine width_bucket variants), then ONE
     hash aggregate on (group, bucket) with map-side combine. Empty
-    buckets are absent (sparse output), matching plain SQL GROUP BY."""
+    buckets are absent (sparse output), matching plain SQL GROUP BY.
+    NULL measurements are dropped — greatest(NULL, 0) is 0 in Spark, so
+    without the filter every NULL row would silently inflate bucket 0."""
+    df = df.filter(F.col(value_col).isNotNull())
     raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
     bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)).cast("long")
     return (

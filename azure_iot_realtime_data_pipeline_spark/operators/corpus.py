@@ -263,9 +263,10 @@ def pack_sequences(
     shard = id % n_shards, docs ordered by id, bin = preceding-cumulative
     tokens // budget. One window per shard (hash shuffle on shard), all
     integer arithmetic — deterministic, engine-portable, and each shard
-    packs in parallel. A doc longer than the budget still gets its own
-    bin (bin boundaries are by preceding cumsum, so an oversized doc
-    never splits — truncation is the tokenizer's job upstream).
+    packs in parallel. Bins are budget-sized by START offset only: a doc
+    that straddles a boundary stays whole in the bin where it starts, so
+    a bin's total can exceed the budget by up to one doc length —
+    consumers must tolerate overflow or truncate; docs are never split.
 
     Returns (id, shard, n_tokens, bin) — writers partition output by
     (shard, bin) to lay training shards out contiguously.
@@ -289,8 +290,11 @@ def pack_sequences(
     )
 
 
-#: Knuth multiplicative constant; modulus 2^31-1 keeps every product
-#: within exact int64/double range in any engine.
+#: Knuth multiplicative constant and 2^31-1 modulus. The id is reduced
+#: mod 2^31-1 BEFORE multiplying: (2^31-2) * 2654435761 ~ 5.7e18 < 2^63,
+#: so the product never overflows int64 for ANY int64 id (a raw
+#: id * mult overflows past id ~ 3.47e9). The final +mod %mod folds a
+#: negative remainder (negative ids) back into [0, mod).
 _UHASH_MULT = 2_654_435_761
 _UHASH_MOD = 2_147_483_647
 
@@ -298,13 +302,14 @@ _UHASH_MOD = 2_147_483_647
 def uniform_hash(id_col: Column) -> Column:
     """Deterministic uniform [0,1) draw from an integer id — pure int64
     arithmetic, so ANY SQL engine reproduces it exactly (the md5-prefix
-    trick needs hex->int, which is not portable). For per-row
-    PROBABILITY thresholds (importance sampling) this is the right tool;
-    for fixed-rate splits prefer the md5 prefix (better avalanche)."""
-    return (
-        ((id_col.cast("long") * _UHASH_MULT + 12345) % _UHASH_MOD).cast("double")
-        / F.lit(float(_UHASH_MOD))
-    )
+    trick needs hex->int, which is not portable). Safe for the full
+    int64 id range, including negatives. For per-row PROBABILITY
+    thresholds (importance sampling) this is the right tool; for
+    fixed-rate splits prefer the md5 prefix (better avalanche)."""
+    reduced = id_col.cast("long") % _UHASH_MOD
+    h = (reduced * _UHASH_MULT + 12345) % _UHASH_MOD
+    return (((h + _UHASH_MOD) % _UHASH_MOD).cast("double")
+            / F.lit(float(_UHASH_MOD)))
 
 
 def importance_sample(

@@ -682,12 +682,14 @@ ORACLES: dict[str, str] = {
         """
     ),
     "q_importance_sample": (
-        # uniform draw = ((id*2654435761 + 12345) % (2^31-1)) / (2^31-1);
-        # keep when draw < quality score (same blend as q_quality_score)
+        # uniform draw mirrors corpus.uniform_hash exactly: reduce the id
+        # mod 2^31-1 BEFORE multiplying (int64-overflow-safe for any id),
+        # fold negatives with +mod %mod; keep when draw < quality score
         f"""
         SELECT doc_id FROM (
           SELECT doc_id,
-            CAST((doc_id * 2654435761 + 12345) % 2147483647 AS DOUBLE)
+            CAST((((doc_id % 2147483647) * 2654435761 + 12345) % 2147483647
+                  + 2147483647) % 2147483647 AS DOUBLE)
               / 2147483647.0 AS u,
             floor((0.5 * (CASE WHEN length(text) = 0 THEN 0.0
                    ELSE CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
@@ -779,7 +781,7 @@ ORACLES: dict[str, str] = {
                CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) AS bucket,
                COUNT(*) AS n,
                0.0::DOUBLE + CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS BIGINT) * 32.0::DOUBLE AS bucket_lo
-        FROM events GROUP BY 1, 2
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         """
     ),
     "q_embedding_centroid": (

@@ -148,6 +148,8 @@ def interval_join_stream(
     watermark passes the range edge); inner joins emit matches as rows
     arrive. Output columns mirror the batch `sessions.interval_join`
     surface (build side suffixed `_b`)."""
+    probe_cols = list(clicks.columns)
+    build_cols = list(purchases.columns)
     c = clicks.withWatermark(ts_col, watermark) if watermark else clicks
     p = purchases.withWatermark(ts_col, watermark) if watermark else purchases
     c = c.alias("c")
@@ -157,13 +159,16 @@ def interval_join_stream(
         f" AND p.{ts_col} >= c.{ts_col}"
         f" AND p.{ts_col} <= c.{ts_col} + interval {window_seconds} seconds"
     )
+    # output derived from the INPUT schemas, mirroring the batch
+    # sessions.interval_join surface: probe columns as-is, build columns
+    # (except the join key) suffixed `_b`
     return c.join(p, cond).select(
-        F.col(f"c.{key}").alias(key),
-        F.col("c.event_id").alias("event_id"),
-        F.col(f"c.{ts_col}").alias(ts_col),
-        F.col("p.event_id").alias("event_id_b"),
-        F.col(f"p.{ts_col}").alias("ts_b"),
-        F.col("p.value").alias("value_b"),
+        *[F.col(f"c.{col}").alias(col) for col in probe_cols],
+        *[
+            F.col(f"p.{col}").alias(f"{col}_b")
+            for col in build_cols
+            if col != key
+        ],
     )
 
 

@@ -212,3 +212,17 @@ def test_importance_sample_tracks_weight(spark):
     a = sorted(r["doc_id"] for r in corpus.importance_sample(df, "doc_id", F.lit(0.3)).collect())
     b = sorted(r["doc_id"] for r in corpus.importance_sample(df.repartition(7), "doc_id", F.lit(0.3)).collect())
     assert a == b
+
+
+def test_uniform_hash_full_int64_range(spark):
+    """Overflow regression: ids past ~3.47e9 must still draw in [0,1)
+    (raw id*mult wraps int64 negative and made u negative -> keep-all);
+    negative ids fold back into range too."""
+    ids = [0, 1, 3_474_355_200, 2**62, -17, -(2**40)]
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    us = {r["doc_id"]: r["u"] for r in df.select(
+        "doc_id", corpus.uniform_hash(F.col("doc_id")).alias("u")).collect()}
+    for i, u in us.items():
+        assert 0.0 <= u < 1.0, (i, u)
+    # weight 0 keeps nothing even for huge/negative ids
+    assert corpus.importance_sample(df, "doc_id", F.lit(0.0)).count() == 0

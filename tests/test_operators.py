@@ -337,3 +337,22 @@ def test_ann_recall_at_10_vs_brute_force(spark, sf_smoke):
     # clustered corpus the same operator scores far higher.
     assert ivf_recall >= 0.5, ivf_recall
     assert lsh_recall >= 0.03, lsh_recall
+
+
+def test_value_histogram_drops_null_measurements(spark):
+    """NULL values must not inflate bucket 0 (greatest(NULL,0)=0 in
+    Spark would put them there without the filter)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        value_histogram,
+    )
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("g", StringType()), StructField("v", DoubleType()),
+    ])
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", None), ("a", 33.0)], schema
+    )
+    got = {(r["g"], r["bucket"]): r["n"] for r in value_histogram(
+        df, "g", "v", lo=0.0, width=32.0, n_buckets=4).collect()}
+    assert got == {("a", 0): 1, ("a", 1): 1}

@@ -159,8 +159,10 @@ def test_dedup_stream_suppresses_redeliveries(spark, sf_smoke, tmp_path):
         dedup_stream,
     )
 
-    # stage a replay dir where every file is written TWICE (dup delivery)
-    src = load_table(spark, sf_smoke, "events").limit(500)
+    # stage a replay dir where every file is written TWICE (dup delivery);
+    # deterministic filter, NOT limit() — an unordered limit can pick a
+    # different row subset on each of the two executions
+    src = load_table(spark, sf_smoke, "events").filter(F.col("event_id") < 500)
     dup_dir = str(tmp_path / "dup_replay")
     os.makedirs(dup_dir)
     for i in range(2):
