@@ -226,3 +226,19 @@ def test_uniform_hash_full_int64_range(spark):
         assert 0.0 <= u < 1.0, (i, u)
     # weight 0 keeps nothing even for huge/negative ids
     assert corpus.importance_sample(df, "doc_id", F.lit(0.0)).count() == 0
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=0.0, max_value=1.0), st.floats(min_value=0.0, max_value=1.0))
+def test_hex_threshold_monotone(r1, r2):
+    """Threshold ordering must follow rate ordering (lexicographic hex
+    compare + the 'g' saturation sentinel): a higher rate can never
+    select FEWER prefixes."""
+    t1, t2 = corpus.hex_threshold(r1), corpus.hex_threshold(r2)
+    if r1 <= r2:
+        assert t1 <= t2, (r1, r2, t1, t2)
+    # 'g' sorts above every 4-char hex string
+    assert corpus.hex_threshold(1.0) > "ffff"
