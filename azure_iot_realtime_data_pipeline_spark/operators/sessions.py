@@ -133,6 +133,53 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    probe_tiebreak: str,
+) -> DataFrame:
+    """K4 forward direction: for every probe row, the EARLIEST build row
+    of the same key with ``build.ts >= probe.ts`` — "time to next
+    purchase" analyses. Same one-shuffle union + carry construction as
+    ``asof_join``, scanned in DESCENDING time order: at equal
+    timestamps build rows sort first so an exact-tie build is visible
+    (>= semantics), and last-non-null carries each build value backward
+    onto earlier probe rows. ``build`` must be unique per (key, ts)."""
+    carried = [f"_asof_{c}" for c in value_cols]
+    b = build.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("_probe_tb"),
+        *[F.col(c).alias(a) for c, a in zip(value_cols, carried)],
+        *[F.lit(None).cast(t.dataType).alias(f"_p_{t.name}") for t in probe.schema],
+    )
+    p = probe.select(
+        F.col(key),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.col(probe_tiebreak).cast("long").alias("_probe_tb"),
+        *[F.lit(None).cast(build.schema[c].dataType).alias(a) for c, a in zip(value_cols, carried)],
+        *[F.col(t.name).alias(f"_p_{t.name}") for t in probe.schema],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).desc(), F.col("_side").asc(), F.col("_probe_tb").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = b.unionByName(p)
+    for a in carried:
+        merged = merged.withColumn(a, F.last(a, ignorenulls=True).over(w))
+    out = merged.filter(F.col("_side") == 1)
+    return out.select(
+        *[F.col(f"_p_{t.name}").alias(t.name) for t in probe.schema],
+        *[F.col(a).alias(f"next_{c}") for c, a in zip(value_cols, carried)],
+    )
+
+
 def interval_join(
     probe: DataFrame,
     build: DataFrame,

@@ -764,6 +764,29 @@ ORACLES: dict[str, str] = {
          AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         """
     ),
+    "q_asof_forward": (
+        # forward as-of has no DuckDB ASOF form (ASOF JOIN is backward
+        # only) — LATERAL picks the earliest at-or-after build per probe,
+        # an implementation genuinely independent of the Spark union scan
+        """
+        WITH build AS (
+          SELECT user_id, ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) = 1
+        ),
+        probe AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts, nb.purchase_value AS next_purchase_value
+        FROM probe p LEFT JOIN LATERAL (
+          SELECT b.purchase_value
+          FROM build b
+          WHERE b.user_id = p.user_id AND b.ts >= p.ts
+          ORDER BY b.ts LIMIT 1
+        ) nb ON TRUE
+        """
+    ),
     "q_interval_join_left": (
         """
         SELECT c.user_id, c.event_id, c.ts,

@@ -882,6 +882,29 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 forward: each click paired with the user's EARLIEST purchase
+    at-or-after it (time-to-next-purchase). Same one-shuffle merge-asof
+    construction as q_asof_join, scanned in descending time order."""
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    return sessions.asof_join_forward(
+        probe,
+        build,
+        key="user_id",
+        ts_col="ts",
+        value_cols=["purchase_value"],
+        probe_tiebreak="event_id",
+    )
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7: purchases within 1 h after a click, same user — bucketized
     interval join (map-side 2-bucket replication -> pure equi-join ->
@@ -996,6 +1019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentiles": q_percentiles,
     "q_embedding_centroid": q_embedding_centroid,
     "q_histogram": q_histogram,
+    "q_asof_forward": q_asof_forward,
     "q_interval_join": q_interval_join,
     "q_interval_join_left": q_interval_join_left,
     "q_dup_clusters": q_dup_clusters,
