@@ -316,10 +316,12 @@ ORACLES: dict[str, str] = {
     "q_frame_sample": (
         # frames = payload split into 256-byte windows, every 4th kept;
         # n_frames = max(len // 256, 1); the tail frame may be short.
-        # DuckDB cannot slice BLOBs, so the slice runs in the char domain
-        # and re-encodes — byte-exact because the synthetic corpus is
-        # pure ASCII at every SF (verified: octet_length == length for
-        # all docs); a non-ASCII corpus would need a blob-slicing oracle.
+        # The harness column is md5 hex of the frame bytes (raw BINARY
+        # breaks the driver's pandas canonicalizer). DuckDB's md5 only
+        # takes VARCHAR, so the slice+hash run in the char domain —
+        # byte-exact because the synthetic corpus is pure ASCII at every
+        # SF (verified: octet_length == length for all docs); a
+        # non-ASCII corpus would need a blob-domain oracle.
         """
         WITH p AS (
           SELECT doc_id, text, octet_length(encode(text)) AS len
@@ -331,7 +333,7 @@ ORACLES: dict[str, str] = {
           FROM p
         )
         SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-               encode(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_payload
+               md5(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_md5
         FROM f
         """
     ),

@@ -561,9 +561,17 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J15: video-analog frame sampling — payload split into 256-byte
     frames, every 4th emitted. Fan-out happens INSIDE the narrow
-    mapInPandas stage (more output rows than input, no shuffle)."""
+    mapInPandas stage (more output rows than input, no shuffle).
+
+    The harness projection digests the binary frame to md5 hex: raw
+    BINARY columns crash the external driver's pandas canonicalizer
+    (round-2 `unhashable type: 'bytearray'`). The operator itself
+    (multimodal.sample_frames) keeps returning the real bytes."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.sample_frames(multimodal.attach_payload(docs))
+    frames = multimodal.sample_frames(multimodal.attach_payload(docs))
+    return frames.select(
+        "doc_id", "frame_idx", F.md5(F.col("frame_payload")).alias("frame_md5")
+    )
 
 
 def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
