@@ -91,13 +91,20 @@ def ivf_topk(
     Centroid choice is DETERMINISTIC — the `n_cells` lowest-id candidate
     vectors — so results are exactly reproducible (and SQL-oracle-able);
     production would swap in k-means centroids (MLlib) with zero plan
-    change, since centroids are just a tiny broadcast table either way.
+    change, since centroids are just a tiny literal table either way.
 
-    Plan shape at 100 TB: assignment = broadcast-join candidates x
-    centroids (narrow, no shuffle of the big side) -> one shuffle on
-    cell_id for the probe join; the cross product never materializes.
-    Recall/latency trade via n_probe.
+    Plan shape at 100 TB: cell assignment is a MAP-SIDE argmin over the
+    collected centroid literals — zero shuffle of the candidate side.
+    (The previous form exploded every candidate x centroid via
+    crossJoin(broadcast) then picked the argmin with a
+    row_number() window, which shuffled an n_cells-times-amplified copy
+    of the big side — the round-2 scale audit's one genuine
+    scale-killer.) The only candidate-side exchange left is the
+    broadcast-probe equi-join's output window on query_id, which is
+    bounded by the probed cells. Recall/latency trade via n_probe.
     """
+    import math
+
     from pyspark.sql import Window
 
     cents = (
@@ -105,26 +112,68 @@ def ivf_topk(
         .limit(n_cells)
         .select(F.col(cand_id).alias("cent_id"), F.col(cand_vec).alias("cent_vec"))
     )
+    # n_cells rows by construction: an O(1)-size driver collect (the
+    # same table the old plan broadcast), turned into literals so the
+    # argmin needs no join at all.
+    cent_lits = sorted(
+        ((int(r["cent_id"]), [float(x) for x in r["cent_vec"]]) for r in cents.collect()),
+    )
+    if not cent_lits:
+        return (
+            F.broadcast(queries.limit(0))
+            .crossJoin(candidates.limit(0))
+            .select(
+                query_id,
+                cand_id,
+                F.lit(0.0).alias("cosine"),
+                F.lit(0).cast("int").alias("rank"),
+            )
+        )
 
-    # assign every candidate to its nearest centroid (rounded cosine,
-    # ties -> lowest centroid id: deterministic across engines)
-    wc = Window.partitionBy(cand_id).orderBy(F.col("_cos").desc(), F.col("cent_id").asc())
+    def nearest_cells(vec_col: Column, norm_col: Column) -> Column:
+        """array<struct<negcos,cent_id>> sorted by (cosine DESC, cent_id
+        ASC) — array_sort on struct fields reproduces exactly the old
+        row_number() ordering. Centroid norms are Python-computed with
+        the same sequential f64 fold as norm_f64, so the rounded cosine
+        is bit-identical to the old Spark-side form (and the oracle)."""
+        entries = []
+        for cid, cvec in cent_lits:
+            cnorm = 0.0
+            for x in cvec:
+                cnorm += x * x
+            cnorm = math.sqrt(cnorm)
+            cos = round_half_up(
+                dot_f64(vec_col, F.array(*[F.lit(v) for v in cvec]))
+                / (norm_col * F.lit(cnorm))
+            )
+            entries.append(
+                F.struct((-cos).alias("negcos"), F.lit(cid).cast("long").alias("cent_id"))
+            )
+        return F.array_sort(F.array(*entries))
+
+    # map-side argmin: stage the norm as a named column (it is referenced
+    # once per centroid; inlined it would be re-evaluated per reference)
     assigned = (
-        candidates.crossJoin(F.broadcast(cents))
-        .withColumn("_cos", round_half_up(cosine(F.col(cand_vec), F.col("cent_vec"))))
-        .withColumn("_rn", F.row_number().over(wc))
-        .filter(F.col("_rn") == 1)
-        .select(cand_id, cand_vec, F.col("cent_id").alias("cell_id"))
+        candidates.select(cand_id, cand_vec, norm_f64(F.col(cand_vec)).alias("_nrm"))
+        .select(
+            cand_id,
+            cand_vec,
+            F.element_at(nearest_cells(F.col(cand_vec), F.col("_nrm")), 1)["cent_id"].alias("cell_id"),
+        )
     )
 
-    # each query probes its n_probe nearest cells
-    wq = Window.partitionBy(query_id).orderBy(F.col("_cos").desc(), F.col("cent_id").asc())
+    # each query probes its n_probe nearest cells (same argmin array,
+    # sliced instead of indexed; explode is narrow)
     probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("_cos", round_half_up(cosine(F.col(query_vec), F.col("cent_vec"))))
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= n_probe)
-        .select(query_id, query_vec, F.col("cent_id").alias("cell_id"))
+        queries.select(query_id, query_vec, norm_f64(F.col(query_vec)).alias("_nrm"))
+        .select(
+            query_id,
+            query_vec,
+            F.explode(
+                F.slice(nearest_cells(F.col(query_vec), F.col("_nrm")), 1, n_probe)
+            ).alias("_cell"),
+        )
+        .select(query_id, query_vec, F.col("_cell.cent_id").alias("cell_id"))
     )
 
     # probes = |Q| * n_probe rows — tiny by construction; broadcast it so
