@@ -137,7 +137,11 @@ def decontaminate(
         .select(id_col)
         .distinct()
     )
-    return docs.join(F.broadcast(contaminated), id_col, "left_anti")
+    # no broadcast hint on the anti-join: the contaminated-id set scales
+    # with corpus contamination (unbounded), so a forced broadcast could
+    # exceed the threshold/driver memory on a dirty corpus — let AQE
+    # pick broadcast when the set is actually small (the common case).
+    return docs.join(contaminated, id_col, "left_anti")
 
 
 def normalize_text(text: Column) -> Column:

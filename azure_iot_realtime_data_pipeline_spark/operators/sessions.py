@@ -81,6 +81,19 @@ def hopping_windows(ts_col: str, size_seconds: int, slide_seconds: int) -> Colum
     )
 
 
+def _require_numeric_tiebreak(probe: DataFrame, probe_tiebreak: str) -> None:
+    """The union+carry construction casts the probe tiebreak to long for
+    the shared sort; a non-numeric column would be silently NULLed by
+    that cast and break determinism — fail loudly instead."""
+    from pyspark.sql.types import NumericType
+
+    dt = probe.schema[probe_tiebreak].dataType
+    if not isinstance(dt, NumericType):
+        raise TypeError(
+            f"probe_tiebreak {probe_tiebreak!r} must be numeric, got {dt.simpleString()}"
+        )
+
+
 def asof_join(
     probe: DataFrame,
     build: DataFrame,
@@ -100,8 +113,14 @@ def asof_join(
     key; linear in |probe| + |build|.
 
     ``build`` must be unique per (key, ts) — pre-dedupe for determinism.
+    NULL timestamps: a NULL build ts never matches any probe (SQL
+    ``b.ts <= p.ts`` is NULL), so those rows are dropped up front; a
+    NULL probe ts matches no build row (it sorts NULLS FIRST, before
+    every surviving build row) and carries NULL.
     """
+    _require_numeric_tiebreak(probe, probe_tiebreak)
     carried = [f"_asof_{c}" for c in value_cols]
+    build = build.filter(F.col(ts_col).isNotNull())
     b = build.select(
         F.col(key),
         F.col(ts_col),
@@ -147,8 +166,15 @@ def asof_join_forward(
     ``asof_join``, scanned in DESCENDING time order: at equal
     timestamps build rows sort first so an exact-tie build is visible
     (>= semantics), and last-non-null carries each build value backward
-    onto earlier probe rows. ``build`` must be unique per (key, ts)."""
+    onto earlier probe rows. ``build`` must be unique per (key, ts).
+    NULL timestamps: NULL build ts rows are dropped (``b.ts >= p.ts``
+    never matches); NULL probe ts rows sort NULLS LAST in the
+    descending scan — where they would wrongly inherit the key's
+    earliest build value — so their carry is explicitly nulled in the
+    final projection."""
+    _require_numeric_tiebreak(probe, probe_tiebreak)
     carried = [f"_asof_{c}" for c in value_cols]
+    build = build.filter(F.col(ts_col).isNotNull())
     b = build.select(
         F.col(key),
         F.col(ts_col),
@@ -176,7 +202,10 @@ def asof_join_forward(
     out = merged.filter(F.col("_side") == 1)
     return out.select(
         *[F.col(f"_p_{t.name}").alias(t.name) for t in probe.schema],
-        *[F.col(a).alias(f"next_{c}") for c, a in zip(value_cols, carried)],
+        *[
+            F.when(F.col(ts_col).isNotNull(), F.col(a)).alias(f"next_{c}")
+            for c, a in zip(value_cols, carried)
+        ],
     )
 
 

@@ -16,6 +16,7 @@ reach the scan.
 from __future__ import annotations
 
 import atexit
+import itertools
 import os
 import shutil
 import tempfile
@@ -72,20 +73,23 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    # `inputFiles()` probes the analyzed plan only; the previous
-    # `df.rdd.getNumPartitions()` built an RDD lineage (and forced full
-    # physical planning) on every call. One file can still split into
-    # multiple scan tasks (maxPartitionBytes), so for a SINGLE-relation
-    # plan this guard errs toward an extra narrow-projection shuffle,
-    # never toward serializing. CALLER CONTRACT: pass a projection of
-    # ONE scan (every call site does) — inputFiles() aggregates across
-    # all relations, so a multi-relation plan could count a small dim's
-    # files toward the threshold and skip a needed repartition.
+    # `inputFiles()` probes the analyzed plan only (cheap) and settles
+    # the common local case — few files MUST be repartitioned; this
+    # side errs only toward an extra narrow-projection shuffle, never
+    # toward serializing. CALLER CONTRACT: pass a projection of ONE
+    # scan (every call site does) — inputFiles() aggregates across all
+    # relations, so a multi-relation plan could count a small dim's
+    # files toward the threshold.
     files = df.inputFiles()
-    if files and len(files) >= target:
-        return df
-    if not files and df.rdd.getNumPartitions() >= target:
-        # non-file-backed plan (in-memory relation, stream): RDD probe
+    if files and len(files) < target:
+        return df.repartition(target)
+    # many-files (or non-file) plans: file count is NOT a partition
+    # count — Spark bin-packs small files into few scan partitions
+    # (openCostInBytes/maxPartitionBytes), so a thousand tiny files can
+    # still be a 2-task scan. Confirm with the physical partition probe;
+    # it forces planning once per query build, which is the price of
+    # never serializing a CPU-bound map stage.
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 
@@ -102,6 +106,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+_STAGE_ROOT: str | None = None
+_STAGE_SEQ = itertools.count()
+
+
+def _staging_root() -> str:
+    """One process-scoped staging root, removed at interpreter exit."""
+    global _STAGE_ROOT
+    if _STAGE_ROOT is None:
+        _STAGE_ROOT = tempfile.mkdtemp(prefix="spark_stage_")
+        atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
+    return _STAGE_ROOT
+
+
 def stage_to_parquet(df: DataFrame, prefix: str, spill_dir: str | None = None) -> DataFrame:
     """Materialize a compact intermediate to parquet and read it back.
 
@@ -112,9 +129,14 @@ def stage_to_parquet(df: DataFrame, prefix: str, spill_dir: str | None = None) -
     the literal 100 TB pattern — stage the small table, join against the
     staged copy. NOTE: runs the upstream job EAGERLY at call time; the
     caller's returned plan starts at the staged scan.
+
+    Every call writes a UNIQUE prefix-derived subdir under one
+    process-scoped root (or under the caller's ``spill_dir``): the
+    previous one-mkdtemp-per-call form registered an atexit entry per
+    invocation and leaked a staged copy per bench/parity rerun, and two
+    stages handed the same ``spill_dir`` silently clobbered each other.
     """
-    if spill_dir is None:
-        spill_dir = tempfile.mkdtemp(prefix=prefix)
-        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
-    df.write.mode("overwrite").parquet(spill_dir)
-    return df.sparkSession.read.parquet(spill_dir)
+    root = spill_dir if spill_dir is not None else _staging_root()
+    path = os.path.join(root, f"{prefix}{next(_STAGE_SEQ)}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -61,6 +61,51 @@ def test_asof_join_exact_tie_and_no_match(spark):
     assert out.count() == probe.count()
 
 
+def test_asof_join_null_timestamps_and_tiebreak_validation(spark):
+    """SQL semantics: a NULL ts never satisfies b.ts <= p.ts / >= p.ts —
+    NULL-ts probe rows carry NULL (both directions) and NULL-ts build
+    rows match nothing; a non-numeric tiebreak fails loudly instead of
+    being silently cast-to-NULL."""
+    import pytest
+
+    probe = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01 00:15:00")),
+            (2, "u", None),  # NULL probe ts -> NULL carry both directions
+        ],
+        "event_id int, user_id string, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 00:10:00"), 10.0),
+            ("u", _ts("2024-01-01 00:20:00"), 20.0),
+            ("u", None, 99.0),  # NULL build ts matches nothing
+        ],
+        "user_id string, ts timestamp, purchase_value double",
+    )
+    back = sessions.asof_join(
+        probe, build, key="user_id", ts_col="ts",
+        value_cols=["purchase_value"], probe_tiebreak="event_id",
+    )
+    assert {r.event_id: r.asof_purchase_value for r in back.collect()} == {
+        1: 10.0,
+        2: None,
+    }
+    fwd = sessions.asof_join_forward(
+        probe, build, key="user_id", ts_col="ts",
+        value_cols=["purchase_value"], probe_tiebreak="event_id",
+    )
+    assert {r.event_id: r.next_purchase_value for r in fwd.collect()} == {
+        1: 20.0,
+        2: None,
+    }
+    with pytest.raises(TypeError, match="must be numeric"):
+        sessions.asof_join(
+            probe, build, key="user_id", ts_col="ts",
+            value_cols=["purchase_value"], probe_tiebreak="user_id",
+        )
+
+
 def test_tumbling_and_hopping_alignment(spark):
     df = spark.createDataFrame(
         [(_ts("2024-01-01 05:59:59"),)], "ts timestamp"
