@@ -15,9 +15,13 @@ Dialect parity notes baked into these strings:
 - float32 values upcast to DOUBLE before multiply/accumulate so dot
   products are bit-identical with Spark's sequential f64 folds.
 
-Queries with engine-specific hashing (minhash/simhash/LSH buckets) have
-no oracle here on purpose: the driver records a rows-only check and
-their exactness is covered by package tests instead.
+Queries with engine-specific hashing (xxhash64 minhash/simhash) have no
+oracle here on purpose: the driver records a rows-only check and their
+exactness is covered by package tests PLUS the md5-based portable twins
+(q_minhash_lsh_portable / q_simhash_portable, generated at the bottom of
+this file) which ARE hash-checked. q_lsh_topk's hyperplane signatures
+are pure float arithmetic over deterministic literals, so it is fully
+oracled despite being "approximate".
 """
 
 STOP_IN = "('the','a','of','and','to','in','is')"
@@ -272,9 +276,9 @@ ORACLES: dict[str, str] = {
         ) WHERE rn <= 10
         """
     ),
-    # q_minhash_lsh, q_simhash, q_lsh_topk: intentionally no oracle
-    # (engine-specific hash functions); covered by rows-only driver check
-    # + exactness tests in tests/test_dedup.py / tests/test_similarity.py.
+    # q_minhash_lsh, q_simhash: intentionally no oracle (xxhash64 is
+    # engine-specific); their md5-based portable twins below are
+    # hash-checked, and q_lsh_topk's oracle is generated at file bottom.
     "q_adjust_clamp": (
         """
         SELECT event_id, user_id, ts,
@@ -826,3 +830,174 @@ ORACLES: dict[str, str] = {
         """
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Generated oracles — portable-hash dedup/similarity family. Built with
+# Python loops because they enumerate hash lanes / bit positions /
+# hyperplane literals; each call still yields ONE static ANSI-SQL string,
+# assigned into ORACLES below like any hand-written entry.
+
+_M31 = 2_147_483_647
+_HEX = "0123456789abcdef"
+
+
+def _minhash_portable_oracle(
+    num_hashes: int = 16, bands: int = 4, k: int = 3, threshold: float = 0.5
+) -> str:
+    """Mirror of dedup.minhash_lsh_candidates_portable: md5-derived
+    31-bit shingle hash, affine permutations, banded self-join on the
+    comma-joined lane strings, estimated Jaccard >= threshold."""
+    rows = num_hashes // bands
+    shingle = " || ' ' || ".join(
+        "tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(k)
+    )
+    mins = ",\n                 ".join(
+        f"min((h * {2 * i + 1} + {7919 * i + 1}) % {_M31}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    lanes = ",\n                 ".join(
+        f"coalesce(m{i}, {_M31}) AS m{i}" for i in range(num_hashes)
+    )
+    banded = "\n          UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bkey FROM sig".format(
+            b=b, cols=", ".join(f"m{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {k - 1})) AS i
+          FROM toks WHERE len(tk) >= {k}
+        ),
+        sh AS (SELECT DISTINCT doc_id, {shingle} AS s FROM idx),
+        h AS (
+          SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) & {_M31} AS h
+          FROM sh
+        ),
+        m AS (
+          SELECT doc_id, {mins}
+          FROM h GROUP BY doc_id
+        ),
+        sig AS (
+          SELECT d.doc_id,
+                 {lanes}
+          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        ),
+        banded AS (
+          {banded}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, est_jaccard FROM (
+          SELECT doc_a, doc_b,
+                 floor((({eq}) / {float(num_hashes)}) * 10000 + 0.5) / 10000 AS est_jaccard
+          FROM cand
+          JOIN sig sa ON doc_a = sa.doc_id
+          JOIN sig sb ON doc_b = sb.doc_id
+        ) WHERE est_jaccard >= {threshold}
+        """
+
+
+def _simhash_portable_oracle() -> str:
+    """Mirror of dedup.simhash_hex_portable: token md5 digits -> 64 bit
+    votes -> majority bits -> 16-char hex string. Empty docs (no token
+    rows) get all -1 votes via LEFT JOIN + coalesce."""
+    digit_cols = ",\n                 ".join(
+        f"strpos('{_HEX}', substr(h, {p + 1}, 1)) - 1 AS d{p}" for p in range(16)
+    )
+    vote_cols = ",\n                 ".join(
+        f"sum(CASE WHEN (d{p} & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS v{p}_{b}"
+        for p in range(16)
+        for b in range(4)
+    )
+    chars = ",\n               ".join(
+        f"substr('{_HEX}', ("
+        + " + ".join(
+            f"(CASE WHEN coalesce(v{p}_{b}, -1) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(4)
+        )
+        + ") + 1, 1)"
+        for p in range(16)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+          FROM documents
+        ),
+        d AS (
+          SELECT doc_id, {digit_cols}
+          FROM (SELECT doc_id, md5(t) AS h FROM toks)
+        ),
+        v AS (
+          SELECT doc_id, {vote_cols}
+          FROM d GROUP BY doc_id
+        )
+        SELECT doc.doc_id, concat({chars}) AS simhash_hex
+        FROM documents doc LEFT JOIN v ON doc.doc_id = v.doc_id
+        """
+
+
+def _lsh_topk_oracle(dim: int = 64, num_planes: int = 4, k: int = 10) -> str:
+    """Mirror of similarity.lsh_topk: the hyperplane signatures are pure
+    float arithmetic over deterministic literals (same splitmix64-derived
+    planes, imported so they can never drift), so the bucket join and
+    exact in-bucket cosine are fully oracle-able."""
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import _hyperplane
+
+    plane_arrays = ",\n             ".join(
+        "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + f"]::DOUBLE[] AS p{p}"
+        for p in range(num_planes)
+    )
+
+    def sig(vec: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform(list_zip({vec}, p{p}), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+
+    cosine = (
+        "floor(("
+        "list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        ") * 10000 + 0.5) / 10000"
+    )
+    return f"""
+        WITH planes AS (
+          SELECT {plane_arrays}
+        ),
+        qsig AS (
+          SELECT vec_id AS query_id, embedding AS qv, {sig("embedding")} AS sig
+          FROM embeddings, planes WHERE vec_id < 5
+        ),
+        csig AS (
+          SELECT vec_id AS cand_id, embedding AS cv, {sig("embedding")} AS sig
+          FROM embeddings, planes
+        ),
+        pairs AS (
+          SELECT query_id, cand_id, {cosine} AS cosine
+          FROM qsig JOIN csig USING (sig)
+          WHERE query_id <> cand_id
+        )
+        SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+          FROM pairs
+        ) WHERE rn <= {k}
+        """
+
+
+ORACLES["q_minhash_lsh_portable"] = _minhash_portable_oracle()
+ORACLES["q_simhash_portable"] = _simhash_portable_oracle()
+ORACLES["q_lsh_topk"] = _lsh_topk_oracle()

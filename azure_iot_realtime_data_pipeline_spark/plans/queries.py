@@ -488,6 +488,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 oracle-parity twin: banded MinHash-LSH near-dup candidates on
+    the md5-derived portable hash (16 lanes, 4 bands) — the same plan
+    shape as q_minhash_lsh but hash-checkable against the DuckDB oracle;
+    the xxhash64 form stays the production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates_portable(docs, est_threshold=0.5)
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 oracle-parity twin: 64-bit SimHash from token md5 bits,
+    returned as a 16-char hex string — hash-checkable against DuckDB;
+    the xxhash64 form stays the production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_hex_portable(docs)
+
+
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors over all candidates
     (broadcast queries, stream candidates)."""
@@ -994,6 +1011,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
+    "q_minhash_lsh_portable": q_minhash_lsh_portable,
+    "q_simhash_portable": q_simhash_portable,
     "q_topk_cosine": q_topk_cosine,
     "q_lsh_topk": q_lsh_topk,
     "q_adjust_clamp": q_adjust_clamp,
