@@ -87,6 +87,29 @@ ORACLES: dict[str, str] = {
         "'dev-' || CAST(user_id AS VARCHAR) AS deviceId, ts AS enqueuedTime, "
         "'telemetry' AS messageSource, event_type AS component, value FROM events"
     ),
+    "q_wire_normalize": (
+        # end state of the full wire chain (raw -> jq envelope -> ASA
+        # Telemetry projection): battery = floor(value) pivoted through
+        # the entries map then BIGINT->INT cast (integral, so DuckDB's
+        # round-on-cast == Spark's truncate); barometer = value * 1.5
+        # (binary-exact literal); vector sensors are null on the scalar
+        # wire so lat/lon/alt and all three magnitudes are NULL doubles.
+        """
+        SELECT 'dev-' || CAST(user_id AS VARCHAR) AS deviceId,
+               ts AS enqueuedTime,
+               CAST(CAST(floor(value) AS BIGINT) AS INTEGER) AS battery,
+               value * 1.5 AS barometer,
+               CAST(NULL AS DOUBLE) AS latitude,
+               CAST(NULL AS DOUBLE) AS longitude,
+               CAST(NULL AS DOUBLE) AS altitude,
+               CAST(NULL AS DOUBLE) AS AccelMagnitude,
+               CAST(NULL AS DOUBLE) AS GyroMagnitude,
+               CAST(NULL AS DOUBLE) AS MagMagnitude,
+               CAST(0 AS INTEGER) AS Anomaly
+        FROM events
+        WHERE user_id IS NOT NULL
+        """
+    ),
     "q_array_transform": (
         "SELECT doc_id, upper(tok) AS token FROM ("
         "  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok"

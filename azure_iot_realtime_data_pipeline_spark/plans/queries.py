@@ -234,6 +234,62 @@ def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wire_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D6 + B3/B4/B7/B9/C1-C3 END-TO-END: the reference's full wire
+    path (raw device message -> jq export transform -> ASA Telemetry
+    projection, reference iot-central/transformation.txt:3-15 then
+    iot-stream-analytics-query.sql:64-83) through the REAL operator
+    chain — `normalize_raw_events` (envelope + from_entries pivot) into
+    `curated_telemetry` (casts, nested flatten, magnitudes, NOT NULL
+    filter). Raw messages are synthesized from `events` in the golden
+    template's shape: array-of-{name,value} telemetry including a
+    null-valued entry, nested device struct, string enqueuedTime. The
+    oracle recomputes the END state only, so a divergence anywhere in
+    the chain (pivot null handling, bigint->int casts, timestamp
+    string round-trip) surfaces as a hash mismatch."""
+    from azure_iot_realtime_data_pipeline_spark.functions.normalize import (
+        curated_telemetry,
+        normalize_raw_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.lit("app-1").alias("applicationId"),
+        # string passthrough, exactly like the jq transform; the
+        # timestamp CAST happens downstream in curated_telemetry (B9)
+        F.col("ts").cast("string").alias("enqueuedTime"),
+        F.lit("telemetry").alias("messageSource"),
+        F.lit(None).cast("string").alias("component"),
+        F.lit(None).cast("string").alias("module"),
+        F.lit(None).cast("map<string,string>").alias("messageProperties"),
+        F.lit(None).cast("map<string,string>").alias("enrichments"),
+        F.array(
+            F.struct(
+                F.lit("battery").alias("name"),
+                F.floor(F.col("value")).cast("double").alias("value"),
+            ),
+            F.struct(
+                F.lit("barometer").alias("name"),
+                # 1.5 is binary-exact, so the multiply is bit-identical
+                # in any engine (a 1.013-style literal would test
+                # decimal-literal parsing, not the pipeline)
+                (F.col("value") * 1.5).alias("value"),
+            ),
+            # null-valued entry: jq's from_entries keeps the key with a
+            # null value (golden template raw-data-template.json:12-26)
+            F.struct(
+                F.lit("humidity").alias("name"),
+                F.lit(None).cast("double").alias("value"),
+            ),
+        ).alias("telemetry"),
+        F.struct(
+            F.concat(F.lit("dev-"), F.col("user_id").cast("string")).alias("id"),
+            F.lit("template-1").alias("templateId"),
+        ).alias("device"),
+    )
+    return curated_telemetry(normalize_raw_events(raw))
+
+
 def q_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5: map over an array (`.telemetry | map(...)`) — tokenize text,
     uppercase each token, explode."""
@@ -988,6 +1044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_case_when": q_case_when,
     "q_anomaly_flag": q_anomaly_flag,
     "q_normalize": q_normalize,
+    "q_wire_normalize": q_wire_normalize,
     "q_array_transform": q_array_transform,
     "q_map_from_entries": q_map_from_entries,
     "q_count": q_count,
