@@ -102,6 +102,17 @@ def ivf_topk(
     scale-killer.) The only candidate-side exchange left is the
     broadcast-probe equi-join's output window on query_id, which is
     bounded by the probed cells. Recall/latency trade via n_probe.
+
+    Measured local trade-off (sf0.1, local[32], warm): assignment alone
+    is 2.0 s map-side vs 0.9 s for the old crossJoin+window — per-row
+    interpreted HOF folds against literal arrays cost more than the
+    exploded form's column-data folds at this scale. (A codegen-scalar
+    variant — 64 staged doubles, 1024-term multiply-add chains — was
+    also measured: 4-6 s, the giant expression defeats codegen.) The
+    map-side form is kept anyway: locally the delta is ~1 s on one of
+    30 headline queries, while at cluster scale the crossJoin form
+    shuffles 16x the corpus — the wrong side of the trade by orders of
+    magnitude.
     """
     import math
 

@@ -4,7 +4,14 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": ...}
+   "queries": {"q1": sec, ...}, "queries_all": {...}, "value_all": ...,
+   "sf": ...}
+
+`value`/`queries` stay the 30-query HEADLINE suite (round-over-round
+comparable); `queries_all`/`value_all` time EVERY registered query so a
+regression in a non-headline operator (a regex cost blow-up in
+q_mask_pii, say) cannot hide. Disable the full sweep with
+SPARK_GRAFT_BENCH_ALL=0 (or `--headline-only`) when iterating.
 
 Each query materializes fully via the `noop` sink (distributed write,
 no driver collect, no disk) — measures plan execution, not driver IO.
@@ -77,9 +84,15 @@ def main() -> None:
     # q_minhash_lsh 10 s vs 2.3 s) and a long-running cluster job
     # amortizes them to zero — steady-state is the honest number, and
     # warm-up removes the dominant source of inter-run variance.
+    run_all = (
+        os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") != "0"
+        and "--headline-only" not in sys.argv
+    )
+    to_run = list(QUERIES) if run_all else list(HEADLINE)
+
     warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_sf):
-        for name in HEADLINE:
+        for name in to_run:
             try:
                 materialize(QUERIES[name](spark, warm_sf))
             except Exception:  # noqa: BLE001 - warm-up must never fail the bench
@@ -87,8 +100,9 @@ def main() -> None:
             spark.catalog.clearCache()
     materialize(QUERIES["q_count"](spark, sf_dir))
 
+    # headline first (comparable round-over-round), then the remainder
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + [n for n in to_run if n not in HEADLINE]:
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -96,18 +110,18 @@ def main() -> None:
         # earlier queries' cache doesn't GC-pressure later ones
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+    headline = {n: timings[n] for n in HEADLINE}
+    out = {
+        "metric": "headline_suite_wall_sec",
+        "value": round(sum(headline.values()), 3),
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf_dir,
+    }
+    if run_all:
+        out["queries_all"] = timings
+        out["value_all"] = round(sum(timings.values()), 3)
+    print(json.dumps(out))
     spark.stop()
 
 

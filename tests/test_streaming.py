@@ -172,6 +172,81 @@ def test_multi_sink_replay_is_idempotent(spark, sf_smoke, tmp_path):
     assert spark.read.parquet(bronze).count() == counts1[0] + 50
 
 
+def test_multi_sink_restart_soak(spark, sf_oracle, tmp_path):
+    """Replay soak (round-2 verdict item 6): sf0.01 events through the
+    full fan-out with an injected MID-fan-out crash (bronze written,
+    dimension+fact not) and a checkpoint restart. All three sinks must
+    equal the batch oracle row-sets — this exercises batch-id-scoped
+    idempotence under real StreamingQuery replay, not just direct
+    writer re-invocation."""
+    from azure_iot_realtime_data_pipeline_spark.streaming.pipeline import (
+        _write_batch_scoped,
+        multi_sink_batch_writer,
+    )
+
+    replay = stage_replay_dir(spark, sf_oracle, str(tmp_path / "replay"), num_files=6)
+    bronze, devices, telemetry = (str(tmp_path / n) for n in ("b", "d", "t"))
+    ckpt = str(tmp_path / "ckpt")
+    inner = multi_sink_batch_writer(bronze, devices, telemetry)
+    crashed = {"done": False}
+
+    def crashy(batch, batch_id):
+        if batch_id == 2 and not crashed["done"]:
+            crashed["done"] = True
+            _write_batch_scoped(batch, batch_id, bronze)
+            raise RuntimeError("injected mid-fan-out crash")
+        inner(batch, batch_id)
+
+    def start():
+        return (
+            curated_stream(replay_events(spark, replay), history_size=None)
+            .writeStream.foreachBatch(crashy)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+        raise AssertionError("first run should die on the injected crash")
+    assert crashed["done"]
+
+    q2 = start()
+    q2.awaitTermination(300)
+    assert not q2.isActive and q2.exception() is None
+
+    ev = with_epoch_seconds(load_table(spark, sf_oracle, "events"), "ts")
+    w = trailing_window("ts_sec", key="user_id", window_seconds=60)
+    is_anom, score = spike_dip_score(F.col("value"), w)
+    expected = ev.select(
+        F.col("event_id").alias("telemetryId"),
+        F.concat(F.lit("dev-"), F.col("user_id").cast("string")).alias("deviceId"),
+        F.col("ts").alias("enqueuedTime"),
+        "value",
+        score.alias("Score"),
+        is_anom.alias("Anomaly"),
+    ).filter(F.col("deviceId").isNotNull())
+
+    def row_set(df, cols):
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    cols = ["telemetryId", "deviceId", "enqueuedTime", "value", "Score", "Anomaly"]
+    assert row_set(spark.read.parquet(bronze).drop("batch_id"), cols) == row_set(
+        expected, cols
+    )
+    tcols = [c for c in cols if c != "value"]
+    assert row_set(spark.read.parquet(telemetry).drop("batch_id"), tcols) == row_set(
+        expected, tcols
+    )
+    d = spark.read.parquet(devices)
+    assert d.groupBy("deviceId").count().filter(F.col("count") > 1).count() == 0
+    assert row_set(d, ["deviceId", "firstSeen"]) == row_set(
+        expected.groupBy("deviceId").agg(F.min("enqueuedTime").alias("firstSeen")),
+        ["deviceId", "firstSeen"],
+    )
+
+
 def test_devices_upsert_is_first_write_wins(spark, replay_dir, tmp_path):
     """Re-running the stream against an existing dimension adds no rows
     and keeps the original firstSeen (F7 upsert, not append)."""
