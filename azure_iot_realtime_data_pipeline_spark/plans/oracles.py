@@ -971,32 +971,49 @@ def _simhash_portable_oracle() -> str:
         """
 
 
-def _lsh_topk_oracle(dim: int = 64, num_planes: int = 4, k: int = 10) -> str:
-    """Mirror of similarity.lsh_topk: the hyperplane signatures are pure
-    float arithmetic over deterministic literals (same splitmix64-derived
-    planes, imported so they can never drift), so the bucket join and
-    exact in-bucket cosine are fully oracle-able."""
+def _planes_sql(dim: int, num_planes: int) -> str:
+    """The hyperplane literal arrays as a one-row CTE body — the SAME
+    splitmix64-derived planes as similarity.lsh_signature (imported so
+    they can never drift)."""
     from azure_iot_realtime_data_pipeline_spark.operators.similarity import _hyperplane
 
-    plane_arrays = ",\n             ".join(
+    return ",\n             ".join(
         "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + f"]::DOUBLE[] AS p{p}"
         for p in range(num_planes)
     )
 
-    def sig(vec: str) -> str:
-        return " + ".join(
-            f"(CASE WHEN list_sum(list_transform(list_zip({vec}, p{p}), "
-            f"x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN {1 << p} ELSE 0 END)"
-            for p in range(num_planes)
-        )
 
-    cosine = (
+def _sig_sql(vec: str, num_planes: int) -> str:
+    """Packed hyperplane signature of `vec` — mirror of
+    similarity.lsh_signature's sequential-f64 projections."""
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip({vec}, p{p}), "
+        f"x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """Rounded cosine — mirror of similarity.cosine + round_half_up."""
+    return (
         "floor(("
-        "list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        " / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        " * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        f"list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
         ") * 10000 + 0.5) / 10000"
     )
+
+
+def _lsh_topk_oracle(dim: int = 64, num_planes: int = 4, k: int = 10) -> str:
+    """Mirror of similarity.lsh_topk: the hyperplane signatures are pure
+    float arithmetic over deterministic literals, so the bucket join and
+    exact in-bucket cosine are fully oracle-able."""
+    plane_arrays = _planes_sql(dim, num_planes)
+
+    def sig(vec: str) -> str:
+        return _sig_sql(vec, num_planes)
+
+    cosine = _cosine_sql("qv", "cv")
     return f"""
         WITH planes AS (
           SELECT {plane_arrays}
@@ -1021,6 +1038,30 @@ def _lsh_topk_oracle(dim: int = 64, num_planes: int = 4, k: int = 10) -> str:
         """
 
 
+def _embed_dedup_lsh_oracle(
+    dim: int = 64, num_planes: int = 4, threshold: float = 0.3
+) -> str:
+    """Mirror of dedup.embedding_near_dup(num_planes>0) — the J5 scale
+    path: hyperplane-bucket equi-join, exact rounded cosine only within
+    colliding buckets, threshold filter."""
+    plane_arrays = _planes_sql(dim, num_planes)
+    return f"""
+        WITH planes AS (
+          SELECT {plane_arrays}
+        ),
+        s AS (
+          SELECT vec_id, embedding, {_sig_sql("embedding", num_planes)} AS sig
+          FROM embeddings, planes
+        )
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 {_cosine_sql("a.embedding", "b.embedding")} AS cosine
+          FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        ) WHERE cosine >= {threshold}
+        """
+
+
 ORACLES["q_minhash_lsh_portable"] = _minhash_portable_oracle()
 ORACLES["q_simhash_portable"] = _simhash_portable_oracle()
 ORACLES["q_lsh_topk"] = _lsh_topk_oracle()
+ORACLES["q_embed_dedup_lsh"] = _embed_dedup_lsh_oracle()

@@ -656,6 +656,17 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup(emb, threshold=0.3)
 
 
+def q_embed_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 SCALE path: embedding near-dup over the FULL embeddings table
+    via hyperplane-LSH bucketing (4 planes) — exact cosine only within
+    colliding buckets, equi-join on the packed signature, never
+    all-pairs. The planes are the same portable literals the q_lsh_topk
+    oracle proved, so this path is hash-checked too (q_embed_dedup
+    keeps covering the exact bounded-slice form)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup(emb, threshold=0.3, num_planes=4)
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest-neighbor: deterministic centroids,
     4-of-16 cell probe, exact cosine within probed cells."""
@@ -1076,6 +1087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_lsh_portable": q_minhash_lsh_portable,
     "q_simhash_portable": q_simhash_portable,
     "q_lsh_topk": q_lsh_topk,
+    "q_embed_dedup_lsh": q_embed_dedup_lsh,
     "q_frame_sample": q_frame_sample,
     "q_ivf_topk": q_ivf_topk,
     # -- 3. high-value stalwarts filling the 50-row window -------------
