@@ -1,4 +1,4 @@
-"""Streaming bindings for the K-family event-time operators (K1-K3).
+"""Streaming bindings for the K-family event-time operators (K1-K4, K7).
 
 The batch forms live in operators/sessions.py (sessionize, tumbling,
 hopping — oracle-checked as q_sessionize / q_tumbling_agg /
@@ -30,8 +30,18 @@ mode on a finite replay so every window emits.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 DEFAULT_WATERMARK = "60 seconds"
 
@@ -169,6 +179,95 @@ def interval_join_stream(
             for col in build_cols
             if col != key
         ],
+    )
+
+
+ASOF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("asof_purchase_value", DoubleType()),
+    ]
+)
+
+#: one carry cell per key: the newest build value seen so far
+ASOF_STATE_SCHEMA = StructType([StructField("last_val", DoubleType())])
+
+
+def make_asof_fn():
+    """applyInPandasWithState body for the K4 streaming twin (picklable
+    closure). Per key: rows of each micro-batch are processed in
+    (ts, side, event_id) order — builds before probes at equal
+    timestamps, so an exact-tie build is visible (>= semantics), and
+    among equal-ts builds the highest event_id lands last and wins,
+    which IS the batch form's per-(key, ts) max-event_id dedup rule.
+    The carry survives micro-batch boundaries in the state cell."""
+
+    def fn(key, pdfs, state):
+        last_val = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "_side", "event_id"], kind="stable")
+            carried = []
+            for side, v in zip(pdf["_side"], pdf["value"]):
+                if side == 0:
+                    last_val = float(v)
+                else:
+                    carried.append(last_val)
+            out = pdf[pdf["_side"] == 1][["event_id", "user_id", "ts"]].copy()
+            out["asof_purchase_value"] = pd.Series(
+                carried, index=out.index, dtype="float64"
+            )
+            yield out
+        if last_val is not None:
+            state.update((float(last_val),))
+
+    return fn
+
+
+def asof_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    probe_type: str = "click",
+    build_type: str = "purchase",
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """K4 streaming twin: each probe event (click) carries the key's
+    newest build value (purchase) at-or-before its timestamp.
+
+    Spark has no native stream-stream AS-OF join (the lookback is
+    unbounded, so the interval-join state bound does not apply). The
+    batch operator's union + last-non-null carry construction has a
+    natural streaming form: ONE stateful carry cell per key in
+    ``applyInPandasWithState`` — O(1) state per key, strictly smaller
+    than any windowed-join state, and the same single shuffle onto the
+    key. Parity contract (tested): for in-order delivery where rows
+    sharing a timestamp arrive in one micro-batch (the replay source's
+    staging guarantee), every carried value is identical to the batch
+    ``sessions.asof_join``. Out-of-order arrivals WITHIN a micro-batch
+    are handled by the per-batch sort; across batches a late build is
+    the at-least-once/stream-ordering contract surfacing — the batch
+    operator remains the reconciliation path, exactly as for the
+    anomaly operator's density bound (streaming/anomaly.py docstring).
+    """
+    tagged = events.filter(
+        F.col("event_type").isin(probe_type, build_type)
+    ).select(
+        "event_id",
+        F.col(key_col),
+        F.col(ts_col),
+        F.when(F.col("event_type") == build_type, 0).otherwise(1).alias("_side"),
+        F.col("value"),
+    )
+    if watermark is not None:
+        tagged = tagged.withWatermark(ts_col, watermark)
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_asof_fn(),
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

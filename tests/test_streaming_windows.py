@@ -149,6 +149,34 @@ def test_interval_join_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_pat
     assert got.count() > 0
 
 
+def test_asof_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """K4 streaming twin: the stateful per-key carry == the batch
+    union+carry merge-asof, across micro-batch boundaries (state cell
+    survives between batches; in-order replay)."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import q_asof_join
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        asof_stream,
+    )
+
+    q = (
+        asof_stream(replay_events(spark, replay_dir), watermark=None)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof")
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from asof")
+    want = q_asof_join(spark, sf_smoke)
+    cols = ["event_id", "user_id", "ts", "asof_purchase_value"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    # every probe row emitted exactly once, and real carries exist
+    assert got.count() == want.count() > 0
+    assert got.filter(F.col("asof_purchase_value").isNotNull()).count() > 0
+
+
 def test_dedup_stream_suppresses_redeliveries(spark, sf_smoke, tmp_path):
     """J1 streaming: a source that re-delivers every event (duplicated
     replay files) yields exactly the distinct event set."""
