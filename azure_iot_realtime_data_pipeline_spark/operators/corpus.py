@@ -328,3 +328,48 @@ def importance_sample(
     rand()-based sampling. Map-side predicate; composes with pushdown."""
     p = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.filter(uniform_hash(F.col(id_col)) < p)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """J29: split each document into overlapping token windows — the
+    context-window chunking step of retrieval/training pipelines
+    (pack_sequences bins WHOLE docs; this splits LONG docs).
+
+    Chunk k covers tokens [k*stride, k*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap_tokens; every token is covered and
+    consecutive chunks share `overlap_tokens`. The fan-out is a
+    map-side explode of an arithmetic start-offset sequence (same
+    narrow shape as hopping windows): no shuffle, no join, composes
+    with pushdown. Empty docs yield no chunks. Tokens are staged as a
+    named column before the HOF (re-evaluation trap, see shingles_of).
+
+    Returns (id, chunk_idx, n_tokens, chunk_text).
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), "_toks", F.size("_toks").alias("_n"))
+    starts = F.when(
+        F.col("_n") > 0, F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = staged.select(
+        F.col(id_col), "_toks", "_n", F.posexplode(starts).alias("chunk_idx", "_start")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+        ).alias("chunk_text"),
+    )

@@ -836,6 +836,27 @@ ORACLES: dict[str, str] = {
         FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         """
     ),
+    "q_chunk_documents": (
+        # chunk k covers tokens [k*96, k*96 + 128): stride 96 = 128 - 32
+        # overlap; list_slice is 1-based inclusive and clamps like
+        # Spark's F.slice; `//` for the chunk index (plain `/` on ints
+        # is DOUBLE in DuckDB). Empty docs yield no chunks.
+        """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1, 96)) AS s
+          FROM toks WHERE len(tk) > 0
+        )
+        SELECT doc_id,
+               CAST(s // 96 AS INTEGER) AS chunk_idx,
+               CAST(least(128, len(tk) - s) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(tk, s + 1, s + 128), ' ') AS chunk_text
+        FROM starts
+        """
+    ),
     "q_embedding_centroid": (
         # int64 micro-unit sums: float->DECIMAL casts round differently
         # across engines (shortest-repr vs exact binary); floor(v*1e6+0.5)

@@ -656,6 +656,14 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup(emb, threshold=0.3)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J29: overlapping token-window chunking (128-token chunks, 32
+    overlap) — the context-window splitting step of retrieval/training
+    pipelines; map-side arithmetic explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.chunk_documents(docs)
+
+
 def q_embed_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 SCALE path: embedding near-dup over the FULL embeddings table
     via hyperplane-LSH bucketing (4 planes) — exact cosine only within
@@ -1088,6 +1096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash_portable": q_simhash_portable,
     "q_lsh_topk": q_lsh_topk,
     "q_embed_dedup_lsh": q_embed_dedup_lsh,
+    "q_chunk_documents": q_chunk_documents,
     "q_frame_sample": q_frame_sample,
     "q_ivf_topk": q_ivf_topk,
     # -- 3. high-value stalwarts filling the 50-row window -------------

@@ -242,3 +242,39 @@ def test_hex_threshold_monotone(r1, r2):
         assert t1 <= t2, (r1, r2, t1, t2)
     # 'g' sorts above every 4-char hex string
     assert corpus.hex_threshold(1.0) > "ffff"
+
+
+def test_chunk_documents_edges(spark):
+    """J29 boundary semantics: empty doc -> no chunks; doc shorter than
+    one chunk -> single whole chunk; longer docs -> stride-96 starts,
+    32-token overlap between consecutive chunks, every token covered."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import chunk_documents
+
+    toks200 = " ".join(f"t{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a b c"), (3, toks200)], "doc_id long, text string"
+    )
+    out = chunk_documents(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc  # empty doc yields no chunks
+    assert [(r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in by_doc[2]] == [
+        (0, 3, "a b c")
+    ]
+    chunks3 = sorted(by_doc[3], key=lambda r: r["chunk_idx"])
+    # starts 0, 96, 192 -> lengths 128, 104, 8
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in chunks3] == [
+        (0, 128), (1, 104), (2, 8)
+    ]
+    # 32-token overlap: chunk 0's last 32 tokens == chunk 1's first 32
+    c0 = chunks3[0]["chunk_text"].split(" ")
+    c1 = chunks3[1]["chunk_text"].split(" ")
+    assert c0[-32:] == c1[:32]
+    # full coverage: union of chunks == original token sequence
+    assert c0[:96] + c1[:96] + chunks3[2]["chunk_text"].split(" ") == toks200.split(" ")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap_tokens"):
+        chunk_documents(df, chunk_tokens=32, overlap_tokens=32)
