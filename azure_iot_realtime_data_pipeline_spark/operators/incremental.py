@@ -60,6 +60,10 @@ def incremental_tail_scan(
     from azure_iot_realtime_data_pipeline_spark.sources.batch import NANOS_TS_COLS
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # see sources/batch.py:load_table — read un-adjusted parquet
+    # timestamps as TIMESTAMP (UTC session), not TIMESTAMP_NTZ, so the
+    # pushed range predicate and the downstream plan see one type.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     wm = datetime.fromisoformat(watermark).replace(tzinfo=timezone.utc)
     if dict(df.dtypes).get(ts_col) == "bigint":

@@ -57,6 +57,20 @@ def _bucket_search(key: Column, bounds: list[float], lo: int, hi: int) -> Column
     ).otherwise(_bucket_search(key, bounds, lo, mid))
 
 
+def _numeric_order_key(df: DataFrame, col: str) -> Column:
+    """Order-monotone double key for range bucketing. TIMESTAMP_NTZ has no
+    direct double cast (SQLSTATE 42K09); route it through TIMESTAMP first —
+    the session-tz reinterpretation is a constant offset, so ordering (all
+    the bucketing needs) is preserved, and the same expression feeds both
+    the bounds pass and the bucket assignment so they can never disagree."""
+    from pyspark.sql.types import TimestampNTZType
+
+    c = F.col(col)
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        c = c.cast("timestamp")
+    return c.cast("double")
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -76,7 +90,7 @@ def global_row_number(
     """
     spark = df.sparkSession
     n = num_buckets or spark.sparkContext.defaultParallelism
-    lead = F.col(order_cols[0]).cast("double")
+    lead = _numeric_order_key(df, order_cols[0])
 
     probs = [i / n for i in range(1, n)]
     bounds: list[float] = []

@@ -50,6 +50,13 @@ NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet timestamps written WITHOUT isAdjustedToUTC would otherwise
+    # infer as TIMESTAMP_NTZ (Spark 4 default), which rejects double casts
+    # and diverges from DuckDB's naive-in-UTC reading under our pinned UTC
+    # session tz. Reading them as TIMESTAMP keeps one timestamp type
+    # end-to-end regardless of which session (ours or the harness's) runs
+    # the query.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
