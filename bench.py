@@ -91,21 +91,42 @@ def main() -> None:
     to_run = list(QUERIES) if run_all else list(HEADLINE)
 
     warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    warm_budget = float(os.environ.get("SPARK_GRAFT_WARM_BUDGET_SEC", "180"))
+    t_warm = time.perf_counter()
     if os.path.isdir(warm_sf):
         for name in to_run:
+            if time.perf_counter() - t_warm > warm_budget:
+                print(f"# warmup budget hit at {name}", file=sys.stderr)
+                break
             try:
                 materialize(QUERIES[name](spark, warm_sf))
             except Exception:  # noqa: BLE001 - warm-up must never fail the bench
                 pass
             spark.catalog.clearCache()
     materialize(QUERIES["q_count"](spark, sf_dir))
+    print(
+        f"# warmup {round(time.perf_counter() - t_warm, 1)}s", file=sys.stderr
+    )
 
-    # headline first (comparable round-over-round), then the remainder
+    # headline first (comparable round-over-round), then the remainder.
+    # A wall-clock budget bounds the FULL sweep so one anomalous stall
+    # (machine contention, a pathological plan) can never eat the whole
+    # harness window and lose the JSON line: once over budget, remaining
+    # NON-headline queries are skipped and named in `skipped_all` — an
+    # explicit truncation record, never a silent one. Headline always
+    # runs to completion.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+    t_start = time.perf_counter()
     timings: dict[str, float] = {}
+    skipped: list[str] = []
     for name in HEADLINE + [n for n in to_run if n not in HEADLINE]:
+        if name not in HEADLINE and time.perf_counter() - t_start > budget:
+            skipped.append(name)
+            continue
         t0 = time.perf_counter()
         materialize(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name} {timings[name]}s", file=sys.stderr)
         # drop persisted intermediates (LSH signature tables etc.) so
         # earlier queries' cache doesn't GC-pressure later ones
         spark.catalog.clearCache()
@@ -121,6 +142,8 @@ def main() -> None:
     if run_all:
         out["queries_all"] = timings
         out["value_all"] = round(sum(timings.values()), 3)
+        if skipped:
+            out["skipped_all"] = skipped
     print(json.dumps(out))
     spark.stop()
 
