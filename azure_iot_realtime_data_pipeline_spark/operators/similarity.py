@@ -265,3 +265,56 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
     return pairs.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
+
+
+def lsh_topk_multiprobe(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    query_vec: str = "qv",
+    cand_vec: str = "cv",
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its exact bucket PLUS
+    every bucket at Hamming distance 1 (one signature bit flipped) —
+    the standard recall fix for hyperplane LSH (Lv et al., VLDB'07:
+    near neighbors concentrate in adjacent buckets, so probing them
+    recovers most of the recall lost to unlucky single-bit splits).
+
+    Scale shape is unchanged from ``lsh_topk``: the probe expansion is
+    a map-side explode of the TINY query side into ``num_planes + 1``
+    probe signatures; the candidate side still computes one signature
+    and shuffles once on the equi-join key. A pair colliding in several
+    probed buckets is deduplicated BEFORE the exact-cosine compute, so
+    scoring cost is per unique candidate pair. Recall/latency trade:
+    probes multiply candidate volume ~(num_planes+1)x at fixed bucket
+    granularity — still sub-quadratic, vs. halving num_planes which
+    doubles every bucket's size.
+    """
+    from pyspark.sql import Window
+
+    q = queries.withColumn("_sig0", lsh_signature(F.col(query_vec), dim, num_planes))
+    probe_sigs = F.array(
+        F.col("_sig0"),
+        *[F.col("_sig0").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+    )
+    q = q.select(query_id, query_vec, F.explode(probe_sigs).alias("_sig"))
+    c = candidates.withColumn("_sig", lsh_signature(F.col(cand_vec), dim, num_planes))
+    pairs = (
+        q.join(c, "_sig")
+        .filter(F.col(query_id) != F.col(cand_id))
+        # a pair can collide in multiple probed buckets; every duplicate
+        # row carries identical (qv, cv), so keeping an arbitrary one is
+        # deterministic — and the exact cosine is computed AFTER dedup
+        .dropDuplicates([query_id, cand_id])
+        .select(
+            query_id,
+            cand_id,
+            round_half_up(cosine(F.col(query_vec), F.col(cand_vec))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
+    return pairs.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)

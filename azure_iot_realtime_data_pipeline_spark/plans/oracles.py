@@ -1082,6 +1082,46 @@ def _embed_dedup_lsh_oracle(
         """
 
 
+def _lsh_topk_multiprobe_oracle(dim: int = 64, num_planes: int = 4, k: int = 10) -> str:
+    """Mirror of similarity.lsh_topk_multiprobe: the query side expands
+    into its exact signature plus every Hamming-1 neighbor, pairs are
+    deduplicated before the exact cosine — identical plan in SQL."""
+    plane_arrays = _planes_sql(dim, num_planes)
+    probe_list = ", ".join(
+        ["sig0"] + [f"xor(sig0, {1 << p})" for p in range(num_planes)]
+    )
+    cosine = _cosine_sql("qv", "cv")
+    return f"""
+        WITH planes AS (
+          SELECT {plane_arrays}
+        ),
+        qsig AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 {_sig_sql("embedding", num_planes)} AS sig0
+          FROM embeddings, planes WHERE vec_id < 5
+        ),
+        qprobe AS (
+          SELECT query_id, qv, unnest([{probe_list}]) AS sig FROM qsig
+        ),
+        csig AS (
+          SELECT vec_id AS cand_id, embedding AS cv,
+                 {_sig_sql("embedding", num_planes)} AS sig
+          FROM embeddings, planes
+        ),
+        pairs AS (
+          SELECT DISTINCT ON (query_id, cand_id) query_id, cand_id, qv, cv
+          FROM qprobe JOIN csig USING (sig)
+          WHERE query_id <> cand_id
+        )
+        SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+          SELECT query_id, cand_id, {cosine} AS cosine,
+                 row_number() OVER (PARTITION BY query_id ORDER BY {cosine} DESC, cand_id) AS rn
+          FROM pairs
+        ) WHERE rn <= {k}
+        """
+
+
+ORACLES["q_lsh_topk_multiprobe"] = _lsh_topk_multiprobe_oracle()
 ORACLES["q_minhash_lsh_portable"] = _minhash_portable_oracle()
 ORACLES["q_simhash_portable"] = _simhash_portable_oracle()
 ORACLES["q_lsh_topk"] = _lsh_topk_oracle()

@@ -583,6 +583,19 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(q, c, dim=64, k=10, num_planes=4)
 
 
+def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 recall path: multi-probe LSH top-k — every query also probes
+    the num_planes buckets one signature-bit away (Hamming-1), the
+    standard recall fix for hyperplane LSH at a bounded (num_planes+1)x
+    probe cost on the tiny query side only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    return similarity.lsh_topk_multiprobe(q, c, dim=64, k=10, num_planes=4)
+
+
 def q_adjust_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 'Adjust' out-of-order policy, batch form: clamp event time
     forward to the running per-device high-water mark in arrival order
@@ -1095,6 +1108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_lsh_portable": q_minhash_lsh_portable,
     "q_simhash_portable": q_simhash_portable,
     "q_lsh_topk": q_lsh_topk,
+    "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     "q_embed_dedup_lsh": q_embed_dedup_lsh,
     "q_chunk_documents": q_chunk_documents,
     "q_frame_sample": q_frame_sample,
