@@ -271,6 +271,76 @@ def asof_stream(
     )
 
 
+GAPS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("gap_us", LongType()),
+    ]
+)
+
+#: one carry cell per key: the previous event's microsecond timestamp
+GAPS_STATE_SCHEMA = StructType([StructField("last_ts_us", LongType())])
+
+
+def make_gaps_fn():
+    """applyInPandasWithState body for the L3 streaming twin (picklable
+    closure). Per key: each micro-batch is processed in (ts, event_id)
+    order and every row's gap is its ts minus the carried previous ts
+    (NULL for the key's first-ever event). Equal-ts ties need no
+    cross-batch tiebreak state: their pairwise gap is 0 under ANY order
+    of equal timestamps, and the replay source's ts-bucketed staging
+    keeps equal-ts rows in one micro-batch."""
+
+    def fn(key, pdfs, state):
+        last_ts = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+            ts = pdf["ts"]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            ts_us = ts.astype("datetime64[us]").astype("int64")
+            gaps = []
+            for t in ts_us:
+                gaps.append(None if last_ts is None else int(t) - last_ts)
+                last_ts = int(t)
+            out = pdf[["event_id", "user_id", "ts"]].copy()
+            out["gap_us"] = pd.Series(gaps, index=out.index, dtype="Int64")
+            yield out
+        if last_ts is not None:
+            state.update((int(last_ts),))
+
+    return fn
+
+
+def event_gaps_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """L3 streaming twin: per-event inter-arrival microseconds.
+
+    The batch form is a lag window over (key, ts) —
+    `analytics.event_gaps`, oracle-checked as `q_event_gaps`. Streaming
+    lag needs only the PREVIOUS event per key, so the state is a single
+    long per key (strictly smaller than any windowed-agg state), carried
+    in `applyInPandasWithState` over the same single shuffle onto the
+    key that the batch window performs. Parity contract (tested): for
+    in-order replay, every gap equals the batch lag's."""
+    tagged = events.select("event_id", F.col(key_col), F.col(ts_col))
+    if watermark is not None:
+        tagged = tagged.withWatermark(ts_col, watermark)
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_gaps_fn(),
+        outputStructType=GAPS_OUTPUT_SCHEMA,
+        stateStructType=GAPS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def session_batch_twin(
     events: DataFrame,
     key_col: str = "user_id",

@@ -177,6 +177,36 @@ def test_asof_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
     assert got.filter(F.col("asof_purchase_value").isNotNull()).count() > 0
 
 
+def test_gaps_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """L3 streaming twin: the single-long-per-key carry == the batch lag
+    window, across micro-batch boundaries (NULL first-event gaps
+    included)."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import q_event_gaps
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        event_gaps_stream,
+    )
+
+    q = (
+        event_gaps_stream(replay_events(spark, replay_dir), watermark=None)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gaps")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gaps"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from gaps")
+    want = q_event_gaps(spark, sf_smoke)
+    cols = ["event_id", "user_id", "gap_us"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    # every event emitted exactly once; first-per-key gaps are NULL
+    assert got.count() == want.count() > 0
+    assert got.filter(F.col("gap_us").isNull()).count() == want.filter(
+        F.col("gap_us").isNull()
+    ).count() > 0
+
+
 def test_dedup_stream_suppresses_redeliveries(spark, sf_smoke, tmp_path):
     """J1 streaming: a source that re-delivers every event (duplicated
     replay files) yields exactly the distinct event set."""
