@@ -24,6 +24,10 @@ are pure float arithmetic over deterministic literals, so it is fully
 oracled despite being "approximate".
 """
 
+from azure_iot_realtime_data_pipeline_spark.functions.rounding import (
+    sql_round_half_up,
+)
+
 STOP_IN = "('the','a','of','and','to','in','is')"
 
 ORACLES: dict[str, str] = {
@@ -1082,6 +1086,34 @@ def _embed_dedup_lsh_oracle(
         """
 
 
+def _kmv_distinct_oracle(k: int = 64) -> str:
+    """Mirror of sketches.kmv_distinct: md5-derived 32-bit hash,
+    per-group hash-dedup, rank window keeps the k smallest, exact count
+    under k else (k-1)*2^32/kth — integer-exact until one f64 division
+    rounded half-up, so the estimate hash-matches bit-for-bit."""
+    est = sql_round_half_up(f"{float(k - 1)} * {float(2**32)} / kth")
+    return f"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+          FROM events
+        ),
+        kept AS (
+          SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h
+        ),
+        agg AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, max(hv) AS kth
+          FROM kept WHERE rn <= {k} GROUP BY event_type
+        )
+        SELECT event_type, n_kept,
+               CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                    ELSE {est} END AS distinct_est
+        FROM agg
+        """
+
+
 def _lsh_topk_multiprobe_oracle(dim: int = 64, num_planes: int = 4, k: int = 10) -> str:
     """Mirror of similarity.lsh_topk_multiprobe: the query side expands
     into its exact signature plus every Hamming-1 neighbor, pairs are
@@ -1121,6 +1153,7 @@ def _lsh_topk_multiprobe_oracle(dim: int = 64, num_planes: int = 4, k: int = 10)
         """
 
 
+ORACLES["q_kmv_distinct"] = _kmv_distinct_oracle()
 ORACLES["q_lsh_topk_multiprobe"] = _lsh_topk_multiprobe_oracle()
 ORACLES["q_minhash_lsh_portable"] = _minhash_portable_oracle()
 ORACLES["q_simhash_portable"] = _simhash_portable_oracle()

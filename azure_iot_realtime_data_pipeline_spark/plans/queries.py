@@ -38,6 +38,7 @@ from azure_iot_realtime_data_pipeline_spark.operators import (
     relevance,
     sessions,
     similarity,
+    sketches,
     skew,
     text,
 )
@@ -583,6 +584,15 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(q, c, dim=64, k=10, num_planes=4)
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J30: KMV distinct-count sketch — distinct users per event type
+    estimated from the 64 smallest portable hashes per group. The
+    deterministic, cross-engine-auditable alternative to HLL; groups
+    under 64 distinct report exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
 def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 recall path: multi-probe LSH top-k — every query also probes
     the num_planes buckets one signature-bit away (Hamming-1), the
@@ -1109,6 +1119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash_portable": q_simhash_portable,
     "q_lsh_topk": q_lsh_topk,
     "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
+    "q_kmv_distinct": q_kmv_distinct,
     "q_embed_dedup_lsh": q_embed_dedup_lsh,
     "q_chunk_documents": q_chunk_documents,
     "q_frame_sample": q_frame_sample,

@@ -348,6 +348,37 @@ def test_ann_recall_at_10_vs_brute_force(spark, sf_smoke):
     assert multi_recall >= 0.25, multi_recall
 
 
+def test_kmv_distinct_tracks_exact_counts(spark, sf_smoke):
+    """KMV quality floor: the k=64 sketch estimate must land within the
+    theoretical error envelope of the exact distinct count (standard
+    error ~ 1/sqrt(k-2) = 12.7%; the 40% bound is ~3 sigma), and groups
+    with fewer than k distinct values must be EXACT."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        kmv_distinct,
+    )
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    est = {
+        r["event_type"]: (r["n_kept"], r["distinct_est"])
+        for r in kmv_distinct(ev, "event_type", "user_id", k=64).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for etype, (n_kept, e) in est.items():
+        n = exact[etype]
+        if n < 64:
+            assert e == float(n), (etype, e, n)
+        else:
+            assert n_kept == 64
+            assert abs(e - n) / n <= 0.40, (etype, e, n)
+
+
 def test_value_histogram_drops_null_measurements(spark):
     """NULL values must not inflate bucket 0 (greatest(NULL,0)=0 in
     Spark would put them there without the filter)."""
