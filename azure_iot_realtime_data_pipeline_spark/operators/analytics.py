@@ -58,6 +58,20 @@ def rollup_agg(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
+def cube_agg(df: DataFrame, dims: list[str], count_value_col: str) -> DataFrame:
+    """All 2^|dims| grouping-set subtotals in ONE pass (L7): Expand
+    multiplies each input row into its grouping-set combinations
+    map-side, then a single hash aggregate — one shuffle total, versus
+    2^|dims| separate scans+aggs if written naively. `gid` is the
+    standard grouping bit-vector (1-bit per dim, set = rolled up) so a
+    dimension's real NULLs stay distinguishable from subtotal NULLs."""
+    return df.cube(*dims).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(F.col(count_value_col)).cast("long").alias("sum_chars"),
+    )
+
+
 def event_gaps(
     df: DataFrame, key: str, ts_col: str, tiebreak: str, out: str = "gap_us"
 ) -> DataFrame:

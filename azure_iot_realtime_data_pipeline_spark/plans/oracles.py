@@ -1153,6 +1153,13 @@ def _lsh_topk_multiprobe_oracle(dim: int = 64, num_planes: int = 4, k: int = 10)
         """
 
 
+ORACLES["q_cube_agg"] = """
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """
 ORACLES["q_kmv_distinct"] = _kmv_distinct_oracle()
 ORACLES["q_lsh_topk_multiprobe"] = _lsh_topk_multiprobe_oracle()
 ORACLES["q_minhash_lsh_portable"] = _minhash_portable_oracle()

@@ -953,6 +953,14 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.rollup_agg(ev, "event_type", "value")
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: CUBE(lang, source) — all four grouping sets (pairwise, per
+    lang, per source, grand total) in one Expand + single hash agg;
+    gid disambiguates subtotal NULLs from data NULLs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return analytics.cube_agg(docs, ["lang", "source"], "n_chars")
+
+
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: inter-arrival microseconds per user (lag window; NULL for a
     user's first event)."""
@@ -1120,6 +1128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_topk": q_lsh_topk,
     "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     "q_kmv_distinct": q_kmv_distinct,
+    "q_cube_agg": q_cube_agg,
     "q_embed_dedup_lsh": q_embed_dedup_lsh,
     "q_chunk_documents": q_chunk_documents,
     "q_frame_sample": q_frame_sample,
