@@ -56,14 +56,26 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    # per-VECTOR norms before the pair expansion: recomputing both
+    # norms inside the pair projection would triple the per-pair HOF
+    # cost (pairs >> vectors); same fold, bit-identical rounded cosine
+    q = queries.select(
+        query_id, query_vec, norm_f64(F.col(query_vec)).alias("_qn")
+    )
+    c = candidates.select(
+        cand_id, cand_vec, norm_f64(F.col(cand_vec)).alias("_cn")
+    )
     pairs = (
-        F.broadcast(queries)
-        .crossJoin(candidates)
+        F.broadcast(q)
+        .crossJoin(c)
         .filter(F.col(query_id) != F.col(cand_id))
         .select(
             query_id,
             cand_id,
-            round_half_up(cosine(F.col(query_vec), F.col(cand_vec))).alias("cosine"),
+            round_half_up(
+                dot_f64(F.col(query_vec), F.col(cand_vec))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
@@ -163,12 +175,15 @@ def ivf_topk(
         return F.array_sort(F.array(*entries))
 
     # map-side argmin: stage the norm as a named column (it is referenced
-    # once per centroid; inlined it would be re-evaluated per reference)
+    # once per centroid; inlined it would be re-evaluated per reference).
+    # The norm rides along to the pair scoring so it is folded once per
+    # VECTOR, not once per probed pair.
     assigned = (
         candidates.select(cand_id, cand_vec, norm_f64(F.col(cand_vec)).alias("_nrm"))
         .select(
             cand_id,
             cand_vec,
+            F.col("_nrm").alias("_cn"),
             F.element_at(nearest_cells(F.col(cand_vec), F.col("_nrm")), 1)["cent_id"].alias("cell_id"),
         )
     )
@@ -180,11 +195,12 @@ def ivf_topk(
         .select(
             query_id,
             query_vec,
+            F.col("_nrm").alias("_qn"),
             F.explode(
                 F.slice(nearest_cells(F.col(query_vec), F.col("_nrm")), 1, n_probe)
             ).alias("_cell"),
         )
-        .select(query_id, query_vec, F.col("_cell.cent_id").alias("cell_id"))
+        .select(query_id, query_vec, "_qn", F.col("_cell.cent_id").alias("cell_id"))
     )
 
     # probes = |Q| * n_probe rows — tiny by construction; broadcast it so
@@ -195,7 +211,10 @@ def ivf_topk(
         .select(
             query_id,
             cand_id,
-            round_half_up(cosine(F.col(query_vec), F.col(cand_vec))).alias("cosine"),
+            round_half_up(
+                dot_f64(F.col(query_vec), F.col(cand_vec))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cosine"),
         )
     )
     wk = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
@@ -252,15 +271,22 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    q = queries.withColumn("_sig", lsh_signature(F.col(query_vec), dim, num_planes))
-    c = candidates.withColumn("_sig", lsh_signature(F.col(cand_vec), dim, num_planes))
+    q = queries.withColumn(
+        "_sig", lsh_signature(F.col(query_vec), dim, num_planes)
+    ).withColumn("_qn", norm_f64(F.col(query_vec)))
+    c = candidates.withColumn(
+        "_sig", lsh_signature(F.col(cand_vec), dim, num_planes)
+    ).withColumn("_cn", norm_f64(F.col(cand_vec)))
     pairs = (
         q.join(c, "_sig")
         .filter(F.col(query_id) != F.col(cand_id))
         .select(
             query_id,
             cand_id,
-            round_half_up(cosine(F.col(query_vec), F.col(cand_vec))).alias("cosine"),
+            round_half_up(
+                dot_f64(F.col(query_vec), F.col(cand_vec))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
@@ -296,13 +322,17 @@ def lsh_topk_multiprobe(
     """
     from pyspark.sql import Window
 
-    q = queries.withColumn("_sig0", lsh_signature(F.col(query_vec), dim, num_planes))
+    q = queries.withColumn(
+        "_sig0", lsh_signature(F.col(query_vec), dim, num_planes)
+    ).withColumn("_qn", norm_f64(F.col(query_vec)))
     probe_sigs = F.array(
         F.col("_sig0"),
         *[F.col("_sig0").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
     )
-    q = q.select(query_id, query_vec, F.explode(probe_sigs).alias("_sig"))
-    c = candidates.withColumn("_sig", lsh_signature(F.col(cand_vec), dim, num_planes))
+    q = q.select(query_id, query_vec, "_qn", F.explode(probe_sigs).alias("_sig"))
+    c = candidates.withColumn(
+        "_sig", lsh_signature(F.col(cand_vec), dim, num_planes)
+    ).withColumn("_cn", norm_f64(F.col(cand_vec)))
     pairs = (
         q.join(c, "_sig")
         .filter(F.col(query_id) != F.col(cand_id))
@@ -313,7 +343,10 @@ def lsh_topk_multiprobe(
         .select(
             query_id,
             cand_id,
-            round_half_up(cosine(F.col(query_vec), F.col(cand_vec))).alias("cosine"),
+            round_half_up(
+                dot_f64(F.col(query_vec), F.col(cand_vec))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
