@@ -1153,6 +1153,55 @@ def _lsh_topk_multiprobe_oracle(dim: int = 64, num_planes: int = 4, k: int = 10)
         """
 
 
+ORACLES["q_canonical_docs"] = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 50
+    ),
+    idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM docs WHERE len(toks) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM idx
+    ),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM prs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    scored AS (
+      SELECT doc_id,
+        floor((0.5 * (CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                    / length(text) END)
+            + 0.5 * (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, t -> t IN {STOP_IN})) AS DOUBLE)
+                    / len(toks) END)) * 10000 + 0.5) / 10000 AS quality
+      FROM docs
+    )
+    SELECT doc_id, cluster_id, quality, rn = 1 AS keep FROM (
+      SELECT c.doc_id, c.cluster_id, s.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY s.quality DESC, c.doc_id) AS rn
+      FROM clusters c JOIN scored s USING (doc_id)
+    )
+    """
 ORACLES["q_cube_agg"] = """
     SELECT lang, source,
            CAST(GROUPING(lang, source) AS BIGINT) AS gid,

@@ -1013,6 +1013,19 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J31: canonical-doc selection — the keep/drop step closing the
+    dedup pipeline: per duplicate cluster keep the highest-quality doc
+    (ties to smallest id). Composes J26 clusters with J10 scoring; the
+    rank window touches only the clustered subset."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    clusters = dedup.duplicate_clusters(dedup.ngram_jaccard_pairs(docs))
+    scored = docs.select(
+        "doc_id", text.quality_score(F.col("text")).alias("quality")
+    )
+    return dedup.canonical_docs(clusters, scored)
+
+
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 forward: each click paired with the user's EARLIEST purchase
     at-or-after it (time-to-next-purchase). Same one-shuffle merge-asof
@@ -1129,6 +1142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     "q_kmv_distinct": q_kmv_distinct,
     "q_cube_agg": q_cube_agg,
+    "q_canonical_docs": q_canonical_docs,
     "q_embed_dedup_lsh": q_embed_dedup_lsh,
     "q_chunk_documents": q_chunk_documents,
     "q_frame_sample": q_frame_sample,
