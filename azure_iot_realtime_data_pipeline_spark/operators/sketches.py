@@ -59,7 +59,14 @@ def kmv_distinct(
     the estimator arithmetic (and the oracle) stays identical.
     """
     h = portable_hash32(F.col(id_col).cast("string"))
-    hashed = df.select(F.col(group), h.alias("_h")).dropDuplicates([group, "_h"])
+    # NULL ids are not countable entities — and a NULL hash would sit at
+    # opposite ends of the rank window in Spark (NULLS FIRST) vs other
+    # engines (DuckDB: NULLS LAST), silently corrupting the k-th min.
+    hashed = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(group), h.alias("_h"))
+        .dropDuplicates([group, "_h"])
+    )
     w = Window.partitionBy(group).orderBy(F.col("_h").asc())
     kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
     agg = kept.groupBy(group).agg(

@@ -1096,7 +1096,7 @@ def _kmv_distinct_oracle(k: int = 64) -> str:
         WITH h AS (
           SELECT DISTINCT event_type,
                  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
-          FROM events
+          FROM events WHERE user_id IS NOT NULL
         ),
         kept AS (
           SELECT event_type, hv,
