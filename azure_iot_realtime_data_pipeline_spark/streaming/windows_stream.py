@@ -36,8 +36,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -336,6 +338,85 @@ def event_gaps_stream(
         make_gaps_fn(),
         outputStructType=GAPS_OUTPUT_SCHEMA,
         stateStructType=GAPS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_kept", LongType()),
+        StructField("distinct_est", DoubleType()),
+    ]
+)
+
+#: bounded sketch state: the k smallest distinct hashes seen so far
+KMV_STATE_SCHEMA = StructType(
+    [StructField("kept", ArrayType(LongType()))]
+)
+
+
+def make_kmv_fn(k: int = 64):
+    """applyInPandasWithState body for the J30 streaming twin (picklable
+    closure). Per key the state is AT MOST k longs — merge each
+    micro-batch's hashes into the kept set, re-take the k smallest
+    (KMV sketches merge by exactly this union + re-truncate), and emit
+    the running estimate. This is the map-side-combine form the batch
+    docstring names as the TypedImperativeAggregate swap point,
+    realized in streaming state instead."""
+
+    def fn(key, pdfs, state):
+        kept = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            kept.update(int(h) for h in pdf["_h"])
+        kept = sorted(kept)[:k]
+        n_kept = len(kept)
+        if n_kept < k:
+            est = float(n_kept)
+        else:
+            est = (k - 1) * 2.0**32 / kept[-1]
+            est = int(est * 10000 + 0.5) / 10000  # round_half_up(4)
+        state.update((kept,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_kept": [n_kept],
+                "distinct_est": [est],
+            }
+        )
+
+    return fn
+
+
+def kmv_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """J30 streaming twin: running KMV distinct-count per group.
+
+    Exact streaming COUNT(DISTINCT) needs state proportional to the
+    distinct set; the KMV sketch bounds it at k longs per group with
+    the SAME estimator arithmetic as the batch operator — each
+    micro-batch emission is the estimate as of that batch, and the
+    final emission equals `sketches.kmv_distinct` over the replayed
+    data (batch-equivalence tested). No watermark needed: the sketch
+    is monotone (hash-set union), so late rows merge correctly
+    whenever they arrive."""
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        portable_hash32,
+    )
+
+    hashed = events.filter(F.col(id_col).isNotNull()).select(
+        F.col(group_col),
+        portable_hash32(F.col(id_col).cast("string")).alias("_h"),
+    )
+    return hashed.groupBy(group_col).applyInPandasWithState(
+        make_kmv_fn(k),
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

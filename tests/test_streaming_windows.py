@@ -207,6 +207,47 @@ def test_gaps_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
     ).count() > 0
 
 
+def test_kmv_stream_final_estimate_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """J30 streaming twin: the bounded k-longs-per-group sketch state,
+    merged across micro-batches, lands on EXACTLY the batch operator's
+    estimate (same portable hashes, same estimator arithmetic)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        kmv_distinct,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        kmv_stream,
+    )
+
+    q = (
+        kmv_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("kmv")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # one emission per (group, micro-batch); the LAST per group is the
+    # full-stream sketch — n_kept is monotone, so max(n_kept) marks it,
+    # and at equal n_kept the estimate is identical (same k-th min)
+    got = spark.sql(
+        """
+        SELECT event_type, n_kept, distinct_est FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY n_kept DESC, distinct_est
+          ) AS rn FROM kmv
+        ) WHERE rn = 1
+        """
+    )
+    want = kmv_distinct(
+        load_table(spark, sf_smoke, "events"), "event_type", "user_id", k=64
+    )
+    cols = ["event_type", "n_kept", "distinct_est"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
+
+
 def test_dedup_stream_suppresses_redeliveries(spark, sf_smoke, tmp_path):
     """J1 streaming: a source that re-delivers every event (duplicated
     replay files) yields exactly the distinct event set."""
