@@ -23,11 +23,46 @@ cross-engine-auditable form.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from azure_iot_realtime_data_pipeline_spark.functions.rounding import round_half_up
 from azure_iot_realtime_data_pipeline_spark.operators.dedup import portable_hash32
+
+
+def _make_partition_cap_fn(group: str, k: int):
+    """mapInPandas body: per input PARTITION, keep only the k smallest
+    DISTINCT hashes per group (picklable closure, Arrow-batched).
+
+    This is the map-side partial combine of the KMV merge rule — union
+    hash sets, re-take the k smallest — realized per partition before
+    any shuffle. State while folding a partition is bounded by
+    (groups-in-partition x k) + one incoming batch; the emitted rows
+    per partition are at most groups x k.
+    """
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        state = None
+        for pdf in batches:
+            state = pdf if state is None else pd.concat(
+                [state, pdf], ignore_index=True
+            )
+            state = (
+                state.drop_duplicates()
+                .sort_values([group, "_h"], kind="stable")
+                # dropna=False: a NULL group is a real group in Spark's
+                # groupBy — pandas' default would silently drop it
+                .groupby(group, sort=False, dropna=False)
+                .head(k)
+            )
+        if state is not None and len(state):
+            yield state
+
+    return fn
 
 
 def kmv_distinct(
@@ -40,45 +75,53 @@ def kmv_distinct(
     """(group, n_kept, distinct_est): KMV distinct-count estimate of
     `id_col` per `group`.
 
-    Shape: hash -> per-group hash-dedup -> rank window keeps the k
-    smallest -> one tiny agg row per group. Groups with fewer than k
-    distinct hashes report the EXACT count (the sketch holds the whole
-    distinct set); larger groups report (k-1) * 2^32 / kth_min_hash,
-    rounded half-up to 4 dp so the one f64 division compares exactly
-    across engines.
+    Shape: hash -> MAP-SIDE per-partition cap to the k smallest distinct
+    hashes per group (Arrow `mapInPandas`, narrow — no shuffle) -> one
+    bounded groupBy that merges the per-partition sketches
+    (`array_sort(collect_set(...))` sliced to k) -> one tiny row per
+    group. Groups with fewer than k distinct hashes report the EXACT
+    count (every partition kept its full distinct set, so the merged
+    set is the whole thing); larger groups report
+    (k-1) * 2^32 / kth_min_hash, rounded half-up to 4 dp so the one f64
+    division compares exactly across engines.
 
-    Scale notes: the dedup + rank pair is ONE shuffle on (group, hash)
-    — the same key the exact distinct would shuffle — but downstream
-    state collapses to k longs per group, so the agg output is tiny and
-    re-aggregation (e.g. per-day sketches merged to per-month) stays
-    cheap: KMV sketches merge by unioning hash sets and re-taking the k
-    smallest, which is exactly re-running this operator over unioned
-    kept-hash tables. A JVM TypedImperativeAggregate could push the
-    k-smallest selection into the map-side partial combine and skip the
-    full distinct shuffle; that is a swap point, not a plan change —
-    the estimator arithmetic (and the oracle) stays identical.
+    Scale notes: this is the two-stage k-smallest form — the shuffle
+    moves AT MOST k rows per (group, partition) instead of the full
+    distinct set, which is the whole point of a sketch at 100 TB (an
+    exact COUNT(DISTINCT) shuffles every distinct value; the previous
+    form of this operator did too, realizing the k-long bound only
+    after the shuffle). Correctness of the cap: the global k smallest
+    of a union is contained in the union of per-partition k smallest,
+    and a group with < k global distinct values is kept whole by every
+    partition. The merge-side `collect_set` partial buffer is bounded
+    by the same cap. Re-aggregation (per-day sketches merged to
+    per-month) stays cheap: KMV sketches merge by unioning kept-hash
+    sets and re-truncating — exactly re-running this operator over
+    unioned kept-hash tables. A JVM TypedImperativeAggregate could fuse
+    the cap into the aggregate itself; that is a swap point, not a plan
+    change — the estimator arithmetic (and the oracle) is identical.
     """
     h = portable_hash32(F.col(id_col).cast("string"))
-    # NULL ids are not countable entities — and a NULL hash would sit at
-    # opposite ends of the rank window in Spark (NULLS FIRST) vs other
-    # engines (DuckDB: NULLS LAST), silently corrupting the k-th min.
-    hashed = (
-        df.filter(F.col(id_col).isNotNull())
-        .select(F.col(group), h.alias("_h"))
-        .dropDuplicates([group, "_h"])
+    # NULL ids are not countable entities — and a NULL hash would sort at
+    # different ends in different engines (Spark NULLS FIRST, DuckDB
+    # NULLS LAST), silently corrupting the k-th min.
+    hashed = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(group), h.alias("_h")
     )
-    w = Window.partitionBy(group).orderBy(F.col("_h").asc())
-    kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
-    agg = kept.groupBy(group).agg(
-        F.count("*").alias("n_kept"), F.max("_h").alias("_kth")
+    capped = hashed.mapInPandas(_make_partition_cap_fn(group, k), hashed.schema)
+    agg = capped.groupBy(group).agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_ks")
     )
+    n_kept = F.size("_ks")
     est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
+        n_kept < k, n_kept.cast("double")
     ).otherwise(
-        round_half_up(F.lit(float(k - 1)) * F.lit(2.0**32) / F.col("_kth"))
+        round_half_up(
+            F.lit(float(k - 1)) * F.lit(2.0**32) / F.element_at("_ks", k)
+        )
     )
     return agg.select(
         F.col(group),
-        F.col("n_kept").cast("long").alias("n_kept"),
+        n_kept.cast("long").alias("n_kept"),
         est.alias(out),
     )

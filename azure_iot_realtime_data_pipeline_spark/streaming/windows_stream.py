@@ -273,33 +273,27 @@ def asof_stream(
     )
 
 
-GAPS_OUTPUT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("user_id", LongType()),
-        StructField("ts", TimestampType()),
-        StructField("gap_us", LongType()),
-    ]
-)
-
 #: one carry cell per key: the previous event's microsecond timestamp
 GAPS_STATE_SCHEMA = StructType([StructField("last_ts_us", LongType())])
 
 
-def make_gaps_fn():
+def make_gaps_fn(id_col: str = "event_id", key_col: str = "user_id", ts_col: str = "ts"):
     """applyInPandasWithState body for the L3 streaming twin (picklable
-    closure). Per key: each micro-batch is processed in (ts, event_id)
-    order and every row's gap is its ts minus the carried previous ts
-    (NULL for the key's first-ever event). Equal-ts ties need no
-    cross-batch tiebreak state: their pairwise gap is 0 under ANY order
-    of equal timestamps, and the replay source's ts-bucketed staging
-    keeps equal-ts rows in one micro-batch."""
+    closure; column names are parameters so the fn matches whatever
+    `event_gaps_stream` selected — previously they were hardcoded and a
+    non-default key_col/ts_col produced a pandas KeyError at runtime).
+    Per key: each micro-batch is processed in (ts, id) order and every
+    row's gap is its ts minus the carried previous ts (NULL for the
+    key's first-ever event). Equal-ts ties need no cross-batch tiebreak
+    state: their pairwise gap is 0 under ANY order of equal timestamps,
+    and the replay source's ts-bucketed staging keeps equal-ts rows in
+    one micro-batch."""
 
     def fn(key, pdfs, state):
         last_ts = state.get[0] if state.exists else None
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
-            ts = pdf["ts"]
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            ts = pdf[ts_col]
             if getattr(ts.dt, "tz", None) is not None:
                 ts = ts.dt.tz_localize(None)
             ts_us = ts.astype("datetime64[us]").astype("int64")
@@ -307,7 +301,7 @@ def make_gaps_fn():
             for t in ts_us:
                 gaps.append(None if last_ts is None else int(t) - last_ts)
                 last_ts = int(t)
-            out = pdf[["event_id", "user_id", "ts"]].copy()
+            out = pdf[[id_col, key_col, ts_col]].copy()
             out["gap_us"] = pd.Series(gaps, index=out.index, dtype="Int64")
             yield out
         if last_ts is not None:
@@ -320,6 +314,7 @@ def event_gaps_stream(
     events: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    id_col: str = "event_id",
     watermark: str | None = DEFAULT_WATERMARK,
 ) -> DataFrame:
     """L3 streaming twin: per-event inter-arrival microseconds.
@@ -330,13 +325,20 @@ def event_gaps_stream(
     long per key (strictly smaller than any windowed-agg state), carried
     in `applyInPandasWithState` over the same single shuffle onto the
     key that the batch window performs. Parity contract (tested): for
-    in-order replay, every gap equals the batch lag's."""
-    tagged = events.select("event_id", F.col(key_col), F.col(ts_col))
+    in-order replay, every gap equals the batch lag's.
+
+    Output schema is (id, key, ts, gap_us) with the id/key/ts types
+    DERIVED from the input frame, so non-default column names/types work
+    end-to-end instead of mismatching a hardcoded StructType."""
+    tagged = events.select(F.col(id_col), F.col(key_col), F.col(ts_col))
     if watermark is not None:
         tagged = tagged.withWatermark(ts_col, watermark)
+    out_schema = StructType(
+        [*tagged.schema.fields, StructField("gap_us", LongType())]
+    )
     return tagged.groupBy(key_col).applyInPandasWithState(
-        make_gaps_fn(),
-        outputStructType=GAPS_OUTPUT_SCHEMA,
+        make_gaps_fn(id_col=id_col, key_col=key_col, ts_col=ts_col),
+        outputStructType=out_schema,
         stateStructType=GAPS_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -348,17 +348,22 @@ def test_ann_recall_at_10_vs_brute_force(spark, sf_smoke):
     assert multi_recall >= 0.25, multi_recall
 
 
-def test_kmv_distinct_tracks_exact_counts(spark, sf_smoke):
+def test_kmv_distinct_tracks_exact_counts(spark, sf_oracle):
     """KMV quality floor: the k=64 sketch estimate must land within the
     theoretical error envelope of the exact distinct count (standard
     error ~ 1/sqrt(k-2) = 12.7%; the 40% bound is ~3 sigma), and groups
-    with fewer than k distinct values must be EXACT."""
+    with fewer than k distinct values must be EXACT.
+
+    Runs at sf0.01 (~150 distinct users per event type) so the
+    ESTIMATOR branch actually fires — at sf0.001 every group has < k
+    distinct ids and only the exact branch would execute, leaving the
+    quality floor untested."""
     from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
         kmv_distinct,
     )
     from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
 
-    ev = load_table(spark, sf_smoke, "events")
+    ev = load_table(spark, sf_oracle, "events")
     est = {
         r["event_type"]: (r["n_kept"], r["distinct_est"])
         for r in kmv_distinct(ev, "event_type", "user_id", k=64).collect()
@@ -370,6 +375,10 @@ def test_kmv_distinct_tracks_exact_counts(spark, sf_smoke):
         .collect()
     }
     assert est.keys() == exact.keys()
+    # guard the data assumption the estimator assertions depend on: if a
+    # testdata refresh ever drops every group under k, this test would
+    # silently stop testing the sketch quality again
+    assert any(n >= 64 for n in exact.values())
     for etype, (n_kept, e) in est.items():
         n = exact[etype]
         if n < 64:

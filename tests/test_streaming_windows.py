@@ -207,6 +207,40 @@ def test_gaps_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
     ).count() > 0
 
 
+def test_gaps_stream_nondefault_columns(spark, sf_smoke, replay_dir, tmp_path):
+    """Regression: event_gaps_stream with renamed key/ts/id columns must
+    run end-to-end (the fn and output schema are derived from the
+    parameters; they used to hardcode user_id/ts/event_id and KeyError
+    at runtime)."""
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        event_gaps_stream,
+    )
+
+    renamed = (
+        replay_events(spark, replay_dir)
+        .withColumnRenamed("user_id", "device")
+        .withColumnRenamed("ts", "when_seen")
+        .withColumnRenamed("event_id", "msg_id")
+    )
+    q = (
+        event_gaps_stream(
+            renamed, key_col="device", ts_col="when_seen", id_col="msg_id",
+            watermark=None,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gaps_renamed")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gaps_r"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from gaps_renamed")
+    assert got.columns == ["msg_id", "device", "when_seen", "gap_us"]
+    n_events = load_table(spark, sf_smoke, "events").count()
+    assert got.count() == n_events > 0
+
+
 def test_kmv_stream_final_estimate_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
     """J30 streaming twin: the bounded k-longs-per-group sketch state,
     merged across micro-batches, lands on EXACTLY the batch operator's
@@ -218,8 +252,12 @@ def test_kmv_stream_final_estimate_matches_batch(spark, sf_smoke, replay_dir, tm
         kmv_stream,
     )
 
+    # k=8 < the ~15 distinct users per event type at sf0.001, so the
+    # ESTIMATOR branch fires (k=64 would leave it dead here: every
+    # group would take the exact-count branch and the final-emission
+    # ordering below would never be load-bearing)
     q = (
-        kmv_stream(replay_events(spark, replay_dir))
+        kmv_stream(replay_events(spark, replay_dir), k=8)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("kmv")
@@ -229,19 +267,23 @@ def test_kmv_stream_final_estimate_matches_batch(spark, sf_smoke, replay_dir, tm
     )
     q.awaitTermination(300)
     # one emission per (group, micro-batch); the LAST per group is the
-    # full-stream sketch — n_kept is monotone, so max(n_kept) marks it,
-    # and at equal n_kept the estimate is identical (same k-th min)
+    # full-stream sketch — n_kept is monotone, so max(n_kept) marks it.
+    # Below k the estimate at equal n_kept is identical (exact count);
+    # AT n_kept == k the k-th min hash only shrinks as more ids arrive,
+    # so the estimate is NON-DECREASING across micro-batches and the
+    # final sketch carries the MAX estimate — hence distinct_est DESC
+    # (ascending would pick the EARLIEST full-k sketch, not the last)
     got = spark.sql(
         """
         SELECT event_type, n_kept, distinct_est FROM (
           SELECT *, row_number() OVER (
-            PARTITION BY event_type ORDER BY n_kept DESC, distinct_est
+            PARTITION BY event_type ORDER BY n_kept DESC, distinct_est DESC
           ) AS rn FROM kmv
         ) WHERE rn = 1
         """
     )
     want = kmv_distinct(
-        load_table(spark, sf_smoke, "events"), "event_type", "user_id", k=64
+        load_table(spark, sf_smoke, "events"), "event_type", "user_id", k=8
     )
     cols = ["event_type", "n_kept", "distinct_est"]
     assert _as_set(got, cols) == _as_set(want, cols)
