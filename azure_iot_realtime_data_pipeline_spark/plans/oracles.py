@@ -1008,11 +1008,13 @@ def _planes_sql(dim: int, num_planes: int) -> str:
     )
 
 
-def _sig_sql(vec: str, num_planes: int) -> str:
+def _sig_sql(vec: str, num_planes: int, offset: int = 0) -> str:
     """Packed hyperplane signature of `vec` — mirror of
-    similarity.lsh_signature's sequential-f64 projections."""
+    similarity.lsh_signature's sequential-f64 projections. `offset`
+    selects the plane family (table t of an OR-amplified index uses
+    offset t*num_planes), mirroring lsh_signature's plane_offset."""
     return " + ".join(
-        f"(CASE WHEN list_sum(list_transform(list_zip({vec}, p{p}), "
+        f"(CASE WHEN list_sum(list_transform(list_zip({vec}, p{offset + p}), "
         f"x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN {1 << p} ELSE 0 END)"
         for p in range(num_planes)
     )
@@ -1114,13 +1116,37 @@ def _kmv_distinct_oracle(k: int = 64) -> str:
         """
 
 
-def _lsh_topk_multiprobe_oracle(dim: int = 64, num_planes: int = 4, k: int = 10) -> str:
-    """Mirror of similarity.lsh_topk_multiprobe: the query side expands
-    into its exact signature plus every Hamming-1 neighbor, pairs are
+def _lsh_topk_multiprobe_oracle(
+    dim: int = 64,
+    num_planes: int = 4,
+    n_tables: int = 2,
+    hamming: int = 1,
+    k: int = 10,
+) -> str:
+    """Mirror of similarity.lsh_topk_multiprobe: n_tables independent
+    plane families (table t uses planes t*num_planes..), each query
+    probing every bucket within `hamming` bit flips per table, pairs
     deduplicated before the exact cosine — identical plan in SQL."""
-    plane_arrays = _planes_sql(dim, num_planes)
-    probe_list = ", ".join(
-        ["sig0"] + [f"xor(sig0, {1 << p})" for p in range(num_planes)]
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import (
+        _probe_offsets,
+    )
+
+    plane_arrays = _planes_sql(dim, n_tables * num_planes)
+    masks = _probe_offsets(num_planes, hamming)
+    qsig_cols = ", ".join(
+        f"{_sig_sql('embedding', num_planes, offset=t * num_planes)} AS sig{t}"
+        for t in range(n_tables)
+    )
+    qprobe_arms = "\n          UNION ALL\n          ".join(
+        f"SELECT query_id, qv, {t} AS t, "
+        f"unnest([{', '.join(f'xor(sig{t}, {m})' for m in masks)}]) AS sig FROM qsig"
+        for t in range(n_tables)
+    )
+    csig_arms = "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id AS cand_id, embedding AS cv, {t} AS t, "
+        f"{_sig_sql('embedding', num_planes, offset=t * num_planes)} AS sig "
+        f"FROM embeddings, planes"
+        for t in range(n_tables)
     )
     cosine = _cosine_sql("qv", "cv")
     return f"""
@@ -1128,21 +1154,18 @@ def _lsh_topk_multiprobe_oracle(dim: int = 64, num_planes: int = 4, k: int = 10)
           SELECT {plane_arrays}
         ),
         qsig AS (
-          SELECT vec_id AS query_id, embedding AS qv,
-                 {_sig_sql("embedding", num_planes)} AS sig0
+          SELECT vec_id AS query_id, embedding AS qv, {qsig_cols}
           FROM embeddings, planes WHERE vec_id < 5
         ),
         qprobe AS (
-          SELECT query_id, qv, unnest([{probe_list}]) AS sig FROM qsig
+          {qprobe_arms}
         ),
         csig AS (
-          SELECT vec_id AS cand_id, embedding AS cv,
-                 {_sig_sql("embedding", num_planes)} AS sig
-          FROM embeddings, planes
+          {csig_arms}
         ),
         pairs AS (
           SELECT DISTINCT ON (query_id, cand_id) query_id, cand_id, qv, cv
-          FROM qprobe JOIN csig USING (sig)
+          FROM qprobe JOIN csig USING (t, sig)
           WHERE query_id <> cand_id
         )
         SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank FROM (

@@ -340,12 +340,35 @@ def test_ann_recall_at_10_vs_brute_force(spark, sf_smoke):
     # clustered corpus the same operator scores far higher.
     assert ivf_recall >= 0.5, ivf_recall
     assert lsh_recall >= 0.03, lsh_recall
-    # Multi-probe (Hamming-1 buckets) must strictly dominate exact-bucket
-    # LSH — that dominance, not an absolute number, is the contract; its
-    # candidate superset provably contains every exact-bucket candidate.
-    # Measured: 0.5 at sf0.01 AND sf0.1 vs 0.14 / 0.06 single-probe.
+    # Multi-probe + OR-amplification (2 tables x 4 planes, Hamming-1)
+    # must strictly dominate exact-bucket LSH — its candidate superset
+    # provably contains every exact-bucket candidate of table 0.
+    # Measured (deterministic data + hashes -> fixed numbers): 0.72 at
+    # sf0.001, 0.76 at sf0.01, 0.80 at sf0.1 vs 0.04/0.14/0.06
+    # single-probe.
     assert multi_recall >= lsh_recall, (multi_recall, lsh_recall)
-    assert multi_recall >= 0.25, multi_recall
+    assert multi_recall >= 0.65, multi_recall
+
+
+def test_multiprobe_lsh_recall_at_sf01_meets_bar(spark):
+    """The round-4 recall bar: the OR-amplified multi-probe config must
+    hold recall@10 >= 0.8 at sf0.1 (the bench scale). Deterministic —
+    fixed data, fixed splitmix64 planes — so the measured 0.80 is a
+    stable number, not a flaky threshold. Embeddings at sf0.1 are 2,000
+    rows, so the exact baseline here is cheap."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import (
+        q_lsh_topk_multiprobe,
+        q_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    exact = {(r["query_id"], r["cand_id"]) for r in q_topk_cosine(spark, sf).collect()}
+    multi = {
+        (r["query_id"], r["cand_id"])
+        for r in q_lsh_topk_multiprobe(spark, sf).collect()
+    }
+    assert len(exact) == 50
+    assert len(multi & exact) / len(exact) >= 0.8
 
 
 def test_kmv_distinct_tracks_exact_counts(spark, sf_oracle):
