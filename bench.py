@@ -4,13 +4,19 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "queries_all": {...}, "value_all": ...,
-   "sf": ...}
+   "queries": {"q1": sec, ...}, "queries_min": {...},
+   "queries_all": {...}, "value_all": ..., "reps": N, "sf": ...}
 
 `value`/`queries` stay the 30-query HEADLINE suite (round-over-round
-comparable); `queries_all`/`value_all` time EVERY registered query so a
-regression in a non-headline operator (a regex cost blow-up in
-q_mask_pii, say) cannot hide. Disable the full sweep with
+comparable); since round 4 each headline query runs
+$SPARK_GRAFT_BENCH_REPS times (default 3) and `queries` records the
+per-query MEDIAN with `queries_min` the per-query MIN — BASELINE.md
+documents 1.15-2.4x identical-suite spread from JIT/machine noise, and
+a single timing can hide (or fake) a 2x regression inside that band
+(r3's q_embedding_centroid 2.9x and q_asof_forward 6.6x "regressions"
+were both exactly this). `queries_all`/`value_all` time EVERY
+registered query (single rep for non-headline) so a regression in a
+non-headline operator cannot hide. Disable the full sweep with
 SPARK_GRAFT_BENCH_ALL=0 (or `--headline-only`) when iterating.
 
 Each query materializes fully via the `noop` sink (distributed write,
@@ -116,32 +122,47 @@ def main() -> None:
     # explicit truncation record, never a silent one. Headline always
     # runs to completion.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     t_start = time.perf_counter()
-    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    timings_all: dict[str, float] = {}
     skipped: list[str] = []
     for name in HEADLINE + [n for n in to_run if n not in HEADLINE]:
         if name not in HEADLINE and time.perf_counter() - t_start > budget:
             skipped.append(name)
             continue
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name} {timings[name]}s", file=sys.stderr)
-        # drop persisted intermediates (LSH signature tables etc.) so
-        # earlier queries' cache doesn't GC-pressure later ones
-        spark.catalog.clearCache()
+        n_reps = reps if name in HEADLINE else 1
+        samples: list[float] = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, sf_dir))
+            samples.append(round(time.perf_counter() - t0, 3))
+            # drop persisted intermediates (LSH signature tables etc.) so
+            # earlier queries' cache doesn't GC-pressure later ones
+            spark.catalog.clearCache()
+        samples.sort()
+        med = samples[len(samples) // 2] if n_reps % 2 else round(
+            (samples[n_reps // 2 - 1] + samples[n_reps // 2]) / 2, 3
+        )
+        if name in HEADLINE:
+            medians[name] = med
+            mins[name] = samples[0]
+        timings_all[name] = med
+        print(f"# {name} med={med}s min={samples[0]}s n={n_reps}", file=sys.stderr)
 
-    headline = {n: timings[n] for n in HEADLINE}
     out = {
         "metric": "headline_suite_wall_sec",
-        "value": round(sum(headline.values()), 3),
+        "value": round(sum(medians.values()), 3),
         "unit": "sec",
-        "queries": headline,
+        "queries": medians,
+        "queries_min": mins,
+        "reps": reps,
         "sf": sf_dir,
     }
     if run_all:
-        out["queries_all"] = timings
-        out["value_all"] = round(sum(timings.values()), 3)
+        out["queries_all"] = timings_all
+        out["value_all"] = round(sum(timings_all.values()), 3)
         if skipped:
             out["skipped_all"] = skipped
     print(json.dumps(out))
