@@ -114,6 +114,52 @@ ORACLES: dict[str, str] = {
         WHERE user_id IS NOT NULL
         """
     ),
+    "q_wire_serve": (
+        # end state of the serve chain (curated -> powerbi rows -> JSON
+        # payload + batch watermark): every numeric coalesced to 0.0 as
+        # DOUBLE, ISO-millis 'Z' text timestamps, to_json payload (both
+        # engines format plain-decimal doubles identically — every
+        # payload number here is 0.0 or in [0.01, ~900]), and the E2
+        # MAX(enqueuedTime) watermark cross-joined onto every row.
+        """
+        WITH curated AS (
+          SELECT 'dev-' || CAST(user_id AS VARCHAR) AS deviceId,
+                 ts AS enqueuedTime,
+                 CAST(CAST(floor(value) AS BIGINT) AS INTEGER) AS battery,
+                 value * 1.5 AS barometer
+          FROM events
+          WHERE user_id IS NOT NULL
+        ),
+        r AS (
+          SELECT coalesce(deviceId, '') AS deviceId,
+                 strftime(enqueuedTime, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS enqueuedTime,
+                 coalesce(CAST(battery AS DOUBLE), 0.0::DOUBLE) AS battery,
+                 coalesce(barometer, 0.0::DOUBLE) AS barometer,
+                 0.0::DOUBLE AS latitude,
+                 0.0::DOUBLE AS longitude,
+                 0.0::DOUBLE AS altitude,
+                 0.0::DOUBLE AS AccelMagnitude,
+                 0.0::DOUBLE AS GyroMagnitude,
+                 0.0::DOUBLE AS MagMagnitude,
+                 0.0::DOUBLE AS Anomaly
+          FROM curated
+        ),
+        wm AS (
+          SELECT strftime(max(enqueuedTime), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS batch_watermark
+          FROM curated
+        )
+        SELECT r.*,
+               to_json(struct_pack(
+                 deviceId := deviceId, enqueuedTime := enqueuedTime,
+                 battery := battery, barometer := barometer,
+                 latitude := latitude, longitude := longitude,
+                 altitude := altitude, AccelMagnitude := AccelMagnitude,
+                 GyroMagnitude := GyroMagnitude, MagMagnitude := MagMagnitude,
+                 Anomaly := Anomaly)) AS payload,
+               batch_watermark
+        FROM r CROSS JOIN wm
+        """
+    ),
     "q_array_transform": (
         "SELECT doc_id, upper(tok) AS token FROM ("
         "  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok"

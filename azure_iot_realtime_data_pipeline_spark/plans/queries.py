@@ -235,26 +235,14 @@ def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_wire_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1-D6 + B3/B4/B7/B9/C1-C3 END-TO-END: the reference's full wire
-    path (raw device message -> jq export transform -> ASA Telemetry
-    projection, reference iot-central/transformation.txt:3-15 then
-    iot-stream-analytics-query.sql:64-83) through the REAL operator
-    chain — `normalize_raw_events` (envelope + from_entries pivot) into
-    `curated_telemetry` (casts, nested flatten, magnitudes, NOT NULL
-    filter). Raw messages are synthesized from `events` in the golden
-    template's shape: array-of-{name,value} telemetry including a
-    null-valued entry, nested device struct, string enqueuedTime. The
-    oracle recomputes the END state only, so a divergence anywhere in
-    the chain (pivot null handling, bigint->int casts, timestamp
-    string round-trip) surfaces as a hash mismatch."""
-    from azure_iot_realtime_data_pipeline_spark.functions.normalize import (
-        curated_telemetry,
-        normalize_raw_events,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    raw = ev.select(
+def _synthesize_raw_wire(ev: DataFrame) -> DataFrame:
+    """Raw device messages in the golden template's shape
+    (reference iot-central/raw-data-template.json), synthesized from the
+    `events` table: array-of-{name,value} telemetry including a
+    null-valued entry, nested device struct, string enqueuedTime.
+    Shared by the ingest (q_wire_normalize) and serve (q_wire_serve)
+    end-to-end chains so both exercise the same wire input."""
+    return ev.select(
         F.lit("app-1").alias("applicationId"),
         # string passthrough, exactly like the jq transform; the
         # timestamp CAST happens downstream in curated_telemetry (B9)
@@ -288,7 +276,74 @@ def q_wire_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("template-1").alias("templateId"),
         ).alias("device"),
     )
+
+
+def q_wire_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D6 + B3/B4/B7/B9/C1-C3 END-TO-END: the reference's full wire
+    path (raw device message -> jq export transform -> ASA Telemetry
+    projection, reference iot-central/transformation.txt:3-15 then
+    iot-stream-analytics-query.sql:64-83) through the REAL operator
+    chain — `normalize_raw_events` (envelope + from_entries pivot) into
+    `curated_telemetry` (casts, nested flatten, magnitudes, NOT NULL
+    filter). Raw messages come from `_synthesize_raw_wire`. The oracle
+    recomputes the END state only, so a divergence anywhere in the
+    chain (pivot null handling, bigint->int casts, timestamp string
+    round-trip) surfaces as a hash mismatch."""
+    from azure_iot_realtime_data_pipeline_spark.functions.normalize import (
+        curated_telemetry,
+        normalize_raw_events,
+    )
+
+    raw = _synthesize_raw_wire(load_table(spark, sf_dir, "events"))
     return curated_telemetry(normalize_raw_events(raw))
+
+
+def q_wire_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-G5 + E2 END-TO-END: the reference's serve path as ONE chain —
+    curated telemetry -> Power BI push rows (`powerbi_rows`: NULL->0.0,
+    deviceId->'', ISO-millis 'Z' text) -> per-row JSON payload
+    (`row_to_json`, the worker's HTTP POST unit) -> plus the batch
+    high-watermark (MAX enqueuedTime, formatted the same way) the
+    worker persists after a successful push
+    (reference PushTelemetryFunction.cs:336-400, 94-108). The upstream
+    ingest chain is the same real operator pipeline as
+    q_wire_normalize, so the two queries together cover wire JSON ->
+    envelope -> curated -> serve payload with no per-piece stand-ins.
+
+    The watermark scalar rides in on a literal-key broadcast join (one
+    row; BroadcastHashJoin, not a cartesian). The JSON payload is
+    hash-compared against DuckDB's to_json — double formatting agrees
+    between Jackson and DuckDB in the plain-decimal range, and every
+    payload number here is 0.0 or in [0.01, ~900] (verified across all
+    SFs; values <1e-3 or >=1e7 would format differently and would need
+    explicit formatting)."""
+    from azure_iot_realtime_data_pipeline_spark.functions.normalize import (
+        curated_telemetry,
+        normalize_raw_events,
+        powerbi_rows,
+    )
+    from azure_iot_realtime_data_pipeline_spark.functions.serialization import (
+        format_iso_millis,
+        row_to_json,
+    )
+
+    raw = _synthesize_raw_wire(load_table(spark, sf_dir, "events"))
+    curated = curated_telemetry(normalize_raw_events(raw))
+    rows = powerbi_rows(curated)
+    payload = row_to_json([F.col(c) for c in rows.columns])
+    wm = (
+        curated.agg(F.max("enqueuedTime").alias("_wm"))
+        .select(
+            format_iso_millis(F.col("_wm")).alias("batch_watermark"),
+            F.lit(1).alias("_k"),
+        )
+    )
+    return (
+        rows.withColumn("payload", payload)
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(wm), "_k")
+        .drop("_k")
+    )
 
 
 def q_array_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,6 +1195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_centroid": q_embedding_centroid,
     "q_histogram": q_histogram,
     # -- 2. new or changed in round 3 ----------------------------------
+    "q_wire_serve": q_wire_serve,
     "q_wire_normalize": q_wire_normalize,
     "q_minhash_lsh_portable": q_minhash_lsh_portable,
     "q_simhash_portable": q_simhash_portable,

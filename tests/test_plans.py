@@ -28,7 +28,10 @@ from azure_iot_realtime_data_pipeline_spark.plans.queries import QUERIES
 #: brute-force / IVF similarity intentionally broadcast a tiny probe set
 #: across the candidate scan — a BroadcastNestedLoopJoin whose build side
 #: is bounded (k queries / centroid table), not a data×data cross.
-BNLJ_ALLOWED = {"q_topk_cosine", "q_ivf_topk", "q_embed_dedup"}
+#: q_wire_serve broadcasts the ONE-row batch-watermark aggregate onto
+#: every serve row (the literal-key join constant-folds to a BNLJ whose
+#: build side is a single row).
+BNLJ_ALLOWED = {"q_topk_cosine", "q_ivf_topk", "q_embed_dedup", "q_wire_serve"}
 
 #: the reference's anomaly window has no PARTITION BY
 #: (iot-stream-analytics-query.sql:33-44); its faithful reproduction is
