@@ -373,3 +373,89 @@ def chunk_documents(
             " ", F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
         ).alias("chunk_text"),
     )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """J33 domain-mixture resampling: rebalance a multi-source corpus
+    toward EQUAL per-source token shares under a global token budget.
+
+    Training mixtures are specified in token shares, not document
+    counts, and raw web corpora are heavily skewed by source; the
+    standard fix (the execution layer under domain-reweighting schemes
+    like DoReMi — the weights here are the uniform share, swappable for
+    learned ones) is: give every source the same token budget
+    B = budget_frac * total_tokens / n_sources and keep each of source
+    s's documents with probability rate_s = min(1, B / tokens_s) — an
+    over-represented source is downsampled to its share, an
+    under-represented one is kept whole (never upsampled).
+
+    Plan shape: one groupBy(source) token aggregate (tiny output: one
+    row per source); its grand totals are an O(n_sources)-row driver
+    collect (same documented pattern as tf_idf's corpus-N scalar); the
+    per-source rates broadcast-join back onto the corpus, and the keep
+    decision is the md5(source:id) prefix draw — deterministic,
+    rerun-stable, partitioning-independent, and engine-portable (the
+    16-bit hex prefix over 65536.0 is exact in any engine). The corpus
+    itself shuffles ZERO times: scan -> broadcast join -> filter.
+
+    Returns kept rows as (id, source, n_tokens, rate) — rate is the
+    applied per-source probability, rounded half-up to 6 dp BEFORE the
+    comparison so the draw is bit-identical across engines.
+    """
+    from azure_iot_realtime_data_pipeline_spark.functions.rounding import (
+        round_half_up,
+    )
+    from azure_iot_realtime_data_pipeline_spark.operators.text import token_count
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    per_source = staged.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("_src_tokens")
+    )
+    totals = per_source.agg(
+        F.sum("_src_tokens").alias("t"), F.count("*").alias("s")
+    ).collect()[0]
+    budget_per_source = budget_frac * float(totals["t"]) / float(totals["s"])
+    rates = per_source.select(
+        F.col(source_col),
+        F.least(
+            F.lit(1.0),
+            round_half_up(
+                F.lit(budget_per_source) / F.col("_src_tokens").cast("double"),
+                6,
+            ),
+        ).alias("rate"),
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(source_col).cast("string"),
+                        F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(65536.0)
+    )
+    return (
+        staged.join(F.broadcast(rates), source_col)
+        .filter(draw < F.col("rate"))
+        .select(id_col, source_col, "n_tokens", "rate")
+    )

@@ -257,6 +257,69 @@ ORACLES: dict[str, str] = {
         "SELECT event_id, to_json(struct_pack(event_id := event_id, "
         "event_type := event_type)) AS payload FROM events"
     ),
+    "q_repeated_spans": (
+        # mirror of dedup.repeated_spans (w=10, stride=1): sliding
+        # windows via generate_series, md5 span key, distinct-doc count,
+        # rank keeps (min doc, min start). t[i:i+9] is DuckDB's
+        # inclusive slice = 10 tokens.
+        """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM documents
+        ),
+        spans AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS start_tok,
+                 md5(array_to_string(t[i:i+9], ' ')) AS span_hash
+          FROM toks, unnest(generate_series(1, len(t) - 9)) AS u(i)
+          WHERE len(t) >= 10
+        ),
+        rep AS (
+          SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM spans GROUP BY span_hash
+          HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT doc_id, start_tok, span_hash, n_docs, n_occurrences,
+               CAST(CASE WHEN row_number() OVER (
+                 PARTITION BY span_hash ORDER BY doc_id, start_tok) = 1
+               THEN 1 ELSE 0 END AS INTEGER) AS keep
+        FROM spans JOIN rep USING (span_hash)
+        """
+    ),
+    "q_domain_mixture": (
+        # mirror of corpus.domain_mixture_sample (budget_frac=0.5):
+        # per-source token totals, equal-share budget, rate rounded
+        # half-up to 6 dp BEFORE the md5-prefix draw comparison. The
+        # ((0.5 * t) / s) / src_tokens association matches the Spark
+        # side's python-scalar-then-column division exactly.
+        """
+        WITH staged AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        per_source AS (
+          SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+          FROM staged GROUP BY source
+        ),
+        tot AS (
+          SELECT CAST(sum(src_tokens) AS BIGINT) AS t,
+                 CAST(count(*) AS BIGINT) AS s
+          FROM per_source
+        ),
+        rates AS (
+          SELECT source,
+                 least(1.0::DOUBLE,
+                       floor((((0.5 * CAST(t AS DOUBLE)) / CAST(s AS DOUBLE))
+                              / CAST(src_tokens AS DOUBLE)) * 1000000 + 0.5)
+                       / 1000000) AS rate
+          FROM per_source, tot
+        )
+        SELECT st.doc_id, st.source, st.n_tokens, r.rate
+        FROM staged st JOIN rates r USING (source)
+        WHERE CAST('0x' || substr(md5(st.source || ':' || CAST(st.doc_id AS VARCHAR)), 1, 4) AS BIGINT) / 65536.0 < r.rate
+        """
+    ),
     "q_dedup_exact": (
         "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, COUNT(*) AS n_copies "
         "FROM documents GROUP BY md5(text)"

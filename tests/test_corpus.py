@@ -278,3 +278,58 @@ def test_chunk_documents_edges(spark):
 
     with pytest.raises(ValueError, match="overlap_tokens"):
         chunk_documents(df, chunk_tokens=32, overlap_tokens=32)
+
+
+def test_repeated_spans_keep_rule_and_counts(spark):
+    """J32: a span shared by two docs is flagged in both, kept exactly
+    once (min doc, min start), and within-doc repeats count as
+    occurrences but not extra docs."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import repeated_spans
+
+    boiler = "a b c d"  # the 4-token span shared verbatim
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    df = spark.createDataFrame(
+        [
+            (1, f"x {boiler} y"),
+            (2, f"p q {boiler}"),
+            (3, f"{boiler} z {boiler}"),  # twice within one doc
+            (4, "totally unrelated words here"),
+        ],
+        schema,
+    )
+    got = repeated_spans(df, w=4).collect()
+    shared = [r for r in got if r["n_docs"] >= 2]
+    # every occurrence row reports the same totals for the shared span
+    span_rows = [r for r in shared if r["n_occurrences"] == 4]
+    assert {(r["doc_id"], r["start_tok"]) for r in span_rows} == {
+        (1, 2), (2, 3), (3, 1), (3, 6)
+    }
+    assert all(r["n_docs"] == 3 for r in span_rows)
+    keeps = [(r["doc_id"], r["start_tok"]) for r in span_rows if r["keep"] == 1]
+    assert keeps == [(1, 2)]  # min doc, min start
+    assert all(r["doc_id"] != 4 for r in got)
+
+
+def test_domain_mixture_balances_token_shares(spark, sf_oracle):
+    """J33: after resampling, no source exceeds its equal-share token
+    budget by more than sampling noise, and under-represented sources
+    are never upsampled (rate caps at 1.0)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        domain_mixture_sample,
+    )
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    kept = domain_mixture_sample(docs, budget_frac=0.5)
+    rows = kept.collect()
+    assert len(rows) > 0
+    rates = {r["source"]: r["rate"] for r in rows}
+    assert all(0.0 < r <= 1.0 for r in rates.values())
+    # determinism: re-running yields the identical sample
+    again = {(r["doc_id"], r["source"]) for r in domain_mixture_sample(
+        docs, budget_frac=0.5).collect()}
+    assert {(r["doc_id"], r["source"]) for r in rows} == again

@@ -130,6 +130,23 @@ def test_staged_pipelines_upstream_plans_are_clean(spark, sf_smoke):
         assert len(re.findall(r"\bHashAggregate\b", p)) >= 2, p
 
 
+def test_kmv_caps_state_before_the_shuffle(spark, sf_smoke):
+    # J30's scale promise: the per-partition k-smallest cap (MapInPandas)
+    # must sit BELOW the partial aggregate, which must sit BELOW the one
+    # exchange — i.e. shuffle rows per group are bounded by k x
+    # partitions, never the full distinct set. Regressing to the
+    # dedup+window form would silently reintroduce the full-distinct
+    # shuffle the sketch exists to avoid.
+    p = plan_of(spark, sf_smoke, "q_kmv_distinct", mode="simple")
+    i_map = p.index("MapInPandas")
+    i_partial = p.index("partial_collect_set")
+    i_exchange = p.index("Exchange")
+    # plan strings print top-down: root first, scan last — so the
+    # deepest (earliest-executed) node has the LARGEST index
+    assert i_map > i_partial > i_exchange, p
+    assert p.count("Exchange") == 1, p
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_pathological_plan_shapes(spark, sf_smoke, name):
     # Repo-wide invariants: no cartesian product ever; nested-loop joins
