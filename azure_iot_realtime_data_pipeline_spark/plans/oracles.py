@@ -286,6 +286,59 @@ ORACLES: dict[str, str] = {
         FROM spans JOIN rep USING (span_hash)
         """
     ),
+    "q_repeat_regions": (
+        # mirror of dedup.repeated_span_regions: repeated-span keep=0
+        # occurrences interval-merged per doc via the running-max open
+        # flag. Same span CTEs as q_repeated_spans.
+        """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+          FROM documents
+        ),
+        spans AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS start_tok,
+                 md5(array_to_string(t[i:i+9], ' ')) AS span_hash
+          FROM toks, unnest(generate_series(1, len(t) - 9)) AS u(i)
+          WHERE len(t) >= 10
+        ),
+        rep AS (
+          SELECT span_hash FROM spans GROUP BY span_hash
+          HAVING count(DISTINCT doc_id) >= 2
+        ),
+        occ AS (
+          SELECT doc_id, start_tok,
+                 row_number() OVER (
+                   PARTITION BY span_hash ORDER BY doc_id, start_tok) AS rn
+          FROM spans JOIN rep USING (span_hash)
+        ),
+        ivals AS (
+          SELECT doc_id, start_tok AS s, start_tok + 10 AS e
+          FROM occ WHERE rn > 1
+        ),
+        flagged AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) IS NULL
+                      OR s > max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS opens
+          FROM ivals
+        ),
+        regions AS (
+          SELECT doc_id, s, e,
+                 sum(opens) OVER (
+                   PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+          FROM flagged
+        )
+        SELECT doc_id, min(s) AS region_start, max(e) AS region_end,
+               max(e) - min(s) AS n_tokens
+        FROM regions GROUP BY doc_id, region
+        """
+    ),
     "q_domain_mixture": (
         # mirror of corpus.domain_mixture_sample (budget_frac=0.5):
         # per-source token totals, equal-share budget, rate rounded

@@ -1160,6 +1160,15 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_spans(load_table(spark, sf_dir, "documents"), w=10)
 
 
+def q_repeat_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J32b: maximal removable regions — interval-merge of the keep=0
+    repeated-span occurrences, per doc. What a substring-dedup cleaner
+    actually cuts; summing n_tokens bounds the corpus shrinkage."""
+    return dedup.repeated_span_regions(
+        load_table(spark, sf_dir, "documents"), w=10
+    )
+
+
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J33 domain-mixture resampling: downsample over-represented
     sources so every source lands the same token share of a 50% global
@@ -1219,6 +1228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 2. new or changed in round 4 ----------------------------------
     "q_wire_serve": q_wire_serve,
     "q_repeated_spans": q_repeated_spans,
+    "q_repeat_regions": q_repeat_regions,
     "q_domain_mixture": q_domain_mixture,
     "q_kmv_distinct": q_kmv_distinct,
     "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
@@ -1234,8 +1244,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_topk_cosine": q_topk_cosine,
     "q_asof_join": q_asof_join,
     "q_asof_forward": q_asof_forward,
-    "q_sessionize": q_sessionize,
     # -- 4. past the driver window (local parity suite covers these) ---
+    "q_sessionize": q_sessionize,
     "q_tf_idf": q_tf_idf,
     "q_bm25": q_bm25,
     "q_tumbling_agg": q_tumbling_agg,

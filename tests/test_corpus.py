@@ -333,3 +333,34 @@ def test_domain_mixture_balances_token_shares(spark, sf_oracle):
     again = {(r["doc_id"], r["source"]) for r in domain_mixture_sample(
         docs, budget_frac=0.5).collect()}
     assert {(r["doc_id"], r["source"]) for r in rows} == again
+
+
+def test_repeat_regions_merges_overlapping_spans(spark):
+    """J32b: overlapping keep=0 windows coalesce into one maximal
+    region; disjoint repeats stay separate regions; the keeper doc
+    contributes no region for its kept occurrence."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        repeated_span_regions,
+    )
+
+    # doc 2 repeats doc 1's 5-token run "a b c d e": windows (a b c d),
+    # (b c d e) both repeat -> doc 2 gets ONE merged region of 5 tokens.
+    # doc 2 also shares the disjoint run "p q r s" -> second region.
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e zz p q r s"),
+            (2, "a b c d e yy ww p q r s"),
+        ],
+        schema,
+    )
+    got = {
+        (r["doc_id"], r["region_start"], r["region_end"], r["n_tokens"])
+        for r in repeated_span_regions(df, w=4).collect()
+    }
+    # doc 1 keeps everything (min doc wins both spans) -> regions only in doc 2
+    assert got == {(2, 1, 6, 5), (2, 8, 12, 4)}
