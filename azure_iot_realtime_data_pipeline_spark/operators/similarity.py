@@ -115,19 +115,18 @@ def ivf_topk(
     broadcast-probe equi-join's output window on query_id, which is
     bounded by the probed cells. Recall/latency trade via n_probe.
 
-    Measured local trade-off (sf0.1, local[32], warm): assignment alone
-    is 2.0 s map-side vs 0.9 s for the old crossJoin+window — per-row
-    interpreted HOF folds against literal arrays cost more than the
-    exploded form's column-data folds at this scale. (A codegen-scalar
-    variant — 64 staged doubles, 1024-term multiply-add chains — was
-    also measured: 4-6 s, the giant expression defeats codegen.) The
-    map-side form is kept anyway: locally the delta is ~1 s on one of
-    30 headline queries, while at cluster scale the crossJoin form
-    shuffles 16x the corpus — the wrong side of the trade by orders of
-    magnitude.
+    Implementation history of the argmin (A/B-measured at sf0.1): the
+    r2 crossJoin+window form was fast locally (0.9 s) but shuffled a
+    16x-amplified copy of the corpus — the scale-killer. The r3
+    expression form (literal-array HOF folds / a codegen-scalar
+    variant) fixed the shuffle but cost 2-6 s locally: 16 centroids x
+    64 literal dims built through py4j per plan (~2 s of driver time)
+    and 1024-term folds that defeat codegen. The r4 form runs the SAME
+    sequential-f64 arithmetic numpy-vectorized inside Arrow
+    `mapInPandas` — bit-identical rounded cosines (accumulation in
+    ascending dim order, same floor-rounding, ties to lowest cent_id),
+    zero candidate shuffle, and ~1 s total locally.
     """
-    import math
-
     from pyspark.sql import Window
 
     cents = (
@@ -153,54 +152,155 @@ def ivf_topk(
             )
         )
 
-    def nearest_cells(vec_col: Column, norm_col: Column) -> Column:
-        """array<struct<negcos,cent_id>> sorted by (cosine DESC, cent_id
-        ASC) — array_sort on struct fields reproduces exactly the old
-        row_number() ordering. Centroid norms are Python-computed with
-        the same sequential f64 fold as norm_f64, so the rounded cosine
-        is bit-identical to the old Spark-side form (and the oracle)."""
-        entries = []
-        for cid, cvec in cent_lits:
-            cnorm = 0.0
-            for x in cvec:
-                cnorm += x * x
-            cnorm = math.sqrt(cnorm)
-            cos = round_half_up(
-                dot_f64(vec_col, F.array(*[F.lit(v) for v in cvec]))
-                / (norm_col * F.lit(cnorm))
-            )
-            entries.append(
-                F.struct((-cos).alias("negcos"), F.lit(cid).cast("long").alias("cent_id"))
-            )
-        return F.array_sort(F.array(*entries))
+    # map-side argmin over the candidate side, numpy-vectorized (r4):
+    # the expression form folded 16 centroids x 64 dims of interpreted
+    # HOF per ROW (~2 s of the 3.7 s local cost); the Arrow mapInPandas
+    # form runs the same arithmetic as 64 vectorized column ops per
+    # centroid per BATCH. Bit parity with the expression path is
+    # preserved by construction: per element the dot/norm accumulate in
+    # ascending dim order (acc = acc + v[k]*c[k], exactly norm_f64 /
+    # dot_f64's sequential f64 fold — numpy's pairwise np.dot would NOT
+    # match), the cosine rounds via the same floor(x*1e4+0.5)/1e4, and
+    # ties resolve to the lowest cent_id by iterating centroids in
+    # ascending id order with a strict > update — identical to
+    # nearest_cells' (negcos, cent_id) array_sort. The emitted _cn is
+    # the same sequential-fold norm the pair scoring needs, folded once
+    # per vector. Plan shape is unchanged: scan -> narrow map ->
+    # broadcast probe join; the candidate side still never shuffles.
+    import math as _math
 
-    # map-side argmin: stage the norm as a named column (it is referenced
-    # once per centroid; inlined it would be re-evaluated per reference).
-    # The norm rides along to the pair scoring so it is folded once per
-    # VECTOR, not once per probed pair.
-    assigned = (
-        candidates.select(cand_id, cand_vec, norm_f64(F.col(cand_vec)).alias("_nrm"))
-        .select(
-            cand_id,
-            cand_vec,
-            F.col("_nrm").alias("_cn"),
-            F.element_at(nearest_cells(F.col(cand_vec), F.col("_nrm")), 1)["cent_id"].alias("cell_id"),
-        )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
 
-    # each query probes its n_probe nearest cells (same argmin array,
-    # sliced instead of indexed; explode is narrow)
-    probes = (
-        queries.select(query_id, query_vec, norm_f64(F.col(query_vec)).alias("_nrm"))
-        .select(
-            query_id,
-            query_vec,
-            F.col("_nrm").alias("_qn"),
-            F.explode(
-                F.slice(nearest_cells(F.col(query_vec), F.col("_nrm")), 1, n_probe)
-            ).alias("_cell"),
-        )
-        .select(query_id, query_vec, "_qn", F.col("_cell.cent_id").alias("cell_id"))
+    cand_id_type = candidates.schema[cand_id].dataType
+    cand_vec_type = candidates.schema[cand_vec].dataType
+
+    def _make_assign_fn(lits, id_name, vec_name):
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            cents = []
+            for cid, cvec in lits:  # lits is sorted ascending cid
+                acc = 0.0
+                for x in cvec:
+                    acc += x * x
+                cents.append((cid, np.asarray(cvec, dtype=np.float64), _math.sqrt(acc)))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf[vec_name].to_numpy()).astype(np.float64)
+                n, d = v.shape
+                nrm = np.zeros(n)
+                for k in range(d):
+                    nrm = nrm + v[:, k] * v[:, k]
+                nrm = np.sqrt(nrm)
+                best = np.full(n, -np.inf)
+                bid = np.zeros(n, dtype=np.int64)
+                for cid, c, cn in cents:
+                    acc = np.zeros(n)
+                    for k in range(d):
+                        acc = acc + v[:, k] * c[k]
+                    cos = np.floor((acc / (nrm * cn)) * 10000.0 + 0.5) / 10000.0
+                    take = cos > best
+                    best = np.where(take, cos, best)
+                    bid = np.where(take, cid, bid)
+                yield pd.DataFrame(
+                    {
+                        id_name: pdf[id_name].to_numpy(),
+                        vec_name: pdf[vec_name].to_numpy(),
+                        "_cn": nrm,
+                        "cell_id": bid,
+                    }
+                )
+
+        return fn
+
+    assign_schema = StructType(
+        [
+            StructField(cand_id, cand_id_type),
+            StructField(cand_vec, cand_vec_type),
+            StructField("_cn", DoubleType()),
+            StructField("cell_id", LongType()),
+        ]
+    )
+    assigned = candidates.select(cand_id, cand_vec).mapInPandas(
+        _make_assign_fn(cent_lits, cand_id, cand_vec), assign_schema
+    )
+
+    # each query probes its n_probe nearest cells — the same numpy
+    # arithmetic, ranked by (cosine DESC, cent_id ASC) exactly as the
+    # old array_sort over (negcos, cent_id) structs. (The expression
+    # form of this probe/assignment pair was the real local cost of the
+    # r3 operator: building 16 centroids x 64 literal dims through py4j
+    # took ~2 s of driver time per plan and its 1024-term folds defeated
+    # codegen — see BASELINE.md r4 row.)
+    query_id_type = queries.schema[query_id].dataType
+    query_vec_type = queries.schema[query_vec].dataType
+
+    def _make_probe_fn(lits, id_name, vec_name, nprobe):
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            cents = []
+            for cid, cvec in lits:
+                acc = 0.0
+                for x in cvec:
+                    acc += x * x
+                cents.append((cid, np.asarray(cvec, dtype=np.float64), _math.sqrt(acc)))
+            cids = np.asarray([c[0] for c in cents], dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf[vec_name].to_numpy()).astype(np.float64)
+                n, d = v.shape
+                nrm = np.zeros(n)
+                for k in range(d):
+                    nrm = nrm + v[:, k] * v[:, k]
+                nrm = np.sqrt(nrm)
+                cos = np.zeros((n, len(cents)))
+                for j, (_cid, c, cn) in enumerate(cents):
+                    acc = np.zeros(n)
+                    for k in range(d):
+                        acc = acc + v[:, k] * c[k]
+                    cos[:, j] = np.floor((acc / (nrm * cn)) * 10000.0 + 0.5) / 10000.0
+                out_id, out_vec, out_qn, out_cell = [], [], [], []
+                ids_np = pdf[id_name].to_numpy()
+                vecs_np = pdf[vec_name].to_numpy()
+                for i in range(n):
+                    # lexsort: last key is primary -> (cosine DESC, cid ASC)
+                    order = np.lexsort((cids, -cos[i]))[:nprobe]
+                    for j in order:
+                        out_id.append(ids_np[i])
+                        out_vec.append(vecs_np[i])
+                        out_qn.append(nrm[i])
+                        out_cell.append(cids[j])
+                yield pd.DataFrame(
+                    {
+                        id_name: out_id,
+                        vec_name: out_vec,
+                        "_qn": out_qn,
+                        "cell_id": out_cell,
+                    }
+                )
+
+        return fn
+
+    probe_schema = StructType(
+        [
+            StructField(query_id, query_id_type),
+            StructField(query_vec, query_vec_type),
+            StructField("_qn", DoubleType()),
+            StructField("cell_id", LongType()),
+        ]
+    )
+    probes = queries.select(query_id, query_vec).mapInPandas(
+        _make_probe_fn(cent_lits, query_id, query_vec, n_probe), probe_schema
     )
 
     # probes = |Q| * n_probe rows — tiny by construction; broadcast it so
