@@ -357,6 +357,70 @@ def lsh_signature(
     return sig
 
 
+def with_plane_signatures(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+    offsets: list[int],
+    norm_col: str | None = None,
+) -> DataFrame:
+    """Append one packed hyperplane-signature long per plane-family
+    offset (columns `_sig0.._sigN` in offset order) and optionally the
+    vector norm — numpy-vectorized in Arrow `mapInPandas`.
+
+    Bit-identical to `lsh_signature` / `norm_f64` by construction: each
+    projection accumulates x[k]*plane[k] in ascending dim order (the
+    sequential f64 fold — numpy's pairwise np.dot would NOT match), the
+    bit test is the same strict `proj > 0`, and the norm is the same
+    sequential square-sum. The expression forms cost ~0.25 s of py4j
+    driver time per 64-dim plane per plan and interpret 64-term folds
+    per row; this form is one narrow Arrow pass for ALL planes. Input
+    columns pass through untouched.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    planes_by_offset = [
+        [_hyperplane(dim, off + p) for p in range(num_planes)] for off in offsets
+    ]
+    sig_names = [f"_sig{i}" for i in range(len(offsets))]
+
+    def fn(batches):
+        import numpy as np
+
+        pl = [
+            [np.asarray(p, dtype=np.float64) for p in fam]
+            for fam in planes_by_offset
+        ]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n, d = v.shape
+            out = pdf.copy()
+            for name, fam in zip(sig_names, pl):
+                sig = np.zeros(n, dtype=np.int64)
+                for p, plane in enumerate(fam):
+                    acc = np.zeros(n)
+                    for k in range(d):
+                        acc = acc + v[:, k] * plane[k]
+                    sig = sig + np.where(acc > 0, np.int64(1 << p), np.int64(0))
+                out[name] = sig
+            if norm_col is not None:
+                nrm = np.zeros(n)
+                for k in range(d):
+                    nrm = nrm + v[:, k] * v[:, k]
+                out[norm_col] = np.sqrt(nrm)
+            yield out
+
+    fields = list(df.schema.fields) + [
+        StructField(nm, LongType()) for nm in sig_names
+    ]
+    if norm_col is not None:
+        fields.append(StructField(norm_col, DoubleType()))
+    return df.mapInPandas(fn, StructType(fields))
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -377,12 +441,12 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    q = queries.withColumn(
-        "_sig", lsh_signature(F.col(query_vec), dim, num_planes)
-    ).withColumn("_qn", norm_f64(F.col(query_vec)))
-    c = candidates.withColumn(
-        "_sig", lsh_signature(F.col(cand_vec), dim, num_planes)
-    ).withColumn("_cn", norm_f64(F.col(cand_vec)))
+    q = with_plane_signatures(
+        queries, query_vec, dim, num_planes, [0], norm_col="_qn"
+    ).withColumnRenamed("_sig0", "_sig")
+    c = with_plane_signatures(
+        candidates, cand_vec, dim, num_planes, [0], norm_col="_cn"
+    ).withColumnRenamed("_sig0", "_sig")
     pairs = (
         q.join(c, "_sig")
         .filter(F.col(query_id) != F.col(cand_id))
@@ -457,27 +521,35 @@ def lsh_topk_multiprobe(
     """
     from pyspark.sql import Window
 
-    qn = queries.withColumn("_qn", norm_f64(F.col(query_vec)))
-    cn = candidates.withColumn("_cn", norm_f64(F.col(cand_vec)))
+    offsets = [t * num_planes for t in range(n_tables)]
+    qsigs = with_plane_signatures(
+        queries, query_vec, dim, num_planes, offsets, norm_col="_qn"
+    )
+    csigs = with_plane_signatures(
+        candidates, cand_vec, dim, num_planes, offsets, norm_col="_cn"
+    )
     masks = _probe_offsets(num_planes, hamming)
-    # query side: n_tables signatures, each expanded to its probe set,
-    # tagged with the table index — all map-side on the tiny side
-    q_probe_entries = []
-    c_sig_entries = []
-    for t in range(n_tables):
-        qsig = lsh_signature(F.col(query_vec), dim, num_planes, plane_offset=t * num_planes)
-        csig = lsh_signature(F.col(cand_vec), dim, num_planes, plane_offset=t * num_planes)
-        q_probe_entries += [
-            F.struct(F.lit(t).alias("_t"), qsig.bitwiseXOR(F.lit(m)).alias("_sig"))
-            for m in masks
-        ]
-        c_sig_entries.append(
-            F.struct(F.lit(t).alias("_t"), csig.alias("_sig"))
+    # query side: each table signature expands to its probe set, tagged
+    # with the table index; candidate side explodes one row per table —
+    # both are cheap expressions over the numpy-computed sig COLUMNS
+    # (the signatures themselves are the heavy part, done in one Arrow
+    # pass above)
+    q_probe_entries = [
+        F.struct(
+            F.lit(t).alias("_t"),
+            F.col(f"_sig{t}").bitwiseXOR(F.lit(m)).alias("_sig"),
         )
-    q = qn.select(
+        for t in range(n_tables)
+        for m in masks
+    ]
+    c_sig_entries = [
+        F.struct(F.lit(t).alias("_t"), F.col(f"_sig{t}").alias("_sig"))
+        for t in range(n_tables)
+    ]
+    q = qsigs.select(
         query_id, query_vec, "_qn", F.explode(F.array(*q_probe_entries)).alias("_p")
     ).select(query_id, query_vec, "_qn", "_p._t", "_p._sig")
-    c = cn.select(
+    c = csigs.select(
         cand_id, cand_vec, "_cn", F.explode(F.array(*c_sig_entries)).alias("_p")
     ).select(cand_id, cand_vec, "_cn", "_p._t", "_p._sig")
     pairs = (

@@ -428,3 +428,33 @@ def test_value_histogram_drops_null_measurements(spark):
     got = {(r["g"], r["bucket"]): r["n"] for r in value_histogram(
         df, "g", "v", lo=0.0, width=32.0, n_buckets=4).collect()}
     assert got == {("a", 0): 1, ("a", 1): 1}
+
+
+def test_numpy_signatures_match_expression_form(spark, sf_smoke):
+    """with_plane_signatures (numpy Arrow path) must be bit-identical to
+    the lsh_signature expression form — the parity claim every LSH
+    operator now rests on. Also pins the norm against norm_f64."""
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import (
+        lsh_signature,
+        norm_f64,
+        with_plane_signatures,
+    )
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    got = {
+        r["vec_id"]: (r["_sig0"], r["_sig1"], r["_n"])
+        for r in with_plane_signatures(
+            emb, "embedding", 64, 4, [0, 4], norm_col="_n"
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: (r["s0"], r["s1"], r["n"])
+        for r in emb.select(
+            "vec_id",
+            lsh_signature(F.col("embedding"), 64, 4, plane_offset=0).alias("s0"),
+            lsh_signature(F.col("embedding"), 64, 4, plane_offset=4).alias("s1"),
+            norm_f64(F.col("embedding")).alias("n"),
+        ).collect()
+    }
+    assert got == want  # exact, including the float64 norms
