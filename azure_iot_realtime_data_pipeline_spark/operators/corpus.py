@@ -424,6 +424,10 @@ def domain_mixture_sample(
     totals = per_source.agg(
         F.sum("_src_tokens").alias("t"), F.count("*").alias("s")
     ).collect()[0]
+    if totals["t"] is None:  # empty corpus: SUM over zero rows is NULL
+        return staged.limit(0).withColumn("rate", F.lit(0.0)).select(
+            id_col, source_col, "n_tokens", "rate"
+        )
     budget_per_source = budget_frac * float(totals["t"]) / float(totals["s"])
     rates = per_source.select(
         F.col(source_col),

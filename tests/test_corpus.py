@@ -364,3 +364,27 @@ def test_repeat_regions_merges_overlapping_spans(spark):
     }
     # doc 1 keeps everything (min doc wins both spans) -> regions only in doc 2
     assert got == {(2, 1, 6, 5), (2, 8, 12, 4)}
+
+
+def test_domain_mixture_and_spans_handle_empty_input(spark):
+    """Empty-corpus edges: the mixture's grand-total SUM is NULL over
+    zero rows (must not crash building the budget), and repeated_spans
+    over docs all shorter than w yields no rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        domain_mixture_sample,
+    )
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import repeated_spans
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("text", StringType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    out = domain_mixture_sample(empty)
+    assert out.columns == ["doc_id", "source", "n_tokens", "rate"]
+    assert out.count() == 0
+    short = spark.createDataFrame([(1, "s", "too short"), (2, "s", "too short")], schema)
+    assert repeated_spans(short, w=10).count() == 0
