@@ -174,3 +174,82 @@ def value_histogram(
             (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
         )
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    n_bins: int = 256,
+) -> DataFrame:
+    """L8: binned per-group quantile ESTIMATES — the bounded-state scale
+    path paired with `exact_percentiles` (which must shuffle every value
+    to rank-select; the same exact-vs-sketch pairing as exact
+    COUNT(DISTINCT) vs the J30 KMV sketch).
+
+    Two passes over the corpus, both ending in tiny aggregates:
+    (1) per-group (min, max) — one agg, broadcast back; (2) fixed-width
+    bucket counts — bucket = clamp(floor((v - lo)/width), 0, n_bins-1)
+    map-side, ONE hash aggregate on (group, bucket) with map-side
+    combine, so the shuffle carries at most groups x n_bins partial
+    rows per task, never values. Downstream (cumulative counts, the
+    first bucket whose cumulative count reaches ceil(q*n), the
+    bucket-edge estimate lo + (b+1)*width) runs on the <= groups x
+    n_bins reduction. The estimate is the upper edge of the bucket
+    holding the exact rank-selected value, so the error is bounded by
+    one bucket width = (max-min)/n_bins — asserted against
+    `exact_percentiles` in tests. All arithmetic is plain f64 in a
+    fixed op order + one half-up rounding, so any engine reproduces it
+    bit-for-bit. Degenerate group (max == min): every value lands in
+    bucket 0 and the estimate is exactly that value.
+
+    Returns (group, q, p_est).
+    """
+    df = df.filter(F.col(value_col).isNotNull())
+    rng = df.groupBy(group).agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bucket = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.least(
+            F.lit(n_bins - 1).cast("long"),
+            F.floor((F.col(value_col).cast("double") - F.col("_lo")) / width).cast(
+                "long"
+            ),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    counts = (
+        df.join(F.broadcast(rng), group)
+        .groupBy(F.col(group), bucket.alias("_b"), F.col("_lo"), F.col("_hi"))
+        .agg(F.count("*").alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy(group)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(group)
+    cum = counts.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+        "_n", F.sum("_c").over(wtot)
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    hits = cum.select(
+        F.col(group), "_b", "_lo", "_hi", "_cum", "_n", qs
+    ).filter(F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")).cast("long"))
+    first = hits.groupBy(group, "q").agg(
+        F.min("_b").alias("_b"), F.min("_lo").alias("_lo"), F.min("_hi").alias("_hi")
+    )
+    est = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.col("_lo")
+        + (F.col("_b") + 1).cast("double")
+        * ((F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))),
+    ).otherwise(F.col("_lo"))
+    return first.select(
+        F.col(group), F.col("q"), round_half_up(est).alias("p_est")
+    )

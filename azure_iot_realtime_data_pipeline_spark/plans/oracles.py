@@ -339,6 +339,53 @@ ORACLES: dict[str, str] = {
         FROM regions GROUP BY doc_id, region
         """
     ),
+    "q_quantile_sketch": (
+        # mirror of analytics.quantile_sketch (256 bins): per-group
+        # range, fixed-width bucket counts, cumulative distribution,
+        # first bucket reaching ceil(q*n), upper-edge estimate rounded
+        # half-up. Literals cast ::DOUBLE (DuckDB decimal-literal trap).
+        """
+        WITH v AS (
+          SELECT event_type, CAST(value AS DOUBLE) AS val
+          FROM events WHERE value IS NOT NULL
+        ),
+        rng AS (
+          SELECT event_type, min(val) AS lo, max(val) AS hi
+          FROM v GROUP BY event_type
+        ),
+        counts AS (
+          SELECT v.event_type,
+                 CASE WHEN hi > lo
+                      THEN least(CAST(255 AS BIGINT),
+                                 CAST(floor((val - lo) / ((hi - lo) / CAST(256.0 AS DOUBLE))) AS BIGINT))
+                      ELSE CAST(0 AS BIGINT) END AS b,
+                 lo, hi, count(*) AS c
+          FROM v JOIN rng USING (event_type)
+          GROUP BY 1, 2, 3, 4
+        ),
+        cum AS (
+          SELECT event_type, b, lo, hi,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM counts
+        ),
+        hits AS (
+          SELECT event_type, q, b, lo, hi
+          FROM cum, unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS u(q)
+          WHERE cumc >= CAST(ceil(q * n) AS BIGINT)
+        ),
+        fst AS (
+          SELECT event_type, q, min(b) AS b, min(lo) AS lo, min(hi) AS hi
+          FROM hits GROUP BY 1, 2
+        )
+        SELECT event_type, q,
+               floor((CASE WHEN hi > lo
+                           THEN lo + (b + 1) * ((hi - lo) / CAST(256.0 AS DOUBLE))
+                           ELSE lo END) * 10000 + 0.5) / 10000 AS p_est
+        FROM fst
+        """
+    ),
     "q_domain_mixture": (
         # mirror of corpus.domain_mixture_sample (budget_frac=0.5):
         # per-source token totals, equal-share budget, rate rounded

@@ -1169,6 +1169,15 @@ def q_repeat_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: binned quantile estimates per event type — the bounded-state
+    scale path beside L4's exact rank selection (error <= one bucket
+    width, asserted in tests). Shuffle carries groups x bins partial
+    counts, never values."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.quantile_sketch(ev, "event_type", "value", n_bins=256)
+
+
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J33 domain-mixture resampling: downsample over-represented
     sources so every source lands the same token share of a 50% global
@@ -1230,6 +1239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repeated_spans": q_repeated_spans,
     "q_repeat_regions": q_repeat_regions,
     "q_domain_mixture": q_domain_mixture,
+    "q_quantile_sketch": q_quantile_sketch,
     "q_kmv_distinct": q_kmv_distinct,
     "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     # -- 3. high-value round-3 greens filling the 50-row window --------
@@ -1243,8 +1253,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_topk": q_lsh_topk,
     "q_topk_cosine": q_topk_cosine,
     "q_asof_join": q_asof_join,
-    "q_asof_forward": q_asof_forward,
     # -- 4. past the driver window (local parity suite covers these) ---
+    "q_asof_forward": q_asof_forward,
     "q_sessionize": q_sessionize,
     "q_tf_idf": q_tf_idf,
     "q_bm25": q_bm25,

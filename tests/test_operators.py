@@ -458,3 +458,38 @@ def test_numpy_signatures_match_expression_form(spark, sf_smoke):
         ).collect()
     }
     assert got == want  # exact, including the float64 norms
+
+
+def test_quantile_sketch_error_bounded_by_bucket_width(spark, sf_oracle):
+    """L8 quality floor: the binned estimate must sit within one bucket
+    width of the exact rank-selected percentile for every (group, q) —
+    the sketch's whole contract (the exact value lives in the bucket
+    whose upper edge we report)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        exact_percentiles,
+        quantile_sketch,
+    )
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    est = {
+        (r["event_type"], r["q"]): r["p_est"]
+        for r in quantile_sketch(ev, "event_type", "value", n_bins=256).collect()
+    }
+    exact = {
+        (r["event_type"], r["q"]): r["p_value"]
+        for r in exact_percentiles(ev, "event_type", "value", "event_id").collect()
+    }
+    rng = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert est.keys() == exact.keys() and len(est) == 15  # 5 types x 3 qs
+    for (etype, q), e in est.items():
+        lo, hi = rng[etype]
+        width = (hi - lo) / 256.0
+        # + rounding slack: both sides round half-up to 4 dp
+        assert abs(e - exact[(etype, q)]) <= width + 1e-4, (etype, q, e, exact[(etype, q)])
