@@ -191,6 +191,9 @@ def ivf_topk(
                     acc += x * x
                 cents.append((cid, np.asarray(cvec, dtype=np.float64), _math.sqrt(acc)))
             for pdf in batches:
+                # NULL vectors: the expression form scored them NULL and
+                # they joined nothing downstream — drop, same semantics
+                pdf = pdf[pdf[vec_name].notna()]
                 if not len(pdf):
                     continue
                 v = np.stack(pdf[vec_name].to_numpy()).astype(np.float64)
@@ -255,6 +258,9 @@ def ivf_topk(
                 cents.append((cid, np.asarray(cvec, dtype=np.float64), _math.sqrt(acc)))
             cids = np.asarray([c[0] for c in cents], dtype=np.int64)
             for pdf in batches:
+                # NULL vectors: the expression form scored them NULL and
+                # they joined nothing downstream — drop, same semantics
+                pdf = pdf[pdf[vec_name].notna()]
                 if not len(pdf):
                     continue
                 v = np.stack(pdf[vec_name].to_numpy()).astype(np.float64)
@@ -376,7 +382,10 @@ def with_plane_signatures(
     sequential square-sum. The expression forms cost ~0.25 s of py4j
     driver time per 64-dim plane per plan and interpret 64-term folds
     per row; this form is one narrow Arrow pass for ALL planes. Input
-    columns pass through untouched.
+    columns pass through untouched. NULL vectors are DROPPED: the
+    expression form gave them a NULL signature, which can never satisfy
+    an equi-join, so for every bucket-join consumer the semantics are
+    identical (and np.stack cannot represent them).
     """
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -393,6 +402,7 @@ def with_plane_signatures(
             for fam in planes_by_offset
         ]
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
