@@ -182,6 +182,7 @@ def quantile_sketch(
     value_col: str,
     quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
     n_bins: int = 256,
+    fixed_range: tuple[float, float] | None = None,
 ) -> DataFrame:
     """L8: binned per-group quantile ESTIMATES — the bounded-state scale
     path paired with `exact_percentiles` (which must shuffle every value
@@ -207,22 +208,34 @@ def quantile_sketch(
     Returns (group, q, p_est).
     """
     df = df.filter(F.col(value_col).isNotNull())
-    rng = df.groupBy(group).agg(
-        F.min(F.col(value_col).cast("double")).alias("_lo"),
-        F.max(F.col(value_col).cast("double")).alias("_hi"),
-    )
+    if fixed_range is not None:
+        # streaming-compatible mode: the range is a-priori (a stream
+        # cannot see its min/max up front); out-of-range values clamp
+        # to the edge buckets. With the computed range the lower clamp
+        # is a no-op (val >= lo always), so both modes share the shape.
+        lo_f, hi_f = float(fixed_range[0]), float(fixed_range[1])
+        with_rng = df.withColumn("_lo", F.lit(lo_f)).withColumn("_hi", F.lit(hi_f))
+    else:
+        rng = df.groupBy(group).agg(
+            F.min(F.col(value_col).cast("double")).alias("_lo"),
+            F.max(F.col(value_col).cast("double")).alias("_hi"),
+        )
+        with_rng = df.join(F.broadcast(rng), group)
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
     bucket = F.when(
         F.col("_hi") > F.col("_lo"),
-        F.least(
-            F.lit(n_bins - 1).cast("long"),
-            F.floor((F.col(value_col).cast("double") - F.col("_lo")) / width).cast(
-                "long"
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.lit(n_bins - 1).cast("long"),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.col("_lo")) / width
+                ).cast("long"),
             ),
         ),
     ).otherwise(F.lit(0).cast("long"))
     counts = (
-        df.join(F.broadcast(rng), group)
+        with_rng
         .groupBy(F.col(group), bucket.alias("_b"), F.col("_lo"), F.col("_hi"))
         .agg(F.count("*").alias("_c"))
     )

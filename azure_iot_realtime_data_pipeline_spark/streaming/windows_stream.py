@@ -434,3 +434,90 @@ def session_batch_twin(
     equivalence oracle for session_stream (engine-identical gap
     semantics; see module docstring on the `>` vs `>=` boundary)."""
     return session_stream(events, key_col, ts_col, gap_seconds, watermark=None)
+
+
+QSKETCH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("q", DoubleType()),
+        StructField("p_est", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+#: bounded sketch state: one count per bucket, n_bins longs per group
+QSKETCH_STATE_SCHEMA = StructType([StructField("counts", ArrayType(LongType()))])
+
+
+def make_qsketch_fn(
+    lo: float, width: float, n_bins: int, quantiles: tuple[float, ...]
+):
+    """applyInPandasWithState body for the L8 streaming twin (picklable
+    closure). Per key the state is EXACTLY n_bins longs — each
+    micro-batch adds its bucket counts (fixed a-priori range: a stream
+    cannot see its min/max up front; out-of-range values clamp to the
+    edge buckets, same as the batch fixed_range mode) and emits the
+    running quantile estimates with the same upper-bucket-edge
+    arithmetic as `analytics.quantile_sketch`."""
+    import math
+
+    def fn(key, pdfs, state):
+        counts = list(state.get[0]) if state.exists else [0] * n_bins
+        for pdf in pdfs:
+            vals = pdf["value"].dropna().astype(float)
+            for v in vals:
+                b = int((v - lo) // width) if width > 0 else 0
+                b = 0 if b < 0 else (n_bins - 1 if b >= n_bins else b)
+                counts[b] += 1
+        state.update((counts,))
+        n = sum(counts)
+        if n == 0:
+            return
+        rows = []
+        for q in quantiles:
+            need = math.ceil(q * n)
+            cum = 0
+            hit = n_bins - 1
+            for b, c in enumerate(counts):
+                cum += c
+                if cum >= need:
+                    hit = b
+                    break
+            est = lo + (hit + 1) * width if width > 0 else lo
+            est = int(est * 10000 + 0.5) / 10000  # round_half_up(4)
+            rows.append((key[0], float(q), est, n))
+        yield pd.DataFrame(
+            rows, columns=["event_type", "q", "p_est", "n_seen"]
+        )
+
+    return fn
+
+
+def quantile_sketch_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    width: float = 4.0,
+    n_bins: int = 256,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """L8 streaming twin: running binned quantile estimates per group.
+
+    Exact streaming percentiles need every value in state; the binned
+    sketch bounds it at n_bins longs per group with the SAME estimator
+    arithmetic as `analytics.quantile_sketch(fixed_range=...)` — the
+    final emission equals the batch operator over the replayed data
+    with fixed_range (lo, lo + width*n_bins) (batch-equivalence
+    tested; width*n_bins/n_bins is exact for power-of-two n_bins, so
+    the widths agree bit-for-bit). No watermark needed: bucket counts
+    are monotone merges, late rows land correctly whenever they
+    arrive."""
+    src = events.select(F.col(group_col), F.col(value_col).alias("value"))
+    return src.groupBy(group_col).applyInPandasWithState(
+        make_qsketch_fn(lo, width, n_bins, quantiles),
+        outputStructType=QSKETCH_OUTPUT_SCHEMA,
+        stateStructType=QSKETCH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

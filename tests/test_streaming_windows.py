@@ -332,3 +332,50 @@ def test_dedup_stream_suppresses_redeliveries(spark, sf_smoke, tmp_path):
     got = spark.sql("select event_id from dedup_stream")
     assert got.count() == 500
     assert got.distinct().count() == 500
+
+
+def test_qsketch_stream_final_estimates_match_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """L8 streaming twin: n_bins longs of state per group, merged across
+    micro-batches, land on EXACTLY the batch operator's fixed-range
+    estimates (same bucket arithmetic, same upper-edge estimator)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        quantile_sketch,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        quantile_sketch_stream,
+    )
+
+    lo, width, n_bins = 0.0, 4.0, 256
+    q = (
+        quantile_sketch_stream(
+            replay_events(spark, replay_dir), lo=lo, width=width, n_bins=n_bins
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qsketch")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # one emission per (group, q, micro-batch); n_seen strictly grows, so
+    # max n_seen marks the full-stream sketch
+    got = spark.sql(
+        """
+        SELECT event_type, q, p_est FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY event_type, q ORDER BY n_seen DESC
+          ) AS rn FROM qsketch
+        ) WHERE rn = 1
+        """
+    )
+    want = quantile_sketch(
+        load_table(spark, sf_smoke, "events"),
+        "event_type",
+        "value",
+        n_bins=n_bins,
+        fixed_range=(lo, lo + width * n_bins),
+    )
+    cols = ["event_type", "q", "p_est"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() == 15  # 5 types x 3 quantiles
