@@ -339,6 +339,46 @@ ORACLES: dict[str, str] = {
         FROM regions GROUP BY doc_id, region
         """
     ),
+    "q_pricing_summary": (
+        # M1 mirror: shipdate-filtered pricing summary, int64 micro-unit
+        # money sums (float->DECIMAL casts round half-up in Spark but
+        # half-even in DuckDB; floor(v*1e6+0.5) is bit-identical), avgs
+        # rounded half-up on the same association as the Spark side.
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sq AS DOUBLE) / 1000000.0 AS sum_qty,
+               CAST(sp AS DOUBLE) / 1000000.0 AS sum_base_price,
+               CAST(sd AS DOUBLE) / 1000000.0 AS sum_disc_price,
+               CAST(sc AS DOUBLE) / 1000000.0 AS sum_charge,
+               floor(((CAST(sq AS DOUBLE) / 1000000.0) / n) * 10000 + 0.5) / 10000 AS avg_qty,
+               floor(((CAST(sp AS DOUBLE) / 1000000.0) / n) * 10000 + 0.5) / 10000 AS avg_price,
+               n
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 SUM(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS sq,
+                 SUM(CAST(floor(l_extendedprice * 1000000 + 0.5) AS BIGINT)) AS sp,
+                 SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS sd,
+                 SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS sc,
+                 COUNT(*) AS n
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        )
+        """
+    ),
+    "q_revenue_by_segment": (
+        # M2 mirror: three-table star join, micro-unit revenue.
+        """
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    ),
     "q_quantile_sketch": (
         # mirror of analytics.quantile_sketch (256 bins): per-group
         # range, fixed-width bucket counts, cumulative distribution,

@@ -72,6 +72,10 @@ HEADLINE = [
     "q_bm25",
     "q_interval_join",
     "q_embedding_centroid",
+    # M-family scale validation over the LARGEST tables (added r4;
+    # round-over-round comparisons should use the shared-30 subset sum)
+    "q_pricing_summary",
+    "q_revenue_by_segment",
 ]
 
 

@@ -161,3 +161,27 @@ def test_no_pathological_plan_shapes(spark, sf_smoke, name):
     assert "SortMergeJoin" not in p, name
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark, sf_smoke):
+    # M1: the shipdate cutoff must reach the parquet scan, and the scan
+    # must read only the 7 needed columns of lineitem's 11 — at 100 TB
+    # these two properties are most of the query's runtime.
+    p = plan_of(spark, sf_smoke, "q_pricing_summary")
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", p), p
+    schema_line = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    for col in ("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"):
+        assert col not in schema_line, schema_line
+    # map-side combine before the 6-group exchange
+    assert len(re.findall(r"\bHashAggregate\b", p)) >= 2, p
+
+
+def test_revenue_join_never_shuffles_the_fact_table(spark, sf_smoke):
+    # M2: both dimension joins must be broadcast — the only exchange in
+    # the plan is the final 5-group aggregate's, never one keyed on
+    # l_orderkey/o_custkey (which would shuffle the fact table).
+    p = plan_of(spark, sf_smoke, "q_revenue_by_segment")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    for ln in p.splitlines():
+        if "Exchange" in ln and "hashpartitioning" in ln:
+            assert "l_orderkey" not in ln and "o_custkey" not in ln, ln
