@@ -379,3 +379,82 @@ def test_qsketch_stream_final_estimates_match_batch(spark, sf_smoke, replay_dir,
     cols = ["event_type", "q", "p_est"]
     assert _as_set(got, cols) == _as_set(want, cols)
     assert got.count() == want.count() == 15  # 5 types x 3 quantiles
+
+
+def test_qsketch_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_path):
+    """Crash/restart contract for the L8 sketch state: process the first
+    half of the stream, STOP the query, restart from the same
+    checkpoint over the full directory — the second run must resume the
+    per-group bucket counts (not recount from zero) and the final
+    estimates must equal the batch fixed-range operator over ALL
+    events."""
+    import os
+    import shutil
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        quantile_sketch,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        quantile_sketch_stream,
+    )
+
+    lo, width, n_bins = 0.0, 4.0, 256
+    # staged replay buckets are chronological; copy the first two in,
+    # run, then add the rest and resume from the same checkpoint
+    src_buckets = sorted(os.listdir(replay_dir))
+    half_dir = str(tmp_path / "replay_half")
+    os.makedirs(half_dir)
+    for b in src_buckets[:2]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    ckpt = str(tmp_path / "ckpt_qs_restart")
+
+    emissions: list[tuple] = []
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emissions.append(
+                    (r["event_type"], r["q"], r["p_est"], r["n_seen"])
+                )
+
+        q = (
+            quantile_sketch_stream(
+                replay_events(spark, half_dir), lo=lo, width=width, n_bins=n_bins
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    n_after_half = max(e[3] for e in emissions)
+    first_run_len = len(emissions)
+    assert n_after_half > 0 and first_run_len > 0
+    for b in src_buckets[2:]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    run_once()
+    # the restart processed only the NEW buckets, with n_seen continuing
+    # from the checkpointed state, never restarting at zero
+    second = emissions[first_run_len:]
+    assert second and min(e[3] for e in second) > n_after_half // 2
+    assert max(e[3] for e in second) > n_after_half
+    final = {}
+    for etype, q_, est, n in emissions:
+        if (etype, q_) not in final or n > final[(etype, q_)][1]:
+            final[(etype, q_)] = (est, n)
+    got = {(etype, q_, est) for (etype, q_), (est, _n) in final.items()}
+    want = {
+        (r["event_type"], r["q"], r["p_est"])
+        for r in quantile_sketch(
+            load_table(spark, sf_smoke, "events"),
+            "event_type",
+            "value",
+            n_bins=n_bins,
+            fixed_range=(lo, lo + width * n_bins),
+        ).collect()
+    }
+    assert got == want
