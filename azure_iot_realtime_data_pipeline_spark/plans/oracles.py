@@ -339,6 +339,42 @@ ORACLES: dict[str, str] = {
         FROM regions GROUP BY doc_id, region
         """
     ),
+    "q_curate_corpus": (
+        # end state of the J-family curation chain: normalize -> exact
+        # dedup on the normalized text (first-doc-wins) -> token/quality
+        # /language stats over the normalized form -> md5-prefix split.
+        f"""
+        WITH normed AS (
+          SELECT doc_id, source,
+                 trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text
+          FROM documents
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn
+          FROM normed
+        ),
+        toks AS (
+          SELECT doc_id, source, norm_text,
+                 list_filter(string_split(norm_text, ' '), t -> t <> '') AS t
+          FROM ranked WHERE rn = 1
+        )
+        SELECT doc_id, source,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               floor((0.5 * (CASE WHEN length(norm_text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(norm_text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                           / length(norm_text) END)
+                   + 0.5 * (1.0 - CASE WHEN len(t) = 0 THEN 0.0
+                      ELSE CAST(len(list_filter(t, x -> x IN {STOP_IN})) AS DOUBLE)
+                           / len(t) END)) * 10000 + 0.5) / 10000 AS quality,
+               CASE WHEN len(list_filter(t, x -> x IN {STOP_IN})) > 0
+                    THEN 'en' ELSE 'und' END AS lang_pred,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM toks
+        """
+    ),
     "q_pricing_summary": (
         # M1 mirror: shipdate-filtered pricing summary, int64 micro-unit
         # money sums (float->DECIMAL casts round half-up in Spark but

@@ -1187,6 +1187,41 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.domain_mixture_sample(load_table(spark, sf_dir, "documents"))
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family END-TO-END: the daily corpus-curation pass as ONE chain
+    through the REAL operators — normalize (J21) -> exact dedup on the
+    NORMALIZED text (J1, first-doc-wins rank) -> per-survivor stats
+    (tokens J9, quality J10, language J11 — all over the normalized
+    form) -> deterministic train/val/test assignment (J19). The
+    LLM-pipeline mirror of q_wire_normalize/q_wire_serve: the oracle
+    recomputes only the END state, so a divergence anywhere in the
+    chain (normalization altering a dedup key, quality computed on the
+    wrong text form, split drift) surfaces as a hash mismatch.
+
+    Plan shape: one shuffle on the dedup hash (rank window), everything
+    else map-side scalar expressions over the survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id",
+        "source",
+        corpus.normalize_text(F.col("text")).alias("norm_text"),
+    )
+    w = Window.partitionBy(F.md5(F.col("norm_text"))).orderBy(F.col("doc_id").asc())
+    survivors = (
+        normed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return survivors.select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("norm_text")).alias("n_tokens"),
+        text.quality_score(F.col("norm_text")).alias("quality"),
+        text.lang_id(F.col("norm_text")).alias("lang_pred"),
+        corpus.hash_split(F.col("doc_id")).alias("split"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 scale validation (TPC-H Q1 shape) over the LARGEST testdata
     table (lineitem, 600k rows at sf0.1): shipdate-filtered pricing
@@ -1326,6 +1361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quantile_sketch": q_quantile_sketch,
     "q_pricing_summary": q_pricing_summary,
     "q_revenue_by_segment": q_revenue_by_segment,
+    "q_curate_corpus": q_curate_corpus,
     "q_kmv_distinct": q_kmv_distinct,
     "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     # -- 3. high-value round-3 greens filling the 50-row window --------
@@ -1336,8 +1372,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash_portable": q_simhash_portable,
     "q_embed_dedup_lsh": q_embed_dedup_lsh,
     "q_ivf_topk": q_ivf_topk,
-    "q_lsh_topk": q_lsh_topk,
     # -- 4. past the driver window (local parity suite covers these) ---
+    "q_lsh_topk": q_lsh_topk,
     "q_topk_cosine": q_topk_cosine,
     "q_asof_join": q_asof_join,
     "q_asof_forward": q_asof_forward,

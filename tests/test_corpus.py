@@ -388,3 +388,40 @@ def test_domain_mixture_and_spans_handle_empty_input(spark):
     assert out.count() == 0
     short = spark.createDataFrame([(1, "s", "too short"), (2, "s", "too short")], schema)
     assert repeated_spans(short, w=10).count() == 0
+
+
+def test_curate_corpus_dedups_normalization_collapsed_variants(spark):
+    """The curation chain's dedup stage keys on the NORMALIZED text:
+    case/whitespace variants of one document must collapse to a single
+    survivor (min doc_id), while distinct texts all survive. (The
+    synthetic corpus has no exact dups, so the driver oracle exercises
+    the chain but not the collapse — this pins it.)"""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import q_curate_corpus
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("text", StringType()),
+    ])
+    df = spark.createDataFrame(
+        [
+            (1, "s", "The Quick   Brown Fox"),
+            (2, "s", "the quick brown fox"),        # same after normalize
+            (3, "s", "  THE QUICK\tBROWN FOX  "),   # same after normalize
+            (4, "s", "a different document"),
+        ],
+        schema,
+    )
+    import unittest.mock as mock
+
+    with mock.patch(
+        "azure_iot_realtime_data_pipeline_spark.plans.queries.load_table",
+        return_value=df,
+    ):
+        out = q_curate_corpus(spark, "ignored")
+        rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 4}  # min doc_id wins the collapsed trio
+    assert rows[1]["n_tokens"] == 4 and rows[4]["n_tokens"] == 3
+    assert rows[1]["lang_pred"] == "en"  # 'the' survives lowercasing
