@@ -277,6 +277,31 @@ def interval_join(
     return p.join(b, cond, how).drop("_pbucket", "_bbucket", "_bkey")
 
 
+def _make_topn_cap_fn(group: str, sort_cols: list[str], ascending: bool, n: int):
+    """mapInPandas body: per input PARTITION, keep only each group's n
+    best rows under (order, tiebreak) — the map-side partial of top-n
+    (picklable closure, Arrow-batched). pandas puts NaN last for either
+    sort direction, matching the window's NULLS LAST."""
+
+    def fn(batches):
+        import pandas as pd
+
+        state = None
+        for pdf in batches:
+            state = pdf if state is None else pd.concat(
+                [state, pdf], ignore_index=True
+            )
+            state = (
+                state.sort_values(sort_cols, ascending=ascending, kind="stable")
+                .groupby(group, sort=False, dropna=False)
+                .head(n)
+            )
+        if state is not None and len(state):
+            yield state
+
+    return fn
+
+
 def top_n_per_group(
     df: DataFrame,
     group: str,
@@ -285,14 +310,24 @@ def top_n_per_group(
     n: int,
     descending: bool = True,
 ) -> DataFrame:
-    """Top-n rows per group (deterministic tiebreak). One shuffle on the
-    group key; rank prune happens before any further join/agg so only
-    n×|groups| rows survive the window stage."""
+    """Top-n rows per group (deterministic tiebreak), two-stage: a
+    map-side per-partition cap to each group's n best (Arrow
+    `mapInPandas`, narrow — the global top-n is contained in the union
+    of per-partition top-ns since the tiebreak makes the order total),
+    then the rank window over at most n x partitions rows per group.
+    The r3 single-window form sorted each group's ENTIRE partition in
+    one task — with a single-digit-cardinality group key (dashboards
+    rank per metric type) that is a handful of tasks sorting the whole
+    corpus at 100 TB; the cap bounds the shuffle instead."""
+    capped = df.mapInPandas(
+        _make_topn_cap_fn(group, [order_col, tiebreak], not descending, n),
+        df.schema,
+    )
     oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
     tb = F.col(tiebreak).desc() if descending else F.col(tiebreak).asc()
     w = Window.partitionBy(group).orderBy(oc, tb)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        capped.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)
         .withColumnRenamed("_rn", "rank")
     )

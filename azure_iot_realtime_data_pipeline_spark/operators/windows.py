@@ -106,18 +106,38 @@ def spike_dip_score(
     return is_anomaly, score
 
 
-def latest_value_per_key(df: DataFrame, key: str, ts_col: str, tiebreak: str) -> DataFrame:
-    """E5 dashboard 'current value' cards: newest row per key.
+def _extreme_row_per_key(
+    df: DataFrame, key: str, ts_col: str, tiebreak: str, newest: bool
+) -> DataFrame:
+    """One row per key by (ts, tiebreak) order — as an AGGREGATE, not a
+    window. max/min over a struct whose leading fields are the ordering
+    key partial-combines map-side, so a key holding half the corpus (a
+    dashboard metric key has single-digit cardinality at 100 TB) costs
+    one partial row per task — a row_number window would sort that
+    key's ENTIRE partition in one task. The tiebreak makes the struct
+    order total, so the result is deterministic and identical to the
+    old window form (oracle-verified)."""
+    packed = F.struct(
+        F.col(ts_col),
+        F.col(tiebreak),
+        *[F.col(c) for c in df.columns if c not in (key, ts_col, tiebreak)],
+    )
+    best = F.max(packed) if newest else F.min(packed)
+    agg = df.groupBy(key).agg(best.alias("_row"))
+    return agg.select(
+        F.col(key), *[F.col(f"_row.{c}") for c in df.columns if c != key]
+    ).select(*df.columns)
 
-    row_number over (ts DESC, tiebreak DESC) — deterministic under
-    duplicate timestamps; one shuffle on the key.
-    """
-    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc(), F.col(tiebreak).desc())
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+def latest_value_per_key(df: DataFrame, key: str, ts_col: str, tiebreak: str) -> DataFrame:
+    """E5 dashboard 'current value' cards: newest row per key
+    (struct-max aggregate; see `_extreme_row_per_key` for why this is
+    not a window)."""
+    return _extreme_row_per_key(df, key, ts_col, tiebreak, newest=True)
 
 
 def first_value_per_key(df: DataFrame, key: str, ts_col: str, tiebreak: str) -> DataFrame:
     """F7 dimension dedup: first-write-wins per key (the PK'd Devices sink,
-    reference iot-stream-analytics-query.sql:53-61 + README.MD:161)."""
-    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    reference iot-stream-analytics-query.sql:53-61 + README.MD:161).
+    Struct-min aggregate — map-side combine even for hot keys."""
+    return _extreme_row_per_key(df, key, ts_col, tiebreak, newest=False)
