@@ -425,3 +425,51 @@ def test_curate_corpus_dedups_normalization_collapsed_variants(spark):
     assert set(rows) == {1, 4}  # min doc_id wins the collapsed trio
     assert rows[1]["n_tokens"] == 4 and rows[4]["n_tokens"] == 3
     assert rows[1]["lang_pred"] == "en"  # 'the' survives lowercasing
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=20).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_repeated_spans_invariants(spark, texts):
+    """Property (random tiny corpora over a 7-token alphabet, w=3):
+    every keep=0 occurrence has exactly one keep=1 keeper with the same
+    span hash; every reported span's n_docs/n_occurrences match a
+    recount; regions per doc never overlap and are each >= w tokens."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        repeated_span_regions,
+        repeated_spans,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    df = spark.createDataFrame(list(enumerate(texts)), schema)
+    rows = repeated_spans(df, w=3).collect()
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["span_hash"], []).append(r)
+    for h, occ in by_hash.items():
+        assert sum(r["keep"] for r in occ) == 1, h
+        assert len({r["doc_id"] for r in occ}) == occ[0]["n_docs"] >= 2
+        assert len(occ) == occ[0]["n_occurrences"]
+        keeper = min((r["doc_id"], r["start_tok"]) for r in occ)
+        got_keeper = next((r["doc_id"], r["start_tok"]) for r in occ if r["keep"])
+        assert got_keeper == keeper
+    regions = repeated_span_regions(df, w=3).collect()
+    per_doc = {}
+    for r in regions:
+        assert r["n_tokens"] == r["region_end"] - r["region_start"] >= 3
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["region_start"], r["region_end"])
+        )
+    for doc, ivs in per_doc.items():
+        ivs.sort()
+        for (s1, e1), (s2, _e2) in zip(ivs, ivs[1:]):
+            assert s2 > e1, (doc, ivs)  # strictly disjoint after merge
