@@ -463,3 +463,48 @@ def domain_mixture_sample(
         .filter(draw < F.col("rate"))
         .select(id_col, source_col, "n_tokens", "rate")
     )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """J34: deterministic FIXED-SIZE sample of k rows per group — the
+    eval-set builder beside rate-based stratified sampling (J25 gives
+    each stratum a rate; this gives each stratum an exact count, e.g.
+    'hold out 100 docs per source'). The sample is the k smallest
+    md5(group:id) draws, so membership is order-free, rerun-stable, and
+    engine-portable — and uniformly random over the group under the
+    hash. Groups smaller than k are kept whole.
+
+    Scale shape: delegates to the two-stage top-n (map-side
+    per-partition cap, then a rank window over <= k x partitions rows
+    per group) — no group's full contents ever sort in one task.
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        top_n_per_group,
+    )
+
+    keyed = df.withColumn(
+        "_draw",
+        F.md5(
+            F.concat(
+                F.col(group_col).cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    )
+    return (
+        top_n_per_group(
+            keyed,
+            group=group_col,
+            order_col="_draw",
+            tiebreak=id_col,
+            n=k,
+            descending=False,
+        )
+        .drop("_draw", "rank")
+    )

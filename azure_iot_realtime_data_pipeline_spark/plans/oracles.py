@@ -339,6 +339,20 @@ ORACLES: dict[str, str] = {
         FROM regions GROUP BY doc_id, region
         """
     ),
+    "q_sample_per_group": (
+        # mirror of corpus.sample_per_group (k=5): k smallest
+        # md5(source:id) draws per source, doc_id tiebreak.
+        """
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        ) WHERE rn <= 5
+        """
+    ),
     "q_curate_corpus": (
         # end state of the J-family curation chain: normalize -> exact
         # dedup on the normalized text (first-doc-wins) -> token/quality

@@ -1187,6 +1187,17 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.domain_mixture_sample(load_table(spark, sf_dir, "documents"))
 
 
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J34: deterministic FIXED-SIZE per-source sample (exactly 5 docs
+    per source — the eval-set builder beside rate-based J25). The k
+    smallest md5(source:id) draws per group via the two-stage top-n, so
+    no group ever sorts whole in one task."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return corpus.sample_per_group(docs, "source", "doc_id", k=5)
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-family END-TO-END: the daily corpus-curation pass as ONE chain
     through the REAL operators — normalize (J21) -> exact dedup on the
@@ -1362,6 +1373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pricing_summary": q_pricing_summary,
     "q_revenue_by_segment": q_revenue_by_segment,
     "q_curate_corpus": q_curate_corpus,
+    "q_sample_per_group": q_sample_per_group,
     "q_kmv_distinct": q_kmv_distinct,
     "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     # -- 3. high-value round-3 greens filling the 50-row window --------
@@ -1371,8 +1383,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_lsh_portable": q_minhash_lsh_portable,
     "q_simhash_portable": q_simhash_portable,
     "q_embed_dedup_lsh": q_embed_dedup_lsh,
-    "q_ivf_topk": q_ivf_topk,
     # -- 4. past the driver window (local parity suite covers these) ---
+    "q_ivf_topk": q_ivf_topk,
     "q_lsh_topk": q_lsh_topk,
     "q_topk_cosine": q_topk_cosine,
     "q_asof_join": q_asof_join,
