@@ -92,7 +92,10 @@ def exact_percentiles(
 ) -> DataFrame:
     """Exact per-group percentiles by rank selection: the element at
     1-based position ceil(q*n) under (value, tiebreak) order — an actual
-    data value (percentile_disc), never interpolation. One shuffle on
+    data value (percentile_disc), never interpolation. Hot-key note:
+    exact rank selection inherently orders each group's full contents in
+    one task; `quantile_sketch` (L8) is the bounded-state scale path
+    when the group key is low-cardinality. One shuffle on
     the group key; the quantile fan-out is a map-side explode of a
     |quantiles|-element literal array."""
     w = Window.partitionBy(group).orderBy(F.col(value_col), F.col(tiebreak))

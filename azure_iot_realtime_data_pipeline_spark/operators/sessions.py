@@ -339,7 +339,14 @@ def lower_median_per_group(
     """Exact lower median per group: the element at 1-based position
     ceil(n/2) under (value, tiebreak) order. Selection, not interpolation
     — the result is an actual data value, so Spark and any ANSI oracle
-    agree bit-for-bit (percentile_cont interpolation does not)."""
+    agree bit-for-bit (percentile_cont interpolation does not).
+
+    Hot-key note: exact rank selection inherently orders the group's
+    full contents in one task — with a low-cardinality group key that
+    is the whole corpus through a handful of tasks. This is the EXACT
+    form; `analytics.quantile_sketch` (L8) is the bounded-state scale
+    path (error <= one bucket width), the same exact-vs-sketch pairing
+    as COUNT(DISTINCT) vs the J30 KMV sketch."""
     w = Window.partitionBy(group).orderBy(F.col(value_col), F.col(tiebreak))
     cnt = Window.partitionBy(group)
     return (

@@ -521,3 +521,33 @@ def quantile_sketch_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def latest_value_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """E5 streaming twin: the newest (ts, tiebreak) row per key as a
+    running streaming aggregation — the live form of the dashboard
+    'current value' card. Same struct-max shape as the batch
+    `latest_value_per_key`: the aggregate state is ONE struct per key
+    and partial-combines map-side, so a hot dashboard key costs one
+    partial row per task, exactly as in batch. Run in `complete` mode
+    (one row per key per trigger); the unique tiebreak makes the result
+    deterministic under duplicate timestamps."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    packed = F.struct(F.col(ts_col), F.col(tiebreak), F.col(value_col))
+    return (
+        events.groupBy(key_col)
+        .agg(F.max(packed).alias("_row"))
+        .select(
+            key_col,
+            F.col(f"_row.{value_col}").alias("latest_value"),
+            F.col(f"_row.{ts_col}").alias("latest_ts"),
+        )
+    )

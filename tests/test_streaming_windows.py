@@ -458,3 +458,23 @@ def test_qsketch_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_
         ).collect()
     }
     assert got == want
+
+
+def test_latest_value_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """E5 streaming twin: running struct-max per key == the batch
+    latest_value query after the full replay."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import q_latest_value
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        latest_value_stream,
+    )
+
+    _run_complete(
+        latest_value_stream(replay_events(spark, replay_dir)),
+        tmp_path,
+        "latest",
+    )
+    got = spark.sql("select * from latest")
+    want = q_latest_value(spark, sf_smoke)
+    cols = ["event_type", "latest_value", "latest_ts"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
