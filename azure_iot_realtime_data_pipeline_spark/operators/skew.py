@@ -90,3 +90,39 @@ def top_keys_by_count(df: DataFrame, key: str, k: int = 10) -> DataFrame:
         .orderBy(F.col("n").desc())
         .limit(k)
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """J35: join-key heavy-hitter report — the profiling pass run BEFORE
+    a big join to decide whether J16/J17 salting is needed: the top_k
+    hottest key values with row count and corpus share.
+
+    Plan shape: one map-side-combined count aggregate on the key, then
+    `orderBy(...).limit(top_k)` — Spark plans that as
+    TakeOrderedAndProject (per-partition top-k, tiny driver merge),
+    never a global sort through one task. The total for the share is an
+    O(1)-row collect (the documented scalar pattern). Deterministic
+    tie-break on the key value.
+
+    Returns (key, n, share) with share rounded half-up to 6 dp.
+    """
+    from azure_iot_realtime_data_pipeline_spark.functions.rounding import (
+        round_half_up,
+    )
+
+    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    total = df.count()
+    if total == 0:
+        return counts.limit(0).withColumn("share", F.lit(0.0))
+    top = counts.orderBy(F.col("n").desc(), F.col(key).asc()).limit(top_k)
+    return top.select(
+        F.col(key),
+        F.col("n"),
+        round_half_up(F.col("n").cast("double") / F.lit(float(total)), 6).alias(
+            "share"
+        ),
+    )

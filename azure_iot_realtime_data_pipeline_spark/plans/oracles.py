@@ -339,6 +339,21 @@ ORACLES: dict[str, str] = {
         FROM regions GROUP BY doc_id, region
         """
     ),
+    "q_key_skew": (
+        # mirror of skew.key_skew_profile(top_k=20): count per key,
+        # top 20 by (n DESC, key ASC), share = n/total rounded 6 dp
+        """
+        WITH counts AS (
+          SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM events)
+        SELECT user_id, n,
+               floor((CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS share
+        FROM counts, tot
+        ORDER BY n DESC, user_id ASC
+        LIMIT 20
+        """
+    ),
     "q_sample_per_group": (
         # mirror of corpus.sample_per_group (k=5): k smallest
         # md5(source:id) draws per source, doc_id tiebreak.

@@ -880,7 +880,12 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 readings per event type with deterministic tiebreak — the
     per-group rank prune that cuts a 100 TB scan to n x |groups| rows
     before any downstream join."""
-    ev = load_table(spark, sf_dir, "events")
+    # project BEFORE the map-side cap: the two-stage top-n routes rows
+    # through Arrow, so unneeded wide columns (props JSON) should never
+    # enter the operator
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
     return sessions.top_n_per_group(
         ev, group="event_type", order_col="value", tiebreak="event_id", n=5
     ).select("event_type", "rank", "event_id", "value")
@@ -1187,6 +1192,15 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.domain_mixture_sample(load_table(spark, sf_dir, "documents"))
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J35: join-key heavy-hitter profile of events.user_id — the
+    pre-join pass that decides whether J16/J17 salting is needed.
+    TakeOrderedAndProject top-k (per-partition top-k + tiny driver
+    merge), never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return skew.key_skew_profile(ev, "user_id", top_k=20)
+
+
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J34: deterministic FIXED-SIZE per-source sample (exactly 5 docs
     per source — the eval-set builder beside rate-based J25). The k
@@ -1374,6 +1388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_revenue_by_segment": q_revenue_by_segment,
     "q_curate_corpus": q_curate_corpus,
     "q_sample_per_group": q_sample_per_group,
+    "q_key_skew": q_key_skew,
     "q_kmv_distinct": q_kmv_distinct,
     "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     # -- 3. high-value round-3 greens filling the 50-row window --------
@@ -1382,8 +1397,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_canonical_docs": q_canonical_docs,
     "q_minhash_lsh_portable": q_minhash_lsh_portable,
     "q_simhash_portable": q_simhash_portable,
-    "q_embed_dedup_lsh": q_embed_dedup_lsh,
     # -- 4. past the driver window (local parity suite covers these) ---
+    "q_embed_dedup_lsh": q_embed_dedup_lsh,
     "q_ivf_topk": q_ivf_topk,
     "q_lsh_topk": q_lsh_topk,
     "q_topk_cosine": q_topk_cosine,
