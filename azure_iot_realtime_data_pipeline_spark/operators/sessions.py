@@ -355,3 +355,55 @@ def lower_median_per_group(
         .filter(F.col("_rn") == F.ceil(F.col("_n") / 2))
         .select(F.col(group), F.col(value_col).alias("median_" + value_col))
     )
+
+
+def compact_bursts(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    gap_seconds: int,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """K8 burst compaction (alarm-storm suppression): coalesce each
+    rapid-fire burst per key — consecutive events separated by at most
+    ``gap_seconds`` — into ONE row carrying the burst's first event.
+
+    The telemetry classic: a flapping sensor emits hundreds of identical
+    alerts in seconds; downstream pages once per burst, not once per
+    event. Built on the sessionize gap chain (one shuffle on the key,
+    lag + running sum sharing a single window sort), then one
+    struct-min aggregate per (key, burst) — the representative and the
+    burst envelope come from an aggregate with map-side combine, not a
+    second window.
+
+    Returns (key, burst_id, burst_start, burst_end, n_events,
+    first_<carry_col>...).
+    """
+    carry_cols = carry_cols or []
+    with_burst = sessionize(df, key, ts_col, gap_seconds, tiebreak).withColumnRenamed(
+        "session_id", "_burst"
+    )
+    # ordering fields get reserved aliases so a carry col that IS the
+    # tiebreak (the usual case: carry the event id) never collides
+    first = F.min(
+        F.struct(
+            F.col(ts_col).alias("_o_ts"),
+            F.col(tiebreak).alias("_o_tb"),
+            *[F.col(c) for c in carry_cols],
+        )
+    ).alias("_first")
+    agg = with_burst.groupBy(key, "_burst").agg(
+        F.min(ts_col).alias("burst_start"),
+        F.max(ts_col).alias("burst_end"),
+        F.count("*").alias("n_events"),
+        first,
+    )
+    return agg.select(
+        F.col(key),
+        F.col("_burst").alias("burst_id"),
+        F.col("burst_start"),
+        F.col("burst_end"),
+        F.col("n_events"),
+        *[F.col(f"_first.{c}").alias(f"first_{c}") for c in carry_cols],
+    )

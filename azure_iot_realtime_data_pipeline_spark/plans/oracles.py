@@ -339,6 +339,40 @@ ORACLES: dict[str, str] = {
         FROM regions GROUP BY doc_id, region
         """
     ),
+    "q_compact_bursts": (
+        # mirror of sessions.compact_bursts (gap 600 s): the sessionize
+        # gap chain, then per-burst envelope + the first row via min on
+        # a (ts, event_id, ...) row ordering.
+        """
+        WITH marked AS (
+          SELECT user_id, event_id, event_type, value, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+                      THEN 1 ELSE 0 END AS new_b
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        bursts AS (
+          SELECT *,
+                 CAST(SUM(new_b) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst_id
+          FROM marked
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id, burst_id ORDER BY epoch_us(ts), event_id) AS rn
+          FROM bursts
+        )
+        SELECT b.user_id, b.burst_id,
+               MIN(b.ts) AS burst_start, MAX(b.ts) AS burst_end,
+               COUNT(*) AS n_events,
+               MIN(CASE WHEN rn = 1 THEN event_id END) AS first_event_id,
+               MIN(CASE WHEN rn = 1 THEN event_type END) AS first_event_type,
+               MIN(CASE WHEN rn = 1 THEN value END) AS first_value
+        FROM ranked b
+        GROUP BY b.user_id, b.burst_id
+        """
+    ),
     "q_key_skew": (
         # mirror of skew.key_skew_profile(top_k=20): count per key,
         # top 20 by (n DESC, key ASC), share = n/total rounded 6 dp

@@ -1192,6 +1192,18 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.domain_mixture_sample(load_table(spark, sf_dir, "documents"))
 
 
+def q_compact_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 burst compaction: one representative row per rapid-fire burst
+    (gap <= 10 min) per user — the alarm-storm suppression pass. One
+    shuffle on the key; the representative comes from a struct-min
+    aggregate, not a second window."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.compact_bursts(
+        ev, key="user_id", ts_col="ts", tiebreak="event_id",
+        gap_seconds=600, carry_cols=["event_id", "event_type", "value"],
+    )
+
+
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J35: join-key heavy-hitter profile of events.user_id — the
     pre-join pass that decides whether J16/J17 salting is needed.
@@ -1389,6 +1401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_curate_corpus": q_curate_corpus,
     "q_sample_per_group": q_sample_per_group,
     "q_key_skew": q_key_skew,
+    "q_compact_bursts": q_compact_bursts,
     "q_kmv_distinct": q_kmv_distinct,
     "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
     # -- 3. high-value round-3 greens filling the 50-row window --------
@@ -1396,8 +1409,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_clusters": q_dup_clusters,
     "q_canonical_docs": q_canonical_docs,
     "q_minhash_lsh_portable": q_minhash_lsh_portable,
-    "q_simhash_portable": q_simhash_portable,
     # -- 4. past the driver window (local parity suite covers these) ---
+    "q_simhash_portable": q_simhash_portable,
     "q_embed_dedup_lsh": q_embed_dedup_lsh,
     "q_ivf_topk": q_ivf_topk,
     "q_lsh_topk": q_lsh_topk,

@@ -136,3 +136,42 @@ def test_top_n_and_median_small(spark):
     assert {(r.event_type, r.median_value) for r in med.collect()} == {
         ("a", 2.0), ("b", 7.0)
     }
+
+
+def test_compact_bursts_semantics(spark):
+    """K8: a rapid burst collapses to one row carrying the FIRST event;
+    a gap larger than gap_seconds opens a new burst; singletons pass
+    through with n_events=1."""
+    from datetime import datetime, timedelta
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        compact_bursts,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: burst of 3 within 10s, then a lone event 1h later
+        (1, 1, t0, "error", 5.0),
+        (2, 1, t0 + timedelta(seconds=5), "error", 6.0),
+        (3, 1, t0 + timedelta(seconds=10), "error", 7.0),
+        (4, 1, t0 + timedelta(hours=1), "click", 1.0),
+        # user 2: single event
+        (5, 2, t0, "view", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["user_id"], r["burst_id"]): r
+        for r in compact_bursts(
+            df, key="user_id", ts_col="ts", tiebreak="event_id",
+            gap_seconds=60, carry_cols=["event_id", "event_type", "value"],
+        ).collect()
+    }
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    b = got[(1, 1)]
+    assert b["n_events"] == 3 and b["first_event_id"] == 1
+    assert b["first_event_type"] == "error" and b["first_value"] == 5.0
+    assert b["burst_end"] - b["burst_start"] == timedelta(seconds=10)
+    assert got[(1, 2)]["n_events"] == 1 and got[(1, 2)]["first_event_id"] == 4
+    assert got[(2, 1)]["n_events"] == 1 and got[(2, 1)]["first_event_id"] == 5
