@@ -478,3 +478,65 @@ def test_latest_value_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path
     cols = ["event_type", "latest_value", "latest_ts"]
     assert _as_set(got, cols) == _as_set(want, cols)
     assert got.count() == want.count() > 0
+
+
+def test_kmv_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_path):
+    """Crash/restart contract for the J30 sketch state: half the
+    stream, stop, resume from the same checkpoint over the full
+    directory — the kept-hash set must carry over and the final
+    estimate must equal the batch operator over ALL events."""
+    import os
+    import shutil
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        kmv_distinct,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        kmv_stream,
+    )
+
+    src_buckets = sorted(os.listdir(replay_dir))
+    half_dir = str(tmp_path / "replay_half_kmv")
+    os.makedirs(half_dir)
+    for b in src_buckets[:2]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    ckpt = str(tmp_path / "ckpt_kmv_restart")
+    emissions: list[tuple] = []
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emissions.append((r["event_type"], r["n_kept"], r["distinct_est"]))
+
+        q = (
+            kmv_stream(replay_events(spark, half_dir), k=8)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first_len = len(emissions)
+    assert first_len > 0
+    for b in src_buckets[2:]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    run_once()
+    assert len(emissions) > first_len
+    # final sketch per group: max n_kept, then max estimate (the
+    # estimate is non-decreasing once n_kept reaches k)
+    final = {}
+    for etype, n_kept, est in emissions:
+        cur = final.get(etype)
+        if cur is None or (n_kept, est) > cur:
+            final[etype] = (n_kept, est)
+    got = {(e, nk, est) for e, (nk, est) in final.items()}
+    want = {
+        (r["event_type"], r["n_kept"], r["distinct_est"])
+        for r in kmv_distinct(
+            load_table(spark, sf_smoke, "events"), "event_type", "user_id", k=8
+        ).collect()
+    }
+    assert got == want
