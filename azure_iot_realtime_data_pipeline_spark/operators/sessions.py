@@ -280,8 +280,10 @@ def interval_join(
 def _make_topn_cap_fn(group: str, sort_cols: list[str], ascending: bool, n: int):
     """mapInPandas body: per input PARTITION, keep only each group's n
     best rows under (order, tiebreak) — the map-side partial of top-n
-    (picklable closure, Arrow-batched). pandas puts NaN last for either
-    sort direction, matching the window's NULLS LAST."""
+    (picklable closure, Arrow-batched). pandas puts NaN/None last for
+    either sort direction (na_position default); the downstream window
+    therefore orders NULLS LAST explicitly in BOTH directions so the
+    cap can never drop a row the window would rank."""
 
     def fn(batches):
         import pandas as pd
@@ -323,8 +325,16 @@ def top_n_per_group(
         _make_topn_cap_fn(group, [order_col, tiebreak], not descending, n),
         df.schema,
     )
-    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
-    tb = F.col(tiebreak).desc() if descending else F.col(tiebreak).asc()
+    oc = (
+        F.col(order_col).desc_nulls_last()
+        if descending
+        else F.col(order_col).asc_nulls_last()
+    )
+    tb = (
+        F.col(tiebreak).desc_nulls_last()
+        if descending
+        else F.col(tiebreak).asc_nulls_last()
+    )
     w = Window.partitionBy(group).orderBy(oc, tb)
     return (
         capped.withColumn("_rn", F.row_number().over(w))

@@ -202,6 +202,16 @@ def ivf_topk(
                 for k in range(d):
                     nrm = nrm + v[:, k] * v[:, k]
                 nrm = np.sqrt(nrm)
+                # zero-norm vectors: the expression form's cosine was
+                # 0/0 -> NULL, so the cell came out NULL and the row
+                # dropped at the join; NaN comparisons here would
+                # instead silently emit cell_id 0 — drop to match
+                nz = nrm > 0.0
+                if not nz.all():
+                    pdf, v, nrm = pdf[nz], v[nz], nrm[nz]
+                    n = len(nrm)
+                    if n == 0:
+                        continue
                 best = np.full(n, -np.inf)
                 bid = np.zeros(n, dtype=np.int64)
                 for cid, c, cn in cents:
@@ -269,6 +279,14 @@ def ivf_topk(
                 for k in range(d):
                     nrm = nrm + v[:, k] * v[:, k]
                 nrm = np.sqrt(nrm)
+                # zero-norm probes: same NULL-cell drop semantics as
+                # the assign fn above
+                nz = nrm > 0.0
+                if not nz.all():
+                    pdf, v, nrm = pdf[nz], v[nz], nrm[nz]
+                    n = len(nrm)
+                    if n == 0:
+                        continue
                 cos = np.zeros((n, len(cents)))
                 for j, (_cid, c, cn) in enumerate(cents):
                     acc = np.zeros(n)

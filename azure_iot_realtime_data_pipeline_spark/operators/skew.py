@@ -104,25 +104,27 @@ def key_skew_profile(
     Plan shape: one map-side-combined count aggregate on the key, then
     `orderBy(...).limit(top_k)` — Spark plans that as
     TakeOrderedAndProject (per-partition top-k, tiny driver merge),
-    never a global sort through one task. The total for the share is an
-    O(1)-row collect (the documented scalar pattern). Deterministic
+    never a global sort through one task. The total for the share comes
+    from a one-row `sum(n)` aggregate broadcast onto the top-k rows
+    (BroadcastNestedLoopJoin with a single-row build side), so the
+    operator stays LAZY — building the profile triggers no job, unlike
+    an eager `df.count()` at plan-construction time. Deterministic
     tie-break on the key value.
 
-    Returns (key, n, share) with share rounded half-up to 6 dp.
+    Returns (key, n, share) with share rounded half-up to 6 dp; empty
+    input yields an empty frame.
     """
     from azure_iot_realtime_data_pipeline_spark.functions.rounding import (
         round_half_up,
     )
 
     counts = df.groupBy(key).agg(F.count("*").alias("n"))
-    total = df.count()
-    if total == 0:
-        return counts.limit(0).withColumn("share", F.lit(0.0))
+    total = counts.agg(F.sum("n").cast("double").alias("_total"))
     top = counts.orderBy(F.col("n").desc(), F.col(key).asc()).limit(top_k)
-    return top.select(
+    return top.crossJoin(F.broadcast(total)).select(
         F.col(key),
         F.col("n"),
-        round_half_up(F.col("n").cast("double") / F.lit(float(total)), 6).alias(
+        round_half_up(F.col("n").cast("double") / F.col("_total"), 6).alias(
             "share"
         ),
     )

@@ -368,6 +368,8 @@ def make_kmv_fn(k: int = 64):
     docstring names as the TypedImperativeAggregate swap point,
     realized in streaming state instead."""
 
+    import math
+
     def fn(key, pdfs, state):
         kept = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
@@ -378,7 +380,10 @@ def make_kmv_fn(k: int = 64):
             est = float(n_kept)
         else:
             est = (k - 1) * 2.0**32 / kept[-1]
-            est = int(est * 10000 + 0.5) / 10000  # round_half_up(4)
+            # floor-based round_half_up(4), bit-matching the batch
+            # operator's F.floor expression (int() truncates toward
+            # zero and would diverge for negative values)
+            est = math.floor(est * 10000 + 0.5) / 10000
         state.update((kept,))
         yield pd.DataFrame(
             {
@@ -484,7 +489,10 @@ def make_qsketch_fn(
                     hit = b
                     break
             est = lo + (hit + 1) * width if width > 0 else lo
-            est = int(est * 10000 + 0.5) / 10000  # round_half_up(4)
+            # floor-based round_half_up(4): int() truncates toward zero,
+            # which diverges from the batch F.floor form when a
+            # fixed_range with negative lo yields a negative estimate
+            est = math.floor(est * 10000 + 0.5) / 10000
             rows.append((key[0], float(q), est, n))
         yield pd.DataFrame(
             rows, columns=["event_type", "q", "p_est", "n_seen"]

@@ -350,7 +350,7 @@ def test_ann_recall_at_10_vs_brute_force(spark, sf_smoke):
     assert multi_recall >= 0.65, multi_recall
 
 
-def test_multiprobe_lsh_recall_at_sf01_meets_bar(spark):
+def test_multiprobe_lsh_recall_at_sf01_meets_bar(spark, sf_bench):
     """The round-4 recall bar: the OR-amplified multi-probe config must
     hold recall@10 >= 0.8 at sf0.1 (the bench scale). Deterministic —
     fixed data, fixed splitmix64 planes — so the measured 0.80 is a
@@ -361,7 +361,7 @@ def test_multiprobe_lsh_recall_at_sf01_meets_bar(spark):
         q_topk_cosine,
     )
 
-    sf = "/root/testdata/sf0.1"
+    sf = sf_bench
     exact = {(r["query_id"], r["cand_id"]) for r in q_topk_cosine(spark, sf).collect()}
     multi = {
         (r["query_id"], r["cand_id"])
@@ -493,3 +493,31 @@ def test_quantile_sketch_error_bounded_by_bucket_width(spark, sf_oracle):
         width = (hi - lo) / 256.0
         # + rounding slack: both sides round half-up to 4 dp
         assert abs(e - exact[(etype, q)]) <= width + 1e-4, (etype, q, e, exact[(etype, q)])
+
+
+def test_ivf_topk_drops_zero_norm_vectors(spark):
+    """ADVICE r4: in the numpy assign/probe paths a zero-norm vector
+    yields NaN cosines, every `cos > best` is False, and the row was
+    silently emitted with cell_id 0 — the prior expression form scored
+    it NULL and dropped it at the join. Both sides must drop zero-norm
+    vectors (the candidate with id 9 and the query with id 102)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import ivf_topk
+
+    cands = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.7, 0.7, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+            (9, [0.0, 0.0, 0.0, 0.0]),  # zero norm -> must vanish
+        ],
+        "cand_id long, cv array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(101, [1.0, 0.1, 0.0, 0.0]), (102, [0.0, 0.0, 0.0, 0.0])],
+        "query_id long, qv array<double>",
+    )
+    got = ivf_topk(qs, cands, n_cells=2, n_probe=2, k=10).collect()
+    assert got, "non-degenerate query must return neighbors"
+    assert all(r["cand_id"] != 9 for r in got)
+    assert all(r["query_id"] != 102 for r in got)

@@ -31,7 +31,15 @@ from azure_iot_realtime_data_pipeline_spark.plans.queries import QUERIES
 #: q_wire_serve broadcasts the ONE-row batch-watermark aggregate onto
 #: every serve row (the literal-key join constant-folds to a BNLJ whose
 #: build side is a single row).
-BNLJ_ALLOWED = {"q_topk_cosine", "q_ivf_topk", "q_embed_dedup", "q_wire_serve"}
+#: q_key_skew likewise broadcasts its ONE-row sum(n) total onto the
+#: top-k heavy hitters (lazy share denominator, ADVICE r4).
+BNLJ_ALLOWED = {
+    "q_topk_cosine",
+    "q_ivf_topk",
+    "q_embed_dedup",
+    "q_wire_serve",
+    "q_key_skew",
+}
 
 #: the reference's anomaly window has no PARTITION BY
 #: (iot-stream-analytics-query.sql:33-44); its faithful reproduction is

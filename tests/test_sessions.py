@@ -175,3 +175,22 @@ def test_compact_bursts_semantics(spark):
     assert b["burst_end"] - b["burst_start"] == timedelta(seconds=10)
     assert got[(1, 2)]["n_events"] == 1 and got[(1, 2)]["first_event_id"] == 4
     assert got[(2, 1)]["n_events"] == 1 and got[(2, 1)]["first_event_id"] == 5
+
+
+def test_top_n_ascending_null_order_values_rank_last(spark):
+    """ADVICE r4: the map-side pandas cap puts NULL/NaN order values
+    LAST for both sort directions (na_position default); the downstream
+    window must agree (asc_nulls_last / desc_nulls_last) or the cap can
+    drop a row the window would rank into the top n. Ascending with a
+    NULL value in a single partition exercises exactly that path."""
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 3.0), ("a", 3, 1.0), ("a", 4, 2.0)],
+        "event_type string, event_id int, value double",
+    ).repartition(1)
+    top = sessions.top_n_per_group(
+        df, "event_type", "value", "event_id", 2, descending=False
+    )
+    assert {(r.event_type, r.rank, r.value) for r in top.collect()} == {
+        ("a", 1, 1.0),
+        ("a", 2, 2.0),
+    }

@@ -540,3 +540,40 @@ def test_kmv_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_path
         ).collect()
     }
     assert got == want
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for unit-testing stateful closures."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_qsketch_fn_negative_estimate_rounds_half_up_like_batch():
+    """ADVICE r4: the streaming qsketch rounded with int(x*1e4+0.5)/1e4,
+    which truncates toward ZERO — for a fixed_range with negative lo the
+    estimate diverged from the batch operator's floor-based
+    round_half_up. lo=-10, width=1, one value in bucket 0 puts the p50
+    estimate at exactly -9.0; the int() form yielded -8.9999."""
+    import pandas as pd
+
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        make_qsketch_fn,
+    )
+
+    fn = make_qsketch_fn(lo=-10.0, width=1.0, n_bins=4, quantiles=(0.5,))
+    state = _FakeGroupState()
+    out = list(fn(("t",), [pd.DataFrame({"value": [-9.5]})], state))
+    assert len(out) == 1
+    assert out[0]["p_est"].iloc[0] == -9.0
