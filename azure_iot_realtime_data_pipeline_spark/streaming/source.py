@@ -58,6 +58,48 @@ def stage_replay_dir(
     return out_dir
 
 
+def stage_replay_dir_arrival(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    num_files: int = 4,
+    order_col: str = "event_id",
+) -> str:
+    """Stage `events` as `num_files` ARRIVAL-ordered parquet files.
+
+    Files split on `order_col` (the arrival sequence — event_id encodes
+    the order the pipeline received each event), so replay order ==
+    arrival order even where event TIME is out of order. This is the
+    precondition for parity with the batch arrival-order operators
+    (F3 adjust_clamp / drop_late, which run over `ORDER BY event_id`):
+    the reference's out-of-order policy is defined over arrival order
+    (reference terraform/main-example.tf:133-136), not event time.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).collect()[0]
+    span = max(int(bounds["hi"]) - int(bounds["lo"]), 1)
+    bucket = F.least(
+        F.lit(num_files - 1),
+        (
+            (F.col(order_col) - F.lit(int(bounds["lo"]))) * num_files / span
+        ).cast("int"),
+    )
+    staged = ev.withColumn("_bucket", bucket)
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(num_files):
+        part_dir = os.path.join(out_dir, f"bucket={i:02d}")
+        staged.filter(F.col("_bucket") == i).drop("_bucket").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        now = time.time()
+        for root, _dirs, files in os.walk(part_dir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i, now + i))
+    return out_dir
+
+
 def replay_events(
     spark: SparkSession, replay_dir: str, max_files_per_trigger: int | None = 1
 ) -> DataFrame:

@@ -345,6 +345,84 @@ def event_gaps_stream(
     )
 
 
+#: one carry cell per key: the running high-watermark in microseconds
+CLAMP_STATE_SCHEMA = StructType([StructField("hwm_us", LongType())])
+
+
+def make_adjust_clamp_fn(
+    id_col: str = "event_id", key_col: str = "user_id", ts_col: str = "ts"
+):
+    """applyInPandasWithState body for the F3 streaming clamp (picklable
+    closure). Per key the state is ONE long — the running event-time
+    high-watermark in arrival order. Each micro-batch is processed in
+    `id_col` (arrival) order; an event at or ahead of the watermark
+    passes through and advances it, an out-of-order event's timestamp is
+    CLAMPED forward to the watermark — the ASA `Adjust` policy
+    (reference terraform/main-example.tf:133-136), where Spark's native
+    watermark would DROP the row instead."""
+
+    def fn(key, pdfs, state):
+        hwm = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col, kind="stable")
+            ts = pdf[ts_col]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            ts_us = ts.astype("datetime64[us]").astype("int64")
+            adj = []
+            for t in ts_us:
+                t = int(t)
+                hwm = t if hwm is None or t > hwm else hwm
+                adj.append(hwm)
+            out = pdf[[id_col, key_col, ts_col]].copy()
+            out["adjusted_ts"] = pd.Series(
+                adj, index=out.index, dtype="int64"
+            ).astype("datetime64[us]")
+            yield out
+        if hwm is not None:
+            state.update((int(hwm),))
+
+    return fn
+
+
+def adjust_clamp_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """F3 streaming twin: the ASA `Adjust` out-of-order policy as a
+    stateful running-high-watermark clamp — the LAST documented semantic
+    divergence from the reference closed. Spark's `withWatermark` drops
+    rows older than the watermark; the reference ADJUSTS them (clamps
+    the timestamp forward to the stream's high-water mark) and keeps the
+    row. One long of state per key, one shuffle onto the key — the same
+    state bound as the L3 gaps twin, strictly smaller than any windowed
+    aggregation.
+
+    Parity contract (tested): replayed in arrival order (`id_col`
+    buckets — `stage_replay_dir_arrival`), every emitted `adjusted_ts`
+    equals the batch `operators.eventtime.adjust_clamp` (the oracled
+    `q_adjust_clamp`) on the same data. `watermark` stays None for the
+    pure-Adjust policy (clamp, never drop); set it to ALSO drop events
+    later than the tolerance — the reference's combined
+    30 s-adjust + 60 s-late-tolerance configuration."""
+    tagged = events.select(F.col(id_col), F.col(key_col), F.col(ts_col))
+    if watermark is not None:
+        tagged = tagged.withWatermark(ts_col, watermark)
+    out_schema = StructType(
+        [*tagged.schema.fields, StructField("adjusted_ts", TimestampType())]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_adjust_clamp_fn(id_col=id_col, key_col=key_col, ts_col=ts_col),
+        outputStructType=out_schema,
+        stateStructType=CLAMP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 KMV_OUTPUT_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),

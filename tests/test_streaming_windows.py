@@ -577,3 +577,104 @@ def test_qsketch_fn_negative_estimate_rounds_half_up_like_batch():
     out = list(fn(("t",), [pd.DataFrame({"value": [-9.5]})], state))
     assert len(out) == 1
     assert out[0]["p_est"].iloc[0] == -9.0
+
+
+def test_adjust_clamp_stream_matches_batch(spark, sf_smoke, tmp_path):
+    """F3 streaming clamp (r4 verdict item): the stateful
+    running-high-watermark clamp must equal the batch/oracled
+    q_adjust_clamp row-for-row across micro-batch boundaries, on an
+    ARRIVAL-ordered replay (event_id buckets — the policy is defined
+    over arrival order, and the ts-bucketed replay dir would reorder
+    the out-of-order events the clamp exists to fix)."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import q_adjust_clamp
+    from azure_iot_realtime_data_pipeline_spark.streaming.source import (
+        stage_replay_dir_arrival,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        adjust_clamp_stream,
+    )
+
+    replay = stage_replay_dir_arrival(
+        spark, sf_smoke, str(tmp_path / "replay_arrival"), num_files=4
+    )
+    q = (
+        adjust_clamp_stream(replay_events(spark, replay), watermark=None)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("clamp")
+        .option("checkpointLocation", str(tmp_path / "ckpt_clamp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from clamp")
+    want = q_adjust_clamp(spark, sf_smoke)
+    cols = ["event_id", "user_id", "adjusted_ts"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
+    # adjusted_ts never moves backward (the driver testdata is in-order
+    # per key, so the clamp passes everything through here; the
+    # out-of-order firing path is pinned by the synthetic test below)
+    assert got.filter(F.col("adjusted_ts") < F.col("ts")).count() == 0
+
+
+def test_adjust_clamp_stream_clamps_out_of_order_across_batches(spark, tmp_path):
+    """The Adjust semantics proper, on injected out-of-order data the
+    driver testdata lacks: an event whose ts regresses is clamped
+    FORWARD to its key's running high-watermark — including when the
+    regression arrives in a LATER micro-batch (state carry), and
+    including a regression below Spark's would-be watermark (the row
+    survives: Adjust keeps what a watermark would drop). Matches the
+    batch operator on the same frame."""
+    import datetime as dt
+    import os
+    import time as time_mod
+
+    from azure_iot_realtime_data_pipeline_spark.operators.eventtime import (
+        adjust_clamp,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        adjust_clamp_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # arrival order (event_id): u1 goes forward, back (clamp), forward;
+    # u2's batch-2 event regresses 300s behind its batch-1 watermark
+    batch1 = [(1, 100, ts(0)), (2, 100, ts(60)), (3, 200, ts(500))]
+    batch2 = [
+        (4, 100, ts(30)),   # out-of-order WITHIN u1's carry -> clamp to 60
+        (5, 100, ts(90)),   # in-order again
+        (6, 200, ts(200)),  # 300s late vs u2's hwm -> clamp to 500, NOT dropped
+    ]
+    schema = "event_id long, user_id long, ts timestamp"
+    replay = tmp_path / "ooo_replay"
+    for i, rows in enumerate((batch1, batch2)):
+        part = str(replay / f"bucket={i:02d}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        now = time_mod.time()
+        for root, _dirs, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i, now + i))
+    q = (
+        adjust_clamp_stream(replay_events(spark, str(replay)), watermark=None)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("clamp_ooo")
+        .option("checkpointLocation", str(tmp_path / "ckpt_clamp_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.event_id: r.adjusted_ts for r in spark.sql("select * from clamp_ooo").collect()}
+    batch_df = spark.createDataFrame(batch1 + batch2, schema)
+    want = {r.event_id: r.adjusted_ts for r in adjust_clamp(batch_df).collect()}
+    assert got == want
+    assert got[4] == ts(60)   # clamped forward across the batch boundary
+    assert got[6] == ts(500)  # late row kept and clamped, not dropped
+    assert got[5] == ts(90)   # in-order rows pass through untouched
