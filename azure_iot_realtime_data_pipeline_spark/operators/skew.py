@@ -79,6 +79,74 @@ def salted_join(
     return salted_big.join(replicated, cond).drop("_salt")
 
 
+def selective_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_src: str,
+    n_salts: int = DEFAULT_SALTS,
+    hot_keys: list | None = None,
+    hot_share: float = 0.05,
+    top_k: int = 20,
+) -> DataFrame:
+    """J17 x J35 production composition: salt ONLY the profiled hot keys.
+
+    `salted_join` replicates the ENTIRE small side n_salts times — paid
+    even when one key in a billion is hot. This form consumes the J35
+    heavy-hitter profile instead: keys with row share >= `hot_share`
+    (from `key_skew_profile`, an O(top_k)-row driver collect at
+    plan-construction time — the adaptive pre-pass pattern, same as the
+    IVF centroid collect) are salted and their dim rows replicated
+    x n_salts; every other key keeps salt 0 on both sides, i.e. the
+    plain equi-join with ZERO replication. One scan per side, ONE join:
+    the hot/cold split is a map-side conditional salt, not a
+    two-join-plus-union plan. With no hot keys at all the salt column
+    is skipped entirely and the plan IS the plain join (plan-gated).
+
+    Pass `hot_keys` explicitly to skip the profiling pass (e.g. reuse
+    one profile across many joins of the same fact table).
+
+    Result-identical to the plain `big JOIN small ON big_key =
+    small_key` for any hot-key choice (oracle-checked); salting only
+    reshapes the shuffle.
+    """
+    if hot_keys is None:
+        prof = key_skew_profile(big, big_key, top_k=top_k)
+        hot_keys = sorted(
+            r[big_key]
+            for r in prof.collect()
+            if r["share"] is not None and r["share"] >= hot_share
+        )
+    if not hot_keys:
+        # profiler verdict: no skew — take the plain join, no salt
+        # column, no replication, and let AQE pick the strategy
+        return big.join(small, big[big_key] == small[small_key])
+    hot_big = F.col(big_key).isin(list(hot_keys))
+    salted_big = big.withColumn(
+        "_salt",
+        F.when(hot_big, F.pmod(F.col(salt_src), F.lit(n_salts)))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    hot_small = F.col(small_key).isin(list(hot_keys))
+    replicated = small.withColumn(
+        "_salt",
+        # explode of an array<int> already yields int (a generator can't
+        # nest inside a cast); hot dim rows replicate x n_salts, cold
+        # rows get the single salt-0 copy — zero replication
+        F.explode(
+            F.when(hot_small, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ),
+    )
+    cond = (salted_big[big_key] == replicated[small_key]) & (
+        salted_big["_salt"] == replicated["_salt"]
+    )
+    return salted_big.join(replicated, cond).drop("_salt")
+
+
 def top_keys_by_count(df: DataFrame, key: str, k: int = 10) -> DataFrame:
     """Skew diagnostic: the k heaviest keys and their row share — the
     input to deciding whether salting is warranted."""

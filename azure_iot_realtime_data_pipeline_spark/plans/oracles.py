@@ -755,6 +755,14 @@ ORACLES: dict[str, str] = {
         GROUP BY c_mktsegment
         """
     ),
+    "q_salted_join_selective": (
+        """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment
+        """
+    ),
     "q_ivf_topk": (
         """
         WITH cands AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),

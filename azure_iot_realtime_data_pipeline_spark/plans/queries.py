@@ -805,6 +805,25 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17 x J35 (r5): PROFILE-DRIVEN selective salting — salt only the
+    keys the heavy-hitter profile flags, plain join for the rest. On
+    this near-uniform testdata the profiler finds no key above the 5%
+    threshold, so the executed plan IS the plain broadcast join
+    (plan-gated); on skewed data only hot keys replicate (unit-tested
+    with injected skew). Result identical to the plain join either
+    way — the oracle is the unsalted join."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = skew.selective_salted_join(
+        ev, cust, big_key="user_id", small_key="c_custkey", salt_src="event_id", n_salts=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization (1-h inactivity gap) + per-session rollup —
     the event-time surface a telemetry engine needs beyond the
@@ -1402,7 +1421,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_salted_join": q_salted_join,
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
-    # -- 2. changed in round 5 (r4-green, re-verify after the change) --
+    # -- 2. new or changed in round 5 ----------------------------------
+    "q_salted_join_selective": q_salted_join_selective,
     "q_key_skew": q_key_skew,
     "q_sample_per_group": q_sample_per_group,
     # -- 3. r4 greens filling the 50-row window ------------------------

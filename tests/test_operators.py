@@ -610,3 +610,68 @@ def test_simhash_xxhash_form_agrees_with_portable_twin(spark, sf_oracle):
     rp = [ham(sp[a], sp[b]) for a, b in rand]
     assert sum(rx) / len(rx) >= 14.0
     assert sum(rp) / len(rp) >= 14.0
+
+
+def test_selective_salted_join_identity_under_injected_skew(spark):
+    """J17 x J35: with one key holding ~50% of the big side, the
+    profile-driven form must flag exactly that key, salt only it, and
+    still return the IDENTICAL result to the plain join (salting only
+    reshapes the shuffle)."""
+    big_rows = [(i, 7, float(i)) for i in range(500)] + [
+        (1000 + i, i % 50, float(i)) for i in range(500)
+    ]
+    big = spark.createDataFrame(big_rows, "event_id long, user_id long, value double")
+    small = spark.createDataFrame(
+        [(k, f"seg{k % 3}") for k in range(60)], "c_custkey long, c_mktsegment string"
+    )
+    sel = skew.selective_salted_join(
+        big, small, "user_id", "c_custkey", salt_src="event_id", n_salts=4
+    )
+    plain = big.join(small, big["user_id"] == small["c_custkey"])
+    key = lambda r: (r["event_id"], r["c_custkey"])  # noqa: E731
+    assert sorted(map(key, sel.collect())) == sorted(map(key, plain.collect()))
+    # the hot path actually engaged: key 7 is >= 5% share
+    prof = skew.key_skew_profile(big, "user_id", top_k=5).collect()
+    assert prof[0]["user_id"] == 7 and prof[0]["share"] >= 0.05
+
+
+def test_selective_salted_join_plan_gates(spark):
+    """Plan gates for the two selective-salting paths: a profiler
+    verdict of NO hot keys must produce the PLAIN join (no salt column,
+    no replication explode anywhere in the plan); a hot-key list must
+    produce exactly ONE join salted via pmod (no two-join union)."""
+    import contextlib
+    import io
+
+    big = spark.createDataFrame(
+        [(i, i % 50, float(i)) for i in range(200)],
+        "event_id long, user_id long, value double",
+    )
+    small = spark.createDataFrame(
+        [(k, f"seg{k % 3}") for k in range(60)], "c_custkey long, c_mktsegment string"
+    )
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+    # uniform data, default 5% threshold -> plain join
+    p_cold = plan(
+        skew.selective_salted_join(
+            big, small, "user_id", "c_custkey", salt_src="event_id"
+        )
+    )
+    assert "_salt" not in p_cold, p_cold
+    assert "explode" not in p_cold.lower(), p_cold
+    # explicit hot key -> one salted join, replication only via the
+    # conditional sequence/array explode, never a second join
+    p_hot = plan(
+        skew.selective_salted_join(
+            big, small, "user_id", "c_custkey", salt_src="event_id", hot_keys=[7]
+        )
+    )
+    assert "_salt" in p_hot and "pmod" in p_hot, p_hot
+    assert p_hot.count("Join") >= 1
+    assert "Union" not in p_hot, p_hot
