@@ -675,3 +675,46 @@ def test_selective_salted_join_plan_gates(spark):
     assert "_salt" in p_hot and "pmod" in p_hot, p_hot
     assert p_hot.count("Join") >= 1
     assert "Union" not in p_hot, p_hot
+
+
+def test_ivf_kmeans_centroids_beat_deterministic_on_held_out_queries(
+    spark, sf_oracle
+):
+    """IVF production centroids (r4 verdict item 7): MLlib k-means
+    centroids must deliver recall@10 >= the deterministic lowest-id
+    centroids — measured on HELD-OUT queries (vec_id 100-104). The
+    registered q_ivf_topk's 0.92-1.00 recall uses queries 0-4, which
+    are themselves among the 16 lowest-id centroid seeds — each query
+    probes a cell centered on itself, inflating recall; held-out
+    queries show the honest picture (measured: deterministic 0.38,
+    k-means 0.60 at sf0.01 — stable: fixed data, seeded k-means)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    exact = {(r.query_id, r.cand_id) for r in cosine_topk(q, c, k=10).collect()}
+    det = {(r.query_id, r.cand_id) for r in ivf_topk(q, c, k=10).collect()}
+    km = {
+        (r.query_id, r.cand_id)
+        for r in ivf_topk(q, c, k=10, centroids="kmeans").collect()
+    }
+    det_recall = len(det & exact) / len(exact)
+    km_recall = len(km & exact) / len(exact)
+    assert km_recall >= det_recall, (km_recall, det_recall)
+    assert km_recall >= 0.5, km_recall
+
+
+def test_ivf_rejects_unknown_centroid_mode(spark, sf_oracle):
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_topk(q, c, centroids="surprise")
