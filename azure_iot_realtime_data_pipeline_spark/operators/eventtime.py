@@ -41,6 +41,46 @@ def adjust_clamp(
     return df.withColumn("adjusted_ts", F.max(F.col(ts_col)).over(w))
 
 
+def eventtime_policy(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    order_col: str = "event_id",
+    tolerance_seconds: int = LATE_TOLERANCE_SECONDS,
+) -> DataFrame:
+    """The reference's COMBINED configured policy as one operator
+    (reference terraform/main-example.tf:133-136): events later than
+    `tolerance_seconds` behind the running per-key high-water mark are
+    DROPPED (late-arrival tolerance), surviving out-of-order events are
+    CLAMPED forward to the mark (`Adjust`). Equivalent to
+    `adjust_clamp(drop_late(df))` but sharing ONE window sort — the
+    drop predicate and the clamp read the same running max, so the
+    composed form's second window (and its second shuffle-order sort)
+    is folded away.
+
+    Note the high-water mark is computed over ALL events in arrival
+    order — including the ones the tolerance then drops — matching a
+    stream processor, where the mark advances on receipt, before the
+    late check."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the running max of ts IS the clamp target (an in-order row equals
+    # its own mark); the µs twin of the same max drives the drop
+    # predicate — both ride one window sort
+    return (
+        df.withColumn("adjusted_ts", F.max(F.col(ts_col)).over(w))
+        .withColumn("_hwm_us", F.max(F.unix_micros(F.col(ts_col))).over(w))
+        .filter(
+            F.unix_micros(F.col(ts_col))
+            >= F.col("_hwm_us") - F.lit(tolerance_seconds * 1_000_000)
+        )
+        .drop("_hwm_us")
+    )
+
+
 def drop_late(
     df: DataFrame,
     ts_col: str = "ts",

@@ -674,6 +674,18 @@ ORACLES: dict[str, str] = {
         ) WHERE CAST(floor(epoch(ts)) AS BIGINT) >= hwm - 60
         """
     ),
+    "q_eventtime_policy": (
+        """
+        SELECT event_id, user_id, ts, adjusted_ts FROM (
+          SELECT event_id, user_id, ts,
+                 max(ts) OVER w AS adjusted_ts,
+                 max(epoch_us(ts)) OVER w AS hwm_us
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ) WHERE epoch_us(ts) >= hwm_us - 60000000
+        """
+    ),
     "q_identity": (
         "SELECT CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS telemetryId, "
         "event_id, user_id, ts FROM events"

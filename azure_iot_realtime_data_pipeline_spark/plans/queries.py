@@ -686,6 +686,18 @@ def q_drop_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts")
 
 
+def q_eventtime_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 COMBINED configured policy (r5): late events (>60 s behind the
+    running per-key high-water mark) dropped, surviving out-of-order
+    events clamped forward — the reference's actual
+    out_of_order=Adjust + late_tolerance configuration as ONE operator
+    sharing one window sort (reference terraform/main-example.tf:133-136)."""
+    ev = load_table(spark, sf_dir, "events")
+    return eventtime.eventtime_policy(
+        ev, ts_col="ts", key="user_id", order_col="event_id", tolerance_seconds=60
+    ).select("event_id", "user_id", "ts", "adjusted_ts")
+
+
 def q_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2 IDENTITY surrogate key (reference README.MD:169), computed the
     scale-correct way: deterministic quantile-bucket numbering
@@ -1422,6 +1434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
     # -- 2. new or changed in round 5 ----------------------------------
+    "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
     "q_key_skew": q_key_skew,
     "q_sample_per_group": q_sample_per_group,

@@ -350,7 +350,10 @@ CLAMP_STATE_SCHEMA = StructType([StructField("hwm_us", LongType())])
 
 
 def make_adjust_clamp_fn(
-    id_col: str = "event_id", key_col: str = "user_id", ts_col: str = "ts"
+    id_col: str = "event_id",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tolerance_us: int | None = None,
 ):
     """applyInPandasWithState body for the F3 streaming clamp (picklable
     closure). Per key the state is ONE long — the running event-time
@@ -359,7 +362,10 @@ def make_adjust_clamp_fn(
     passes through and advances it, an out-of-order event's timestamp is
     CLAMPED forward to the watermark — the ASA `Adjust` policy
     (reference terraform/main-example.tf:133-136), where Spark's native
-    watermark would DROP the row instead."""
+    watermark would DROP the row instead. With `tolerance_us` set,
+    events further than that behind the watermark are DROPPED first —
+    the combined Adjust + late-tolerance policy (the reference's actual
+    configuration; batch twin `eventtime.eventtime_policy`)."""
 
     def fn(key, pdfs, state):
         hwm = state.get[0] if state.exists else None
@@ -370,15 +376,22 @@ def make_adjust_clamp_fn(
                 ts = ts.dt.tz_localize(None)
             ts_us = ts.astype("datetime64[us]").astype("int64")
             adj = []
+            keep = []
             for t in ts_us:
                 t = int(t)
                 hwm = t if hwm is None or t > hwm else hwm
+                keep.append(
+                    tolerance_us is None or t >= hwm - tolerance_us
+                )
                 adj.append(hwm)
             out = pdf[[id_col, key_col, ts_col]].copy()
             out["adjusted_ts"] = pd.Series(
                 adj, index=out.index, dtype="int64"
             ).astype("datetime64[us]")
-            yield out
+            if not all(keep):
+                out = out[pd.Series(keep, index=out.index)]
+            if len(out):
+                yield out
         if hwm is not None:
             state.update((int(hwm),))
 
@@ -416,6 +429,39 @@ def adjust_clamp_stream(
     )
     return tagged.groupBy(key_col).applyInPandasWithState(
         make_adjust_clamp_fn(id_col=id_col, key_col=key_col, ts_col=ts_col),
+        outputStructType=out_schema,
+        stateStructType=CLAMP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def eventtime_policy_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    tolerance_seconds: int = 60,
+) -> DataFrame:
+    """F3 streaming twin of the COMBINED policy
+    (`eventtime.eventtime_policy` / the oracled `q_eventtime_policy`):
+    drop events more than `tolerance_seconds` behind the per-key
+    high-watermark, clamp the surviving out-of-order ones forward. Same
+    one-long-per-key state as `adjust_clamp_stream` — the tolerance is
+    arithmetic against the carried mark, not extra state. No Spark
+    watermark: the policy OWNS lateness handling (drop-by-rule, not
+    drop-by-state-eviction), exactly mirroring the batch form."""
+    tagged = events.select(F.col(id_col), F.col(key_col), F.col(ts_col))
+    out_schema = StructType(
+        [*tagged.schema.fields, StructField("adjusted_ts", TimestampType())]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_adjust_clamp_fn(
+            id_col=id_col,
+            key_col=key_col,
+            ts_col=ts_col,
+            tolerance_us=tolerance_seconds * 1_000_000,
+        ),
         outputStructType=out_schema,
         stateStructType=CLAMP_STATE_SCHEMA,
         outputMode="append",

@@ -678,3 +678,106 @@ def test_adjust_clamp_stream_clamps_out_of_order_across_batches(spark, tmp_path)
     assert got[4] == ts(60)   # clamped forward across the batch boundary
     assert got[6] == ts(500)  # late row kept and clamped, not dropped
     assert got[5] == ts(90)   # in-order rows pass through untouched
+
+
+def test_eventtime_policy_stream_matches_batch_and_drops_late(spark, tmp_path):
+    """F3 combined policy streaming twin: events beyond the tolerance
+    are DROPPED (not clamped), surviving out-of-order events are
+    clamped — equal to the batch `eventtime_policy` on the same frame,
+    with the drop landing across a micro-batch boundary."""
+    import datetime as dt
+    import os
+    import time as time_mod
+
+    from azure_iot_realtime_data_pipeline_spark.operators.eventtime import (
+        eventtime_policy,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        eventtime_policy_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    batch1 = [(1, 100, ts(0)), (2, 100, ts(60)), (3, 200, ts(500))]
+    batch2 = [
+        (4, 100, ts(30)),   # 30s behind hwm 60 -> inside tolerance, clamped
+        (5, 100, ts(90)),   # in-order
+        (6, 200, ts(200)),  # 300s behind u2's hwm 500 -> DROPPED
+        (7, 200, ts(460)),  # 40s behind -> clamped to 500
+    ]
+    schema = "event_id long, user_id long, ts timestamp"
+    replay = tmp_path / "policy_replay"
+    for i, rows in enumerate((batch1, batch2)):
+        part = str(replay / f"bucket={i:02d}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        now = time_mod.time()
+        for root, _dirs, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i, now + i))
+    q = (
+        eventtime_policy_stream(
+            replay_events(spark, str(replay)), tolerance_seconds=60
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("policy_ooo")
+        .option("checkpointLocation", str(tmp_path / "ckpt_policy"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.event_id: r.adjusted_ts
+        for r in spark.sql("select * from policy_ooo").collect()
+    }
+    batch_df = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        r.event_id: r.adjusted_ts
+        for r in eventtime_policy(batch_df, tolerance_seconds=60).collect()
+    }
+    assert got == want
+    assert 6 not in got          # beyond tolerance: dropped
+    assert got[4] == ts(60)      # inside tolerance: clamped
+    assert got[7] == ts(500)     # inside tolerance: clamped
+    assert got[5] == ts(90)      # in-order: untouched
+
+
+def test_eventtime_policy_stream_matches_batch_on_replay(
+    spark, sf_smoke, tmp_path
+):
+    """Replay parity for the combined policy on the driver testdata
+    (in-order per key -> nothing drops, everything passes through;
+    the firing paths are pinned by the synthetic test above)."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import (
+        q_eventtime_policy,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.source import (
+        stage_replay_dir_arrival,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        eventtime_policy_stream,
+    )
+
+    replay = stage_replay_dir_arrival(
+        spark, sf_smoke, str(tmp_path / "replay_policy"), num_files=4
+    )
+    q = (
+        eventtime_policy_stream(replay_events(spark, replay))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("policy_replay")
+        .option("checkpointLocation", str(tmp_path / "ckpt_policy_r"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from policy_replay")
+    want = q_eventtime_policy(spark, sf_smoke)
+    cols = ["event_id", "user_id", "adjusted_ts"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
