@@ -508,3 +508,32 @@ def sample_per_group(
         )
         .drop("_draw", "rank")
     )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """J36: corpus-level top-k n-grams by DOCUMENT frequency — the
+    boilerplate/contamination discovery pass (which exact phrases appear
+    in the most documents?) that decides what J32 span dedup and J20
+    decontamination should target.
+
+    Plan shape at 100 TB: `token_shingles` dedups shingles WITHIN each
+    doc map-side (array_distinct before the explode), so the exploded
+    (doc, shingle) table needs no DISTINCT shuffle and the document
+    frequency is ONE map-side-combined count aggregate; the final
+    `orderBy(df DESC, shingle ASC).limit(top_k)` plans as
+    TakeOrderedAndProject (per-partition top-k + tiny driver merge),
+    never a global sort. Deterministic tie-break on the shingle text.
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        shingle_table,
+    )
+
+    sh = shingle_table(docs, text_col, id_col, shingle_k)
+    counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return counts.orderBy(F.col("df").desc(), F.col("shingle").asc()).limit(top_k)

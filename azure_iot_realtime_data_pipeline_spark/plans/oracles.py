@@ -631,6 +631,24 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = doc_b
         """
     ),
+    "q_top_ngrams": (
+        """
+        WITH docs AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+          FROM docs WHERE len(toks) >= 3
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM idx
+        )
+        SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+        ORDER BY df DESC, shingle ASC LIMIT 20
+        """
+    ),
     "q_topk_cosine": (
         """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

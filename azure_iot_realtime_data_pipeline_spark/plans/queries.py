@@ -1214,6 +1214,15 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.quantile_sketch(ev, "event_type", "value", n_bins=256)
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J36 (r5): corpus-level top-20 trigrams by document frequency —
+    boilerplate/contamination discovery. Within-doc shingle dedup is
+    map-side (array_distinct before explode), document frequency is one
+    map-side-combined count, the top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.top_ngrams(docs, shingle_k=3, top_k=20)
+
+
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J33 domain-mixture resampling: downsample over-represented
     sources so every source lands the same token share of a 50% global
@@ -1436,6 +1445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 2. new or changed in round 5 ----------------------------------
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
+    "q_top_ngrams": q_top_ngrams,
     "q_key_skew": q_key_skew,
     "q_sample_per_group": q_sample_per_group,
     # -- 3. r4 greens filling the 50-row window ------------------------

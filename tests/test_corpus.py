@@ -473,3 +473,41 @@ def test_repeated_spans_invariants(spark, texts):
         ivs.sort()
         for (s1, e1), (s2, _e2) in zip(ivs, ivs[1:]):
             assert s2 > e1, (doc, ivs)  # strictly disjoint after merge
+
+
+def test_top_ngrams_surfaces_planted_boilerplate(spark):
+    """J36: a phrase planted across many docs must rank first with
+    df == number of docs containing it (not occurrences — within-doc
+    repeats count once), and ties break on shingle text ascending."""
+    boiler = "subscribe to our newsletter"
+    rows = [
+        # boilerplate twice IN THE SAME DOC -> still df +1 for that doc
+        (i, f"unique words {i} alpha {boiler} middle {boiler} tail")
+        for i in range(6)
+    ] + [(100, "totally unrelated content here"), (101, "more unrelated words again")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = corpus.top_ngrams(df, shingle_k=3, top_k=20).collect()
+    assert got[0]["df"] == 6
+    by_shingle = {r["shingle"]: r["df"] for r in got}
+    assert by_shingle.get("subscribe to our") == 6
+    assert by_shingle.get("to our newsletter") == 6
+    # deterministic tie-break: equal-df shingles in text order
+    top_df = [r["df"] for r in got]
+    assert top_df == sorted(top_df, reverse=True)
+    equal = [r["shingle"] for r in got if r["df"] == got[0]["df"]]
+    assert equal == sorted(equal)
+
+
+def test_top_ngrams_plan_is_take_ordered(spark, sf_smoke):
+    """The top-k must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a global sort through one task."""
+    import contextlib
+    import io
+
+    docs = load_table(spark, sf_smoke, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        corpus.top_ngrams(docs).explain(mode="simple")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange SinglePartition" not in p, p
