@@ -781,3 +781,67 @@ def test_eventtime_policy_stream_matches_batch_on_replay(
     cols = ["event_id", "user_id", "adjusted_ts"]
     assert _as_set(got, cols) == _as_set(want, cols)
     assert got.count() == want.count() > 0
+
+
+def test_adjust_clamp_state_survives_restart(spark, tmp_path):
+    """Crash/restart contract for the F3 clamp state: process the first
+    micro-batch, stop, resume from the same checkpoint with new files —
+    the carried high-watermark must clamp an out-of-order event that
+    arrives only AFTER the restart."""
+    import datetime as dt
+    import os
+    import time as time_mod
+
+    from azure_iot_realtime_data_pipeline_spark.operators.eventtime import (
+        adjust_clamp,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        adjust_clamp_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    batch1 = [(1, 100, ts(0)), (2, 100, ts(120))]
+    batch2 = [(3, 100, ts(60))]  # out-of-order vs the PRE-restart hwm 120
+    schema = "event_id long, user_id long, ts timestamp"
+    replay = tmp_path / "clamp_restart_replay"
+    ckpt = str(tmp_path / "ckpt_clamp_restart")
+    got: dict[int, object] = {}
+
+    def write_bucket(i, rows):
+        part = str(replay / f"bucket={i:02d}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        now = time_mod.time()
+        for root, _dirs, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i, now + i))
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                got[r["event_id"]] = r["adjusted_ts"]
+
+        q = (
+            adjust_clamp_stream(replay_events(spark, str(replay)), watermark=None)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write_bucket(0, batch1)
+    run_once()
+    assert got == {1: ts(0), 2: ts(120)}
+    write_bucket(1, batch2)
+    run_once()
+    assert got[3] == ts(120)  # clamped by the RESTORED watermark
+    batch_df = spark.createDataFrame(batch1 + batch2, schema)
+    want = {r.event_id: r.adjusted_ts for r in adjust_clamp(batch_df).collect()}
+    assert got == want
