@@ -89,6 +89,24 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat, or None off-Linux.
+
+    This host is a VM on shareable hardware: bursty hypervisor-level
+    CPU steal measured r5 moved identical-code headline sums between
+    24.9 and 42.9 s with zero local load. Recording the steal fraction
+    OVER THE TIMED WINDOW lets a reader separate engine regressions
+    from host noise instead of guessing (BASELINE.md r5 row).
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = list(map(int, parts[1:9]))
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -133,6 +151,7 @@ def main() -> None:
     # runs to completion.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    jiffies_start = _cpu_jiffies()
     t_start = time.perf_counter()
     medians: dict[str, float] = {}
     mins: dict[str, float] = {}
@@ -206,6 +225,11 @@ def main() -> None:
         "reps": reps,
         "sf": sf_dir,
     }
+    jiffies_end = _cpu_jiffies()
+    if jiffies_start and jiffies_end and jiffies_end[1] > jiffies_start[1]:
+        steal = jiffies_end[0] - jiffies_start[0]
+        total = jiffies_end[1] - jiffies_start[1]
+        out["cpu_steal_pct"] = round(100.0 * steal / total, 2)
     if run_all:
         out["queries_all"] = timings_all
         out["value_all"] = round(sum(timings_all.values()), 3)
