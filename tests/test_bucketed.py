@@ -1,0 +1,86 @@
+"""Bucketed-table co-located join: the storage-layout shuffle
+eliminator, plan-gated.
+
+The session-scoped `spark` fixture has a default warehouse dir; tables
+created here are dropped on the way out so the suite stays rerunnable.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+from azure_iot_realtime_data_pipeline_spark.sources.bucketed import (
+    read_table,
+    write_bucketed,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def bucketed_pair(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, sf_smoke, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed(ev, "ev_bkt", "user_id", n_buckets=8)
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "user_id"), "cust_bkt", "user_id",
+        n_buckets=8,
+    )
+    yield "ev_bkt", "cust_bkt"
+    spark.sql("DROP TABLE IF EXISTS ev_bkt")
+    spark.sql("DROP TABLE IF EXISTS cust_bkt")
+
+
+def test_cobucketed_join_has_no_exchange(spark, sf_smoke, bucketed_pair):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange — the storage layout already co-locates the
+    keys, so the only remaining work is the per-bucket merge. The same
+    join over plain parquet shuffles (Exchange present), proving the
+    gate measures bucketing and not some session default."""
+    ev_t, cust_t = bucketed_pair
+    # disable broadcast so the join strategy is the big-big SMJ path the
+    # bucketing exists to serve (broadcast would mask the exchange)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, ev_t).join(read_table(spark, cust_t), "user_id")
+        p = _plan(joined)
+        assert "Exchange" not in p, p
+        # plain-parquet control: same join, shuffles both sides
+        ev = load_table(spark, sf_smoke, "events").select(
+            "event_id", "user_id", "value"
+        )
+        cust = load_table(spark, sf_smoke, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        p_plain = _plan(ev.join(cust, "user_id"))
+        assert "Exchange" in p_plain, p_plain
+        # and the bucketed join returns the same rows as the plain one
+        got = joined.count()
+        want = ev.join(cust, "user_id").count()
+        assert got == want > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, bucketed_pair):
+    """A groupBy on the bucket key reuses the storage partitioning too —
+    no Exchange before the aggregate (map-side-only plan)."""
+    ev_t, _ = bucketed_pair
+    agg = read_table(spark, ev_t).groupBy("user_id").agg(F.sum("value").alias("s"))
+    p = _plan(agg)
+    assert "Exchange" not in p, p
