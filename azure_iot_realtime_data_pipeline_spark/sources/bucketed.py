@@ -55,3 +55,29 @@ def write_bucketed(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — bucket metadata rides along, unlike path reads."""
     return spark.table(table)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    partition_col: str = "event_date",
+    mode: str = "overwrite",
+) -> None:
+    """Persist with Hive-style date partitioning (`.../event_date=.../`)
+    — the scan-side twin of bucketing: bucketing removes the JOIN
+    shuffle, date partitioning removes the SCAN of irrelevant history.
+    A time-range predicate then prunes whole directories at plan time
+    (plan-gated in tests/test_bucketed.py): on a 100 TB archive the
+    difference between reading one day and reading everything. This is
+    the layout the A3 bronze archive and the A6 incremental tail assume
+    — the tail's `ts > watermark` filter rides the partition column.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn(partition_col, F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -84,3 +84,34 @@ def test_bucketed_aggregation_has_no_exchange(spark, bucketed_pair):
     agg = read_table(spark, ev_t).groupBy("user_id").agg(F.sum("value").alias("s"))
     p = _plan(agg)
     assert "Exchange" not in p, p
+
+
+def test_date_partitioned_scan_prunes_partitions(spark, sf_smoke, tmp_path):
+    """Date partitioning must turn a time predicate into partition
+    pruning: the filtered scan reads strictly fewer files than the
+    unfiltered one, and the predicate appears as a PartitionFilter
+    (directory-level skip), not a row-level PushedFilter."""
+    from azure_iot_realtime_data_pipeline_spark.sources.bucketed import (
+        write_date_partitioned,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    path = str(tmp_path / "events_by_date")
+    write_date_partitioned(ev, path)
+    part = spark.read.parquet(path)
+    n_dates = part.select("event_date").distinct().count()
+    assert n_dates > 1, "testdata spans one date — pruning unobservable"
+    one_day = part.filter(
+        F.col("event_date") == part.agg(F.max("event_date")).collect()[0][0]
+    )
+    p = _plan(one_day)
+    # the date predicate must land in PartitionFilters — the
+    # directory-level skip applied at file listing (inputFiles() can't
+    # witness it: it reports the ANALYZED plan, before pruning)
+    scan_line = next(ln for ln in p.splitlines() if "PartitionFilters" in ln)
+    assert "event_date" in scan_line, p
+    # row-consistency: partition column reconstructs the same split
+    assert one_day.count() == ev.filter(
+        F.to_date("ts")
+        == ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    ).count() > 0
