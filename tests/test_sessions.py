@@ -194,3 +194,36 @@ def test_top_n_ascending_null_order_values_rank_last(spark):
         ("a", 1, 1.0),
         ("a", 2, 2.0),
     }
+
+
+def test_eventtime_policy_tolerance_boundary_inclusive(spark):
+    """F3 combined policy boundary semantics: an event EXACTLY
+    tolerance_seconds behind the high-water mark is KEPT (predicate is
+    >= hwm - tol) and clamped; one microsecond later it drops. The
+    running mark advances on receipt — a dropped event's own ts can
+    never set the mark (it is always below it by construction)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.eventtime import (
+        eventtime_policy,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(us):
+        return t0 + dt.timedelta(microseconds=us)
+
+    m = 1_000_000
+    rows = [
+        (1, 1, ts(100 * m)),           # sets hwm = 100 s
+        (2, 1, ts(40 * m)),            # exactly 60 s behind -> kept, clamped
+        (3, 1, ts(40 * m - 1)),        # 60 s + 1 µs behind -> dropped
+        (4, 1, ts(150 * m)),           # advances hwm to 150 s
+        (5, 1, ts(90 * m)),            # exactly 60 s behind new hwm -> kept
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r.event_id: r.adjusted_ts
+        for r in eventtime_policy(df, tolerance_seconds=60).collect()
+    }
+    assert set(got) == {1, 2, 4, 5}
+    assert got[2] == ts(100 * m)
+    assert got[5] == ts(150 * m)
