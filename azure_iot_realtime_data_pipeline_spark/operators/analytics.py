@@ -269,3 +269,58 @@ def quantile_sketch(
     return first.select(
         F.col(group), F.col("q"), round_half_up(est).alias("p_est")
     )
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """L9 OHLC downsampling: per (key, epoch-aligned bucket) emit the
+    open/high/low/close of the measurement — the standard lossy
+    time-series compaction for dashboards (candles) and long-term
+    retention, one step past the reference's raw (deviceId, ts) bar
+    series (reference docs/Power_BI_Dashboard.png, README.MD:182).
+
+    Plan shape: ONE hash aggregate on (key, bucket) with full map-side
+    combine — open/close come from min/max over (epoch, tiebreak, value)
+    STRUCTS (lexicographic struct ordering; (epoch, tiebreak) is unique
+    per row so the value field never decides), the same
+    aggregate-instead-of-window trick as latest_value_per_key (E5) and
+    compact_bursts (K8). No window, no second shuffle, and at 100 TB the
+    partial aggregates bound every task's state to |open-struct| +
+    |close-struct| + 2 doubles per in-flight group.
+
+    NULL measurements are dropped up front: a NULL value field inside
+    the ordering struct would corrupt lexicographic min/max, and
+    min/max/count semantics over the remaining fields match SQL
+    aggregates that skip NULLs anyway.
+
+    Returns (key, bucket_start, open, high, low, close, n).
+    """
+    ep = F.unix_micros(F.col(ts_col))
+    bucket_us = bucket_seconds * 1_000_000
+    bucket_start = F.timestamp_micros(
+        F.floor(ep / F.lit(bucket_us)).cast("long") * bucket_us
+    )
+    staged = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key),
+        bucket_start.alias("bucket_start"),
+        F.struct(
+            ep.alias("_e"), F.col(tiebreak).alias("_t"), F.col(value_col).alias("_v")
+        ).alias("_o"),
+        F.col(value_col).alias("_val"),
+    )
+    return (
+        staged.groupBy(key, "bucket_start")
+        .agg(
+            F.min("_o").getField("_v").alias("open"),
+            F.max("_val").alias("high"),
+            F.min("_val").alias("low"),
+            F.max("_o").getField("_v").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -537,3 +537,53 @@ def top_ngrams(
     sh = shingle_table(docs, text_col, id_col, shingle_k)
     counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     return counts.orderBy(F.col("df").desc(), F.col("shingle").asc()).limit(top_k)
+
+
+def contamination_score(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """J37: per-document benchmark-overlap FRACTION — the graded
+    companion to J20's boolean decontamination gate: what share of a
+    doc's distinct k-gram shingles appear anywhere in the benchmark
+    set? Pipelines threshold this score (drop > 0.8, flag > 0.1) instead
+    of dropping on a single shared phrase, which J20's any-hit rule
+    over-fires on (stock phrases, code license headers).
+
+    Plan shape at 100 TB: shingles are DEDUPED WITHIN EACH DOC map-side
+    (`token_shingles` array_distinct before the explode — no DISTINCT
+    shuffle); the benchmark's distinct shingle set is small by
+    definition (eval sets, not corpora) and BROADCASTS into a left join
+    that tags hits, so the corpus side's only exchange is the final
+    per-doc count aggregate (map-side combine). Docs below k tokens
+    have no shingles and are absent from the output, same contract as
+    J20's shingle stage.
+
+    Returns (doc_id, n_shingles, n_hits, contamination).
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import shingle_table
+
+    doc_sh = shingle_table(
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col))),
+        text_col,
+        id_col,
+        k,
+    )
+    bench_sh = (
+        shingle_table(benchmark, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tagged = doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("contamination"),
+    )

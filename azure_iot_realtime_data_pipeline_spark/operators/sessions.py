@@ -417,3 +417,145 @@ def compact_bursts(
         F.col("n_events"),
         *[F.col(f"_first.{c}").alias(f"first_{c}") for c in carry_cols],
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """K9 time-weighted average per key: LOCF (step-function) weighting —
+    each observation's value holds until the next observation, so
+    TWA = sum(value_i * dt_i) / (t_last - t_first), the standard
+    irregular-telemetry aggregate (a plain AVG over-weights chatty
+    periods; the reference's dashboard AVGs raw rows,
+    reference docs/Power_BI_Dashboard.png, which is exactly that bias).
+
+    Parity/scale shape: dt comes from ONE lead window per key; the
+    weighted sum accumulates in DECIMAL (order-free, engine-exact —
+    double summation is accumulation-order-dependent) and only the final
+    scalar division casts to double. Window and groupBy share the same
+    hash partitioning on the key, so Catalyst plans a single Exchange.
+    Keys with one observation (span 0) yield NULL twa.
+
+    Returns (key, n_obs, span_us, twa_value).
+    """
+    ep = F.unix_micros(F.col(ts_col))
+    staged = df.select(
+        F.col(key),
+        ep.alias("_ep"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+        F.col(tiebreak).alias("_tb"),
+    )
+    w = Window.partitionBy(key).orderBy(F.col("_ep"), F.col("_tb"))
+    dt = F.coalesce(F.lead("_ep").over(w) - F.col("_ep"), F.lit(0)).alias("_dt")
+    weighted = staged.select(F.col(key), F.col("_v"), dt)
+    agg = weighted.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("_dt").alias("span_us"),
+        F.sum(F.col("_v") * F.col("_dt").cast("decimal(20,0)")).alias("_wsum"),
+    )
+    twa = F.when(
+        F.col("span_us") > 0,
+        F.floor(
+            F.col("_wsum").cast("double") / F.col("span_us").cast("double") * 10000.0
+            + 0.5
+        )
+        / 10000.0,
+    )
+    return agg.select(
+        F.col(key),
+        F.col("n_obs"),
+        F.col("span_us"),
+        twa.alias("twa_value"),
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    step_seconds: int,
+) -> DataFrame:
+    """K10 gap-fill / resample: project each key's irregular series onto
+    a regular epoch-aligned grid between its first and last observation,
+    emitting both LOCF (last-observation-carried-forward) and linear
+    interpolation at every tick — the time_bucket_gapfill + locf +
+    interpolate trio of every time-series store, absent from Spark.
+
+    Construction (ONE shuffle on the key, no range join):
+    1. collapse duplicate (key, ts) observations to the max-tiebreak row;
+    2. per-key bounds aggregate (tiny) -> `F.sequence` tick array
+       exploded MAP-SIDE (fan-out before any shuffle, like hopping
+       windows — never a join against a generated calendar table);
+    3. union ticks (null value) with observations and run backward
+       last-non-null + forward first-non-null carries over a single
+       window sort: (ep, is_obs DESC) puts an observation BEFORE its
+       coincident tick, so LOCF at an exact-hit tick sees it while the
+       forward frame (current row ->) sees only strictly-later
+       observations — which makes the interpolation formula collapse to
+       the observed value at exact hits without a special case.
+
+    Ticks lie inside [first, last] so a backward neighbor always exists;
+    interp falls back to LOCF when no forward neighbor exists (only the
+    tick coinciding with the last observation). The interpolation is
+    deterministic scalar double math written identically in the oracle;
+    the result is round-half-up'd to 4 decimals like every
+    accumulation-adjacent surface.
+
+    Returns (key, tick, locf_value, interp_value).
+    """
+    step_us = step_seconds * 1_000_000
+    ep = F.unix_micros(F.col(ts_col))
+    dedup_w = Window.partitionBy(key, ts_col).orderBy(F.col(tiebreak).desc())
+    obs = (
+        df.select(F.col(key), F.col(ts_col), ep.alias("_ep"), F.col(value_col), F.col(tiebreak))
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(key), F.col("_ep"), F.col(value_col).alias("_v"))
+    )
+    bounds = obs.groupBy(key).agg(F.min("_ep").alias("_mn"), F.max("_ep").alias("_mx"))
+    first_tick = F.ceil(F.col("_mn") / F.lit(step_us)) * step_us
+    last_tick = F.floor(F.col("_mx") / F.lit(step_us)) * step_us
+    grid = (
+        bounds.filter(last_tick >= first_tick)
+        .select(
+            F.col(key),
+            F.explode(F.sequence(first_tick, last_tick, F.lit(step_us))).alias("_ep"),
+        )
+        .select(F.col(key), F.col("_ep"), F.lit(None).cast("double").alias("_v"),
+                F.lit(0).alias("_is_obs"))
+    )
+    unioned = obs.select(key, "_ep", "_v", F.lit(1).alias("_is_obs")).unionByName(grid)
+    w = Window.partitionBy(key).orderBy(F.col("_ep"), F.col("_is_obs").desc())
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_ep = F.when(F.col("_is_obs") == 1, F.col("_ep"))
+    carried = unioned.select(
+        F.col(key),
+        F.col("_ep"),
+        F.col("_is_obs"),
+        F.last("_v", ignorenulls=True).over(back).alias("_locf"),
+        F.last(obs_ep, ignorenulls=True).over(back).alias("_prev_ep"),
+        F.first("_v", ignorenulls=True).over(fwd).alias("_next_v"),
+        F.first(obs_ep, ignorenulls=True).over(fwd).alias("_next_ep"),
+    )
+    frac = (F.col("_ep") - F.col("_prev_ep")).cast("double") / (
+        F.col("_next_ep") - F.col("_prev_ep")
+    ).cast("double")
+    interp_raw = F.when(F.col("_next_ep").isNull(), F.col("_locf")).otherwise(
+        F.col("_locf") + (F.col("_next_v") - F.col("_locf")) * frac
+    )
+    return (
+        carried.filter(F.col("_is_obs") == 0)
+        .select(
+            F.col(key),
+            F.timestamp_micros(F.col("_ep")).alias("tick"),
+            F.col("_locf").alias("locf_value"),
+            (F.floor(interp_raw * 10000.0 + 0.5) / 10000.0).alias("interp_value"),
+        )
+    )

@@ -1263,6 +1263,150 @@ ORACLES: dict[str, str] = {
         )
         """
     ),
+    # --- §2.K/L late-r5 time-series analytics (K9/K10/L9) ---
+    "q_time_weighted_avg": (
+        # weighted sum accumulates in DECIMAL (order-free); only the
+        # final scalar division runs in double, rounded half-up
+        """
+        WITH d AS (
+          SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+                 COALESCE(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id)
+                          - epoch_us(ts), 0) AS dt
+          FROM events
+        )
+        SELECT user_id, COUNT(*) AS n_obs,
+               CAST(SUM(dt) AS BIGINT) AS span_us,
+               CASE WHEN SUM(dt) > 0 THEN
+                 floor(CAST(SUM(v * CAST(dt AS DECIMAL(20,0))) AS DOUBLE)
+                       / CAST(SUM(dt) AS DOUBLE) * 10000 + 0.5) / 10000
+               END AS twa_value
+        FROM d GROUP BY user_id
+        """
+    ),
+    "q_gap_fill": (
+        # obs sorts BEFORE its coincident tick ((ep, is_obs DESC)), so
+        # LOCF sees an exact-hit observation while the forward frame
+        # (current row ->) sees only strictly-later ones — interp
+        # collapses to the observed value at exact hits with no special
+        # case; ticks lie inside [first, last] so prev always exists
+        """
+        WITH obs AS (
+          SELECT user_id, epoch_us(ts) AS ep, value AS v
+          FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) = 1
+        ),
+        bounds AS (
+          SELECT user_id,
+                 CAST(ceil(min(ep) / 21600000000.0) AS BIGINT) * 21600000000 AS t0,
+                 CAST(floor(max(ep) / 21600000000.0) AS BIGINT) * 21600000000 AS t1
+          FROM obs GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id, unnest(generate_series(t0, t1, 21600000000)) AS ep
+          FROM bounds WHERE t1 >= t0
+        ),
+        u AS (
+          SELECT user_id, ep, v, 1 AS is_obs FROM obs
+          UNION ALL
+          SELECT user_id, ep, NULL, 0 FROM grid
+        ),
+        c AS (
+          SELECT user_id, ep, is_obs,
+            last_value(v IGNORE NULLS) OVER wback AS locf,
+            last_value(CASE WHEN is_obs = 1 THEN ep END IGNORE NULLS)
+              OVER wback AS prev_ep,
+            first_value(v IGNORE NULLS) OVER wfwd AS next_v,
+            first_value(CASE WHEN is_obs = 1 THEN ep END IGNORE NULLS)
+              OVER wfwd AS next_ep
+          FROM u
+          WINDOW
+            wback AS (PARTITION BY user_id ORDER BY ep, is_obs DESC
+                      ROWS UNBOUNDED PRECEDING),
+            wfwd AS (PARTITION BY user_id ORDER BY ep, is_obs DESC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, make_timestamp(ep) AS tick, locf AS locf_value,
+               floor((CASE WHEN next_ep IS NULL THEN locf
+                      ELSE locf + (next_v - locf)
+                           * (CAST(ep - prev_ep AS DOUBLE)
+                              / CAST(next_ep - prev_ep AS DOUBLE)) END)
+                     * 10000 + 0.5) / 10000 AS interp_value
+        FROM c WHERE is_obs = 0
+        """
+    ),
+    "q_ohlc": (
+        """
+        WITH e AS (
+          SELECT event_type,
+                 make_timestamp(CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                                * 86400000000) AS bucket_start,
+                 epoch_us(ts) AS ep, event_id, value
+          FROM events WHERE value IS NOT NULL
+        ),
+        r AS (
+          SELECT event_type, bucket_start, value,
+                 row_number() OVER (PARTITION BY event_type, bucket_start
+                                    ORDER BY ep, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bucket_start
+                                    ORDER BY ep DESC, event_id DESC) AS rn_d
+          FROM e
+        )
+        SELECT event_type, bucket_start,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n
+        FROM r GROUP BY event_type, bucket_start
+        """
+    ),
+    # --- §2.M scale validation (M3) ---
+    "q_big_orders": (
+        """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, b.sum_qty
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        """
+    ),
+    # --- §2.J contamination score (J37) ---
+    "q_contamination_score": (
+        # same tokenizer/shingle/benchmark construction as
+        # q_decontaminate; DISTINCT within doc mirrors token_shingles'
+        # array_distinct
+        """
+        WITH docs AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+          FROM docs WHERE len(toks) >= 3
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM idx
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination
+        FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+        GROUP BY s.doc_id
+        """
+    ),
 }
 
 

@@ -11,7 +11,7 @@ from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
-from azure_iot_realtime_data_pipeline_spark.operators import dedup, skew, text
+from azure_iot_realtime_data_pipeline_spark.operators import analytics, dedup, skew, text
 from azure_iot_realtime_data_pipeline_spark.operators.windows import (
     spike_dip_score,
     trailing_window,
@@ -718,3 +718,62 @@ def test_ivf_rejects_unknown_centroid_mode(spark, sf_oracle):
     c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
     with pytest.raises(ValueError, match="centroids"):
         ivf_topk(q, c, centroids="surprise")
+
+
+def test_ohlc_downsample_hand_computed(spark):
+    import datetime as dt
+
+    rows = [
+        ("s", 1, dt.datetime(2024, 1, 1, 0, 0, 0), 5.0),
+        ("s", 2, dt.datetime(2024, 1, 1, 6, 0, 0), 9.0),
+        ("s", 3, dt.datetime(2024, 1, 1, 12, 0, 0), 1.0),
+        ("s", 4, dt.datetime(2024, 1, 1, 18, 0, 0), 3.0),
+        ("s", 5, dt.datetime(2024, 1, 2, 1, 0, 0), 7.0),  # next bucket
+        ("s", 6, dt.datetime(2024, 1, 2, 2, 0, 0), None),  # dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, event_id int, ts timestamp, value double"
+    )
+    out = analytics.ohlc_downsample(df, "key", "ts", "value", "event_id", 86400)
+    got = {r.bucket_start.isoformat(): r for r in out.collect()}
+    d1 = got["2024-01-01T00:00:00"]
+    assert (d1.open, d1.high, d1.low, d1.close, d1.n) == (5.0, 9.0, 1.0, 3.0, 4)
+    d2 = got["2024-01-02T00:00:00"]
+    assert (d2.open, d2.high, d2.low, d2.close, d2.n) == (7.0, 7.0, 7.0, 7.0, 1)
+
+
+def test_ohlc_open_close_by_tiebreak_at_equal_ts(spark):
+    # two rows at the identical timestamp: (ts, tiebreak) decides both
+    # ends — open is the LOWER event_id, close the HIGHER, regardless
+    # of which value is larger.
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [("s", 2, t, 1.0), ("s", 1, t, 9.0)],
+        "key string, event_id int, ts timestamp, value double",
+    )
+    out = analytics.ohlc_downsample(df, "key", "ts", "value", "event_id", 86400)
+    r = out.collect()[0]
+    assert (r.open, r.close) == (9.0, 1.0)
+
+
+def test_contamination_score_bounds(spark):
+    from azure_iot_realtime_data_pipeline_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingles {a b c, b c d}
+            (2, "a b c x y z"),      # shares "a b c" only -> 1/4
+            (3, "p q r s"),          # no overlap -> 0.0
+            (4, "p q"),              # < k tokens -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, "a b c d")], "doc_id long, text string")
+    out = corpus_ops.contamination_score(docs, bench)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_shingles, got[1].n_hits, got[1].contamination) == (2, 2, 1.0)
+    assert (got[2].n_shingles, got[2].n_hits, got[2].contamination) == (4, 1, 0.25)
+    assert got[3].contamination == 0.0

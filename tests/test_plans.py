@@ -193,3 +193,60 @@ def test_revenue_join_never_shuffles_the_fact_table(spark, sf_smoke):
     for ln in p.splitlines():
         if "Exchange" in ln and "hashpartitioning" in ln:
             assert "l_orderkey" not in ln and "o_custkey" not in ln, ln
+
+
+def test_big_orders_aggregates_then_broadcasts(spark, sf_smoke):
+    # M3 (Q18 shape): the fact table's ONLY exchange is the l_orderkey
+    # aggregate (map-side combine present); the HAVING-pruned key set
+    # and the customer dimension both come back as broadcast joins —
+    # the fact side never shuffles on a JOIN key.
+    p = plan_of(spark, sf_smoke, "q_big_orders", mode="simple")
+    assert p.count("BroadcastHashJoin") == 2, p
+    assert "SortMergeJoin" not in p, p
+    # partial + final aggregate around the single hashpartitioning
+    assert len(re.findall(r"\bHashAggregate\b", p)) >= 2, p
+    shuffles = [
+        ln
+        for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1 and "l_orderkey" in shuffles[0], shuffles
+
+
+def test_time_weighted_avg_single_exchange(spark, sf_smoke):
+    # K9: the lead window and the per-key aggregate share the hash
+    # partitioning on the key — ONE exchange end-to-end, with the
+    # partial aggregate running map-side after the window.
+    p = plan_of(spark, sf_smoke, "q_time_weighted_avg", mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert len(re.findall(r"\bHashAggregate\b", p)) >= 2, p
+
+
+def test_ohlc_is_one_combinable_aggregate(spark, sf_smoke):
+    # L9: one exchange on (key, bucket) with a partial aggregate before
+    # it (struct min/max plans as SortAggregate — still map-side
+    # combinable) and no window operator anywhere.
+    p = plan_of(spark, sf_smoke, "q_ohlc", mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert len(re.findall(r"\b(?:Sort|Hash)Aggregate\b", p)) >= 2, p
+    assert "Window" not in p, p
+
+
+def test_gap_fill_generates_grid_without_a_join(spark, sf_smoke):
+    # K10: ticks come from a sequence explode over the tiny bounds
+    # aggregate — never a join against a generated calendar table, and
+    # no range join between ticks and observations (the carries ride
+    # one window sort on the key).
+    p = plan_of(spark, sf_smoke, "q_gap_fill")
+    assert "Join" not in p, p
+    assert "Generate explode" in p or "Generate" in p, p
+
+
+def test_contamination_score_broadcasts_the_benchmark(spark, sf_smoke):
+    # J37: the benchmark shingle set broadcasts; the corpus side's only
+    # hashpartitioning exchanges are the per-doc aggregate (and the
+    # benchmark's own tiny distinct) — never one keyed on the corpus
+    # shingle.
+    p = plan_of(spark, sf_smoke, "q_contamination_score")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p

@@ -227,3 +227,64 @@ def test_eventtime_policy_tolerance_boundary_inclusive(spark):
     assert set(got) == {1, 2, 4, 5}
     assert got[2] == ts(100 * m)
     assert got[5] == ts(150 * m)
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    # key "u": v=10 holds for 10s, v=20 holds for 20s, v=99 has no
+    # successor (weight 0) -> TWA = (10*10 + 20*20)/30 = 16.6667;
+    # key "v": single observation -> span 0, twa NULL.
+    df = spark.createDataFrame(
+        [
+            ("u", 1, _ts("2024-01-01 00:00:00"), 10.0),
+            ("u", 2, _ts("2024-01-01 00:00:10"), 20.0),
+            ("u", 3, _ts("2024-01-01 00:00:30"), 99.0),
+            ("v", 4, _ts("2024-01-01 00:00:00"), 42.0),
+        ],
+        "user_id string, event_id int, ts timestamp, value double",
+    )
+    out = sessions.time_weighted_avg(df, "user_id", "ts", "value", "event_id")
+    got = {r.user_id: r for r in out.collect()}
+    assert got["u"].n_obs == 3
+    assert got["u"].span_us == 30_000_000
+    assert got["u"].twa_value == 16.6667
+    assert got["v"].n_obs == 1
+    assert got["v"].span_us == 0
+    assert got["v"].twa_value is None
+
+
+def test_gap_fill_exact_hits_midpoint_and_duplicate_ts(spark):
+    # obs at 00:00 (v=10) and 02:00 (v=30); 1-h grid -> ticks 00/01/02.
+    # 00:00 is an exact hit (locf=interp=10); 01:00 interpolates the
+    # midpoint 20; 02:00 is the LAST observation (forward neighbor
+    # absent -> interp falls back to locf=30). A duplicate-ts pair at
+    # 02:00 must collapse to the max-tiebreak row (v=30, not v=7).
+    df = spark.createDataFrame(
+        [
+            ("u", 1, _ts("2024-01-01 00:00:00"), 10.0),
+            ("u", 2, _ts("2024-01-01 02:00:00"), 7.0),
+            ("u", 3, _ts("2024-01-01 02:00:00"), 30.0),
+        ],
+        "user_id string, event_id int, ts timestamp, value double",
+    )
+    out = sessions.gap_fill(df, "user_id", "ts", "value", "event_id", 3600)
+    got = {r.tick.isoformat(): (r.locf_value, r.interp_value) for r in out.collect()}
+    assert got == {
+        "2024-01-01T00:00:00": (10.0, 10.0),
+        "2024-01-01T01:00:00": (10.0, 20.0),
+        "2024-01-01T02:00:00": (30.0, 30.0),
+    }
+
+
+def test_gap_fill_no_aligned_tick_inside_span(spark):
+    # span (00:30 -> 00:50) contains no aligned hourly tick: the grid
+    # is empty and the operator returns zero rows, not an error
+    # (F.sequence with start > stop would throw without the guard).
+    df = spark.createDataFrame(
+        [
+            ("u", 1, _ts("2024-01-01 00:30:00"), 1.0),
+            ("u", 2, _ts("2024-01-01 00:50:00"), 2.0),
+        ],
+        "user_id string, event_id int, ts timestamp, value double",
+    )
+    out = sessions.gap_fill(df, "user_id", "ts", "value", "event_id", 3600)
+    assert out.count() == 0
