@@ -120,6 +120,116 @@ def _kmeans_centroids(
     ]
 
 
+def deterministic_centroids(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+) -> list[tuple[int, list[float]]]:
+    """The `n_cells` lowest-id candidate vectors as a centroid literal
+    table — exactly reproducible and SQL-oracle-able (the parity path
+    shared by ivf_topk and dedup.semantic_dedup). An O(1)-size driver
+    collect: n_cells rows by construction, the same table the old plan
+    broadcast, turned into literals so assignment needs no join."""
+    cents = (
+        candidates.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    return sorted(
+        (int(r["cent_id"]), [float(x) for x in r["cent_vec"]]) for r in cents.collect()
+    )
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    cent_lits: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Map-side numpy argmin cell assignment over a centroid literal
+    table: returns (id, vec, _cn, cell_id) with ZERO shuffle of `df`
+    (narrow Arrow `mapInPandas`). Extracted from ivf_topk in late r5 so
+    semantic dedup shares the identical, bit-pinned arithmetic.
+
+    Bit parity with the Catalyst expression form is preserved by
+    construction: per element the dot/norm accumulate in ascending dim
+    order (acc = acc + v[k]*c[k], exactly norm_f64/dot_f64's sequential
+    f64 fold — numpy's pairwise np.dot would NOT match), the cosine
+    rounds via the same floor(x*1e4+0.5)/1e4, and ties resolve to the
+    lowest cent_id by iterating centroids in ascending id order with a
+    strict > update. The emitted _cn is the same sequential-fold norm
+    downstream pair scoring needs, folded once per vector. NULL and
+    zero-norm vectors are dropped (the expression form scored them NULL
+    and they joined nothing downstream)."""
+    import math as _math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    vec_type = df.schema[vec_col].dataType
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = []
+        for cid, cvec in cent_lits:  # cent_lits is sorted ascending cid
+            acc = 0.0
+            for x in cvec:
+                acc += x * x
+            cents.append((cid, np.asarray(cvec, dtype=np.float64), _math.sqrt(acc)))
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n, d = v.shape
+            nrm = np.zeros(n)
+            for k in range(d):
+                nrm = nrm + v[:, k] * v[:, k]
+            nrm = np.sqrt(nrm)
+            nz = nrm > 0.0
+            if not nz.all():
+                pdf, v, nrm = pdf[nz], v[nz], nrm[nz]
+                n = len(nrm)
+                if n == 0:
+                    continue
+            best = np.full(n, -np.inf)
+            bid = np.zeros(n, dtype=np.int64)
+            for cid, c, cn in cents:
+                acc = np.zeros(n)
+                for k in range(d):
+                    acc = acc + v[:, k] * c[k]
+                cos = np.floor((acc / (nrm * cn)) * 10000.0 + 0.5) / 10000.0
+                take = cos > best
+                best = np.where(take, cos, best)
+                bid = np.where(take, cid, bid)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col].to_numpy(),
+                    "_cn": nrm,
+                    "cell_id": bid,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField(vec_col, vec_type),
+            StructField("_cn", DoubleType()),
+            StructField("cell_id", LongType()),
+        ]
+    )
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -177,17 +287,7 @@ def ivf_topk(
             candidates, cand_vec, n_cells, kmeans_seed, kmeans_sample_fraction
         )
     elif centroids == "deterministic":
-        cents = (
-            candidates.orderBy(F.col(cand_id).asc())
-            .limit(n_cells)
-            .select(F.col(cand_id).alias("cent_id"), F.col(cand_vec).alias("cent_vec"))
-        )
-        # n_cells rows by construction: an O(1)-size driver collect (the
-        # same table the old plan broadcast), turned into literals so the
-        # argmin needs no join at all.
-        cent_lits = sorted(
-            ((int(r["cent_id"]), [float(x) for x in r["cent_vec"]]) for r in cents.collect()),
-        )
+        cent_lits = deterministic_centroids(candidates, cand_id, cand_vec, n_cells)
     else:
         raise ValueError(
             f"centroids must be 'deterministic' or 'kmeans', got {centroids!r}"
@@ -204,21 +304,14 @@ def ivf_topk(
             )
         )
 
-    # map-side argmin over the candidate side, numpy-vectorized (r4):
-    # the expression form folded 16 centroids x 64 dims of interpreted
-    # HOF per ROW (~2 s of the 3.7 s local cost); the Arrow mapInPandas
-    # form runs the same arithmetic as 64 vectorized column ops per
-    # centroid per BATCH. Bit parity with the expression path is
-    # preserved by construction: per element the dot/norm accumulate in
-    # ascending dim order (acc = acc + v[k]*c[k], exactly norm_f64 /
-    # dot_f64's sequential f64 fold — numpy's pairwise np.dot would NOT
-    # match), the cosine rounds via the same floor(x*1e4+0.5)/1e4, and
-    # ties resolve to the lowest cent_id by iterating centroids in
-    # ascending id order with a strict > update — identical to
-    # nearest_cells' (negcos, cent_id) array_sort. The emitted _cn is
-    # the same sequential-fold norm the pair scoring needs, folded once
-    # per vector. Plan shape is unchanged: scan -> narrow map ->
-    # broadcast probe join; the candidate side still never shuffles.
+    # map-side argmin over the candidate side, numpy-vectorized (r4;
+    # extracted to assign_to_centroids in late r5): the expression form
+    # folded 16 centroids x 64 dims of interpreted HOF per ROW (~2 s of
+    # the 3.7 s local cost); the Arrow mapInPandas form runs the same
+    # arithmetic as 64 vectorized column ops per centroid per BATCH,
+    # bit-pinned to the expression path (see assign_to_centroids). Plan
+    # shape unchanged: scan -> narrow map -> broadcast probe join; the
+    # candidate side still never shuffles.
     import math as _math
 
     from pyspark.sql.types import (
@@ -228,74 +321,7 @@ def ivf_topk(
         StructType,
     )
 
-    cand_id_type = candidates.schema[cand_id].dataType
-    cand_vec_type = candidates.schema[cand_vec].dataType
-
-    def _make_assign_fn(lits, id_name, vec_name):
-        def fn(batches):
-            import numpy as np
-            import pandas as pd
-
-            cents = []
-            for cid, cvec in lits:  # lits is sorted ascending cid
-                acc = 0.0
-                for x in cvec:
-                    acc += x * x
-                cents.append((cid, np.asarray(cvec, dtype=np.float64), _math.sqrt(acc)))
-            for pdf in batches:
-                # NULL vectors: the expression form scored them NULL and
-                # they joined nothing downstream — drop, same semantics
-                pdf = pdf[pdf[vec_name].notna()]
-                if not len(pdf):
-                    continue
-                v = np.stack(pdf[vec_name].to_numpy()).astype(np.float64)
-                n, d = v.shape
-                nrm = np.zeros(n)
-                for k in range(d):
-                    nrm = nrm + v[:, k] * v[:, k]
-                nrm = np.sqrt(nrm)
-                # zero-norm vectors: the expression form's cosine was
-                # 0/0 -> NULL, so the cell came out NULL and the row
-                # dropped at the join; NaN comparisons here would
-                # instead silently emit cell_id 0 — drop to match
-                nz = nrm > 0.0
-                if not nz.all():
-                    pdf, v, nrm = pdf[nz], v[nz], nrm[nz]
-                    n = len(nrm)
-                    if n == 0:
-                        continue
-                best = np.full(n, -np.inf)
-                bid = np.zeros(n, dtype=np.int64)
-                for cid, c, cn in cents:
-                    acc = np.zeros(n)
-                    for k in range(d):
-                        acc = acc + v[:, k] * c[k]
-                    cos = np.floor((acc / (nrm * cn)) * 10000.0 + 0.5) / 10000.0
-                    take = cos > best
-                    best = np.where(take, cos, best)
-                    bid = np.where(take, cid, bid)
-                yield pd.DataFrame(
-                    {
-                        id_name: pdf[id_name].to_numpy(),
-                        vec_name: pdf[vec_name].to_numpy(),
-                        "_cn": nrm,
-                        "cell_id": bid,
-                    }
-                )
-
-        return fn
-
-    assign_schema = StructType(
-        [
-            StructField(cand_id, cand_id_type),
-            StructField(cand_vec, cand_vec_type),
-            StructField("_cn", DoubleType()),
-            StructField("cell_id", LongType()),
-        ]
-    )
-    assigned = candidates.select(cand_id, cand_vec).mapInPandas(
-        _make_assign_fn(cent_lits, cand_id, cand_vec), assign_schema
-    )
+    assigned = assign_to_centroids(candidates, cent_lits, cand_id, cand_vec)
 
     # each query probes its n_probe nearest cells — the same numpy
     # arithmetic, ranked by (cosine DESC, cent_id ASC) exactly as the

@@ -1762,6 +1762,39 @@ ORACLES["q_cube_agg"] = """
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY CUBE (lang, source)
     """
+def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.3) -> str:
+    """Mirror of dedup.semantic_dedup with deterministic lowest-id
+    centroids: the `assigned` CTE is the same argmin-cell construction
+    as the q_ivf_topk oracle; survivors are vectors with no smaller-id
+    in-cell neighbor at rounded cosine >= tau."""
+    assign_cos = _cosine_sql("cv", "cent_vec")
+    pair_cos = _cosine_sql("a.cv", "b.cv")
+    return f"""
+        WITH cands AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cent_id, embedding AS cent_vec
+          FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+        ),
+        assigned AS (
+          SELECT cand_id, cv, cent_id AS cell_id FROM (
+            SELECT cands.cand_id, cands.cv, cents.cent_id,
+              row_number() OVER (PARTITION BY cands.cand_id
+                                 ORDER BY {assign_cos} DESC, cent_id) AS rn
+            FROM cands, cents
+          ) WHERE rn = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT b.cand_id
+          FROM assigned a JOIN assigned b
+            ON a.cell_id = b.cell_id AND a.cand_id < b.cand_id
+          WHERE {pair_cos} >= {tau}
+        )
+        SELECT cand_id AS vec_id, cell_id FROM assigned
+        WHERE cand_id NOT IN (SELECT cand_id FROM dropped)
+        """
+
+
+ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()
 ORACLES["q_kmv_distinct"] = _kmv_distinct_oracle()
 ORACLES["q_lsh_topk_multiprobe"] = _lsh_topk_multiprobe_oracle()
 ORACLES["q_minhash_lsh_portable"] = _minhash_portable_oracle()

@@ -1453,6 +1453,16 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J38 SemDeDup-style semantic dedup over the embeddings table:
+    assign to the 16 deterministic centroid cells (the bit-pinned IVF
+    argmin, zero shuffle), compare pairs within cells only, keep the
+    min-id representative of every near-dup group at rounded cosine
+    >= 0.3 (the J5 near-dup threshold for this corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, tau=0.3)
+
+
 def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J37 graded benchmark-overlap score per document (share of the
     doc's distinct shingles found in the benchmark) — the ranked
@@ -1518,7 +1528,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_spike_dip": q_spike_dip,
     "q_orderby": q_orderby,
     "q_identity": q_identity,
-    "q_incremental_tail": q_incremental_tail,
     # -- 2. new or changed in round 5 ----------------------------------
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1530,11 +1539,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ohlc": q_ohlc,
     "q_big_orders": q_big_orders,
     "q_contamination_score": q_contamination_score,
-    # -- 3. displaced from the r5 window to fit the five late-r5
+    "q_semantic_dedup": q_semantic_dedup,
+    # -- 3. displaced from the r5 window to fit the six late-r5
     #       queries above: q_salted_agg/q_salted_join/q_dedup_exact/
-    #       q_ngram_jaccard keep only r3 driver greens (stable, locally
-    #       parity-checked every run) and are TOP PRIORITY for the r6
-    #       window rotation; q_quantile_sketch has an r4 green ---------
+    #       q_ngram_jaccard/q_incremental_tail keep only r3 driver
+    #       greens (stable, locally parity-checked every run) and are
+    #       TOP PRIORITY for the r6 window rotation; q_quantile_sketch
+    #       has an r4 green -------------------------------------------
+    "q_incremental_tail": q_incremental_tail,
     "q_salted_agg": q_salted_agg,
     "q_salted_join": q_salted_join,
     "q_dedup_exact": q_dedup_exact,

@@ -777,3 +777,21 @@ def test_contamination_score_bounds(spark):
     assert (got[1].n_shingles, got[1].n_hits, got[1].contamination) == (2, 2, 1.0)
     assert (got[2].n_shingles, got[2].n_hits, got[2].contamination) == (4, 1, 0.25)
     assert got[3].contamination == 0.0
+
+
+def test_semantic_dedup_within_cell_min_id_survives(spark):
+    # centroids = 2 lowest-id vectors (x-axis, y-axis). v3/v4 are
+    # near-copies of v1/v2 in their cells -> dropped; v5 sits exactly
+    # between the centroids (cosine tie -> lowest cent_id's cell) but
+    # is far from every cell member -> survives.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.01]),
+        (4, [0.01, 1.0]),
+        (5, [0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.semantic_dedup(df, tau=0.95, n_cells=2)
+    got = {r.vec_id: r.cell_id for r in out.collect()}
+    assert got == {1: 1, 2: 2, 5: 1}
