@@ -683,3 +683,109 @@ def latest_value_stream(
             F.col(f"_row.{ts_col}").alias("latest_ts"),
         )
     )
+
+
+#: one small carry cell per key: first/prev event time (us), the
+#: previous value in half-up cents (-1 encodes a NULL value), the
+#: running weighted sum in cents*us, and the row count
+TWA_STATE_SCHEMA = StructType(
+    [
+        StructField("first_ts_us", LongType()),
+        StructField("prev_ts_us", LongType()),
+        StructField("prev_cents", LongType()),
+        StructField("wsum_cents_us", LongType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+TWA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_obs", LongType()),
+        StructField("span_us", LongType()),
+        StructField("twa_value", DoubleType()),
+    ]
+)
+
+
+def make_twa_fn(ts_col: str = "ts", id_col: str = "event_id", value_col: str = "value"):
+    """applyInPandasWithState body for the K9 streaming twin (picklable
+    closure). Per key: rows process in (ts, id) order; each interval
+    adds prev_cents * dt to the running weighted sum, exactly the batch
+    operator's DECIMAL(18,2) * dt accumulation held as an integer
+    (cents * us, bounded by max_cents * span — ~70x inside int64 for
+    this corpus' ranges; the batch decimal does not overflow either).
+    Cents come from floor(v*100 + 0.5) — identical to Spark's HALF_UP
+    decimal cast for the non-negative measurements this corpus has
+    (floor-rounding diverges from HALF_UP on negatives; a signed-corpus
+    caller should flip to copysign rounding and re-pin the parity
+    test). NULL measurements advance the clock but contribute nothing,
+    matching SUM-over-NULL-product semantics in batch."""
+    import math
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            first_ts, prev_ts, prev_cents, wsum, n = state.get
+        else:
+            first_ts = prev_ts = prev_cents = None
+            wsum, n = 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            ts = pdf[ts_col]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            ts_us = ts.astype("datetime64[us]").astype("int64")
+            vals = pdf[value_col]
+            for t, v in zip(ts_us, vals):
+                t = int(t)
+                if prev_ts is not None and prev_cents is not None and prev_cents >= 0:
+                    wsum += prev_cents * (t - prev_ts)
+                if first_ts is None:
+                    first_ts = t
+                prev_ts = t
+                prev_cents = -1 if pd.isna(v) else int(math.floor(float(v) * 100.0 + 0.5))
+                n += 1
+        span = (prev_ts - first_ts) if first_ts is not None else 0
+        if span > 0:
+            twa = math.floor((wsum / 100.0) / float(span) * 10000.0 + 0.5) / 10000.0
+        else:
+            twa = None
+        state.update((first_ts, prev_ts, prev_cents, wsum, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_obs": [n],
+                "span_us": [span],
+                "twa_value": [twa],
+            }
+        )
+
+    return fn
+
+
+def twa_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """K9 streaming twin: running LOCF time-weighted average per key.
+
+    The batch form (`sessions.time_weighted_avg`, oracle-checked as
+    `q_time_weighted_avg`) needs a lead window over the key's history;
+    the streaming state is just FIVE longs per key — first/prev
+    timestamp, previous value, running weighted sum, count — the same
+    O(1)-per-key carry-cell shape as asof_stream/event_gaps_stream,
+    strictly smaller than any windowed state. Each micro-batch emits
+    the running TWA as of that batch; the final emission equals the
+    batch operator over the replayed data (batch-equivalence tested;
+    n_obs is monotone, so max(n_obs) marks the final row per key)."""
+    tagged = events.select(F.col(key_col), F.col(ts_col), F.col(id_col), F.col(value_col))
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_twa_fn(ts_col=ts_col, id_col=id_col, value_col=value_col),
+        outputStructType=TWA_OUTPUT_SCHEMA,
+        stateStructType=TWA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

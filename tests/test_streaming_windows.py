@@ -845,3 +845,109 @@ def test_adjust_clamp_state_survives_restart(spark, tmp_path):
     batch_df = spark.createDataFrame(batch1 + batch2, schema)
     want = {r.event_id: r.adjusted_ts for r in adjust_clamp(batch_df).collect()}
     assert got == want
+
+
+def test_twa_stream_final_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """K9 streaming twin: the five-longs-per-key carry cell, folded
+    across micro-batches, lands exactly on the batch operator's
+    (n_obs, span_us, twa_value) per key — same cents*us integer
+    accumulation, same floor-rounded final division."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        time_weighted_avg,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        twa_stream,
+    )
+
+    q = (
+        twa_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("twa")
+        .option("checkpointLocation", str(tmp_path / "ckpt_twa"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # one emission per (key, micro-batch); n_obs is strictly increasing
+    # across a key's emissions (a batch without rows for the key emits
+    # nothing), so max(n_obs) marks the full-stream row
+    got = spark.sql(
+        """
+        SELECT user_id, n_obs, span_us, twa_value FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n_obs DESC
+          ) AS rn FROM twa
+        ) WHERE rn = 1
+        """
+    )
+    want = time_weighted_avg(
+        load_table(spark, sf_smoke, "events"), "user_id", "ts", "value", "event_id"
+    )
+    cols = ["user_id", "n_obs", "span_us", "twa_value"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
+
+
+def test_twa_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_path):
+    """Crash/restart contract for the K9 carry cell: half the stream,
+    stop, resume from the same checkpoint over the full directory — the
+    (first_ts, prev_ts, prev_cents, wsum, n) state must carry over and
+    the final running TWA must equal the batch operator over ALL
+    events."""
+    import os
+    import shutil
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        time_weighted_avg,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        twa_stream,
+    )
+
+    src_buckets = sorted(os.listdir(replay_dir))
+    half_dir = str(tmp_path / "replay_half_twa")
+    os.makedirs(half_dir)
+    for b in src_buckets[:2]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    ckpt = str(tmp_path / "ckpt_twa_restart")
+    emissions: list[tuple] = []
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emissions.append(
+                    (r["user_id"], r["n_obs"], r["span_us"], r["twa_value"])
+                )
+
+        q = (
+            twa_stream(replay_events(spark, half_dir))
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first_len = len(emissions)
+    assert first_len > 0
+    for b in src_buckets[2:]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    run_once()
+    assert len(emissions) > first_len
+    # final row per key: max n_obs (strictly increasing per emission)
+    final = {}
+    for uid, n, span, twa in emissions:
+        cur = final.get(uid)
+        if cur is None or n > cur[0]:
+            final[uid] = (n, span, twa)
+    got = {(u, n, s, t) for u, (n, s, t) in final.items()}
+    want = {
+        (r["user_id"], r["n_obs"], r["span_us"], r["twa_value"])
+        for r in time_weighted_avg(
+            load_table(spark, sf_smoke, "events"), "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert got == want
