@@ -587,3 +587,61 @@ def contamination_score(
             / F.count(F.lit(1)).cast("double")
         ).alias("contamination"),
     )
+
+
+def es_key(id_col: Column, weight: Column) -> Column:
+    """Efraimidis-Spirakis reservoir key: rank-equivalent monotone form
+    ln(u)/w of the classic u^(1/w), from the deterministic
+    `uniform_hash` integer draw shifted to u in (0, 1] (the +1 keeps
+    ln defined where the raw hash is 0 — Spark's ln(0) is NULL while
+    DuckDB's is -inf, so u=0 must be unreachable). Rounded half-up to 4
+    decimals so a 1-ulp libm ln() divergence between engines cannot
+    reorder ranks except at exact .00005 boundaries (the repo-wide
+    rounded-ranking convention, same as the IVF/LSH cosine ranks)."""
+    reduced = id_col.cast("long") % _UHASH_MOD
+    h = (reduced * _UHASH_MULT + 12345) % _UHASH_MOD
+    h = (h + _UHASH_MOD) % _UHASH_MOD
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(2147483648.0)
+    return round_half_up(F.log(u) / weight.cast("double"))
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight: Column,
+    k: int,
+) -> DataFrame:
+    """J39: fixed-size WEIGHTED sample per group — Efraimidis-Spirakis
+    A-ES (2006): the k rows with the largest ln(u)/w keys are a
+    weighted random sample without replacement. Completes the sampling
+    matrix: J25 rate-stratified, J28 rate-weighted, J34 fixed-size
+    uniform, this one fixed-size weighted (the "pick the 20 best-ish
+    docs per source, quality-biased but not deterministic-top-k"
+    eval-set builder).
+
+    Deterministic and rerun/partitioning-stable: the draw comes from
+    `uniform_hash`, not rand(). Rows with weight <= 0 are never sampled
+    (their ES key is undefined), matching the algorithm. Scale shape:
+    the key is map-side arithmetic; top-k per group rides the two-stage
+    `top_n_per_group` (per-partition Arrow cap BEFORE the shuffle, rank
+    window over <= k x partitions rows — never a full per-group sort).
+
+    Returns (group_col, rank, id_col, es_key).
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        top_n_per_group,
+    )
+
+    staged = (
+        df.select(F.col(group_col), F.col(id_col), weight.cast("double").alias("_w"))
+        .filter(F.col("_w") > 0)
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            es_key(F.col(id_col), F.col("_w")).alias("es_key"),
+        )
+    )
+    return top_n_per_group(
+        staged, group=group_col, order_col="es_key", tiebreak=id_col, n=k
+    ).select(group_col, "rank", id_col, "es_key")

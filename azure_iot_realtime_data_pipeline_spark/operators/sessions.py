@@ -511,12 +511,17 @@ def gap_fill(
     """
     step_us = step_seconds * 1_000_000
     ep = F.unix_micros(F.col(ts_col))
-    dedup_w = Window.partitionBy(key, ts_col).orderBy(F.col(tiebreak).desc())
+    # duplicate-(key, ts) collapse to the max-tiebreak row via a struct-max
+    # AGGREGATE, not a row_number window: map-side combinable, no sort
+    # (the E5/K8/L9 trick; (tiebreak) is unique so value never decides)
     obs = (
-        df.select(F.col(key), F.col(ts_col), ep.alias("_ep"), F.col(value_col), F.col(tiebreak))
-        .withColumn("_rn", F.row_number().over(dedup_w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(key), F.col("_ep"), F.col(value_col).alias("_v"))
+        df.select(
+            F.col(key),
+            ep.alias("_ep"),
+            F.struct(F.col(tiebreak).alias("_t"), F.col(value_col).alias("_v")).alias("_o"),
+        )
+        .groupBy(key, "_ep")
+        .agg(F.max("_o").getField("_v").alias("_v"))
     )
     bounds = obs.groupBy(key).agg(F.min("_ep").alias("_mn"), F.max("_ep").alias("_mx"))
     first_tick = F.ceil(F.col("_mn") / F.lit(step_us)) * step_us

@@ -1795,6 +1795,42 @@ def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.3) -> str:
 
 
 ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()
+
+# J39 weighted fixed-size sample: quality weight (the q_quality_score
+# expression verbatim — already rounded to 4dp, so w is bit-identical
+# across engines), ES key ln(u)/w from the uniform_hash integer draw
+# shifted to (0,1], rank (key DESC, id DESC) exactly as top_n_per_group
+ORACLES["q_weighted_sample"] = f"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+        floor((0.5 * (CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                    / length(text) END)
+            + 0.5 * (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, t -> t IN {STOP_IN})) AS DOUBLE)
+                    / len(toks) END)) * 10000 + 0.5) / 10000 AS w
+      FROM t
+    ),
+    keyed AS (
+      SELECT doc_id, source,
+        floor(ln((CAST(((((doc_id % 2147483647) * 2654435761 + 12345)
+                         % 2147483647) + 2147483647) % 2147483647 AS DOUBLE)
+                  + 1) / 2147483648.0)
+              / w * 10000 + 0.5) / 10000 AS es_key
+      FROM q WHERE w > 0
+    )
+    SELECT source,
+           CAST(row_number() OVER (PARTITION BY source
+                ORDER BY es_key DESC, doc_id DESC) AS INTEGER) AS rank,
+           doc_id, es_key
+    FROM keyed
+    QUALIFY rank <= 20
+    """
 ORACLES["q_kmv_distinct"] = _kmv_distinct_oracle()
 ORACLES["q_lsh_topk_multiprobe"] = _lsh_topk_multiprobe_oracle()
 ORACLES["q_minhash_lsh_portable"] = _minhash_portable_oracle()

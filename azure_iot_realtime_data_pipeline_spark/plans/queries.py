@@ -1463,6 +1463,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(emb, tau=0.3)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J39 Efraimidis-Spirakis fixed-size weighted sample: the 20
+    quality-biased docs per source by largest ln(u)/w reservoir key —
+    deterministic uniform_hash draw, map-side key arithmetic, two-stage
+    top-n (no full per-group sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.weighted_sample_per_group(
+        docs, "source", "doc_id", text.quality_score(F.col("text")), k=20
+    )
+
+
 def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J37 graded benchmark-overlap score per document (share of the
     doc's distinct shingles found in the benchmark) — the ranked
@@ -1527,7 +1538,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_trailing_window_global": q_trailing_window_global,
     "q_spike_dip": q_spike_dip,
     "q_orderby": q_orderby,
-    "q_identity": q_identity,
     # -- 2. new or changed in round 5 ----------------------------------
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1540,12 +1550,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_big_orders": q_big_orders,
     "q_contamination_score": q_contamination_score,
     "q_semantic_dedup": q_semantic_dedup,
-    # -- 3. displaced from the r5 window to fit the six late-r5
+    "q_weighted_sample": q_weighted_sample,
+    # -- 3. displaced from the r5 window to fit the seven late-r5
     #       queries above: q_salted_agg/q_salted_join/q_dedup_exact/
-    #       q_ngram_jaccard/q_incremental_tail keep only r3 driver
-    #       greens (stable, locally parity-checked every run) and are
-    #       TOP PRIORITY for the r6 window rotation; q_quantile_sketch
-    #       has an r4 green -------------------------------------------
+    #       q_ngram_jaccard/q_incremental_tail/q_identity keep only r3
+    #       driver greens (stable, locally parity-checked every run)
+    #       and are TOP PRIORITY for the r6 window rotation;
+    #       q_quantile_sketch has an r4 green --------------------------
+    "q_identity": q_identity,
     "q_incremental_tail": q_incremental_tail,
     "q_salted_agg": q_salted_agg,
     "q_salted_join": q_salted_join,

@@ -511,3 +511,35 @@ def test_top_ngrams_plan_is_take_ordered(spark, sf_smoke):
     p = buf.getvalue()
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange SinglePartition" not in p, p
+
+
+def test_weighted_sample_invariants(spark):
+    """J39 A-ES invariants that hold DETERMINISTICALLY under the fixed
+    uniform_hash draw: (a) non-positive weights are never sampled, even
+    when the group is under-full; (b) raising one row's weight (others
+    fixed) never worsens its rank — ln(u)/w is increasing in w for the
+    same u."""
+    from pyspark.sql import functions as F
+
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        weighted_sample_per_group,
+    )
+
+    rows = [("g", i, 0.5) for i in range(1, 9)] + [("g", 9, 0.0), ("g", 10, -1.0)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w double")
+    out = weighted_sample_per_group(df, "source", "doc_id", F.col("w"), k=20)
+    got = {r.doc_id: r.rank for r in out.collect()}
+    assert set(got) == set(range(1, 9))  # w<=0 excluded despite k=20
+
+    boosted = spark.createDataFrame(
+        [("g", i, 0.5 if i != 5 else 50.0) for i in range(1, 9)],
+        "source string, doc_id long, w double",
+    )
+    base_rank = got[5]
+    new_rank = {
+        r.doc_id: r.rank
+        for r in weighted_sample_per_group(
+            boosted, "source", "doc_id", F.col("w"), k=20
+        ).collect()
+    }[5]
+    assert new_rank <= base_rank
