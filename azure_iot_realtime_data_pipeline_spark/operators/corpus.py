@@ -534,7 +534,16 @@ def top_ngrams(
         shingle_table,
     )
 
-    sh = shingle_table(docs, text_col, id_col, shingle_k)
+    # repartition BEFORE the shingle fan-out: the documents parquet is a
+    # single file, and without this the whole explode+hash runs in ONE
+    # task (measured 5.3 s -> ~1 s at sf0.1; same fix every other
+    # shingle consumer already carries)
+    sh = shingle_table(
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col))),
+        text_col,
+        id_col,
+        shingle_k,
+    )
     counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     return counts.orderBy(F.col("df").desc(), F.col("shingle").asc()).limit(top_k)
 
