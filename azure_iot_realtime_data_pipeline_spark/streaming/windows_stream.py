@@ -789,3 +789,50 @@ def twa_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ohlc_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    value_col: str = "value",
+    bucket_seconds: int = 86400,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """L9 streaming twin: live OHLC candles per (key, tumbling bucket).
+
+    Identical aggregate shape to the batch `analytics.ohlc_downsample`
+    — open/close via lexicographic struct min/max over (epoch,
+    tiebreak, value) — bound to ``F.window``; the streaming state is
+    one open-candle row per (key, window), pruned by the watermark, and
+    partial-combines map-side exactly as in batch. F.window's bucket
+    start is epoch-aligned like the batch arithmetic bucket, so the
+    final emission bit-matches the batch operator (equivalence
+    tested)."""
+    ep = F.unix_micros(F.col(ts_col))
+    src = events.filter(F.col(value_col).isNotNull())
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    packed = F.struct(
+        ep.alias("_e"), F.col(tiebreak).alias("_t"), F.col(value_col).alias("_v")
+    )
+    return (
+        src.groupBy(F.col(key_col), F.window(ts_col, f"{bucket_seconds} seconds"))
+        .agg(
+            F.min(packed).getField("_v").alias("open"),
+            F.max(F.col(value_col)).alias("high"),
+            F.min(F.col(value_col)).alias("low"),
+            F.max(packed).getField("_v").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            key_col,
+            F.col("window.start").alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )

@@ -288,3 +288,61 @@ def test_gap_fill_no_aligned_tick_inside_span(spark):
     )
     out = sessions.gap_fill(df, "user_id", "ts", "value", "event_id", 3600)
     assert out.count() == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50_000),  # offset seconds
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_gap_fill_matches_naive_reference(spark, rows):
+    """K10 property test: for arbitrary small single-key series
+    (duplicate timestamps included), the operator's (tick, locf,
+    interp) equals a naive Python reference computing the same
+    dedup/grid/carry/interp rules with the identical double
+    arithmetic."""
+    import math
+
+    step = 3_600
+    data = [("u", i + 1, _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=t), float(v))
+            for i, (t, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "user_id string, event_id int, ts timestamp, value double"
+    )
+    out = sessions.gap_fill(df, "user_id", "ts", "value", "event_id", step)
+    got = {
+        int(r.tick.timestamp()): (r.locf_value, r.interp_value) for r in out.collect()
+    }
+
+    base = int(_ts("2024-01-01 00:00:00").replace(tzinfo=dt.timezone.utc).timestamp())
+    by_t: dict[int, tuple[int, float]] = {}
+    for i, (t, v) in enumerate(rows):
+        eid = i + 1
+        if t not in by_t or eid > by_t[t][0]:
+            by_t[t] = (eid, float(v))
+    obs = sorted((t, v) for t, (eid, v) in by_t.items())
+    t0, t1 = obs[0][0], obs[-1][0]
+    first = math.ceil(t0 / step) * step
+    last = math.floor(t1 / step) * step
+    want = {}
+    for tick in range(first, last + 1, step):
+        prev = max((t, v) for t, v in obs if t <= tick)
+        nxts = [(t, v) for t, v in obs if t > tick]
+        locf = prev[1]
+        if not nxts:
+            interp = locf
+        else:
+            nt, nv = min(nxts)
+            frac = float((tick - prev[0]) * 1_000_000) / float((nt - prev[0]) * 1_000_000)
+            interp = locf + (nv - locf) * frac
+        want[base + tick] = (locf, math.floor(interp * 10000.0 + 0.5) / 10000.0)
+    assert got == want

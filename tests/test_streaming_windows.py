@@ -951,3 +951,28 @@ def test_twa_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_path
         ).collect()
     }
     assert got == want
+
+
+def test_ohlc_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """L9 streaming twin: complete-mode OHLC candles over the replayed
+    stream equal the batch struct-min/max aggregate bit-for-bit
+    (F.window's bucket start is epoch-aligned like the batch
+    arithmetic bucket)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        ohlc_downsample,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        ohlc_stream,
+    )
+
+    got = _run_complete(
+        ohlc_stream(replay_events(spark, replay_dir), watermark=None),
+        tmp_path,
+        "ohlc",
+    )
+    want = ohlc_downsample(
+        load_table(spark, sf_smoke, "events"), "event_type", "ts", "value",
+        "event_id", 86400,
+    )
+    cols = ["event_type", "bucket_start", "open", "high", "low", "close", "n"]
+    assert _as_set(spark.sql("SELECT * FROM ohlc"), cols) == _as_set(want, cols)
