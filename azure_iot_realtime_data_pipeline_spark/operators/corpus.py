@@ -654,3 +654,96 @@ def weighted_sample_per_group(
     return top_n_per_group(
         staged, group=group_col, order_col="es_key", tiebreak=id_col, n=k
     ).select(group_col, "rank", id_col, "es_key")
+
+
+def quality_filter(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str,
+    quality: Column,
+    keep_frac: float,
+) -> DataFrame:
+    """J40: per-group quality-quantile filter — keep each group's top
+    `keep_frac` of documents BY VALUE THRESHOLD: the cut is the group's
+    exact (1-keep_frac) lower quantile of the quality score (rank
+    selection, an actual data value), and every doc with quality >= cut
+    survives. Value-threshold semantics on purpose: ties at the cut all
+    survive (reproducible set, no arbitrary intra-tie selection), so the
+    kept fraction can slightly exceed keep_frac on tied corpora. The
+    standard "drop the bottom quartile per domain" curation pass.
+
+    Scale shape: the threshold comes from ONE rank-selection window per
+    group over a NARROW (group, quality, id) projection; the resulting
+    one-row-per-group threshold table broadcasts back into a map-side
+    filter of the full corpus — the wide document payload never
+    shuffles (same aggregate-then-broadcast pattern as M3/J33).
+
+    Returns the surviving (id_col, group_col, quality).
+    """
+    from pyspark.sql import Window
+
+    narrow = docs.select(
+        F.col(group_col), F.col(id_col), quality.alias("quality")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("quality"), F.col(id_col))
+    cnt = Window.partitionBy(group_col)
+    cut_pos = F.greatest(
+        F.ceil(F.col("_n") * F.lit(1.0 - keep_frac)), F.lit(1)
+    )
+    cuts = (
+        narrow.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("_rn") == cut_pos)
+        .select(F.col(group_col), F.col("quality").alias("_cut"))
+    )
+    return (
+        narrow.join(F.broadcast(cuts), group_col)
+        .filter(F.col("quality") >= F.col("_cut"))
+        .select(id_col, group_col, "quality")
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_tokens: Column,
+    quality: Column,
+    budget_tokens: int,
+) -> DataFrame:
+    """J41: greedy token-budget selection — per group, take documents in
+    (quality DESC, id) order while the RUNNING token total stays within
+    `budget_tokens` (cumulative-including-current <= budget). The
+    "fill an N-token training budget with each domain's best docs"
+    pass; the greedy-by-quality order is the standard heuristic (exact
+    knapsack is neither needed nor deterministic-tractable here).
+
+    A doc that overflows the budget is skipped but does NOT stop the
+    scan — smaller high-quality docs later in the order may still fit?
+    NO: this implementation uses the simpler PREFIX rule (first
+    overflow truncates the group), because the prefix rule is
+    windowed-cumsum expressible (one shuffle, ANSI-oracle-able) while
+    skip-and-continue is an inherently sequential scan. Documented
+    trade: prefix selection can strand budget behind one long doc;
+    chunk long docs first (J29) if that matters.
+
+    Returns (group_col, id_col, n_tokens, cum_tokens) of the selection.
+    """
+    from pyspark.sql import Window
+
+    narrow = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        quality.alias("_q"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_q").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        narrow.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(group_col, id_col, "n_tokens", "cum_tokens")
+    )

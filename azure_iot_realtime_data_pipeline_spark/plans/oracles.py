@@ -1796,6 +1796,69 @@ def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.3) -> str:
 
 ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()
 
+# J40 per-group quality-quantile filter: the cut is the exact
+# 0.25-quantile quality VALUE per source (rank selection); ties at the
+# cut all survive
+ORACLES["q_quality_filter"] = f"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+        floor((0.5 * (CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                    / length(text) END)
+            + 0.5 * (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, t -> t IN {STOP_IN})) AS DOUBLE)
+                    / len(toks) END)) * 10000 + 0.5) / 10000 AS quality
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM q
+    ),
+    cuts AS (
+      SELECT source, quality AS cut FROM r
+      WHERE rn = greatest(CAST(ceil(n * 0.25) AS BIGINT), 1)
+    )
+    SELECT q.doc_id, q.source, q.quality
+    FROM q JOIN cuts USING (source)
+    WHERE q.quality >= cuts.cut
+    """
+
+# J41 greedy token-budget selection: prefix of the (quality DESC, id)
+# order while the running token sum stays within budget
+ORACLES["q_token_budget"] = f"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+        floor((0.5 * (CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                    / length(text) END)
+            + 0.5 * (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, t -> t IN {STOP_IN})) AS DOUBLE)
+                    / len(toks) END)) * 10000 + 0.5) / 10000 AS _q
+      FROM t
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY _q DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT source, doc_id, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= 1000
+    """
+
 # J39 weighted fixed-size sample: quality weight (the q_quality_score
 # expression verbatim — already rounded to 4dp, so w is bit-identical
 # across engines), ES key ln(u)/w from the uniform_hash integer draw

@@ -1463,6 +1463,32 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(emb, tau=0.3)
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J40 per-source quality-quantile filter: drop each source's bottom
+    quartile by value threshold (exact rank-selection cut, broadcast
+    back as a map-side filter — the wide corpus never shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.quality_filter(
+        docs, "source", "doc_id", text.quality_score(F.col("text")), keep_frac=0.75
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J41 greedy token-budget selection: each source's best docs by
+    (quality DESC, id) prefix order until the running token total
+    reaches 1k — one windowed cumsum per source (the budget binds at
+    both SFs: per-source totals are ~1.4k/~13.5k tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.token_budget_select(
+        docs,
+        "source",
+        "doc_id",
+        text.token_count(F.col("text")),
+        text.quality_score(F.col("text")),
+        budget_tokens=1_000,
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J39 Efraimidis-Spirakis fixed-size weighted sample: the 20
     quality-biased docs per source by largest ln(u)/w reservoir key —
@@ -1535,9 +1561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_frame_sample": q_frame_sample,
     "q_embed_dedup": q_embed_dedup,
     "q_trailing_window": q_trailing_window,
-    "q_trailing_window_global": q_trailing_window_global,
     "q_spike_dip": q_spike_dip,
-    "q_orderby": q_orderby,
     # -- 2. new or changed in round 5 ----------------------------------
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1551,12 +1575,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_contamination_score": q_contamination_score,
     "q_semantic_dedup": q_semantic_dedup,
     "q_weighted_sample": q_weighted_sample,
-    # -- 3. displaced from the r5 window to fit the seven late-r5
+    "q_quality_filter": q_quality_filter,
+    "q_token_budget": q_token_budget,
+    # -- 3. displaced from the r5 window to fit the nine late-r5
     #       queries above: q_salted_agg/q_salted_join/q_dedup_exact/
-    #       q_ngram_jaccard/q_incremental_tail/q_identity keep only r3
-    #       driver greens (stable, locally parity-checked every run)
-    #       and are TOP PRIORITY for the r6 window rotation;
-    #       q_quantile_sketch has an r4 green --------------------------
+    #       q_ngram_jaccard/q_incremental_tail/q_identity/q_orderby/
+    #       q_trailing_window_global keep only r3 driver greens
+    #       (stable, locally parity-checked every run) and are TOP
+    #       PRIORITY for the r6 window rotation; q_quantile_sketch has
+    #       an r4 green -----------------------------------------------
+    "q_orderby": q_orderby,
+    "q_trailing_window_global": q_trailing_window_global,
     "q_identity": q_identity,
     "q_incremental_tail": q_incremental_tail,
     "q_salted_agg": q_salted_agg,

@@ -543,3 +543,47 @@ def test_weighted_sample_invariants(spark):
         ).collect()
     }[5]
     assert new_rank <= base_rank
+
+
+def test_quality_filter_value_threshold_keeps_ties(spark):
+    """J40: the cut is the quality VALUE at rank ceil(n*(1-keep)); every
+    doc at or above it survives — ties at the cut are all kept."""
+    from pyspark.sql import functions as F
+
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        quality_filter,
+    )
+
+    rows = [("s", i, q) for i, q in enumerate(
+        [0.1, 0.2, 0.2, 0.3, 0.5, 0.6, 0.7, 0.8], start=1
+    )]
+    df = spark.createDataFrame(rows, "source string, doc_id long, q double")
+    # n=8, keep 0.75 -> cut at rank ceil(2)=2 -> cut value 0.2; doc 1
+    # (0.1) drops, BOTH 0.2 docs survive (value threshold)
+    out = quality_filter(df, "source", "doc_id", F.col("q"), keep_frac=0.75)
+    assert {r.doc_id for r in out.collect()} == {2, 3, 4, 5, 6, 7, 8}
+
+
+def test_token_budget_prefix_rule(spark):
+    """J41: selection is the PREFIX of the (quality DESC, id) order —
+    the first overflowing doc truncates the group even when a later
+    smaller doc would still fit (documented trade; chunk long docs
+    first if it matters)."""
+    from pyspark.sql import functions as F
+
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        token_budget_select,
+    )
+
+    rows = [
+        ("s", 1, 300, 0.9),
+        ("s", 2, 400, 0.8),
+        ("s", 3, 400, 0.7),  # cum 1100 > 1000 -> truncates
+        ("s", 4, 100, 0.6),  # would fit, but prefix rule excludes it
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, nt long, q double")
+    out = token_budget_select(
+        df, "source", "doc_id", F.col("nt"), F.col("q"), budget_tokens=1000
+    )
+    got = {r.doc_id: r.cum_tokens for r in out.collect()}
+    assert got == {1: 300, 2: 700}
