@@ -1796,6 +1796,44 @@ def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.3) -> str:
 
 ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()
 
+# end-to-end telemetry chain: F3 combined policy -> L9 daily candles on
+# the adjusted event time (clamp ties arbitrated by event_id, same as
+# the operator's struct ordering)
+ORACLES["q_device_daily"] = """
+    WITH adj AS (
+      SELECT event_id, user_id, value, adjusted_ts FROM (
+        SELECT event_id, user_id, value, ts,
+               max(ts) OVER w AS adjusted_ts,
+               max(epoch_us(ts)) OVER w AS hwm_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ) WHERE epoch_us(ts) >= hwm_us - 60000000
+    ),
+    e AS (
+      SELECT user_id,
+             make_timestamp(CAST(floor(epoch_us(adjusted_ts) / 86400000000)
+                                 AS BIGINT) * 86400000000) AS bucket_start,
+             epoch_us(adjusted_ts) AS ep, event_id, value
+      FROM adj WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT user_id, bucket_start, value,
+             row_number() OVER (PARTITION BY user_id, bucket_start
+                                ORDER BY ep, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bucket_start
+                                ORDER BY ep DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT user_id, bucket_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM r GROUP BY user_id, bucket_start
+    """
+
 # J40 per-group quality-quantile filter: the cut is the exact
 # 0.25-quantile quality VALUE per source (rank selection); ties at the
 # cut all survive

@@ -1489,6 +1489,30 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_device_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end telemetry rollup chain — the K/L-family mirror of
+    q_curate_corpus's corpus chain and the wire chains: out-of-order
+    policy (F3 combined drop-then-clamp, one window sort) feeding daily
+    OHLC candles (L9, one combinable aggregate) per device on the
+    ADJUSTED event time. Clamped rows land at their key's high-water
+    mark and the (epoch, event_id) struct ordering arbitrates the
+    resulting ties identically in both engines. Two shuffles total on
+    the same key family (policy window on user_id; candle agg on
+    (user_id, bucket))."""
+    ev = load_table(spark, sf_dir, "events")
+    adjusted = eventtime.eventtime_policy(
+        ev, ts_col="ts", key="user_id", order_col="event_id", tolerance_seconds=60
+    )
+    return analytics.ohlc_downsample(
+        adjusted,
+        key="user_id",
+        ts_col="adjusted_ts",
+        value_col="value",
+        tiebreak="event_id",
+        bucket_seconds=86400,
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J39 Efraimidis-Spirakis fixed-size weighted sample: the 20
     quality-biased docs per source by largest ln(u)/w reservoir key —
@@ -1583,7 +1607,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       q_trailing_window_global keep only r3 driver greens
     #       (stable, locally parity-checked every run) and are TOP
     #       PRIORITY for the r6 window rotation; q_quantile_sketch has
-    #       an r4 green -----------------------------------------------
+    #       an r4 green; q_device_daily (chain of two window-verified
+    #       ops) heads the past-window block for the r6 rotation ------
+    "q_device_daily": q_device_daily,
     "q_orderby": q_orderby,
     "q_trailing_window_global": q_trailing_window_global,
     "q_identity": q_identity,
