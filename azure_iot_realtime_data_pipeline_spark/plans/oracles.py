@@ -1487,6 +1487,78 @@ def _minhash_portable_oracle(
         """
 
 
+def _minhash_incremental_oracle(
+    num_hashes: int = 16, bands: int = 4, k: int = 3, threshold: float = 0.5
+) -> str:
+    """Mirror of dedup.minhash_dedup_incremental over the odd/even
+    doc_id split: same portable signature construction as
+    _minhash_portable_oracle, banded NEW x CORPUS join (never
+    corpus x corpus), survivors = odd ids with no corpus collision at
+    est Jaccard >= threshold."""
+    rows = num_hashes // bands
+    shingle = " || ' ' || ".join(
+        "tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(k)
+    )
+    mins = ",\n                 ".join(
+        f"min((h * {2 * i + 1} + {7919 * i + 1}) % {_M31}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    lanes = ",\n                 ".join(
+        f"coalesce(m{i}, {_M31}) AS m{i}" for i in range(num_hashes)
+    )
+    banded = "\n          UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bkey FROM sig".format(
+            b=b, cols=", ".join(f"m{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {k - 1})) AS i
+          FROM toks WHERE len(tk) >= {k}
+        ),
+        sh AS (SELECT DISTINCT doc_id, {shingle} AS s FROM idx),
+        h AS (
+          SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) & {_M31} AS h
+          FROM sh
+        ),
+        m AS (
+          SELECT doc_id, {mins}
+          FROM h GROUP BY doc_id
+        ),
+        sig AS (
+          SELECT d.doc_id,
+                 {lanes}
+          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        ),
+        banded AS (
+          {banded}
+        ),
+        dup AS (
+          SELECT DISTINCT n.doc_id FROM (
+            SELECT DISTINCT a.doc_id, b.doc_id AS cid
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bkey = b.bkey
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+          ) n
+          JOIN sig sa ON n.doc_id = sa.doc_id
+          JOIN sig sb ON n.cid = sb.doc_id
+          WHERE floor((({eq}) / {float(num_hashes)}) * 10000 + 0.5) / 10000
+                >= {threshold}
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT doc_id FROM dup)
+        """
+
+
 def _simhash_portable_oracle() -> str:
     """Mirror of dedup.simhash_hex_portable: token md5 digits -> 64 bit
     votes -> majority bits -> 16-char hex string. Empty docs (no token
@@ -1795,6 +1867,7 @@ def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.3) -> str:
 
 
 ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()
+ORACLES["q_dedup_incremental"] = _minhash_incremental_oracle()
 
 # end-to-end telemetry chain: F3 combined policy -> L9 daily candles on
 # the adjusted event time (clamp ties arbitrated by event_id, same as

@@ -1489,6 +1489,18 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J42 incremental-corpus dedup: the odd-id docs play the daily
+    crawl batch, the even-id docs the stored corpus — new docs whose
+    MinHash bands collide with a corpus doc at est Jaccard >= 0.5 are
+    dropped. The corpus signature table is computed once and staged
+    (stored, in production); corpus x corpus never happens."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.minhash_dedup_incremental(batch, corpus, est_threshold=0.5)
+
+
 def q_device_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end telemetry rollup chain — the K/L-family mirror of
     q_curate_corpus's corpus chain and the wire chains: out-of-order
@@ -1610,6 +1622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       an r4 green; q_device_daily (chain of two window-verified
     #       ops) heads the past-window block for the r6 rotation ------
     "q_device_daily": q_device_daily,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_orderby": q_orderby,
     "q_trailing_window_global": q_trailing_window_global,
     "q_identity": q_identity,

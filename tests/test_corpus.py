@@ -587,3 +587,26 @@ def test_token_budget_prefix_rule(spark):
     )
     got = {r.doc_id: r.cum_tokens for r in out.collect()}
     assert got == {1: 300, 2: 700}
+
+
+def test_minhash_dedup_incremental_scope(spark):
+    """J42: a batch doc near-identical to a CORPUS doc drops; a unique
+    batch doc survives; two identical docs WITHIN the batch both
+    survive (within-batch dedup is J3/J26's job — documented scope)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame([(2, base)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (1, base),                      # in corpus -> dropped
+            (3, "completely different words about spark shuffles and exchanges here"),
+            (5, "another unique text on bucketed joins and broadcast thresholds ok"),
+            (7, "another unique text on bucketed joins and broadcast thresholds ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = minhash_dedup_incremental(batch, corpus, est_threshold=0.5)
+    assert {r.doc_id for r in out.collect()} == {3, 5, 7}
