@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from azure_iot_realtime_data_pipeline_spark.functions.rounding import round_half_up
 from azure_iot_realtime_data_pipeline_spark.operators.text import tokens
-from azure_iot_realtime_data_pipeline_spark.sources.batch import stage_to_parquet
+from azure_iot_realtime_data_pipeline_spark.sources.batch import ensure_parallelism, stage_to_parquet
 
 # The (doc, term, tf) table feeds 2-3 downstream consumers (df_t
 # aggregate, dl window, corpus scalars); without staging Catalyst
@@ -112,4 +112,81 @@ def bm25(
             "tf",
             round_half_up(idf * norm).alias("bm25"),
         )
+    )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """J43: corpus-LM quality scoring, CCNet-style (Wenzek et al. 2020
+    filter corpora by LM perplexity; the unigram model is its
+    oracle-able, engine-portable floor): score each doc by its mean
+    token log-probability under the corpus's own unigram distribution.
+    Boilerplate and in-domain text score high; junk, rare-token soup
+    and wrong-language text score low. The standard "perplexity filter"
+    slot in a curation pipeline — swap a real KenLM behind the same
+    (doc_id, score) contract when the binary model is available.
+
+    Plan shape at 100 TB:
+    1. ONE token-count aggregate (shuffle on the token, map-side
+       combine) -> the model.
+    2. vocabulary TRUNCATED to the top `vocab_size` tokens by
+       (count DESC, token) via TakeOrderedAndProject (per-partition
+       top-k, never a global sort); out-of-vocab tokens score the
+       floor probability 1/N. Truncation bounds the broadcast at any
+       corpus size and is the standard LM pruning trade.
+    3. per-token log-probs broadcast into the token stream; per-doc
+       mean accumulates in integer MICRO-UNITS (the order-free domain —
+       a double sum's value depends on accumulation order, so the
+       rounded per-token logprob is fixed to 6 decimals BEFORE the
+       sum). ln() itself is rounded half-up to 6dp so a 1-ulp libm
+       divergence between engines cannot move the sum.
+
+    Docs with zero tokens are absent from the output (no tokens, no
+    mean). Returns (doc_id, n_tokens, logprob_mean).
+    """
+    tok = ensure_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    ).select("doc_id", F.explode(tokens(F.col("_text"))).alias("_t"))
+    tok = _stage(tok, "unigram_tok_")
+    counts = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_n")).collect()[0]["_n"]
+    vocab = (
+        counts.orderBy(F.col("_c").desc(), F.col("_t").asc())
+        .limit(vocab_size)
+        .select(
+            "_t",
+            F.floor(
+                F.log(F.col("_c").cast("double") / F.lit(float(total))) * 1_000_000.0
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_lp_micro"),
+        )
+    )
+    floor_lp = F.floor(
+        F.log(F.lit(1.0) / F.lit(float(total))) * 1_000_000.0 + F.lit(0.5)
+    ).cast("long")
+    scored = tok.join(F.broadcast(vocab), "_t", "left").select(
+        "doc_id", F.coalesce(F.col("_lp_micro"), floor_lp).alias("_lp")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("_lp").alias("_s")
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("_s").cast("double")
+                / F.col("n_tokens").cast("double")
+                / 1_000_000.0
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("logprob_mean"),
     )

@@ -1869,6 +1869,39 @@ def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.3) -> str:
 ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()
 ORACLES["q_dedup_incremental"] = _minhash_incremental_oracle()
 
+# J43 unigram-LM scoring: ln rounded to 6dp micro-units BEFORE the
+# per-doc sum (order-free), vocabulary truncation tie-broken on the
+# token string — both exactly as the operator
+ORACLES["q_lm_score"] = """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+      FROM documents
+    ),
+    counts AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    vocab AS (
+      SELECT t,
+             CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT) AS lp
+      FROM counts, tot
+      ORDER BY c DESC, t ASC LIMIT 1000
+    ),
+    scored AS (
+      SELECT doc_id,
+             coalesce(v.lp,
+               (SELECT CAST(floor(ln(1.0 / n) * 1000000 + 0.5) AS BIGINT) FROM tot)
+             ) AS lp
+      FROM tok LEFT JOIN vocab v ON tok.t = v.t
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(lp) AS BIGINT) AS s
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           floor(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+                 * 10000 + 0.5) / 10000 AS logprob_mean
+    FROM agg
+    """
+
 # end-to-end telemetry chain: F3 combined policy -> L9 daily candles on
 # the adjusted event time (clamp ties arbitrated by event_id, same as
 # the operator's struct ordering)

@@ -1489,6 +1489,15 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J43 corpus-LM quality score (CCNet-style perplexity filter,
+    unigram floor): mean token log-prob under the corpus's own unigram
+    model — top-1000 vocabulary via TakeOrderedAndProject, OOV at the
+    1/N floor, per-doc mean in integer micro-units (order-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return relevance.unigram_logprob_scores(docs, vocab_size=1000)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J42 incremental-corpus dedup: the odd-id docs play the daily
     crawl batch, the even-id docs the stored corpus — new docs whose
@@ -1623,6 +1632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       ops) heads the past-window block for the r6 rotation ------
     "q_device_daily": q_device_daily,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_lm_score": q_lm_score,
     "q_orderby": q_orderby,
     "q_trailing_window_global": q_trailing_window_global,
     "q_identity": q_identity,

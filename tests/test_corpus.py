@@ -610,3 +610,24 @@ def test_minhash_dedup_incremental_scope(spark):
     )
     out = minhash_dedup_incremental(batch, corpus, est_threshold=0.5)
     assert {r.doc_id for r in out.collect()} == {3, 5, 7}
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    """J43: a doc of corpus-frequent tokens must outscore a doc of
+    singleton tokens, and every score is <= 0 (log-probabilities)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.relevance import (
+        unigram_logprob_scores,
+    )
+
+    common = "the the the cat cat sat sat sat on the mat"
+    docs = spark.createDataFrame(
+        [
+            (1, common),
+            (2, common),
+            (3, "zyx wvu tsr qpo nml kji"),  # singletons -> near the floor
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.logprob_mean for r in unigram_logprob_scores(docs).collect()}
+    assert out[1] == out[2] > out[3]
+    assert all(v <= 0 for v in out.values())
