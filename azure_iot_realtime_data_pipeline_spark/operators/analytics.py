@@ -324,3 +324,47 @@ def ohlc_downsample(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    tiebreak: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """L10 per-group winsorization: clamp each measurement into its
+    group's exact [lo_q, hi_q] percentile band — the robust outlier
+    treatment for sensor glitches (a stuck barometer at 2.4e305,
+    reference preview-output-example.json:13, would otherwise poison
+    every mean downstream). Clipping (not dropping) preserves row count
+    and time alignment.
+
+    The thresholds are exact rank-selection values (`exact_percentiles`
+    — actual data values, bit-stable vs any ANSI oracle), pivoted to
+    one (lo, hi) row per group and BROADCAST back into a pure map-side
+    clamp — the wide stream never shuffles for the clip itself, the
+    same aggregate-then-broadcast shape as J40's quality cut.
+
+    Returns (tiebreak, group, value, clipped).
+    """
+    cuts = (
+        exact_percentiles(df, group, value_col, tiebreak, quantiles=(lo_q, hi_q))
+        .groupBy(group)
+        .agg(
+            F.max(F.when(F.col("q") == lo_q, F.col("p_value"))).alias("_lo"),
+            F.max(F.when(F.col("q") == hi_q, F.col("p_value"))).alias("_hi"),
+        )
+    )
+    return (
+        df.join(F.broadcast(cuts), group)
+        .select(
+            F.col(tiebreak),
+            F.col(group),
+            F.col(value_col),
+            F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")).alias(
+                "clipped"
+            ),
+        )
+    )

@@ -564,3 +564,48 @@ def gap_fill(
             (F.floor(interp_raw * 10000.0 + 0.5) / 10000.0).alias("interp_value"),
         )
     )
+
+
+def rate_of_change(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    counter_reset: bool = True,
+) -> DataFrame:
+    """K11 per-key rate of change (dv/dt in value-units per second) —
+    the Prometheus `rate()` family for telemetry counters: each event's
+    delta to its predecessor over their time gap. With
+    ``counter_reset`` (default), a DECREASE is treated as a counter
+    reset and the delta is the raw new value (the standard
+    monotone-counter convention); without it, the signed difference.
+
+    One lag window per key (the event_gaps partitioning). The first
+    event of a key and zero-gap duplicates (dt = 0) yield NULL — a rate
+    over no elapsed time is undefined, not infinite. Deterministic
+    scalar double math, rounded half-up to 4 decimals.
+
+    Returns (tiebreak, key, ts, rate_per_sec).
+    """
+    ep = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key).orderBy(ep, F.col(tiebreak))
+    prev_v = F.lag(F.col(value_col)).over(w)
+    dt_us = ep - F.lag(ep).over(w)
+    raw_delta = F.col(value_col) - prev_v
+    delta = (
+        F.when(F.col(value_col) >= prev_v, raw_delta).otherwise(F.col(value_col))
+        if counter_reset
+        else raw_delta
+    )
+    rate = F.when(
+        dt_us > 0,
+        F.floor(delta / (dt_us.cast("double") / F.lit(1_000_000.0)) * 10000.0 + 0.5)
+        / 10000.0,
+    )
+    return df.select(
+        F.col(tiebreak),
+        F.col(key),
+        F.col(ts_col),
+        rate.alias("rate_per_sec"),
+    )

@@ -1869,6 +1869,48 @@ def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.3) -> str:
 ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()
 ORACLES["q_dedup_incremental"] = _minhash_incremental_oracle()
 
+# K11 rate of change: counter-reset convention (decrease -> delta is
+# the raw new value); NULL pv falls through CASE to the raw value but
+# the dt>0 gate nulls the first row anyway — identical in the operator
+ORACLES["q_rate_of_change"] = """
+    SELECT event_id, user_id, ts,
+           CASE WHEN dt > 0 THEN
+             floor((CASE WHEN value >= pv THEN value - pv ELSE value END)
+                   / (CAST(dt AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000
+           END AS rate_per_sec
+    FROM (
+      SELECT event_id, user_id, ts, value,
+             lag(value) OVER w AS pv,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    """
+
+# L10 winsorize: exact rank-selection thresholds (same ceil(q*n) rank
+# arithmetic as exact_percentiles — the q*n double product is computed
+# identically in both engines) pivoted per group, then a map-side clamp
+ORACLES["q_winsorize"] = """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    cuts AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                 THEN value END) AS lo,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                 THEN value END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, c.lo), c.hi) AS clipped
+    FROM events e JOIN cuts c USING (event_type)
+    """
+
 # J43 unigram-LM scoring: ln rounded to 6dp micro-units BEFORE the
 # per-doc sum (order-free), vocabulary truncation tie-broken on the
 # token string — both exactly as the operator

@@ -1489,6 +1489,26 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11 per-device rate of change (Prometheus-rate family, counter
+    resets handled): one lag window per key; NULL for first events and
+    zero-gap duplicates."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.rate_of_change(
+        ev, key="user_id", ts_col="ts", value_col="value", tiebreak="event_id"
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10 per-type winsorization: clamp readings into the exact
+    [p05, p95] band — rank-selection thresholds broadcast into a
+    map-side clip; the stream never shuffles for the clip itself."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.winsorize(
+        ev, group="event_type", value_col="value", tiebreak="event_id"
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J43 corpus-LM quality score (CCNet-style perplexity filter,
     unigram floor): mean token log-prob under the corpus's own unigram
@@ -1633,6 +1653,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_device_daily": q_device_daily,
     "q_dedup_incremental": q_dedup_incremental,
     "q_lm_score": q_lm_score,
+    "q_rate_of_change": q_rate_of_change,
+    "q_winsorize": q_winsorize,
     "q_orderby": q_orderby,
     "q_trailing_window_global": q_trailing_window_global,
     "q_identity": q_identity,

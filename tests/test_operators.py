@@ -795,3 +795,19 @@ def test_semantic_dedup_within_cell_min_id_survives(spark):
     out = dedup.semantic_dedup(df, tau=0.95, n_cells=2)
     got = {r.vec_id: r.cell_id for r in out.collect()}
     assert got == {1: 1, 2: 2, 5: 1}
+
+
+def test_winsorize_clamps_into_band(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [("s", i, t, float(v)) for i, v in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000], start=1
+    )]
+    df = spark.createDataFrame(
+        rows, "key string, event_id int, ts timestamp, value double"
+    )
+    out = analytics.winsorize(df, "key", "value", "event_id", 0.1, 0.9)
+    got = {r.event_id: r.clipped for r in out.collect()}
+    # n=10: lo = value at rank ceil(0.1*10)=1 -> 1.0; hi at rank 9 -> 9.0
+    assert got[1] == 1.0 and got[10] == 9.0 and got[5] == 5.0

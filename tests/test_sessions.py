@@ -346,3 +346,22 @@ def test_gap_fill_matches_naive_reference(spark, rows):
             interp = locf + (nv - locf) * frac
         want[base + tick] = (locf, math.floor(interp * 10000.0 + 0.5) / 10000.0)
     assert got == want
+
+
+def test_rate_of_change_counter_reset_and_zero_gap(spark):
+    """K11: increase -> delta/dt; decrease -> counter reset (delta =
+    raw new value); duplicate timestamp -> NULL (no elapsed time);
+    first event -> NULL."""
+    df = spark.createDataFrame(
+        [
+            ("u", 1, _ts("2024-01-01 00:00:00"), 10.0),
+            ("u", 2, _ts("2024-01-01 00:00:10"), 30.0),   # +20 over 10s -> 2.0
+            ("u", 3, _ts("2024-01-01 00:00:20"), 5.0),    # reset -> 5/10 -> 0.5
+            ("u", 4, _ts("2024-01-01 00:00:20"), 7.0),    # dt=0 -> NULL
+        ],
+        "user_id string, event_id int, ts timestamp, value double",
+    )
+    out = {r.event_id: r.rate_per_sec for r in sessions.rate_of_change(
+        df, "user_id", "ts", "value", "event_id"
+    ).collect()}
+    assert out == {1: None, 2: 2.0, 3: 0.5, 4: None}
