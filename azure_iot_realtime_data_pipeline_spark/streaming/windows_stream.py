@@ -836,3 +836,83 @@ def ohlc_stream(
             "n",
         )
     )
+
+
+#: one carry cell per key: previous event time (us) and previous value
+RATE_STATE_SCHEMA = StructType(
+    [StructField("prev_ts_us", LongType()), StructField("prev_v", DoubleType())]
+)
+
+
+def make_rate_fn(
+    id_col: str = "event_id", key_col: str = "user_id", ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """applyInPandasWithState body for the K11 streaming twin. Per key:
+    rows process in (ts, id) order; each row's rate is its counter-reset
+    delta over the elapsed seconds since the carried previous event —
+    the EXACT batch arithmetic (same floor-rounding, same dt>0 gate).
+    A missing or non-positive gap yields NULL, as does the key's
+    first-ever event."""
+    import math
+
+    def fn(key, pdfs, state):
+        prev_ts, prev_v = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            ts = pdf[ts_col]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            ts_us = ts.astype("datetime64[us]").astype("int64")
+            rates = []
+            for t, v in zip(ts_us, pdf[value_col]):
+                t = int(t)
+                v = None if pd.isna(v) else float(v)
+                dt_us = None if prev_ts is None else t - prev_ts
+                if dt_us is None or dt_us <= 0 or v is None:
+                    rates.append(None)
+                else:
+                    delta = v - prev_v if (prev_v is not None and v >= prev_v) else v
+                    rates.append(
+                        math.floor(delta / (float(dt_us) / 1_000_000.0) * 10000.0 + 0.5)
+                        / 10000.0
+                    )
+                prev_ts, prev_v = t, v
+            out = pdf[[id_col, key_col, ts_col]].copy()
+            out["rate_per_sec"] = pd.Series(rates, index=out.index, dtype="float64")
+            yield out
+        state.update((prev_ts, prev_v))
+
+    return fn
+
+
+def rate_of_change_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """K11 streaming twin: live per-key rate of change with a TWO-field
+    carry cell per key (previous timestamp + previous value) — the same
+    O(1)-state shape as the gaps/as-of/TWA twins; the batch lag window
+    becomes the carry. Emission per row; equals the batch
+    `sessions.rate_of_change` on in-order replay (tested)."""
+    tagged = events.select(
+        F.col(id_col), F.col(key_col), F.col(ts_col), F.col(value_col)
+    )
+    out_schema = StructType(
+        [
+            tagged.schema[id_col],
+            tagged.schema[key_col],
+            tagged.schema[ts_col],
+            StructField("rate_per_sec", DoubleType()),
+        ]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_rate_fn(id_col=id_col, key_col=key_col, ts_col=ts_col, value_col=value_col),
+        outputStructType=out_schema,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -976,3 +976,33 @@ def test_ohlc_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
     )
     cols = ["event_type", "bucket_start", "open", "high", "low", "close", "n"]
     assert _as_set(spark.sql("SELECT * FROM ohlc"), cols) == _as_set(want, cols)
+
+
+def test_rate_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """K11 streaming twin: per-row rates across micro-batch boundaries
+    equal the batch lag-window operator (same counter-reset rule, same
+    floor-rounded arithmetic)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        rate_of_change,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        rate_of_change_stream,
+    )
+
+    q = (
+        rate_of_change_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT event_id, user_id, ts, rate_per_sec FROM rate")
+    want = rate_of_change(
+        load_table(spark, sf_smoke, "events"), "user_id", "ts", "value", "event_id"
+    )
+    cols = ["event_id", "user_id", "ts", "rate_per_sec"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
