@@ -303,6 +303,16 @@ _UHASH_MULT = 2_654_435_761
 _UHASH_MOD = 2_147_483_647
 
 
+def _uhash_int(id_col: Column) -> Column:
+    """The shared integer step of the deterministic draw: affine hash of
+    the id reduced mod 2^31-1, folded into [0, mod). uniform_hash and
+    es_key MUST stay bit-identical here (their oracles re-derive it),
+    so the chain lives in one place."""
+    reduced = id_col.cast("long") % _UHASH_MOD
+    h = (reduced * _UHASH_MULT + 12345) % _UHASH_MOD
+    return (h + _UHASH_MOD) % _UHASH_MOD
+
+
 def uniform_hash(id_col: Column) -> Column:
     """Deterministic uniform [0,1) draw from an integer id — pure int64
     arithmetic, so ANY SQL engine reproduces it exactly (the md5-prefix
@@ -310,10 +320,7 @@ def uniform_hash(id_col: Column) -> Column:
     int64 id range, including negatives. For per-row PROBABILITY
     thresholds (importance sampling) this is the right tool; for
     fixed-rate splits prefer the md5 prefix (better avalanche)."""
-    reduced = id_col.cast("long") % _UHASH_MOD
-    h = (reduced * _UHASH_MULT + 12345) % _UHASH_MOD
-    return (((h + _UHASH_MOD) % _UHASH_MOD).cast("double")
-            / F.lit(float(_UHASH_MOD)))
+    return _uhash_int(id_col).cast("double") / F.lit(float(_UHASH_MOD))
 
 
 def importance_sample(
@@ -607,10 +614,7 @@ def es_key(id_col: Column, weight: Column) -> Column:
     decimals so a 1-ulp libm ln() divergence between engines cannot
     reorder ranks except at exact .00005 boundaries (the repo-wide
     rounded-ranking convention, same as the IVF/LSH cosine ranks)."""
-    reduced = id_col.cast("long") % _UHASH_MOD
-    h = (reduced * _UHASH_MULT + 12345) % _UHASH_MOD
-    h = (h + _UHASH_MOD) % _UHASH_MOD
-    u = (h.cast("double") + F.lit(1.0)) / F.lit(2147483648.0)
+    u = (_uhash_int(id_col).cast("double") + F.lit(1.0)) / F.lit(2147483648.0)
     return round_half_up(F.log(u) / weight.cast("double"))
 
 
@@ -680,22 +684,22 @@ def quality_filter(
 
     Returns the surviving (id_col, group_col, quality).
     """
-    from pyspark.sql import Window
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        exact_percentiles,
+    )
 
     narrow = docs.select(
         F.col(group_col), F.col(id_col), quality.alias("quality")
     )
-    w = Window.partitionBy(group_col).orderBy(F.col("quality"), F.col(id_col))
-    cnt = Window.partitionBy(group_col)
-    cut_pos = F.greatest(
-        F.ceil(F.col("_n") * F.lit(1.0 - keep_frac)), F.lit(1)
-    )
-    cuts = (
-        narrow.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(cnt))
-        .filter(F.col("_rn") == cut_pos)
-        .select(F.col(group_col), F.col("quality").alias("_cut"))
-    )
+    if keep_frac >= 1.0:
+        # q = 0 selects no rank (ceil(0*n) = 0) — "keep everything" is
+        # the identity, short-circuit instead
+        return narrow.select(id_col, group_col, "quality")
+    # the cut is exact_percentiles' rank selection (ceil(q*n) under
+    # (value, tiebreak) order) — shared, not a third copy of the pattern
+    cuts = exact_percentiles(
+        narrow, group_col, "quality", id_col, quantiles=(1.0 - keep_frac,)
+    ).select(F.col(group_col), F.col("p_value").alias("_cut"))
     return (
         narrow.join(F.broadcast(cuts), group_col)
         .filter(F.col("quality") >= F.col("_cut"))

@@ -154,22 +154,29 @@ def unigram_logprob_scores(
     tok = _stage(tok, "unigram_tok_")
     counts = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
     total = counts.agg(F.sum("_c").alias("_n")).collect()[0]["_n"]
+    if total is None:
+        # empty corpus / all-empty texts: no tokens, no model — return
+        # the documented empty result instead of crashing on float(None)
+        return tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_tokens")
+        ).select(
+            "doc_id", "n_tokens", F.lit(None).cast("double").alias("logprob_mean")
+        )
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        micro_units,
+    )
+
     vocab = (
         counts.orderBy(F.col("_c").desc(), F.col("_t").asc())
         .limit(vocab_size)
         .select(
             "_t",
-            F.floor(
-                F.log(F.col("_c").cast("double") / F.lit(float(total))) * 1_000_000.0
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("_lp_micro"),
+            micro_units(
+                F.log(F.col("_c").cast("double") / F.lit(float(total)))
+            ).alias("_lp_micro"),
         )
     )
-    floor_lp = F.floor(
-        F.log(F.lit(1.0) / F.lit(float(total))) * 1_000_000.0 + F.lit(0.5)
-    ).cast("long")
+    floor_lp = micro_units(F.log(F.lit(1.0) / F.lit(float(total))))
     scored = tok.join(F.broadcast(vocab), "_t", "left").select(
         "doc_id", F.coalesce(F.col("_lp_micro"), floor_lp).alias("_lp")
     )
@@ -179,14 +186,9 @@ def unigram_logprob_scores(
     return agg.select(
         "doc_id",
         "n_tokens",
-        (
-            F.floor(
-                F.col("_s").cast("double")
-                / F.col("n_tokens").cast("double")
-                / 1_000_000.0
-                * 10000.0
-                + 0.5
-            )
-            / 10000.0
+        round_half_up(
+            F.col("_s").cast("double")
+            / F.col("n_tokens").cast("double")
+            / 1_000_000.0
         ).alias("logprob_mean"),
     )

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from azure_iot_realtime_data_pipeline_spark.functions.rounding import round_half_up
+
 
 def sessionize(
     df: DataFrame,
@@ -459,11 +461,7 @@ def time_weighted_avg(
     )
     twa = F.when(
         F.col("span_us") > 0,
-        F.floor(
-            F.col("_wsum").cast("double") / F.col("span_us").cast("double") * 10000.0
-            + 0.5
-        )
-        / 10000.0,
+        round_half_up(F.col("_wsum").cast("double") / F.col("span_us").cast("double")),
     )
     return agg.select(
         F.col(key),
@@ -500,9 +498,13 @@ def gap_fill(
        observations — which makes the interpolation formula collapse to
        the observed value at exact hits without a special case.
 
-    Ticks lie inside [first, last] so a backward neighbor always exists;
-    interp falls back to LOCF when no forward neighbor exists (only the
-    tick coinciding with the last observation). The interpolation is
+    NULL measurements are dropped up front (same contract as OHLC):
+    keeping them would desynchronize the carry anchors — prev/next
+    epochs would advance on a row whose value the non-null carry
+    skipped, bending the interpolation line. Ticks lie inside
+    [first, last] of the NON-NULL observations so a backward neighbor
+    always exists; interp falls back to LOCF when no forward neighbor
+    exists (only the tick coinciding with the last observation). The interpolation is
     deterministic scalar double math written identically in the oracle;
     the result is round-half-up'd to 4 decimals like every
     accumulation-adjacent surface.
@@ -515,7 +517,8 @@ def gap_fill(
     # AGGREGATE, not a row_number window: map-side combinable, no sort
     # (the E5/K8/L9 trick; (tiebreak) is unique so value never decides)
     obs = (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             F.col(key),
             ep.alias("_ep"),
             F.struct(F.col(tiebreak).alias("_t"), F.col(value_col).alias("_v")).alias("_o"),
@@ -561,7 +564,7 @@ def gap_fill(
             F.col(key),
             F.timestamp_micros(F.col("_ep")).alias("tick"),
             F.col("_locf").alias("locf_value"),
-            (F.floor(interp_raw * 10000.0 + 0.5) / 10000.0).alias("interp_value"),
+            round_half_up(interp_raw).alias("interp_value"),
         )
     )
 
@@ -600,8 +603,7 @@ def rate_of_change(
     )
     rate = F.when(
         dt_us > 0,
-        F.floor(delta / (dt_us.cast("double") / F.lit(1_000_000.0)) * 10000.0 + 0.5)
-        / 10000.0,
+        round_half_up(delta / (dt_us.cast("double") / F.lit(1_000_000.0))),
     )
     return df.select(
         F.col(tiebreak),

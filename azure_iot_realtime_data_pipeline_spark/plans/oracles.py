@@ -1294,6 +1294,7 @@ ORACLES: dict[str, str] = {
         WITH obs AS (
           SELECT user_id, epoch_us(ts) AS ep, value AS v
           FROM events
+          WHERE value IS NOT NULL
           QUALIFY row_number() OVER (PARTITION BY user_id, ts
                                      ORDER BY event_id DESC) = 1
         ),

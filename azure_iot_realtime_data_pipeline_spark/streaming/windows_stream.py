@@ -695,40 +695,39 @@ TWA_STATE_SCHEMA = StructType(
         StructField("prev_cents", LongType()),
         StructField("wsum_cents_us", LongType()),
         StructField("n_obs", LongType()),
-    ]
-)
-
-TWA_OUTPUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("n_obs", LongType()),
-        StructField("span_us", LongType()),
-        StructField("twa_value", DoubleType()),
+        StructField("n_vals", LongType()),
     ]
 )
 
 
-def make_twa_fn(ts_col: str = "ts", id_col: str = "event_id", value_col: str = "value"):
+def make_twa_fn(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
     """applyInPandasWithState body for the K9 streaming twin (picklable
     closure). Per key: rows process in (ts, id) order; each interval
     adds prev_cents * dt to the running weighted sum, exactly the batch
     operator's DECIMAL(18,2) * dt accumulation held as an integer
     (cents * us, bounded by max_cents * span — ~70x inside int64 for
     this corpus' ranges; the batch decimal does not overflow either).
-    Cents come from floor(v*100 + 0.5) — identical to Spark's HALF_UP
-    decimal cast for the non-negative measurements this corpus has
-    (floor-rounding diverges from HALF_UP on negatives; a signed-corpus
-    caller should flip to copysign rounding and re-pin the parity
-    test). NULL measurements advance the clock but contribute nothing,
-    matching SUM-over-NULL-product semantics in batch."""
+    Cents round HALF AWAY FROM ZERO (sign-split floor) — identical to
+    Spark's HALF_UP decimal cast for either sign, so negative
+    measurements weight correctly (prev_cents is NULL, not a sentinel,
+    for NULL measurements). NULL measurements advance the clock but
+    contribute nothing, matching SUM-over-NULL-product semantics in
+    batch — and a key whose measurements are ALL NULL emits a NULL twa
+    (n_vals tracks non-null rows), exactly as the batch SUM of all-NULL
+    products is NULL."""
     import math
 
     def fn(key, pdfs, state):
         if state.exists:
-            first_ts, prev_ts, prev_cents, wsum, n = state.get
+            first_ts, prev_ts, prev_cents, wsum, n, n_vals = state.get
         else:
             first_ts = prev_ts = prev_cents = None
-            wsum, n = 0, 0
+            wsum, n, n_vals = 0, 0, 0
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
             ts = pdf[ts_col]
@@ -738,22 +737,27 @@ def make_twa_fn(ts_col: str = "ts", id_col: str = "event_id", value_col: str = "
             vals = pdf[value_col]
             for t, v in zip(ts_us, vals):
                 t = int(t)
-                if prev_ts is not None and prev_cents is not None and prev_cents >= 0:
+                if prev_ts is not None and prev_cents is not None:
                     wsum += prev_cents * (t - prev_ts)
                 if first_ts is None:
                     first_ts = t
                 prev_ts = t
-                prev_cents = -1 if pd.isna(v) else int(math.floor(float(v) * 100.0 + 0.5))
+                if pd.isna(v):
+                    prev_cents = None
+                else:
+                    mag = math.floor(abs(float(v)) * 100.0 + 0.5)
+                    prev_cents = mag if float(v) >= 0 else -mag
+                    n_vals += 1
                 n += 1
         span = (prev_ts - first_ts) if first_ts is not None else 0
-        if span > 0:
+        if span > 0 and n_vals > 0:
             twa = math.floor((wsum / 100.0) / float(span) * 10000.0 + 0.5) / 10000.0
         else:
             twa = None
-        state.update((first_ts, prev_ts, prev_cents, wsum, n))
+        state.update((first_ts, prev_ts, prev_cents, wsum, n, n_vals))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                key_col: [key[0]],
                 "n_obs": [n],
                 "span_us": [span],
                 "twa_value": [twa],
@@ -774,17 +778,30 @@ def twa_stream(
 
     The batch form (`sessions.time_weighted_avg`, oracle-checked as
     `q_time_weighted_avg`) needs a lead window over the key's history;
-    the streaming state is just FIVE longs per key — first/prev
-    timestamp, previous value, running weighted sum, count — the same
-    O(1)-per-key carry-cell shape as asof_stream/event_gaps_stream,
-    strictly smaller than any windowed state. Each micro-batch emits
-    the running TWA as of that batch; the final emission equals the
-    batch operator over the replayed data (batch-equivalence tested;
-    n_obs is monotone, so max(n_obs) marks the final row per key)."""
+    the streaming state is just SIX longs per key — first/prev
+    timestamp, previous value in cents, running weighted sum, row and
+    non-null counts — the same O(1)-per-key carry-cell shape as
+    asof_stream/event_gaps_stream, strictly smaller than any windowed
+    state. Each micro-batch emits the running TWA as of that batch; the
+    final emission equals the batch operator over the replayed data
+    (batch-equivalence tested; n_obs is monotone, so max(n_obs) marks
+    the final row per key). The key output column name and type derive
+    from the input frame, so non-default keys work end-to-end (the
+    event_gaps_stream lesson)."""
     tagged = events.select(F.col(key_col), F.col(ts_col), F.col(id_col), F.col(value_col))
+    out_schema = StructType(
+        [
+            tagged.schema[key_col],
+            StructField("n_obs", LongType()),
+            StructField("span_us", LongType()),
+            StructField("twa_value", DoubleType()),
+        ]
+    )
     return tagged.groupBy(key_col).applyInPandasWithState(
-        make_twa_fn(ts_col=ts_col, id_col=id_col, value_col=value_col),
-        outputStructType=TWA_OUTPUT_SCHEMA,
+        make_twa_fn(
+            key_col=key_col, ts_col=ts_col, id_col=id_col, value_col=value_col
+        ),
+        outputStructType=out_schema,
         stateStructType=TWA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

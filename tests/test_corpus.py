@@ -631,3 +631,33 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     out = {r.doc_id: r.logprob_mean for r in unigram_logprob_scores(docs).collect()}
     assert out[1] == out[2] > out[3]
     assert all(v <= 0 for v in out.values())
+
+
+def test_unigram_logprob_empty_corpus_returns_empty(spark):
+    """Review fix: an empty (or all-whitespace) corpus returns the
+    documented empty result instead of crashing on a NULL token total."""
+    from azure_iot_realtime_data_pipeline_spark.operators.relevance import (
+        unigram_logprob_scores,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert unigram_logprob_scores(empty).count() == 0
+    blank = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    assert unigram_logprob_scores(blank).count() == 0
+
+
+def test_quality_filter_keep_all_short_circuits(spark):
+    """Review fix: keep_frac=1.0 is the identity (the q=0 rank selects
+    nothing, which would otherwise DROP every group via the inner
+    join)."""
+    from pyspark.sql import functions as F
+
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        quality_filter,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1, 0.1), ("s", 2, 0.9)], "source string, doc_id long, q double"
+    )
+    out = quality_filter(df, "source", "doc_id", F.col("q"), keep_frac=1.0)
+    assert {r.doc_id for r in out.collect()} == {1, 2}

@@ -365,3 +365,64 @@ def test_rate_of_change_counter_reset_and_zero_gap(spark):
         df, "user_id", "ts", "value", "event_id"
     ).collect()}
     assert out == {1: None, 2: 2.0, 3: 0.5, 4: None}
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # offset seconds
+            st.floats(min_value=0, max_value=500, allow_nan=False, width=16),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_time_weighted_avg_matches_naive_reference(spark, rows):
+    """K9 property test: for arbitrary single-key series (duplicate
+    timestamps included), (n_obs, span_us, twa) equals a naive Python
+    reference using the same cents-exact accumulation and final
+    floor-rounded division."""
+    import math
+
+    data = [
+        ("u", i + 1, _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=t), float(v))
+        for i, (t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id string, event_id int, ts timestamp, value double"
+    )
+    r = sessions.time_weighted_avg(df, "user_id", "ts", "value", "event_id").collect()[0]
+
+    # naive: sort by (t, id); weighted sum of cents * dt_us
+    seq = sorted((t, i + 1, float(v)) for i, (t, v) in enumerate(rows))
+    wsum = 0
+    for (t0, _, v0), (t1, _, _) in zip(seq, seq[1:]):
+        cents = int(math.floor(v0 * 100.0 + 0.5))
+        wsum += cents * (t1 - t0) * 1_000_000
+    span_us = (seq[-1][0] - seq[0][0]) * 1_000_000
+    assert r.n_obs == len(rows)
+    assert r.span_us == span_us
+    if span_us == 0:
+        assert r.twa_value is None
+    else:
+        want = math.floor((wsum / 100.0) / float(span_us) * 10000.0 + 0.5) / 10000.0
+        assert r.twa_value == want
+
+
+def test_gap_fill_null_values_do_not_shift_anchors(spark):
+    """A NULL measurement must not advance the interpolation anchors:
+    with obs (0h, 10), (1h, NULL), (2h, 30), the 1h tick interpolates
+    the true midpoint 20 between the non-null neighbors (keeping the
+    NULL row would anchor prev_ep at 1h and yield 10)."""
+    df = spark.createDataFrame(
+        [
+            ("u", 1, _ts("2024-01-01 00:00:00"), 10.0),
+            ("u", 2, _ts("2024-01-01 01:00:00"), None),
+            ("u", 3, _ts("2024-01-01 02:00:00"), 30.0),
+        ],
+        "user_id string, event_id int, ts timestamp, value double",
+    )
+    out = sessions.gap_fill(df, "user_id", "ts", "value", "event_id", 3600)
+    got = {r.tick.isoformat(): (r.locf_value, r.interp_value) for r in out.collect()}
+    assert got["2024-01-01T01:00:00"] == (10.0, 20.0)

@@ -1006,3 +1006,55 @@ def test_rate_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
     cols = ["event_id", "user_id", "ts", "rate_per_sec"]
     assert _as_set(got, cols) == _as_set(want, cols)
     assert got.count() == want.count() > 0
+
+
+def test_twa_fn_negative_and_all_null_match_batch(spark):
+    """The review-found divergences, pinned: a NEGATIVE measurement
+    weights correctly (no sentinel conflation) and an all-NULL key
+    emits NULL (not 0.0) — both checked against the batch operator on
+    the same rows."""
+    import datetime as dtm
+
+    import pandas as pd
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        time_weighted_avg,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        make_twa_fn,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        ("a", 1, t0, -5.0),
+        ("a", 2, t0 + dtm.timedelta(seconds=10), 5.0),
+        ("b", 3, t0, None),
+        ("b", 4, t0 + dtm.timedelta(seconds=10), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id int, ts timestamp, value double"
+    )
+    want = {
+        r.user_id: (r.n_obs, r.span_us, r.twa_value)
+        for r in time_weighted_avg(df, "user_id", "ts", "value", "event_id").collect()
+    }
+
+    fn = make_twa_fn()
+    got = {}
+    for key in ("a", "b"):
+        state = _FakeGroupState()
+        pdf = pd.DataFrame(
+            [
+                {"user_id": k, "event_id": e, "ts": ts, "value": v}
+                for (k, e, ts, v) in rows
+                if k == key
+            ]
+        )
+        out = next(fn((key,), iter([pdf]), state))
+        got[key] = (
+            int(out["n_obs"][0]),
+            int(out["span_us"][0]),
+            None if out["twa_value"][0] is None else float(out["twa_value"][0]),
+        )
+    assert got == want
+    assert want["a"][2] == -5.0 and want["b"][2] is None
