@@ -933,3 +933,31 @@ def rate_of_change_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_name", "c_mktsegment"),
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the streaming form of the
+    BI-time fact⋈dimension join (q_join_devices, reference
+    README.MD:56): every micro-batch of the unbounded fact stream joins
+    the STATIC dimension with a broadcast hash join, so the stream side
+    never shuffles and no join state accumulates (stream-static joins
+    are stateless by construction — the missing join mode beside the
+    repo's stream-stream interval join and stateful carries).
+
+    The static side is re-read per micro-batch by Spark (picking up
+    file-level dim updates between batches); keep it broadcast-sized or
+    pre-bucketed. LEFT keeps unmatched telemetry flowing (a new device
+    not yet in the dimension must not drop readings; the F7 upsert path
+    fills the dimension asynchronously).
+    """
+    d = dim.select(F.col(dim_key), *[F.col(c) for c in dim_cols])
+    return events.join(
+        F.broadcast(d), events[stream_key] == d[dim_key], how
+    ).drop(dim_key)

@@ -1058,3 +1058,33 @@ def test_twa_fn_negative_and_all_null_match_batch(spark):
         )
     assert got == want
     assert want["a"][2] == -5.0 and want["b"][2] is None
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_smoke, replay_dir, tmp_path):
+    """Stream-static broadcast enrichment: the streamed fact rows carry
+    the same dimension attributes as the batch broadcast join, and
+    unmatched keys survive with NULLs (left semantics)."""
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        enrich_stream,
+    )
+
+    cust = load_table(spark, sf_smoke, "customer")
+    q = (
+        enrich_stream(replay_events(spark, replay_dir), cust)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT event_id, user_id, c_name, c_mktsegment FROM enriched")
+    ev = load_table(spark, sf_smoke, "events")
+    d = cust.select("c_custkey", "c_name", "c_mktsegment")
+    want = ev.join(
+        F.broadcast(d), ev["user_id"] == d["c_custkey"], "left"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+    cols = ["event_id", "user_id", "c_name", "c_mktsegment"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == ev.count()
