@@ -147,3 +147,93 @@ def sample_frames(
             )
 
     return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id BIGINT, ahash_hex STRING"
+
+
+def fake_decode_pixels(payload: bytes) -> list[int]:
+    """Deterministic stand-in for decode-and-resize: an 8x8 grayscale
+    grid of 4-bit pixels from the payload's sha256 hex digest (64 hex
+    chars -> 64 pixels). The REAL path decodes the image and averages
+    into an 8x8 luma grid; everything downstream of the pixel list is
+    the production algorithm either way."""
+    h = hashlib.sha256(payload).hexdigest()
+    return [int(c, 16) for c in h]
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """J44 image average-hash (aHash): bit i of the 64-bit signature is
+    set iff pixel_i exceeds the grid mean — the classic perceptual
+    fingerprint whose hamming distance survives re-encode/resize on
+    real decodes (on the fake decode only exact payloads collide; the
+    plumbing, banding and pair math are the production shape). Narrow
+    Arrow map, zero shuffle; signature emitted as a 16-char hex string
+    (engine-portable, same convention as simhash_hex_portable)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(b: bytes) -> str:
+                px = fake_decode_pixels(b)
+                mean = sum(px) / 64.0
+                bits = 0
+                for i, p in enumerate(px):
+                    if p > mean:
+                        bits |= 1 << (63 - i)
+                return format(bits, "016x")
+
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash_hex": pdf["payload"].map(one)}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(extract, AHASH_SCHEMA)
+
+
+def image_ahash_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate image candidate pairs at hamming <= max_hamming:
+    the signature table self-joins on 4 exact-match BANDS of 16 bits
+    each (any pair within hamming 8 of a 64-bit signature agrees on at
+    least one quarter by pigeonhole... for hamming <= 3 bands-1;
+    banding at 4x16 guarantees recall for hamming <= 3 and catches most
+    of hamming <= 8 — the standard LSH-for-hamming trade), then exact
+    hamming via per-hex-digit XOR popcounts, all JVM expressions."""
+    from pyspark.sql import functions as F
+
+    sig = image_ahash(media)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("ahash_hex", b * 4 + 1, 4).alias("bkey"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "ahash_hex", F.explode(bands).alias("bs")
+    ).select(
+        "doc_id", "ahash_hex", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    digit = lambda side, i: F.conv(  # noqa: E731
+        F.substring(F.col(f"{side}.ahash_hex"), i + 1, 1), 16, 10
+    ).cast("int")
+    hamming = sum(
+        F.bit_count(digit("a", i).bitwiseXOR(digit("b", i))) for i in range(16)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1560,6 +1560,30 @@ def _minhash_incremental_oracle(
         """
 
 
+def _image_ahash_oracle() -> str:
+    """Mirror of multimodal.image_ahash over the fake decode: 64 4-bit
+    pixels from sha256 hex, bit set iff pixel > grid mean (mean = s/64
+    is exact in binary — 64 is a power of two), MSB-first hex string."""
+    pix = ", ".join(
+        f"strpos('{_HEX}', substr(h, {i + 1}, 1)) - 1 AS p{i}" for i in range(64)
+    )
+    mean = "(" + " + ".join(f"p{i}" for i in range(64)) + ") / 64.0"
+    chars = ",\n               ".join(
+        f"substr('{_HEX}', ("
+        + " + ".join(
+            f"(CASE WHEN p{4 * c + j} > m THEN {8 >> j} ELSE 0 END)" for j in range(4)
+        )
+        + ") + 1, 1)"
+        for c in range(16)
+    )
+    return f"""
+        WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        p AS (SELECT doc_id, {pix} FROM h),
+        pm AS (SELECT *, {mean} AS m FROM p)
+        SELECT doc_id, concat({chars}) AS ahash_hex FROM pm
+        """
+
+
 def _simhash_portable_oracle() -> str:
     """Mirror of dedup.simhash_hex_portable: token md5 digits -> 64 bit
     votes -> majority bits -> 16-char hex string. Empty docs (no token
@@ -1868,6 +1892,7 @@ def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.3) -> str:
 
 
 ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()
+ORACLES["q_image_ahash"] = _image_ahash_oracle()
 ORACLES["q_dedup_incremental"] = _minhash_incremental_oracle()
 
 # K11 rate of change: counter-reset convention (decrease -> delta is

@@ -1530,6 +1530,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_incremental(batch, corpus, est_threshold=0.5)
 
 
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J44 image average-hash fingerprints over the multimodal payload
+    (fake decode; real decode is the single swap point) — the
+    image-modality member of the dedup family. Narrow Arrow map, zero
+    shuffle; pairs via 4x16-bit hamming bands (unit-tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_ahash(multimodal.attach_payload(docs))
+
+
 def q_device_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end telemetry rollup chain — the K/L-family mirror of
     q_curate_corpus's corpus chain and the wire chains: out-of-order
@@ -1653,6 +1662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_device_daily": q_device_daily,
     "q_dedup_incremental": q_dedup_incremental,
     "q_lm_score": q_lm_score,
+    "q_image_ahash": q_image_ahash,
     "q_rate_of_change": q_rate_of_change,
     "q_winsorize": q_winsorize,
     "q_orderby": q_orderby,

@@ -90,3 +90,45 @@ def test_embedding_near_dup_lsh_is_subset_of_exact(spark, sf_smoke):
     }
     assert lsh <= exact
     assert exact  # threshold tuned so the test is non-vacuous
+
+
+def test_image_ahash_pairs_find_duplicate_payloads(spark):
+    """J44 pairs: identical payloads -> hamming 0 and paired; the
+    unrelated doc pairs with nothing at the threshold (fake-decode
+    signatures are avalanche-random for different payloads)."""
+    from azure_iot_realtime_data_pipeline_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same exact image payload bytes"),
+            (2, "the same exact image payload bytes"),
+            (3, "a completely different payload"),
+        ],
+        "doc_id long, text string",
+    )
+    media = multimodal.attach_payload(docs)
+    pairs = multimodal.image_ahash_pairs(media, max_hamming=8).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got.get((1, 2)) == 0
+    assert all(k == (1, 2) for k in got)
+
+
+def test_image_ahash_bit_convention(spark):
+    """Pixel 0 (first sha256 hex digit) maps to the MSB of the first
+    output hex char — pinned against a hand-computed signature."""
+    import hashlib
+
+    from azure_iot_realtime_data_pipeline_spark.operators import multimodal
+
+    payload = "x".encode()
+    px = [int(c, 16) for c in hashlib.sha256(payload).hexdigest()]
+    mean = sum(px) / 64.0
+    bits = 0
+    for i, p in enumerate(px):
+        if p > mean:
+            bits |= 1 << (63 - i)
+    want = format(bits, "016x")
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    got = multimodal.image_ahash(multimodal.attach_payload(docs)).collect()[0]
+    assert got.ahash_hex == want
