@@ -1893,6 +1893,18 @@ def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.3) -> str:
 
 ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()
 ORACLES["q_image_ahash"] = _image_ahash_oracle()
+
+# M4 EXISTS shape (Q4 analog): one order counted once regardless of how
+# many lines qualify
+ORACLES["q_priority_semi"] = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """
 ORACLES["q_dedup_incremental"] = _minhash_incremental_oracle()
 
 # K11 rate of change: counter-reset convention (decrease -> delta is

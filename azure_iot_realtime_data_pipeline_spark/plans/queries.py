@@ -1530,6 +1530,25 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_incremental(batch, corpus, est_threshold=0.5)
 
 
+def q_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 scale validation (TPC-H Q4 shape — the EXISTS subquery):
+    orders with at least one high-quantity line, counted by priority.
+    The fact table reduces map-side FIRST (quantity pushdown to the
+    parquet scan + distinct-ish key projection), then a LEFT SEMI join
+    keeps each order at most once without materializing the match —
+    the EXISTS shape at scale: never a join-then-distinct, never a
+    fact-side shuffle beyond the semi join AQE plans on the pruned key
+    set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    hot = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(hot, orders["o_orderkey"] == hot["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J44 image average-hash fingerprints over the multimodal payload
     (fake decode; real decode is the single swap point) — the
@@ -1663,6 +1682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_incremental": q_dedup_incremental,
     "q_lm_score": q_lm_score,
     "q_image_ahash": q_image_ahash,
+    "q_priority_semi": q_priority_semi,
     "q_rate_of_change": q_rate_of_change,
     "q_winsorize": q_winsorize,
     "q_orderby": q_orderby,

@@ -250,3 +250,13 @@ def test_contamination_score_broadcasts_the_benchmark(spark, sf_smoke):
     p = plan_of(spark, sf_smoke, "q_contamination_score")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_priority_semi_pushes_filter_and_stays_semi(spark, sf_smoke):
+    # M4 (Q4/EXISTS shape): the quantity predicate must reach the
+    # lineitem scan and the join must stay LEFT SEMI (one probe per
+    # order, no join-then-distinct materialization).
+    p = plan_of(spark, sf_smoke, "q_priority_semi")
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_quantity", p), p
+    assert "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p, p
