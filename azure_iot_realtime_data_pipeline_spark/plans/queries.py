@@ -1676,8 +1676,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       q_trailing_window_global keep only r3 driver greens
     #       (stable, locally parity-checked every run) and are TOP
     #       PRIORITY for the r6 window rotation; q_quantile_sketch has
-    #       an r4 green; q_device_daily (chain of two window-verified
-    #       ops) heads the past-window block for the r6 rotation ------
+    #       an r4 green. The seven late-r5 queries that did NOT fit
+    #       the window (q_device_daily, q_dedup_incremental, q_lm_score,
+    #       q_image_ahash, q_priority_semi, q_rate_of_change,
+    #       q_winsorize — never driver-verified, locally parity-green
+    #       at both SFs) head the past-window block and are the FIRST
+    #       picks for the r6 rotation, before the displaced r3 block --
     "q_device_daily": q_device_daily,
     "q_dedup_incremental": q_dedup_incremental,
     "q_lm_score": q_lm_score,
