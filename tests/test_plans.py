@@ -260,3 +260,21 @@ def test_priority_semi_pushes_filter_and_stays_semi(spark, sf_smoke):
     assert re.search(r"PushedFilters: \[.*GreaterThan\(l_quantity", p), p
     assert "LeftSemi" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_dedup_incremental_broadcasts_the_batch_side(spark, sf_smoke):
+    # J42: the NEW batch's banded signatures broadcast into the stored
+    # corpus signature table (the batch is small by definition); the
+    # survivor anti-join must not plan as sort-merge.
+    p = plan_of(spark, sf_smoke, "q_dedup_incremental", mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_semantic_dedup_anti_join_is_hashed(spark, sf_smoke):
+    # J38: the survivor anti-join is a HASHED join (shuffle-hash hint;
+    # AQE may upgrade to broadcast) — never the sort-merge fallback that
+    # static size estimates would otherwise pick.
+    p = plan_of(spark, sf_smoke, "q_semantic_dedup", mode="simple")
+    assert "SortMergeJoin" not in p, p
+    assert "LeftAnti" in p, p
