@@ -368,3 +368,87 @@ def winsorize(
             ),
         )
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """L11 ordered funnel analysis: how many users completed each prefix
+    of the stage sequence IN TIME ORDER (first 'view', then the first
+    'click' strictly after it, then the first 'purchase' strictly after
+    that, ...). The product-analytics classic; strict inequality means
+    same-timestamp stage pairs do not advance the funnel (documented,
+    matches the oracle).
+
+    Plan shape: stage k is ONE filtered aggregate (min event time per
+    user) joined to stage k-1's per-user frame — every aggregate and
+    join keys on the user, so all |stages| steps share one hash
+    partitioning and AQE coalesces them into co-partitioned exchanges;
+    per-user state is a single timestamp per stage. The output is the
+    tiny |stages|-row summary (stage_idx, stage, n_users).
+    """
+    ev = df.select(F.col(user_col), F.col(ts_col), F.col(type_col))
+    reached = (
+        ev.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    frames = [reached]
+    for s in stages[1:]:
+        reached = (
+            ev.filter(F.col(type_col) == s)
+            .join(reached.select(user_col, "_t"), user_col)
+            .filter(F.col(ts_col) > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        frames.append(reached)
+    parts = [
+        f.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            "n_users",
+        )
+        for i, (s, f) in enumerate(zip(stages, frames))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_seconds: int = 604_800,
+) -> DataFrame:
+    """L12 cohort retention: users bucketed by their FIRST active
+    epoch-week (cohort), counted in every later week they return —
+    the (cohort_week, week_offset, n_users) retention triangle behind
+    every growth dashboard.
+
+    Plan shape: distinct (user, week) pairs (one shuffle), per-user min
+    week (same user partitioning), join back on the user
+    (co-partitioned), final count per (cohort, offset) — the
+    (user, week) table is distinct by construction so a plain COUNT
+    suffices, no COUNT(DISTINCT) shuffle. Weeks are epoch-aligned
+    integer indices (portable arithmetic, no calendar functions).
+    """
+    wk = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(bucket_seconds * 1_000_000)
+    ).cast("long")
+    uw = df.select(F.col(user_col), wk.alias("_w")).distinct()
+    cohort = uw.groupBy(user_col).agg(F.min("_w").alias("_c"))
+    return (
+        uw.join(cohort, user_col)
+        .groupBy(
+            F.col("_c").alias("cohort_week"),
+            (F.col("_w") - F.col("_c")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

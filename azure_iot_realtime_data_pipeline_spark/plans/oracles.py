@@ -1894,6 +1894,44 @@ def _semantic_dedup_oracle(n_cells: int = 16, tau: float = 0.3) -> str:
 ORACLES["q_semantic_dedup"] = _semantic_dedup_oracle()
 ORACLES["q_image_ahash"] = _image_ahash_oracle()
 
+# L11 ordered funnel: stage k's first event strictly after stage k-1's
+ORACLES["q_funnel"] = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM s3
+    """
+
+# L12 cohort retention over epoch-week indices
+ORACLES["q_retention"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS w
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(w) AS c FROM uw GROUP BY user_id)
+    SELECT c AS cohort_week, w - c AS week_offset, COUNT(*) AS n_users
+    FROM uw JOIN cohort USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """
+
 # M4 EXISTS shape (Q4 analog): one order counted once regardless of how
 # many lines qualify
 ORACLES["q_priority_semi"] = """

@@ -1530,6 +1530,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_incremental(batch, corpus, est_threshold=0.5)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 ordered funnel: users completing view -> click -> purchase
+    in strict time order; every stage aggregate and join keys on the
+    user, one partitioning end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12 cohort retention triangle over epoch weeks: distinct
+    (user, week) -> per-user first week -> co-partitioned join ->
+    count per (cohort, offset); no COUNT(DISTINCT) shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.cohort_retention(ev, "user_id", "ts")
+
+
 def q_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 scale validation (TPC-H Q4 shape — the EXISTS subquery):
     orders with at least one high-quantity line, counted by priority.
@@ -1687,6 +1705,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lm_score": q_lm_score,
     "q_image_ahash": q_image_ahash,
     "q_priority_semi": q_priority_semi,
+    "q_funnel": q_funnel,
+    "q_retention": q_retention,
     "q_rate_of_change": q_rate_of_change,
     "q_winsorize": q_winsorize,
     "q_orderby": q_orderby,

@@ -811,3 +811,48 @@ def test_winsorize_clamps_into_band(spark):
     got = {r.event_id: r.clipped for r in out.collect()}
     # n=10: lo = value at rank ceil(0.1*10)=1 -> 1.0; hi at rank 9 -> 9.0
     assert got[1] == 1.0 and got[10] == 9.0 and got[5] == 5.0
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """L11: a user whose click precedes every view does NOT advance; a
+    click at the exact view timestamp does not advance (strict >); an
+    in-order user advances through all stages."""
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 1, 1)
+    sec = dtm.timedelta(seconds=1)
+    rows = [
+        # u1 in order: view, click, purchase
+        (1, t0, "view"), (1, t0 + sec, "click"), (1, t0 + 2 * sec, "purchase"),
+        # u2: click BEFORE view -> stops at view
+        (2, t0 + sec, "view"), (2, t0, "click"),
+        # u3: click at the exact view timestamp -> strict > stops it
+        (3, t0, "view"), (3, t0, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.stage: r.n_users for r in analytics.funnel_counts(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_triangle(spark):
+    """L12: the cohort is the user's FIRST week; later-week activity
+    lands at the right offset and week-0 counts the whole cohort."""
+    import datetime as dtm
+
+    wk = dtm.timedelta(weeks=1)
+    t0 = dtm.datetime(2024, 1, 4)  # mid-week; epoch-week alignment is arbitrary
+    rows = [
+        (1, t0), (1, t0 + wk), (1, t0 + 2 * wk),
+        (2, t0), (2, t0 + 2 * wk),
+        (3, t0 + wk),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = analytics.cohort_retention(df, "user_id", "ts").collect()
+    cohorts = {(r.cohort_week, r.week_offset): r.n_users for r in out}
+    c0 = min(c for c, _ in cohorts)
+    assert cohorts[(c0, 0)] == 2          # u1, u2 start week 0
+    assert cohorts[(c0, 1)] == 1          # u1 returns in week 1
+    assert cohorts[(c0, 2)] == 2          # u1 and u2 in week 2
+    assert cohorts[(c0 + 1, 0)] == 1      # u3's own cohort
