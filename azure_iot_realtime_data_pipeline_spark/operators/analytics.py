@@ -452,3 +452,48 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """L13 rolling distinct actives (the WAU/DAU dashboard metric):
+    for every epoch-day d in the data range, the number of DISTINCT
+    users active in the trailing `window_days` ending at d.
+
+    Plan shape: each distinct (user, day) pair fans out MAP-SIDE into
+    the `window_days` windows it contributes to (the hopping-window
+    trick — no self-join against a calendar), then ONE distinct on
+    (user, window) and a combinable count per window. Windows ending
+    after the last observed day are dropped (they would report partial
+    futures); the bound is an O(1) driver scalar like J33's budget
+    scalars. Exactness note: the (user, window) distinct is the
+    inherent cost of EXACT rolling actives — at 100 TB pair it with the
+    J30 KMV sketch per window for the bounded-state estimate, the same
+    exact-vs-sketch pairing as percentiles (L4/L8).
+
+    Returns (day, n_active) with day as the epoch-day index.
+    """
+    day = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(bucket_seconds * 1_000_000)
+    ).cast("long")
+    ud = df.select(F.col(user_col), day.alias("_d")).distinct()
+    max_day = ud.agg(F.max("_d").alias("_m")).collect()[0]["_m"]
+    if max_day is None:
+        return ud.select(
+            F.col("_d").alias("day"), F.lit(0).cast("long").alias("n_active")
+        ).limit(0)
+    windows = F.explode(
+        F.sequence(F.col("_d"), F.col("_d") + F.lit(window_days - 1))
+    ).alias("day")
+    return (
+        ud.select(F.col(user_col), windows)
+        .filter(F.col("day") <= max_day)
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

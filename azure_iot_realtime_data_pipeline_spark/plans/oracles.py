@@ -1919,6 +1919,22 @@ ORACLES["q_funnel"] = """
     SELECT 3, 'purchase', COUNT(*) FROM s3
     """
 
+# L13 rolling 7-day distinct actives (windows past the last observed
+# day dropped — no partial-future rows)
+ORACLES["q_rolling_active"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+      FROM events
+    ),
+    fan AS (
+      SELECT DISTINCT user_id, d + k AS day
+      FROM ud CROSS JOIN generate_series(0, 6) AS g(k)
+      WHERE d + k <= (SELECT max(d) FROM ud)
+    )
+    SELECT day, COUNT(*) AS n_active FROM fan GROUP BY day
+    """
+
 # L12 cohort retention over epoch-week indices
 ORACLES["q_retention"] = """
     WITH uw AS (

@@ -1530,6 +1530,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_incremental(batch, corpus, est_threshold=0.5)
 
 
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13 rolling 7-day distinct actives per day: map-side window
+    fan-out of distinct (user, day) pairs, one (user, window) distinct,
+    combinable count — no calendar self-join; exact form (KMV is the
+    bounded-state pairing)."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.rolling_active_users(ev, "user_id", "ts")
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L11 ordered funnel: users completing view -> click -> purchase
     in strict time order; every stage aggregate and join keys on the
@@ -1707,6 +1716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_priority_semi": q_priority_semi,
     "q_funnel": q_funnel,
     "q_retention": q_retention,
+    "q_rolling_active": q_rolling_active,
     "q_rate_of_change": q_rate_of_change,
     "q_winsorize": q_winsorize,
     "q_orderby": q_orderby,

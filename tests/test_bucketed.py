@@ -115,3 +115,42 @@ def test_date_partitioned_scan_prunes_partitions(spark, sf_smoke, tmp_path):
         F.to_date("ts")
         == ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
     ).count() > 0
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_smoke, tmp_path):
+    """DPP: when the partitioned fact joins a dimension whose FILTER
+    implies a partition subset, Spark injects a runtime partition-prune
+    subquery (`dynamicpruning` in the plan) — at 100 TB this skips
+    every irrelevant day's directory without a static predicate on the
+    fact. The capability needs no engine code (it is Catalyst's), but
+    it only fires on a partitioned layout, which is exactly what
+    write_date_partitioned provides."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+    from azure_iot_realtime_data_pipeline_spark.sources.bucketed import (
+        write_date_partitioned,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    path = str(tmp_path / "events_part")
+    write_date_partitioned(ev, path)
+    fact = spark.read.parquet(path)
+    # dimension: a two-day calendar slice (filtered on a non-partition
+    # attribute so static pruning cannot see through it)
+    dim = (
+        fact.select("event_date").distinct().orderBy("event_date").limit(2)
+        .withColumn("tag", F.lit("keep"))
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+    joined = fact.join(dim, "event_date").groupBy("event_date").count()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan

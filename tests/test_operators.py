@@ -856,3 +856,23 @@ def test_cohort_retention_triangle(spark):
     assert cohorts[(c0, 1)] == 1          # u1 returns in week 1
     assert cohorts[(c0, 2)] == 2          # u1 and u2 in week 2
     assert cohorts[(c0 + 1, 0)] == 1      # u3's own cohort
+
+
+def test_rolling_active_users_window_membership(spark):
+    """L13: a user active on day d counts toward days d..d+6 only up to
+    the last observed day; multiple events in one day count once."""
+    import datetime as dtm
+
+    day = dtm.timedelta(days=1)
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (1, t0 + dtm.timedelta(hours=3)),   # u1 on day0 (twice)
+        (2, t0 + 2 * day),                            # u2 on day2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.day: r.n_active for r in analytics.rolling_active_users(
+        df, "user_id", "ts"
+    ).collect()}
+    d0 = min(out)
+    # last observed day is day2 -> windows beyond it are absent
+    assert out == {d0: 1, d0 + 1: 1, d0 + 2: 2}
