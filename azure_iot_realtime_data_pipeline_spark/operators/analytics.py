@@ -497,3 +497,47 @@ def rolling_active_users(
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """L14 per-group z-score normalization — the feature-scaling pass
+    before anomaly thresholds or model features: (v - mean) / stddev
+    with POPULATION stddev, NULL when the group has no variance (a
+    constant sensor has no meaningful z).
+
+    Parity/scale shape: mean and variance come from decimal-exact
+    sum / sum-of-squares in ONE map-side-combinable aggregate per group
+    (double accumulation is order-dependent; v^2 at |v|<=1e4 with 2dp
+    fits DECIMAL(38,4) exactly), broadcast back into a map-side
+    normalize — the stream never shuffles, the J40/L10
+    aggregate-then-broadcast shape. The final scalar math runs in
+    double, rounded half-up to 4 decimals.
+
+    Returns (tiebreak, group, value, zscore).
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    stats = df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec).alias("_s"),
+        F.sum(dec * dec).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n").cast("double")
+    var = F.col("_ss").cast("double") / F.col("_n").cast("double") - mean * mean
+    cuts = stats.select(
+        F.col(group),
+        mean.alias("_mean"),
+        F.when(var > 0, F.sqrt(var)).alias("_std"),
+    )
+    return df.join(F.broadcast(cuts), group).select(
+        F.col(tiebreak),
+        F.col(group),
+        F.col(value_col),
+        round_half_up(
+            (F.col(value_col) - F.col("_mean")) / F.col("_std")
+        ).alias("zscore"),
+    )

@@ -611,3 +611,46 @@ def rate_of_change(
         F.col(ts_col),
         rate.alias("rate_per_sec"),
     )
+
+
+def asof_join_tolerance(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    probe_tiebreak: str,
+    tolerance_seconds: int,
+) -> DataFrame:
+    """K12 as-of join with a staleness bound (pandas merge_asof's
+    `tolerance`): the carried build value is NULLed when the matched
+    build row is more than `tolerance_seconds` older than the probe —
+    a reading enriched with a too-old calibration is worse than an
+    explicitly missing one. Pure composition over `asof_join`: the
+    build timestamp rides along as one more carried column and a
+    map-side gate nulls stale values, so the one-shuffle linear plan
+    is unchanged.
+
+    Returns the probe columns + asof_<value> (NULL when absent OR
+    stale) + asof_age_us (the raw staleness, NULL when no match —
+    callers alert on it).
+    """
+    bts = "__asof_bts"
+    carried = asof_join(
+        probe,
+        build.withColumn(bts, F.col(ts_col)),
+        key=key,
+        ts_col=ts_col,
+        value_cols=[*value_cols, bts],
+        probe_tiebreak=probe_tiebreak,
+    )
+    age = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(f"asof_{bts}"))
+    fresh = age <= F.lit(tolerance_seconds * 1_000_000)
+    return carried.select(
+        *[F.col(c) for c in probe.columns],
+        *[
+            F.when(fresh, F.col(f"asof_{c}")).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+        age.alias("asof_age_us"),
+    )

@@ -1919,6 +1919,58 @@ ORACLES["q_funnel"] = """
     SELECT 3, 'purchase', COUNT(*) FROM s3
     """
 
+# K12 staleness-bounded as-of: DuckDB ASOF JOIN + age gate
+ORACLES["q_asof_tolerance"] = """
+    WITH build AS (
+      SELECT user_id, ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1
+    ),
+    probe AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             b.purchase_value,
+             epoch_us(p.ts) - epoch_us(b.ts) AS age_us
+      FROM probe p
+      ASOF LEFT JOIN build b ON p.user_id = b.user_id AND p.ts >= b.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN age_us <= 86400000000 THEN purchase_value
+           END AS asof_purchase_value,
+           age_us AS asof_age_us
+    FROM m
+    """
+
+# L14 z-score: decimal-exact moments, population stddev, scalar double
+# math in the operator's exact expression order
+ORACLES["q_zscore"] = """
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s,
+             SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ss
+      FROM events GROUP BY event_type
+    ),
+    cuts AS (
+      SELECT event_type,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             CASE WHEN CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                  THEN sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             END AS sd
+      FROM stats
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           floor((e.value - c.m) / c.sd * 10000 + 0.5) / 10000 AS zscore
+    FROM events e JOIN cuts c USING (event_type)
+    """
+
 # L13 rolling 7-day distinct actives (windows past the last observed
 # day dropped — no partial-future rows)
 ORACLES["q_rolling_active"] = """

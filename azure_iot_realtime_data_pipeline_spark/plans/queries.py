@@ -1530,6 +1530,39 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_incremental(batch, corpus, est_threshold=0.5)
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K12 staleness-bounded as-of join: clicks enriched with the
+    user's latest purchase ONLY if it is at most 24 h old — stale
+    matches null out, with the raw age kept for alerting. Same
+    one-shuffle merge-asof plan as K4."""
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    return sessions.asof_join_tolerance(
+        probe,
+        build,
+        key="user_id",
+        ts_col="ts",
+        value_cols=["purchase_value"],
+        probe_tiebreak="event_id",
+        tolerance_seconds=86400,
+    )
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14 per-type z-score normalization: decimal-exact moment
+    aggregate broadcast into a map-side normalize (population stddev;
+    zero-variance groups yield NULL z)."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.zscore_normalize(ev, "event_type", "value", "event_id")
+
+
 def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L13 rolling 7-day distinct actives per day: map-side window
     fan-out of distinct (user, day) pairs, one (user, window) distinct,
@@ -1717,6 +1750,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_funnel": q_funnel,
     "q_retention": q_retention,
     "q_rolling_active": q_rolling_active,
+    "q_zscore": q_zscore,
+    "q_asof_tolerance": q_asof_tolerance,
     "q_rate_of_change": q_rate_of_change,
     "q_winsorize": q_winsorize,
     "q_orderby": q_orderby,

@@ -876,3 +876,18 @@ def test_rolling_active_users_window_membership(spark):
     d0 = min(out)
     # last observed day is day2 -> windows beyond it are absent
     assert out == {d0: 1, d0 + 1: 1, d0 + 2: 2}
+
+
+def test_zscore_zero_variance_group_is_null(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", 1, t, 5.0), ("a", 2, t, 5.0), ("b", 3, t, 1.0), ("b", 4, t, 3.0)],
+        "key string, event_id int, ts timestamp, value double",
+    )
+    out = {r.event_id: r.zscore for r in analytics.zscore_normalize(
+        df, "key", "value", "event_id"
+    ).collect()}
+    assert out[1] is None and out[2] is None  # constant group
+    assert out[3] == -1.0 and out[4] == 1.0   # mean 2, population std 1

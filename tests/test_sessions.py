@@ -426,3 +426,30 @@ def test_gap_fill_null_values_do_not_shift_anchors(spark):
     out = sessions.gap_fill(df, "user_id", "ts", "value", "event_id", 3600)
     got = {r.tick.isoformat(): (r.locf_value, r.interp_value) for r in out.collect()}
     assert got["2024-01-01T01:00:00"] == (10.0, 20.0)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """K12: a match older than the tolerance nulls the carried value
+    but keeps the age for alerting; fresh matches carry through; no
+    match leaves both NULL."""
+    probe = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01 10:00:00")),  # 1h after build -> fresh
+            (2, "u", _ts("2024-01-03 10:00:00")),  # 2d after build -> stale
+            (3, "v", _ts("2024-01-01 10:00:00")),  # no build -> both NULL
+        ],
+        "event_id int, user_id string, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [("u", _ts("2024-01-01 09:00:00"), 10.0)],
+        "user_id string, ts timestamp, purchase_value double",
+    )
+    out = {
+        r.event_id: (r.asof_purchase_value, r.asof_age_us)
+        for r in sessions.asof_join_tolerance(
+            probe, build, "user_id", "ts", ["purchase_value"], "event_id", 86400
+        ).collect()
+    }
+    assert out[1] == (10.0, 3_600_000_000)
+    assert out[2] == (None, 176_400_000_000)
+    assert out[3] == (None, None)
