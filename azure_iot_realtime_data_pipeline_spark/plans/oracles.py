@@ -1919,6 +1919,24 @@ ORACLES["q_funnel"] = """
     SELECT 3, 'purchase', COUNT(*) FROM s3
     """
 
+# J45 SymSpell fuzzy pairs: same variant construction (index 0 = the
+# original string, index i deletes char i), levenshtein verify
+ORACLES["q_fuzzy_pairs"] = """
+    WITH v AS (
+      SELECT c_custkey AS id, c_name AS s,
+             unnest(list_transform(generate_series(0, length(c_name)),
+               i -> CASE WHEN i = 0 THEN c_name
+                    ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END)) AS var
+      FROM customer
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INTEGER) AS distance
+    FROM cand WHERE levenshtein(sa, sb) <= 1
+    """
+
 # K12 staleness-bounded as-of: DuckDB ASOF JOIN + age gate
 ORACLES["q_asof_tolerance"] = """
     WITH build AS (

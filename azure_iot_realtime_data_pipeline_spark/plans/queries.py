@@ -1530,6 +1530,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_incremental(batch, corpus, est_threshold=0.5)
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J45 SymSpell fuzzy matching over customer names: pairs within
+    one edit, blocked by symmetric-delete variants (map-side ~L+1
+    fan-out, one equi-join on the variant key, exact Levenshtein
+    verify) — never the O(n^2) cross product."""
+    cust = load_table(spark, sf_dir, "customer")
+    return dedup.symspell_pairs(cust, "c_custkey", "c_name")
+
+
 def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K12 staleness-bounded as-of join: clicks enriched with the
     user's latest purchase ONLY if it is at most 24 h old — stale
@@ -1752,6 +1761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rolling_active": q_rolling_active,
     "q_zscore": q_zscore,
     "q_asof_tolerance": q_asof_tolerance,
+    "q_fuzzy_pairs": q_fuzzy_pairs,
     "q_rate_of_change": q_rate_of_change,
     "q_winsorize": q_winsorize,
     "q_orderby": q_orderby,

@@ -891,3 +891,24 @@ def test_zscore_zero_variance_group_is_null(spark):
     ).collect()}
     assert out[1] is None and out[2] is None  # constant group
     assert out[3] == -1.0 and out[4] == 1.0   # mean 2, population std 1
+
+
+def test_symspell_recall_on_all_edit_types(spark):
+    """J45 full-recall-at-distance-1 property: substitution, deletion,
+    and insertion neighbors all pair; a distance-2 neighbor does not;
+    only max_edits=1 is supported."""
+    rows = [
+        (1, "spark"),
+        (2, "spork"),   # substitution -> distance 1
+        (3, "spar"),    # deletion -> distance 1
+        (4, "sparkk"),  # insertion -> distance 1
+        (5, "spoon"),   # distance > 1 -> absent
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = {(r.id_a, r.id_b): r.distance for r in dedup.symspell_pairs(
+        df, "id", "name"
+    ).collect()}
+    assert pairs[(1, 2)] == 1 and pairs[(1, 3)] == 1 and pairs[(1, 4)] == 1
+    assert all(5 not in k for k in pairs)
+    with pytest.raises(ValueError):
+        dedup.symspell_pairs(df, "id", "name", max_edits=2)
