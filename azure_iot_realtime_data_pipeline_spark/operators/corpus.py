@@ -751,3 +751,114 @@ def token_budget_select(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(group_col, id_col, "n_tokens", "cum_tokens")
     )
+
+
+def remove_frequent_segments(
+    seg_df: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    seg_col: str = "seg",
+    min_docs: int = 3,
+    joiner: str = " ",
+) -> DataFrame:
+    """J46 core: C4/CCNet-style boilerplate removal — drop every segment
+    (line, paragraph, or fixed chunk) whose EXACT text occurs in at
+    least `min_docs` distinct documents, then reassemble each document
+    from its surviving segments in position order. This is the
+    line-level complement to doc-level near-dup (J3/J4) and
+    sliding-span dedup (J32): navigation bars, cookie banners, and
+    license headers repeat verbatim across otherwise-unique pages, and
+    C4 (Raffel et al. 2020, §2.2 "we discarded ... lines occurring more
+    than once in the data set" — public paper, no reference analog) cuts
+    them at the segment level.
+
+    Input is a segment table (id, pos, seg) so any splitter composes:
+    `remove_frequent_lines` splits on a delimiter; `q_line_dedup` feeds
+    non-overlapping token chunks (this corpus has no newlines).
+
+    Plan shape (scale): segment hashes (md5 — shuffle carries 32-byte
+    digests, never segment text) -> within-doc dedup + per-segment
+    distinct-doc count (two narrow exchanges over the hash table only)
+    -> the frequent set is the head of the segment-frequency Zipf tail,
+    tiny under any min_docs >= 2, and BROADCASTS into a left join mark
+    -> ONE corpus shuffle (the per-doc reassembly aggregate). Reassembly
+    sorts each doc's own segments (array_sort over collect_list —
+    bounded by document size, the same per-doc bound every reassembly
+    op has). At 100 TB raise min_docs with corpus growth (a fixed
+    threshold admits ever more segments as the corpus grows).
+
+    Returns (id, kept_segments, removed_segments, clean_text);
+    clean_text = '' when every segment was boilerplate.
+    """
+    segs = seg_df.select(
+        F.col(id_col),
+        F.col(pos_col),
+        F.col(seg_col),
+        F.md5(F.col(seg_col)).alias("_h"),
+    )
+    freq = (
+        segs.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_h", F.lit(1).alias("_drop"))
+    )
+    marked = segs.join(F.broadcast(freq), "_h", "left")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(pos_col).alias("p"),
+                F.coalesce(F.col("_drop"), F.lit(0)).alias("d"),
+                F.col(seg_col).alias("s"),
+            )
+        )
+    )
+    kept = F.filter(F.col("_arr"), lambda x: x["d"] == 0)
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("_drop").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("kept_segments"),
+            F.sum(F.when(F.col("_drop").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("removed_segments"),
+            arr.alias("_arr"),
+        )
+        .select(
+            id_col,
+            "kept_segments",
+            "removed_segments",
+            F.concat_ws(joiner, F.transform(kept, lambda x: x["s"])).alias(
+                "clean_text"
+            ),
+        )
+    )
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """J46: delimiter-split form of `remove_frequent_segments` — the
+    literal C4 shape (split on newlines, drop lines shared by
+    `min_docs`+ docs, rejoin). Empty segments (blank lines, runs of the
+    delimiter) are dropped before counting, so they can never become
+    'frequent'; position is order-of-appearance among surviving lines.
+    Split/explode is map-side; the only corpus shuffle is the
+    reassembly aggregate in the core."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), delimiter, -1), lambda s: s != ""
+            )
+        ).alias("pos", "seg"),
+    )
+    return remove_frequent_segments(
+        lines, id_col, "pos", "seg", min_docs=min_docs, joiner=delimiter
+    )

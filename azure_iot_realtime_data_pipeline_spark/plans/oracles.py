@@ -1226,6 +1226,44 @@ ORACLES: dict[str, str] = {
         FROM events WHERE value IS NOT NULL GROUP BY 1, 2
         """
     ),
+    "q_line_dedup": (
+        # J46: 8-token non-overlapping segments; a segment is boilerplate
+        # when its exact text occurs in >= 3 distinct docs. string_agg
+        # skips NULL (dropped) segments without emitting a separator,
+        # matching Spark's filter-then-concat_ws; COALESCE('') covers
+        # docs whose every segment was dropped (concat_ws of empty = '').
+        """
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1, 8)) AS s
+          FROM toks WHERE len(tk) > 0
+        ),
+        segs AS (
+          SELECT doc_id, CAST(s // 8 AS INTEGER) AS pos,
+                 array_to_string(list_slice(tk, s + 1, s + 8), ' ') AS seg
+          FROM starts
+        ),
+        freq AS (
+          SELECT seg FROM (
+            SELECT seg, COUNT(DISTINCT doc_id) AS docs FROM segs GROUP BY seg
+          ) WHERE docs >= 3
+        ),
+        marked AS (
+          SELECT s.doc_id, s.pos, s.seg,
+                 CASE WHEN f.seg IS NULL THEN 0 ELSE 1 END AS d
+          FROM segs s LEFT JOIN freq f USING (seg)
+        )
+        SELECT doc_id,
+               CAST(SUM(1 - d) AS BIGINT) AS kept_segments,
+               CAST(SUM(d) AS BIGINT) AS removed_segments,
+               COALESCE(string_agg(CASE WHEN d = 0 THEN seg END, ' ' ORDER BY pos), '')
+                 AS clean_text
+        FROM marked GROUP BY doc_id
+        """
+    ),
     "q_chunk_documents": (
         # chunk k covers tokens [k*96, k*96 + 128): stride 96 = 128 - 32
         # overlap; list_slice is 1-based inclusive and clamps like

@@ -759,6 +759,21 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.chunk_documents(docs)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J46 C4-style frequent-segment removal: drop every 8-token
+    segment whose exact text occurs in >= 3 distinct docs (boilerplate:
+    nav bars, banners, license headers), reassemble survivors in
+    position order. The segmenter here is non-overlapping token chunks
+    (this corpus has no newlines; `remove_frequent_lines` is the
+    delimiter form, unit-tested on synthetic multi-line docs). Corpus
+    shuffles once (reassembly agg); the frequent set broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    segs = corpus.chunk_documents(docs, chunk_tokens=8, overlap_tokens=0)
+    return corpus.remove_frequent_segments(
+        segs, "doc_id", "chunk_idx", "chunk_text", min_docs=3, joiner=" "
+    )
+
+
 def q_embed_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 SCALE path: embedding near-dup over the FULL embeddings table
     via hyperplane-LSH bucketing (4 planes) — exact cosine only within
@@ -1709,7 +1724,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repetition_score": q_repetition_score,
     "q_mask_pii": q_mask_pii,
     "q_stratified_sample": q_stratified_sample,
-    "q_pack_sequences": q_pack_sequences,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1738,9 +1752,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_pairs": q_fuzzy_pairs,
     "q_rate_of_change": q_rate_of_change,
     "q_winsorize": q_winsorize,
+    "q_line_dedup": q_line_dedup,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_pack_sequences": q_pack_sequences,
     "q_importance_sample": q_importance_sample,
     "q_pivot_counts": q_pivot_counts,
     "q_rollup_agg": q_rollup_agg,

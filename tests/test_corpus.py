@@ -661,3 +661,59 @@ def test_quality_filter_keep_all_short_circuits(spark):
     )
     out = quality_filter(df, "source", "doc_id", F.col("q"), keep_frac=1.0)
     assert {r.doc_id for r in out.collect()} == {1, 2}
+
+
+def test_remove_frequent_lines_drops_shared_boilerplate(spark):
+    # 'cookie banner' appears in 3 docs -> dropped; unique lines survive
+    # in order; doc 4 is ALL boilerplate -> empty clean_text, not a
+    # missing row; blank lines never count toward frequency.
+    rows = [
+        (1, "cookie banner\nalpha one\nbeta two"),
+        (2, "gamma three\ncookie banner\n\ndelta four"),
+        (3, "epsilon five\ncookie banner"),
+        (4, "cookie banner"),
+        (5, "zeta six\neta seven"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in corpus.remove_frequent_lines(df, min_docs=3).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["clean_text"] == "alpha one\nbeta two"
+    assert out[2]["clean_text"] == "gamma three\ndelta four"
+    assert out[3]["clean_text"] == "epsilon five"
+    assert out[4]["clean_text"] == ""
+    assert out[4]["kept_segments"] == 0 and out[4]["removed_segments"] == 1
+    assert out[5]["clean_text"] == "zeta six\neta seven"
+    assert out[5]["removed_segments"] == 0
+
+
+def test_remove_frequent_lines_counts_docs_not_occurrences(spark):
+    # a line repeated 5x inside ONE doc is not boilerplate (distinct-doc
+    # count = 1); the same line across min_docs docs is.
+    rows = [
+        (1, "refrain\nrefrain\nrefrain\nrefrain\nrefrain\nsolo line"),
+        (2, "other text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in corpus.remove_frequent_lines(df, min_docs=2).collect()
+    }
+    assert out[1]["removed_segments"] == 0
+    assert out[1]["clean_text"].count("refrain") == 5
+
+
+def test_remove_frequent_segments_broadcasts_tiny_frequent_set(spark, sf_oracle):
+    # plan gate: the frequent-set mark join is a BroadcastHashJoin (the
+    # corpus side never shuffles for the mark) and the corpus-side
+    # exchanges are the hash-table counts + ONE reassembly aggregate.
+    docs = load_table(spark, sf_oracle, "documents")
+    segs = corpus.chunk_documents(docs, chunk_tokens=8, overlap_tokens=0)
+    out = corpus.remove_frequent_segments(
+        segs, "doc_id", "chunk_idx", "chunk_text", min_docs=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
