@@ -1402,6 +1402,29 @@ ORACLES: dict[str, str] = {
         """
     ),
     # --- §2.M scale validation (M3) ---
+    "q_small_qty_revenue": (
+        # M5 / Q17 shape, decorrelated exactly like the Spark plan:
+        # per-part avg over the brand-filtered subset in int64
+        # micro-units (order-free), threshold compare in double with the
+        # identical division order, money in int64 cents.
+        """
+        WITH fl AS (
+          SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#1'
+        ),
+        st AS (
+          SELECT l_partkey,
+                 SUM(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS s,
+                 COUNT(l_quantity) AS n
+          FROM fl GROUP BY l_partkey
+        )
+        SELECT floor((CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 100.0 / 7.0) * 10000 + 0.5) / 10000 AS avg_yearly
+        FROM fl JOIN st USING (l_partkey)
+        WHERE l_quantity < 0.2 * (CAST(s AS DOUBLE) / 1000000.0 / n)
+        """
+    ),
     "q_big_orders": (
         """
         WITH big AS (

@@ -252,6 +252,22 @@ def test_contamination_score_broadcasts_the_benchmark(spark, sf_smoke):
     assert "SortMergeJoin" not in p, p
 
 
+def test_small_qty_revenue_decorrelates_without_fact_shuffle(spark, sf_smoke):
+    # M5 (Q17 shape): the correlated scalar subquery decorrelates into
+    # brand-filter broadcasts into BOTH fact passes + the per-part
+    # threshold table broadcast back — the fact's only exchange is the
+    # l_partkey aggregate over the filtered subset.
+    p = plan_of(spark, sf_smoke, "q_small_qty_revenue", mode="simple")
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    shuffles = [
+        ln
+        for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1 and "l_partkey" in shuffles[0], shuffles
+
+
 def test_priority_semi_pushes_filter_and_stays_semi(spark, sf_smoke):
     # M4 (Q4/EXISTS shape): the quantity predicate must reach the
     # lineitem scan and the join must stay LEFT SEMI (one probe per
