@@ -654,3 +654,65 @@ def asof_join_tolerance(
         ],
         age.alias("asof_age_us"),
     )
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """K13: exponentially weighted moving average per key — the classic
+    telemetry smoother (s_i = alpha*x_i + (1-alpha)*s_{i-1}, seeded
+    s_0 = x_0) reporting each key's final smoothed level.
+
+    EWMA is inherently sequential, so the batch-exact form must see each
+    key's full ordered series: ONE shuffle on the key collecting
+    (ts, tiebreak, value) structs, array_sort for deterministic order,
+    then a sequential `F.aggregate` fold — all JVM-side, and the fold
+    order is bit-identical to the oracle's list_reduce (same IEEE double
+    ops in the same order; only the final level is rounded, 4dp).
+
+    Scale note: per-key state is the key's own history (the same per-key
+    bound as any exact reassembly/rank op here); the STREAMING twin
+    (`ewma_stream`) is the production path at unbounded history — one
+    (count, level) carry cell per key, emission bit-matching this fold
+    over the processed prefix. For dense keys, pre-truncate history to a
+    trailing window first (the smoother forgets at rate 1-alpha anyway:
+     60 events at alpha .3 leave < 1e-9 of the seed's weight).
+
+    NULL measurements are dropped (a NULL would poison every later
+    level through the recurrence — same policy as rate_of_change).
+
+    Returns (key, n_events, ewma).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak).alias("k"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    fold = F.aggregate(
+        F.col("_arr"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["v"]).otherwise(
+            F.lit(alpha) * x["v"] + F.lit(1.0 - alpha) * acc
+        ),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_events"), arr.alias("_arr"))
+        .select(
+            key,
+            "n_events",
+            round_half_up(fold).alias("ewma"),
+        )
+    )

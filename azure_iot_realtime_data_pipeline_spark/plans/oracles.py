@@ -2309,3 +2309,17 @@ ORACLES["q_minhash_lsh_portable"] = _minhash_portable_oracle()
 ORACLES["q_simhash_portable"] = _simhash_portable_oracle()
 ORACLES["q_lsh_topk"] = _lsh_topk_oracle()
 ORACLES["q_embed_dedup_lsh"] = _embed_dedup_lsh_oracle()
+
+# K13 EWMA: list_reduce seeds the accumulator with the FIRST ordered
+# element, exactly matching the operator's NULL-init fold; both engines
+# run the identical 0.3*x + 0.7*acc double ops in the same order, so
+# only the final level needs the portable 4dp rounding.
+ORACLES["q_ewma"] = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           floor(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> 0.3*x + 0.7*acc) * 10000 + 0.5)
+             / 10000 AS ewma
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+    """

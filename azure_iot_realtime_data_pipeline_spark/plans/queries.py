@@ -1523,6 +1523,16 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K13 per-device EWMA level (alpha 0.3): one key shuffle, ordered
+    JVM fold, bit-matching the oracle's list_reduce; the streaming twin
+    carries one (count, level) cell per key."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.ewma_per_key(
+        ev, "user_id", "ts", "value", "event_id", alpha=0.3
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J38 SemDeDup-style semantic dedup over the embeddings table:
     assign to the 16 deterministic centroid cells (the bit-pinned IVF
@@ -1777,7 +1787,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontaminate": q_decontaminate,
     "q_normalize_text": q_normalize_text,
     "q_repetition_score": q_repetition_score,
-    "q_mask_pii": q_mask_pii,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1808,9 +1817,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winsorize": q_winsorize,
     "q_line_dedup": q_line_dedup,
     "q_small_qty_revenue": q_small_qty_revenue,
+    "q_ewma": q_ewma,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_mask_pii": q_mask_pii,
     "q_stratified_sample": q_stratified_sample,
     "q_pack_sequences": q_pack_sequences,
     "q_importance_sample": q_importance_sample,

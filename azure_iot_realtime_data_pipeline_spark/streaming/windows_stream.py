@@ -961,3 +961,94 @@ def enrich_stream(
     return events.join(
         F.broadcast(d), events[stream_key] == d[dim_key], how
     ).drop(dim_key)
+
+
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("level", DoubleType())]
+)
+
+
+def make_ewma_fn(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.3,
+):
+    """applyInPandasWithState body for the K13 streaming twin (picklable
+    closure). Per key: rows process in (ts, id) order; each non-NULL
+    measurement advances level = alpha*v + (1-alpha)*level (seeded by
+    the first value) — the IDENTICAL IEEE double ops, in the identical
+    order, as the batch fold in `sessions.ewma_per_key`, so the running
+    level needs no re-derivation to match. NULL measurements are
+    skipped entirely (the batch form filters them before the fold).
+    Emission rounds half-up to 4dp exactly like the batch output; the
+    carried level stays UNROUNDED (rounding inside the recurrence would
+    compound)."""
+    import math
+
+    a = float(alpha)
+    b = 1.0 - float(alpha)
+
+    def fn(key, pdfs, state):
+        n, level = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            for v in pdf[value_col]:
+                if pd.isna(v):
+                    continue
+                v = float(v)
+                level = v if level is None else a * v + b * level
+                n += 1
+        state.update((n, level))
+        if n > 0:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "ewma": [math.floor(level * 10000.0 + 0.5) / 10000.0],
+                }
+            )
+
+    return fn
+
+
+def ewma_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """K13 streaming twin: running per-key EWMA with a TWO-field carry
+    cell (count + unrounded level) — the O(1)-state production path for
+    the inherently sequential smoother, where the batch-exact form
+    (`sessions.ewma_per_key`, oracled as `q_ewma`) must collect each
+    key's history. Each micro-batch emits the running (n_events, ewma);
+    n_events is monotone, so max(n_events) marks the final row per key,
+    and that final emission equals the batch operator over the replayed
+    data (batch-equivalence + restart tested)."""
+    tagged = events.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), F.col(value_col)
+    )
+    out_schema = StructType(
+        [
+            tagged.schema[key_col],
+            StructField("n_events", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_ewma_fn(
+            key_col=key_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            value_col=value_col,
+            alpha=alpha,
+        ),
+        outputStructType=out_schema,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -453,3 +453,27 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert out[1] == (10.0, 3_600_000_000)
     assert out[2] == (None, 176_400_000_000)
     assert out[3] == (None, None)
+
+
+def test_ewma_validates_alpha_and_skips_nulls(spark):
+    import pytest as _pytest
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import ewma_per_key
+
+    with _pytest.raises(ValueError):
+        ewma_per_key(None, "k", "t", "v", "i", alpha=0.0)
+    with _pytest.raises(ValueError):
+        ewma_per_key(None, "k", "t", "v", "i", alpha=1.5)
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, 10.0),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 1), 2, None),   # skipped, not zero
+        (1, dt.datetime(2024, 1, 1, 0, 0, 2), 3, 20.0),
+        (2, dt.datetime(2024, 1, 1), 4, None),            # all-NULL key: no row
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r["user_id"]: r for r in ewma_per_key(df, "user_id", "ts", "value", "event_id", alpha=0.5).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_events"] == 2
+    assert out[1]["ewma"] == 15.0  # 0.5*20 + 0.5*10, NULL skipped

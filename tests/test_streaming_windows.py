@@ -1088,3 +1088,98 @@ def test_enrich_stream_matches_batch_join(spark, sf_smoke, replay_dir, tmp_path)
     cols = ["event_id", "user_id", "c_name", "c_mktsegment"]
     assert _as_set(got, cols) == _as_set(want, cols)
     assert got.count() == ev.count()
+
+
+def test_ewma_stream_final_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """K13 streaming twin: the (count, unrounded level) carry cell,
+    folded across micro-batches in (ts, id) order, lands exactly on the
+    batch fold's (n_events, ewma) per key — identical IEEE double
+    recurrence, rounding applied only at emission."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import ewma_per_key
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        ewma_stream,
+    )
+
+    q = (
+        ewma_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, ewma FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC
+          ) AS rn FROM ewma
+        ) WHERE rn = 1
+        """
+    )
+    want = ewma_per_key(
+        load_table(spark, sf_smoke, "events"), "user_id", "ts", "value", "event_id"
+    )
+    cols = ["user_id", "n_events", "ewma"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
+
+
+def test_ewma_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_path):
+    """Crash/restart contract for the K13 carry cell: half the stream,
+    stop, resume from the same checkpoint over the full directory — the
+    carried (n, level) must continue the recurrence so the final
+    running EWMA equals the batch fold over ALL events."""
+    import os
+    import shutil
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import ewma_per_key
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        ewma_stream,
+    )
+
+    src_buckets = sorted(os.listdir(replay_dir))
+    half_dir = str(tmp_path / "replay_half_ewma")
+    os.makedirs(half_dir)
+    for b in src_buckets[:2]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    ckpt = str(tmp_path / "ckpt_ewma_restart")
+    emissions: list[tuple] = []
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emissions.append((r["user_id"], r["n_events"], r["ewma"]))
+
+        q = (
+            ewma_stream(replay_events(spark, half_dir))
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first_len = len(emissions)
+    assert first_len > 0
+    for b in src_buckets[2:]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    run_once()
+    assert len(emissions) > first_len
+    final = {}
+    for uid, n, level in emissions:
+        cur = final.get(uid)
+        if cur is None or n > cur[0]:
+            final[uid] = (n, level)
+    got = {(u, n, e) for u, (n, e) in final.items()}
+    want = {
+        (r["user_id"], r["n_events"], r["ewma"])
+        for r in ewma_per_key(
+            load_table(spark, sf_smoke, "events"), "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert got == want
