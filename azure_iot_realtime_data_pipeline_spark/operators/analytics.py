@@ -541,3 +541,40 @@ def zscore_normalize(
             (F.col(value_col) - F.col("_mean")) / F.col("_std")
         ).alias("zscore"),
     )
+
+
+def mad_per_group(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """L15 median absolute deviation per group: MAD = median(|x - median(x)|)
+    — the robust dispersion pairing for L14's z-score (stddev is
+    poisoned by a single stuck-sensor extreme like 2.4e305; MAD ignores
+    up to half the points being garbage). Robust anomaly thresholds are
+    |x - median| > k * MAD, the standard alternative to 3-sigma.
+
+    Both medians are exact lower-median rank selections (actual data
+    values — `exact_percentiles`' ceil(0.5*n) arithmetic, bit-stable vs
+    any ANSI oracle, no interpolation); the per-group median table is
+    tiny and BROADCASTS back for the deviation pass, so the stream
+    never shuffles for the subtraction. Two rank passes = two window
+    sorts on the same group key (one partitioning, reused). NULL
+    measurements are dropped up front (they would shift rank positions).
+
+    Returns (group, median_value, mad).
+    """
+    clean = df.filter(F.col(value_col).isNotNull())
+    med = exact_percentiles(
+        clean, group, value_col, tiebreak, quantiles=(0.5,)
+    ).select(F.col(group), F.col("p_value").alias("median_value"))
+    dev = clean.join(F.broadcast(med), group).select(
+        F.col(group),
+        F.col(tiebreak),
+        F.abs(F.col(value_col) - F.col("median_value")).alias("_adev"),
+    )
+    mad = exact_percentiles(dev, group, "_adev", tiebreak, quantiles=(0.5,)).select(
+        F.col(group), F.col("p_value").alias("mad")
+    )
+    return med.join(F.broadcast(mad), group)

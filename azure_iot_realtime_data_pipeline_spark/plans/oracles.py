@@ -2323,3 +2323,38 @@ ORACLES["q_ewma"] = """
     FROM events WHERE value IS NOT NULL
     GROUP BY user_id
     """
+
+# L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
+# arithmetic as exact_percentiles); deviations are |x - med| on the
+# identical doubles, so the selected values match bit-for-bit.
+ORACLES["q_mad"] = """
+    WITH v AS (
+      SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    r1 AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                 THEN value END) AS median_value
+      FROM r1 GROUP BY event_type
+    ),
+    r2 AS (
+      SELECT v.event_type, abs(v.value - m.median_value) AS adev,
+             row_number() OVER (PARTITION BY v.event_type
+                                ORDER BY abs(v.value - m.median_value),
+                                         v.event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY v.event_type) AS n
+      FROM v JOIN med m USING (event_type)
+    )
+    SELECT r2.event_type,
+           MAX(m.median_value) AS median_value,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN adev END) AS mad
+    FROM r2 JOIN med m ON r2.event_type = m.event_type
+    GROUP BY r2.event_type
+    """

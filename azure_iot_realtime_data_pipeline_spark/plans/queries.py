@@ -1533,6 +1533,14 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15 per-type median absolute deviation — the robust dispersion
+    beside q_zscore's stddev: two exact rank selections sharing one
+    group partitioning, median table broadcast for the deviation pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.mad_per_group(ev, "event_type", "value", "event_id")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J38 SemDeDup-style semantic dedup over the embeddings table:
     assign to the 16 deterministic centroid cells (the bit-pinned IVF
@@ -1786,7 +1794,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hash_split": q_hash_split,
     "q_decontaminate": q_decontaminate,
     "q_normalize_text": q_normalize_text,
-    "q_repetition_score": q_repetition_score,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1818,9 +1825,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_line_dedup": q_line_dedup,
     "q_small_qty_revenue": q_small_qty_revenue,
     "q_ewma": q_ewma,
+    "q_mad": q_mad,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_repetition_score": q_repetition_score,
     "q_mask_pii": q_mask_pii,
     "q_stratified_sample": q_stratified_sample,
     "q_pack_sequences": q_pack_sequences,

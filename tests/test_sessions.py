@@ -477,3 +477,23 @@ def test_ewma_validates_alpha_and_skips_nulls(spark):
     assert set(out) == {1}
     assert out[1]["n_events"] == 2
     assert out[1]["ewma"] == 15.0  # 0.5*20 + 0.5*10, NULL skipped
+
+
+def test_mad_is_robust_to_one_extreme(spark):
+    """An injected 2.4e305 outlier (the reference's stuck-sensor double,
+    preview-output-example.json:13) must not move the MAD, while the
+    stddev it pairs against explodes."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        mad_per_group,
+    )
+
+    base = [("a", i, float(v)) for i, v in enumerate([10, 12, 11, 13, 9, 11, 10])]
+    spiked = base + [("a", 99, 2.4e305)]
+    cols = ["event_type", "event_id", "value"]
+    clean = mad_per_group(spark.createDataFrame(base, cols), "event_type", "value", "event_id").collect()[0]
+    dirty = mad_per_group(spark.createDataFrame(spiked, cols), "event_type", "value", "event_id").collect()[0]
+    assert clean["mad"] == 1.0
+    assert dirty["mad"] == 1.0          # unmoved by the outlier
+    assert dirty["median_value"] == 11.0
