@@ -1052,3 +1052,97 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def make_mg_fn(k: int = 8):
+    """applyInPandasWithState body for the Misra-Gries heavy-hitter
+    sketch (picklable closure). Per group the state is AT MOST k
+    (item, counter) pairs plus the processed-row count: increment a
+    tracked item, adopt the item into a free slot, or — the MG step —
+    decrement EVERY counter when a new item arrives with all k slots
+    live (dropping zeroed slots). Classic guarantees (Misra & Gries
+    1982; public algorithm): any item with true frequency > n_seen/k
+    is ALWAYS tracked, and each tracked counter undercounts its true
+    frequency by at most n_seen/k. The batch-exact pairing is the plain
+    count aggregate behind `corpus.top_ngrams` (J36) — this is the
+    bounded-state streaming member of the sketch family beside KMV
+    (distinct) and the binned quantile sketch."""
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            items, counts, n_seen = state.get
+            counters = dict(zip(items, (int(c) for c in counts)))
+            n_seen = int(n_seen)
+        else:
+            counters, n_seen = {}, 0
+        for pdf in pdfs:
+            for it in pdf["_item"]:
+                it = str(it)
+                n_seen += 1
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    # decrement-all: the arriving item and one unit of
+                    # every tracked item cancel out
+                    for t in list(counters):
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            del counters[t]
+        state.update((list(counters), [counters[t] for t in counters], n_seen))
+        if counters:
+            its = sorted(counters)
+            yield pd.DataFrame(
+                {
+                    "group": [key[0]] * len(its),
+                    "item": its,
+                    "count_lb": [counters[t] for t in its],
+                    "n_seen": [n_seen] * len(its),
+                }
+            )
+
+    return fn
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    item_col: str = "user_id",
+    k: int = 8,
+) -> DataFrame:
+    """Misra-Gries streaming heavy hitters: running frequent-item
+    candidates per group with at most k counters of state — where the
+    exact batch count aggregate would keep every distinct item. Each
+    micro-batch emits the surviving candidate set (count_lb is the MG
+    lower-bound counter; true_count - n_seen/k <= count_lb <=
+    true_count). Guarantee tested against exact batch counts on skewed
+    data, plus checkpoint restart."""
+    tagged = events.select(
+        F.col(group_col).alias("_g"),
+        F.col(item_col).cast("string").alias("_item"),
+    )
+    out_schema = StructType(
+        [
+            StructField("group", tagged.schema["_g"].dataType),
+            StructField("item", StringType()),
+            StructField("count_lb", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    return tagged.groupBy("_g").applyInPandasWithState(
+        make_mg_fn(k=k),
+        outputStructType=out_schema,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

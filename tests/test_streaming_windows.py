@@ -1183,3 +1183,60 @@ def test_ewma_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_pat
         ).collect()
     }
     assert got == want
+
+
+def test_heavy_hitters_stream_mg_guarantees(spark, sf_smoke, replay_dir, tmp_path):
+    """Misra-Gries invariants vs exact batch counts over the replayed
+    events stream, per event_type group at k=8: (1) every item with
+    true frequency > n/k appears in the final candidate set; (2) every
+    surviving counter is a lower bound within n/k of its true count;
+    (3) state never exceeds k counters."""
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        heavy_hitters_stream,
+    )
+
+    k = 8
+    q = (
+        heavy_hitters_stream(replay_events(spark, replay_dir), k=k)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mg")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # final emission per group = rows carrying that group's max n_seen
+    final = spark.sql(
+        """
+        SELECT group, item, count_lb, n_seen FROM (
+          SELECT *, max(n_seen) OVER (PARTITION BY group) AS mx FROM mg
+        ) WHERE n_seen = mx
+        """
+    ).collect()
+    by_group: dict = {}
+    for r in final:
+        by_group.setdefault(r["group"], {})[r["item"]] = (r["count_lb"], r["n_seen"])
+    assert by_group
+    exact = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("event_type", F.col("user_id").cast("string").alias("item"))
+        .count()
+        .collect()
+    )
+    true_counts: dict = {}
+    totals: dict = {}
+    for r in exact:
+        true_counts.setdefault(r["event_type"], {})[r["item"]] = r["count"]
+        totals[r["event_type"]] = totals.get(r["event_type"], 0) + r["count"]
+    for g, cands in by_group.items():
+        n = totals[g]
+        assert len(cands) <= k
+        assert all(ns == n for (_, ns) in cands.values())
+        for item, true_c in true_counts[g].items():
+            if true_c > n / k:
+                assert item in cands, (g, item, true_c, n)
+        for item, (lb, _) in cands.items():
+            true_c = true_counts[g].get(item, 0)
+            assert lb <= true_c, (g, item, lb, true_c)
+            assert true_c - lb <= n / k, (g, item, lb, true_c, n)
