@@ -578,3 +578,60 @@ def mad_per_group(
         F.col(group), F.col("p_value").alias("mad")
     )
     return med.join(F.broadcast(mad), group)
+
+
+def period_over_period(
+    df: DataFrame,
+    group: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """L16 period-over-period deltas — the dashboard "top movers"
+    classic: per (group, period) count + measurement total, each period
+    compared to the group's PREVIOUS OBSERVED period (lag over the
+    compacted period table, the same convention every BI tool uses for
+    sparse series; gap periods simply don't exist as rows).
+
+    Plan shape: ONE hash aggregate on (group, bucket) with map-side
+    combine compacts the stream to <= |groups| x |periods| rows; the
+    lag window then runs over that tiny compacted table (its sort cost
+    is per-group periods, never events). Measurement totals accumulate
+    in int64 micro-units (order-free, engine-portable); pct_change
+    rounds 4dp, NULL for the group's first period and for a zero/NULL
+    previous total.
+
+    Returns (group, period_start, n, total, prev_total, delta_total,
+    pct_change).
+    """
+    bucket = (
+        F.floor(
+            F.unix_micros(F.col(ts_col)) / F.lit(bucket_seconds * 1_000_000)
+        ).cast("long")
+    ).alias("_b")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group), bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micro_units(F.col(value_col))).alias("_s"),
+        )
+    )
+    w = Window.partitionBy(group).orderBy("_b")
+    total = round_half_up(F.col("_s").cast("double") / F.lit(MICRO))
+    prev_s = F.lag("_s").over(w)
+    prev_total = round_half_up(prev_s.cast("double") / F.lit(MICRO))
+    delta = round_half_up((F.col("_s") - prev_s).cast("double") / F.lit(MICRO))
+    pct = F.when(
+        prev_s.isNotNull() & (prev_s != 0),
+        round_half_up((F.col("_s") - prev_s).cast("double") / F.abs(prev_s.cast("double"))),
+    )
+    return daily.select(
+        F.col(group),
+        F.timestamp_seconds(F.col("_b") * bucket_seconds).alias("period_start"),
+        F.col("n"),
+        total.alias("total"),
+        prev_total.alias("prev_total"),
+        delta.alias("delta_total"),
+        pct.alias("pct_change"),
+    )

@@ -192,3 +192,54 @@ def unigram_logprob_scores(
             / 1_000_000.0
         ).alias("logprob_mean"),
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 16,
+) -> DataFrame:
+    """J47: build the retrieval-side inverted index — per term, its
+    document frequency and a BOUNDED posting list (the `max_postings`
+    smallest doc ids, comma-joined ascending). The index is the data
+    structure behind every BM25/boolean retrieval serve path; the
+    bounded prefix is what an index SHARD materializes per segment
+    (full postings for a stopword-grade term would be the corpus
+    itself — an unbounded collect is exactly the anti-pattern the
+    two-stage cap avoids).
+
+    Plan shape: within-doc term dedup map-side (array_distinct before
+    the explode — no DISTINCT shuffle, the J36 trick), then TWO
+    term-keyed passes sharing one hash partitioning: the full doc-count
+    aggregate (map-side combined) and the two-stage partition-capped
+    top-n (`top_n_per_group` — each partition contributes at most
+    max_postings ids per term BEFORE the shuffle, so hot terms never
+    gather their full posting set on one task); a final term-equi-join
+    stitches them (AQE picks the strategy; both sides are the narrow
+    term table).
+
+    Returns (term, doc_count, postings).
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        top_n_per_group,
+    )
+
+    pairs = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    )
+    counts = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("doc_count"))
+    capped = top_n_per_group(
+        pairs, "term", "_doc", "_doc", n=max_postings, descending=False
+    )
+    postings = capped.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.col("_doc"))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings")
+    )
+    return counts.join(postings, "term")

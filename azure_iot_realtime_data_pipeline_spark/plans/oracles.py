@@ -2358,3 +2358,76 @@ ORACLES["q_mad"] = """
     FROM r2 JOIN med m ON r2.event_type = m.event_type
     GROUP BY r2.event_type
     """
+
+# J47 inverted index: list_distinct dedups within-doc terms exactly as
+# array_distinct; the posting prefix is the 16 smallest doc ids per
+# term, comma-joined ascending (BIGINT->VARCHAR casts agree).
+ORACLES["q_inverted_index"] = """
+    WITH pairs AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '),
+                                              t -> t <> ''))) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT term, COUNT(*) AS doc_count FROM pairs GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM pairs
+    ),
+    postings AS (
+      SELECT term, string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+      FROM ranked WHERE rn <= 16 GROUP BY term
+    )
+    SELECT term, doc_count, postings FROM counts JOIN postings USING (term)
+    """
+
+# L16 period-over-period: identical integer bucket + micro-unit sums;
+# lag runs over the compacted (type, day) table in both engines, so the
+# previous-period row is the previous OBSERVED day.
+ORACLES["q_day_over_day"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS b,
+             COUNT(*) AS n,
+             SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS s
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           to_timestamp(b * 86400) AS period_start,
+           n,
+           floor((CAST(s AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 AS total,
+           floor((CAST(lag(s) OVER w AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000
+             AS prev_total,
+           floor((CAST(s - lag(s) OVER w AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000
+             AS delta_total,
+           CASE WHEN lag(s) OVER w IS NOT NULL AND lag(s) OVER w <> 0 THEN
+             floor((CAST(s - lag(s) OVER w AS DOUBLE)
+                    / abs(CAST(lag(s) OVER w AS DOUBLE))) * 10000 + 0.5) / 10000
+           END AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY b)
+    """
+
+# M6 / Q21 shape: both correlated EXISTS subqueries decorrelated into
+# the same two-level aggregation the Spark plan runs.
+ORACLES["q_sole_late_supplier"] = """
+    WITH ps AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > TIMESTAMP '1998-06-30'
+                 THEN 1 ELSE 0 END) AS late
+      FROM lineitem GROUP BY 1, 2
+    ),
+    po AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+             MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      FROM ps GROUP BY 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM po JOIN supplier s ON s.s_suppkey = po.late_supp
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY s.s_name
+    """

@@ -1029,6 +1029,27 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relevance.bm25(docs)
 
 
+def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16 day-over-day movers per event type: one (type, day) hash
+    aggregate compacts the stream, then lag over the compacted table;
+    totals in int64 micro-units, pct vs previous OBSERVED day."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.period_over_period(
+        ev, "event_type", "ts", "value", bucket_seconds=86400
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J47: per-term document frequency + bounded posting prefix (16
+    smallest doc ids) — within-doc dedup map-side, two term-keyed
+    passes (full count agg + partition-capped top-n) on one
+    partitioning."""
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return relevance.inverted_index(docs, max_postings=16)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J25: per-language deterministic hash sampling — downsample the
     dominant language, keep the tail (the standard corpus rebalancing
@@ -1311,6 +1332,42 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.quality_score(F.col("norm_text")).alias("quality"),
         text.lang_id(F.col("norm_text")).alias("lang_pred"),
         corpus.hash_split(F.col("doc_id")).alias("split"),
+    )
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 scale validation (TPC-H Q21 shape): per supplier, the number
+    of multi-supplier orders where THAT supplier was the only late one
+    — the EXISTS + NOT-EXISTS correlated pair (another supplier shipped
+    this order; no other supplier was late on it), decorrelated into
+    pure aggregation: Q21's two correlated subqueries become per-order
+    counts, so the fact NEVER self-joins (the naive plan joins lineitem
+    to itself twice on l_orderkey).
+
+    Plan shape: (1) compact to distinct (order, supplier) pairs with a
+    max(late) flag — the fact's ONE full-width shuffle, map-side
+    combined; (2) per-order counts + the sole late supplier's key over
+    the compacted table (second, smaller exchange); (3) the surviving
+    order set joins the supplier dimension BROADCAST, then a tiny
+    per-supplier count. Late = shipped after 1998-06-30 (this schema
+    carries no commit/receipt dates). No SortMergeJoin anywhere
+    (plan-gated)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp")
+    ).cast("int")
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("_late"))
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("_late").alias("_n_late"),
+        F.max(F.when(F.col("_late") == 1, F.col("l_suppkey"))).alias("_late_supp"),
+    )
+    sole = per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+    return (
+        sole.join(F.broadcast(supp), sole["_late_supp"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 
@@ -1791,9 +1848,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_interval_join_left": q_interval_join_left,
     "q_topn_per_group": q_topn_per_group,
     "q_median_value": q_median_value,
-    "q_hash_split": q_hash_split,
-    "q_decontaminate": q_decontaminate,
-    "q_normalize_text": q_normalize_text,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1826,9 +1880,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_small_qty_revenue": q_small_qty_revenue,
     "q_ewma": q_ewma,
     "q_mad": q_mad,
+    "q_inverted_index": q_inverted_index,
+    "q_day_over_day": q_day_over_day,
+    "q_sole_late_supplier": q_sole_late_supplier,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_hash_split": q_hash_split,
+    "q_decontaminate": q_decontaminate,
+    "q_normalize_text": q_normalize_text,
     "q_repetition_score": q_repetition_score,
     "q_mask_pii": q_mask_pii,
     "q_stratified_sample": q_stratified_sample,

@@ -268,6 +268,19 @@ def test_small_qty_revenue_decorrelates_without_fact_shuffle(spark, sf_smoke):
     assert len(shuffles) == 1 and "l_partkey" in shuffles[0], shuffles
 
 
+def test_sole_late_supplier_never_self_joins(spark, sf_smoke):
+    # M6 (Q21 shape): the EXISTS + NOT-EXISTS pair must decorrelate to
+    # aggregation — the fact appears ONCE (no self-join), the supplier
+    # dimension broadcasts, and the only exchanges are the three
+    # aggregates (pairs, per-order, per-supplier).
+    p = plan_of(spark, sf_smoke, "q_sole_late_supplier", mode="simple")
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 3, p
+    # one scan of lineitem only
+    assert len(re.findall(r"Scan parquet(?:\s|\[)[^\n]*l_orderkey", p)) <= 1, p
+
+
 def test_priority_semi_pushes_filter_and_stays_semi(spark, sf_smoke):
     # M4 (Q4/EXISTS shape): the quantity predicate must reach the
     # lineitem scan and the join must stay LEFT SEMI (one probe per
