@@ -635,3 +635,72 @@ def period_over_period(
         delta.alias("delta_total"),
         pct.alias("pct_change"),
     )
+
+
+def trend_per_group(
+    df: DataFrame,
+    group: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """L17 per-group linear trend: least-squares slope of value over
+    time (per day) and the Pearson correlation — the drift detector
+    behind "is this sensor degrading" dashboards and data-quality
+    monitors.
+
+    Exactness across engines: all five moments (sum x, sum y, sum x^2,
+    sum xy, sum y^2) accumulate as EXACT integers — y in half-up
+    micro-units, x as microseconds SINCE THE GROUP'S FIRST EVENT —
+    inside DECIMAL(38,0) aggregates (order-free; a double dot-product
+    would be order-dependent across partitionings). Centering x on the
+    per-group minimum is what keeps x^2 inside the 38-digit budget at
+    any corpus age (raw epoch^2 ~ 3e30 per ROW would overflow the
+    accumulator within 1e8 rows; span-centered x^2 is bounded by the
+    group's time span — slope and corr are shift-invariant, exactly so
+    in integer arithmetic). The closed-form numerators/denominators are
+    exact decimals cast to double once, then one division (and one
+    sqrt for corr) in fixed order, rounded 4dp.
+
+    Plan shape: a narrow (group, t0) min-aggregate BROADCASTS back into
+    the stream (map-side centering), then ONE moments aggregate with
+    map-side combine — the stream shuffles only its per-task partial
+    moment rows. Zero-span or constant-value groups yield NULL
+    slope/corr (undefined), not 0.
+
+    Returns (group, n, slope_per_day, corr).
+    """
+    clean = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        micro_units(F.col(value_col)).alias("_y"),
+    )
+    t0 = clean.groupBy(group).agg(F.min("_t").alias("_t0"))
+    xd = (F.col("_t") - F.col("_t0")).cast("decimal(19,0)")
+    yd = F.col("_y").cast("decimal(19,0)")
+    moments = (
+        clean.join(F.broadcast(t0), group)
+        .select(F.col(group), xd.alias("_x"), yd.alias("_yd"))
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_yd").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            F.sum(F.col("_x") * F.col("_yd")).alias("_sxy"),
+            F.sum(F.col("_yd") * F.col("_yd")).alias("_syy"),
+        )
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den_x = (nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    den_y = (nd * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    # x in us and y in micro-units cancel: num/den_x is micro-units per
+    # us = value-units per second; * 86400 = per day
+    slope = round_half_up(num / den_x * F.lit(86400.0))
+    corr = round_half_up(num / F.sqrt(den_x * den_y))
+    return moments.select(
+        F.col(group),
+        F.col("n"),
+        F.when(den_x != 0.0, slope).alias("slope_per_day"),
+        F.when((den_x != 0.0) & (den_y != 0.0), corr).alias("corr"),
+    )

@@ -2431,3 +2431,41 @@ ORACLES["q_sole_late_supplier"] = """
     WHERE n_supp >= 2 AND n_late = 1
     GROUP BY s.s_name
     """
+
+# L17 trend: the five moments are exact integers (HUGEINT here,
+# DECIMAL(38,0) in Spark) over the identical centered-x/micro-y values;
+# one double cast at the closed form, same division/sqrt order, 4dp.
+ORACLES["q_trend"] = """
+    WITH v AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (SELECT event_type, MIN(t) AS t0 FROM v GROUP BY 1),
+    c AS (
+      SELECT v.event_type,
+             CAST(v.t - m.t0 AS HUGEINT) AS x,
+             CAST(v.y AS HUGEINT) AS y
+      FROM v JOIN m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, n,
+           CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0 THEN
+             floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                   / CAST(n*sxx - sx*sx AS DOUBLE) * 86400.0 * 10000 + 0.5)
+               / 10000
+           END AS slope_per_day,
+           CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0
+                 AND CAST(n*syy - sy*sy AS DOUBLE) <> 0 THEN
+             floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                   / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                          * CAST(n*syy - sy*sy AS DOUBLE)) * 10000 + 0.5)
+               / 10000
+           END AS corr
+    FROM s
+    """

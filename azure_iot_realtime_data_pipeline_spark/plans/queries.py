@@ -1029,6 +1029,14 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relevance.bm25(docs)
 
 
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17 per-type linear trend (slope/day + Pearson corr) from exact
+    integer moments: one broadcast centering pass + ONE moments
+    aggregate; decimals cast to double once at the closed form."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.trend_per_group(ev, "event_type", "ts", "value")
+
+
 def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L16 day-over-day movers per event type: one (type, day) hash
     aggregate compacts the stream, then lag over the compacted table;
@@ -1847,7 +1855,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_interval_join": q_interval_join,
     "q_interval_join_left": q_interval_join_left,
     "q_topn_per_group": q_topn_per_group,
-    "q_median_value": q_median_value,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1883,9 +1890,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_inverted_index": q_inverted_index,
     "q_day_over_day": q_day_over_day,
     "q_sole_late_supplier": q_sole_late_supplier,
+    "q_trend": q_trend,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_median_value": q_median_value,
     "q_hash_split": q_hash_split,
     "q_decontaminate": q_decontaminate,
     "q_normalize_text": q_normalize_text,

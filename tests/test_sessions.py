@@ -497,3 +497,27 @@ def test_mad_is_robust_to_one_extreme(spark):
     assert clean["mad"] == 1.0
     assert dirty["mad"] == 1.0          # unmoved by the outlier
     assert dirty["median_value"] == 11.0
+
+
+def test_trend_recovers_known_slope_and_degenerate_nulls(spark):
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        trend_per_group,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'lin': value climbs exactly 5.0 per day -> slope 5.0, corr 1.0
+    for d in range(10):
+        rows.append(("lin", base + dt.timedelta(days=d), 100.0 + 5.0 * d))
+    # 'flat': constant value -> corr undefined (NULL), slope 0
+    for d in range(5):
+        rows.append(("flat", base + dt.timedelta(days=d), 42.0))
+    # 'one': single point -> zero time span -> both NULL
+    rows.append(("one", base, 7.0))
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {r["event_type"]: r for r in trend_per_group(df, "event_type", "ts", "value").collect()}
+    assert out["lin"]["slope_per_day"] == 5.0 and out["lin"]["corr"] == 1.0
+    assert out["flat"]["slope_per_day"] == 0.0 and out["flat"]["corr"] is None
+    assert out["one"]["slope_per_day"] is None and out["one"]["corr"] is None
