@@ -2469,3 +2469,14 @@ ORACLES["q_trend"] = """
            END AS corr
     FROM s
     """
+
+# L18 rank profile: identical ANSI definitions in both engines;
+# integer-ratio divisions are bit-exact, no rounding.
+ORACLES["q_rank_profile"] = """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume_dist,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM events WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """

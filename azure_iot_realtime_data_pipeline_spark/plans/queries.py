@@ -1029,6 +1029,28 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relevance.bm25(docs)
 
 
+def q_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18 distributional rank transforms per type — percent_rank,
+    cume_dist, and quartile (ntile 4) over (value, event_id) order: the
+    feature-engineering trio (rank-normalize a skewed measurement,
+    empirical CDF position, quartile bucketing). All three share ONE
+    window sort on the type key; both engines follow the identical SQL
+    definitions ((rank-1)/(n-1), preceding/n, balanced-remainder
+    ntile), and the divisions are integer-ratio IEEE ops — no rounding
+    needed. Exact rank transforms order each group's full contents;
+    the L8 sketch is the bounded-state pairing."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L17 per-type linear trend (slope/day + Pearson corr) from exact
     integer moments: one broadcast centering pass + ONE moments
@@ -1854,7 +1876,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hopping_agg": q_hopping_agg,
     "q_interval_join": q_interval_join,
     "q_interval_join_left": q_interval_join_left,
-    "q_topn_per_group": q_topn_per_group,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1891,9 +1912,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_day_over_day": q_day_over_day,
     "q_sole_late_supplier": q_sole_late_supplier,
     "q_trend": q_trend,
+    "q_rank_profile": q_rank_profile,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_topn_per_group": q_topn_per_group,
     "q_median_value": q_median_value,
     "q_hash_split": q_hash_split,
     "q_decontaminate": q_decontaminate,
