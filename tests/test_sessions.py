@@ -521,3 +521,50 @@ def test_trend_recovers_known_slope_and_degenerate_nulls(spark):
     assert out["lin"]["slope_per_day"] == 5.0 and out["lin"]["corr"] == 1.0
     assert out["flat"]["slope_per_day"] == 0.0 and out["flat"]["corr"] is None
     assert out["one"]["slope_per_day"] is None and out["one"]["corr"] is None
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50_000),  # offset seconds
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_ewma_matches_naive_reference(spark, rows):
+    """K13 property test: for arbitrary single-key series (duplicate
+    timestamps and NULLs included) the fold equals a naive Python
+    recurrence over the same (ts, id) order with identical doubles."""
+    import math
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import ewma_per_key
+
+    data = [
+        ("u", i + 1, _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=t),
+         None if v is None else float(v))
+        for i, (t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id string, event_id int, ts timestamp, value double"
+    )
+    out = ewma_per_key(df, "user_id", "ts", "value", "event_id", alpha=0.3).collect()
+    ordered = sorted(
+        ((t, i + 1, v) for i, (t, v) in enumerate(rows) if v is not None),
+    )
+    if not ordered:
+        assert out == []
+        return
+    level = None
+    for _, _, v in ordered:
+        v = float(v)
+        level = v if level is None else 0.3 * v + 0.7 * level
+    want = math.floor(level * 10000.0 + 0.5) / 10000.0
+    assert len(out) == 1
+    assert out[0]["n_events"] == len(ordered)
+    assert out[0]["ewma"] == want
