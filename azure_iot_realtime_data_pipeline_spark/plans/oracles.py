@@ -2480,3 +2480,89 @@ ORACLES["q_rank_profile"] = """
     FROM events WHERE value IS NOT NULL
     WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """
+
+# End-to-end device health chain: the q_device_daily policy CTE feeding
+# the L17 trend moments, L15 MAD rank selections, and K13 EWMA fold —
+# all on the ADJUSTED event time, stitched per device.
+ORACLES["q_sensor_health"] = """
+    WITH adj AS (
+      SELECT event_id, user_id, value, adjusted_ts FROM (
+        SELECT event_id, user_id, value, ts,
+               max(ts) OVER w AS adjusted_ts,
+               max(epoch_us(ts)) OVER w AS hwm_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ) WHERE epoch_us(ts) >= hwm_us - 60000000
+    ),
+    v AS (
+      SELECT user_id, event_id, epoch_us(adjusted_ts) AS t, value,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+      FROM adj WHERE value IS NOT NULL
+    ),
+    m AS (SELECT user_id, MIN(t) AS t0 FROM v GROUP BY 1),
+    c AS (
+      SELECT v.user_id, CAST(v.t - m.t0 AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+      FROM v JOIN m USING (user_id)
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+      FROM c GROUP BY 1
+    ),
+    tr AS (
+      SELECT user_id, n,
+             CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0 THEN
+               floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / CAST(n*sxx - sx*sx AS DOUBLE) * 86400.0 * 10000 + 0.5)
+                 / 10000
+             END AS slope_per_day,
+             CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0
+                   AND CAST(n*syy - sy*sy AS DOUBLE) <> 0 THEN
+               floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)) * 10000 + 0.5)
+                 / 10000
+             END AS corr
+      FROM s
+    ),
+    r1 AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS nn
+      FROM v
+    ),
+    med AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * nn) AS BIGINT)
+                 THEN value END) AS median_value
+      FROM r1 GROUP BY 1
+    ),
+    r2 AS (
+      SELECT v.user_id, abs(v.value - med.median_value) AS adev,
+             row_number() OVER (PARTITION BY v.user_id
+                                ORDER BY abs(v.value - med.median_value),
+                                         v.event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY v.user_id) AS nn
+      FROM v JOIN med USING (user_id)
+    ),
+    madt AS (
+      SELECT r2.user_id,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * nn) AS BIGINT)
+                 THEN adev END) AS mad
+      FROM r2 GROUP BY r2.user_id
+    ),
+    ew AS (
+      SELECT user_id,
+             floor(list_reduce(list(value ORDER BY t, event_id),
+                               (acc, xx) -> 0.3*xx + 0.7*acc) * 10000 + 0.5)
+               / 10000 AS ewma
+      FROM v GROUP BY user_id
+    )
+    SELECT tr.user_id, tr.n, tr.slope_per_day, tr.corr,
+           med.median_value, madt.mad, ew.ewma
+    FROM tr JOIN med USING (user_id)
+            JOIN madt USING (user_id)
+            JOIN ew USING (user_id)
+    """

@@ -1029,6 +1029,33 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relevance.bm25(docs)
 
 
+def q_sensor_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFTH end-to-end chain — the per-device health report a fleet
+    dashboard serves: F3 combined event-time policy (drop-then-clamp,
+    one window sort) feeding THREE robust per-device statistics over
+    the ADJUSTED event time — L17 linear trend (drift slope/day +
+    correlation from exact integer moments), L15 MAD (robust
+    dispersion), and the K13 EWMA level (current smoothed reading) —
+    stitched on one user_id key family. Every aggregate keys on the
+    device, so the chain is a handful of co-keyed exchanges over
+    narrow projections; the three per-device result tables are tiny
+    (|devices| rows) and AQE broadcasts the stitches. One end-state
+    oracle covers the full composition."""
+    ev = load_table(spark, sf_dir, "events")
+    adjusted = eventtime.eventtime_policy(
+        ev, ts_col="ts", key="user_id", order_col="event_id", tolerance_seconds=60
+    )
+    base = adjusted.select(
+        "user_id", "event_id", F.col("adjusted_ts").alias("ts"), "value"
+    )
+    tr = analytics.trend_per_group(base, "user_id", "ts", "value")
+    mad = analytics.mad_per_group(base, "user_id", "value", "event_id")
+    ew = sessions.ewma_per_key(
+        base, "user_id", "ts", "value", "event_id", alpha=0.3
+    ).select("user_id", "ewma")
+    return tr.join(mad, "user_id").join(ew, "user_id")
+
+
 def q_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L18 distributional rank transforms per type — percent_rank,
     cume_dist, and quartile (ntile 4) over (value, event_id) order: the
@@ -1875,7 +1902,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tumbling_agg": q_tumbling_agg,
     "q_hopping_agg": q_hopping_agg,
     "q_interval_join": q_interval_join,
-    "q_interval_join_left": q_interval_join_left,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1913,9 +1939,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sole_late_supplier": q_sole_late_supplier,
     "q_trend": q_trend,
     "q_rank_profile": q_rank_profile,
+    "q_sensor_health": q_sensor_health,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_interval_join_left": q_interval_join_left,
     "q_topn_per_group": q_topn_per_group,
     "q_median_value": q_median_value,
     "q_hash_split": q_hash_split,
