@@ -704,3 +704,124 @@ def trend_per_group(
         F.when(den_x != 0.0, slope).alias("slope_per_day"),
         F.when((den_x != 0.0) & (den_y != 0.0), corr).alias("corr"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str,
+    ts_col: str,
+    amount_col: str,
+    as_of: str,
+    segment_col: str,
+) -> DataFrame:
+    """L19 RFM scoring — the classic customer segmentation: per
+    customer, days since last order (vs a FIXED `as_of` reference date
+    — a literal, not a global-max join, so the scoring pass is
+    reproducible and joins nothing), order count, and lifetime monetary
+    total (int64 cents, order-free), then quartile scores per dimension
+    (ntile 4 — quartile 1 = most recent / most frequent / highest
+    spend) and the concatenated RFM code.
+
+    Scores are quartiles WITHIN `segment_col` (pass e.g. the market
+    segment, pre-joined onto the fact): segment-relative scoring both
+    avoids cross-segment spend skew dominating the M dimension and
+    keeps every ntile window PARTITIONED — a global ntile would funnel
+    all customers through one task (the single-partition exchange this
+    repo bans). ntile needs its partition's full order by definition
+    (the two-stage top-n cap cannot apply); at a scale where one
+    segment's customer count itself overwhelms a task, switch the cut
+    rule to broadcast value thresholds from the L8 binned sketch (the
+    J40/L10 aggregate-then-broadcast shape) and accept threshold-tie
+    semantics.
+
+    Plan shape: ONE hash aggregate compacts the fact to |customers|
+    rows (map-side combine); the three ntile windows sort only the
+    compact table. Returns (cust, segment, recency_days, frequency,
+    monetary, r, f, m, rfm_code).
+    """
+    per_cust = orders.groupBy(segment_col, cust_col).agg(
+        F.max(F.unix_micros(F.col(ts_col))).alias("_last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col(amount_col) * 100 + F.lit(0.5)).cast("long")
+        ).alias("_cents"),
+    )
+    recency = F.floor(
+        (
+            F.unix_micros(F.lit(as_of).cast("timestamp")) - F.col("_last_us")
+        ) / F.lit(86_400_000_000)
+    ).cast("long")
+    base = per_cust.select(
+        F.col(segment_col),
+        F.col(cust_col),
+        recency.alias("recency_days"),
+        F.col("frequency"),
+        round_half_up(F.col("_cents").cast("double") / F.lit(100.0)).alias(
+            "monetary"
+        ),
+    )
+    wr = Window.partitionBy(segment_col).orderBy(
+        F.col("recency_days"), F.col(cust_col)
+    )
+    wf = Window.partitionBy(segment_col).orderBy(
+        F.col("frequency").desc(), F.col(cust_col)
+    )
+    wm = Window.partitionBy(segment_col).orderBy(
+        F.col("monetary").desc(), F.col(cust_col)
+    )
+    scored = base.select(
+        "*",
+        F.ntile(4).over(wr).alias("r"),
+        F.ntile(4).over(wf).alias("f"),
+        F.ntile(4).over(wm).alias("m"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """L20 next-event transition counts — the first-order Markov view
+    of user journeys (what follows a 'view'? how often does 'click'
+    lead to 'purchase'?): per key in (ts, tiebreak) order, each
+    consecutive (current, next) type pair counts once; `share` is the
+    row-normalized transition probability. Terminal events (no
+    successor) are dropped, matching the standard transition-matrix
+    convention.
+
+    Plan shape: one lead window on the key partitioning, one hash
+    aggregate to the tiny |types|^2 pair table, and the normalizing
+    window runs over that pair table only. Returns
+    (from_type, to_type, n, share) with share rounded 4dp.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(tiebreak))
+    pairs = (
+        df.select(
+            F.col(key),
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        round_half_up(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+        ).alias("share"),
+    )

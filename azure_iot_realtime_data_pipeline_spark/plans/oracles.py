@@ -2566,3 +2566,56 @@ ORACLES["q_sensor_health"] = """
             JOIN madt USING (user_id)
             JOIN ew USING (user_id)
     """
+
+# L19 RFM: identical compact aggregate + segment-partitioned ntile
+# (both engines use the balanced-remainder SQL ntile); recency vs the
+# fixed as-of literal, money in int64 cents.
+ORACLES["q_rfm"] = """
+    WITH base AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(floor((epoch_us(TIMESTAMP '1998-12-31')
+                         - MAX(epoch_us(o.o_orderdate)))
+                        / 86400000000.0) AS BIGINT) AS recency_days,
+             COUNT(*) AS frequency,
+             floor((CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                         AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000 AS monetary
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT *,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY recency_days, o_custkey) AS r,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY monetary DESC, o_custkey) AS m
+      FROM base
+    )
+    SELECT c_mktsegment, o_custkey, recency_days, frequency, monetary,
+           CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+           CAST(m AS INTEGER) AS m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS rfm_code
+    FROM scored
+    """
+
+# L20 transitions: lead over (ts, id) per user; terminal events drop;
+# share normalized over the pair table.
+ORACLES["q_transitions"] = """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           floor(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS share
+    FROM pairs
+    """

@@ -1029,6 +1029,36 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relevance.bm25(docs)
 
 
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19 RFM customer scoring within market segment: one fact
+    aggregate to |customers| rows, segment-partitioned quartile
+    windows; recency vs the fixed as-of 1998-12-31."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    return analytics.rfm_segments(
+        joined,
+        cust_col="o_custkey",
+        ts_col="o_orderdate",
+        amount_col="o_totalprice",
+        as_of="1998-12-31",
+        segment_col="c_mktsegment",
+    )
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20 next-event transition matrix: lead window per user, pair
+    counts, row-normalized share over the tiny pair table."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.event_transitions(
+        ev, "user_id", "ts", "event_type", "event_id"
+    )
+
+
 def q_sensor_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIFTH end-to-end chain — the per-device health report a fleet
     dashboard serves: F3 combined event-time policy (drop-then-clamp,
@@ -1900,8 +1930,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tf_idf": q_tf_idf,
     "q_bm25": q_bm25,
     "q_tumbling_agg": q_tumbling_agg,
-    "q_hopping_agg": q_hopping_agg,
-    "q_interval_join": q_interval_join,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1940,9 +1968,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_trend": q_trend,
     "q_rank_profile": q_rank_profile,
     "q_sensor_health": q_sensor_health,
+    "q_rfm": q_rfm,
+    "q_transitions": q_transitions,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_hopping_agg": q_hopping_agg,
+    "q_interval_join": q_interval_join,
     "q_interval_join_left": q_interval_join_left,
     "q_topn_per_group": q_topn_per_group,
     "q_median_value": q_median_value,
