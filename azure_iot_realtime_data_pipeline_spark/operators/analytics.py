@@ -825,3 +825,58 @@ def event_transitions(
             F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
         ).alias("share"),
     )
+
+
+def data_profile(
+    df: DataFrame,
+    distinct_cols: tuple[str, ...] = (),
+    numeric_cols: tuple[str, ...] = (),
+    ts_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """J48 data-quality profile — the Deequ/dbt-test-style single-pass
+    table summary every ingestion pipeline runs before trusting a drop:
+    row count, per-column null counts, exact distinct counts for the
+    declared key/enum columns, and min/max for numeric and timestamp
+    columns, emitted as a tall (col_name, metric, value) table (one row
+    per check, double-typed — the shape monitoring systems diff
+    between loads).
+
+    Plan shape: ONE aggregate over the table — null/min/max metrics are
+    plain map-side-combined expressions; each exact count_distinct adds
+    an Expand duplicate of the scan rows (the standard multi-distinct
+    cost — profile runs accept it; for high-cardinality columns at
+    100 TB swap in the J30 KMV sketch estimate, same output contract).
+    The unpivot is a literal `stack` over the single result row —
+    driver-side fan-out of a handful of scalars.
+
+    Timestamps profile as epoch SECONDS (double); numeric min/max round
+    4dp (portable); null counts and distincts are exact integers in
+    double form.
+    """
+    aggs = [F.count(F.lit(1)).cast("double").alias("m__rows__rows")]
+    for c in df.columns:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("double")
+            .alias(f"m__{c}__nulls")
+        )
+    for c in distinct_cols:
+        aggs.append(
+            F.count_distinct(F.col(c)).cast("double").alias(f"m__{c}__distinct")
+        )
+    for c in numeric_cols:
+        aggs.append(round_half_up(F.min(F.col(c)).cast("double")).alias(f"m__{c}__min"))
+        aggs.append(round_half_up(F.max(F.col(c)).cast("double")).alias(f"m__{c}__max"))
+    for c in ts_cols:
+        ep = F.unix_micros(F.col(c)).cast("double") / F.lit(1e6)
+        aggs.append(F.min(ep).alias(f"m__{c}__min"))
+        aggs.append(F.max(ep).alias(f"m__{c}__max"))
+    one = df.agg(*aggs)
+    parts = []
+    for name in one.columns:
+        _, col_name, metric = name.split("__")
+        parts.append(f"'{col_name}', '{metric}', `{name}`")
+    n = len(one.columns)
+    return one.select(
+        F.expr(f"stack({n}, {', '.join(parts)})").alias("col_name", "metric", "value")
+    )

@@ -2619,3 +2619,35 @@ ORACLES["q_transitions"] = """
                  * 10000 + 0.5) / 10000 AS share
     FROM pairs
     """
+
+# J48 profile: the same metrics one UNION ALL at a time; doubles
+# everywhere (exact integers in double form for counts), 4dp numeric
+# min/max, epoch-second timestamps.
+ORACLES["q_data_profile"] = """
+    SELECT 'rows' AS col_name, 'rows' AS metric,
+           CAST(COUNT(*) AS DOUBLE) AS value FROM events
+    UNION ALL SELECT 'event_id', 'nulls',
+      CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM events
+    UNION ALL SELECT 'ts', 'nulls',
+      CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM events
+    UNION ALL SELECT 'user_id', 'nulls',
+      CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM events
+    UNION ALL SELECT 'event_type', 'nulls',
+      CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM events
+    UNION ALL SELECT 'value', 'nulls',
+      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM events
+    UNION ALL SELECT 'props', 'nulls',
+      CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM events
+    UNION ALL SELECT 'event_type', 'distinct',
+      CAST(COUNT(DISTINCT event_type) AS DOUBLE) FROM events
+    UNION ALL SELECT 'user_id', 'distinct',
+      CAST(COUNT(DISTINCT user_id) AS DOUBLE) FROM events
+    UNION ALL SELECT 'value', 'min',
+      floor(MIN(value) * 10000 + 0.5) / 10000 FROM events
+    UNION ALL SELECT 'value', 'max',
+      floor(MAX(value) * 10000 + 0.5) / 10000 FROM events
+    UNION ALL SELECT 'ts', 'min',
+      CAST(epoch_us(MIN(ts)) AS DOUBLE) / 1000000.0 FROM events
+    UNION ALL SELECT 'ts', 'max',
+      CAST(epoch_us(MAX(ts)) AS DOUBLE) / 1000000.0 FROM events
+    """
