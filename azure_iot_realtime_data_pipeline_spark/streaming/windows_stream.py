@@ -1146,3 +1146,89 @@ def heavy_hitters_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("prev_ts_us", LongType()),
+        StructField("prev_id", LongType()),
+        StructField("prev_type", StringType()),
+    ]
+)
+
+
+def make_transition_fn(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+):
+    """applyInPandasWithState body for the L20 streaming twin (picklable
+    closure). Per key: rows process in (ts, id) order; each event past
+    the key's first emits one (from_type, to_type) pair instance — the
+    same pair multiset the batch lead window produces (lead emits the
+    pair at the predecessor, the carry emits it at the successor;
+    multiset-equal, tested). State is one (ts, id, type) cell."""
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            prev_ts, prev_id, prev_type = state.get
+        else:
+            prev_ts = prev_id = prev_type = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            ts = pdf[ts_col]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            ts_us = ts.astype("datetime64[us]").astype("int64")
+            froms, tos = [], []
+            for t, i, ty in zip(ts_us, pdf[id_col], pdf[type_col]):
+                if prev_type is not None:
+                    froms.append(prev_type)
+                    tos.append(str(ty))
+                prev_ts, prev_id, prev_type = int(t), int(i), str(ty)
+            if froms:
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]] * len(froms),
+                        "from_type": froms,
+                        "to_type": tos,
+                    }
+                )
+        state.update((prev_ts, prev_id, prev_type))
+
+    return fn
+
+
+def transitions_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """L20 streaming twin: live per-key event transitions with a single
+    (ts, id, type) carry cell — the batch lead window becomes the
+    carry, the same O(1)-state shape as the gaps/rate twins. Downstream
+    a streaming aggregate over (from_type, to_type) maintains the
+    transition matrix; the emitted pair multiset equals the batch
+    operator's on in-order replay (tested)."""
+    tagged = events.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), F.col(type_col)
+    )
+    out_schema = StructType(
+        [
+            tagged.schema[key_col],
+            StructField("from_type", StringType()),
+            StructField("to_type", StringType()),
+        ]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_transition_fn(
+            key_col=key_col, ts_col=ts_col, id_col=id_col, type_col=type_col
+        ),
+        outputStructType=out_schema,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1240,3 +1240,40 @@ def test_heavy_hitters_stream_mg_guarantees(spark, sf_smoke, replay_dir, tmp_pat
             true_c = true_counts[g].get(item, 0)
             assert lb <= true_c, (g, item, lb, true_c)
             assert true_c - lb <= n / k, (g, item, lb, true_c, n)
+
+
+def test_transitions_stream_pair_multiset_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """L20 streaming twin: the carry cell emits the SAME (from, to)
+    pair multiset as the batch lead window (lead emits at the
+    predecessor, the carry at the successor), so aggregating the
+    emissions reproduces the batch transition counts."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        event_transitions,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        transitions_stream,
+    )
+
+    q = (
+        transitions_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT from_type, to_type, COUNT(*) AS n FROM trans GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(
+            load_table(spark, sf_smoke, "events"), "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
