@@ -2651,3 +2651,31 @@ ORACLES["q_data_profile"] = """
     UNION ALL SELECT 'ts', 'max',
       CAST(epoch_us(MAX(ts)) AS DOUBLE) / 1000000.0 FROM events
     """
+
+# M7 / Q13 shape: aggregate-then-left-join; zero-order customers
+# coalesce in.
+ORACLES["q_order_count_distribution"] = """
+    WITH pc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+    SELECT COALESCE(pc.n, 0) AS c_count, COUNT(*) AS custdist
+    FROM customer c LEFT JOIN pc ON pc.o_custkey = c.c_custkey
+    GROUP BY 1
+    """
+
+# K14 lag features: row frames on (epoch, id); the trailing-hour RANGE
+# frame orders by epoch only and excludes the current instant (bound
+# -1us); micro-unit frame sums keep the mean order-free.
+ORACLES["q_lag_features"] = """
+    SELECT event_id, user_id, ts, value,
+           lag(value, 1) OVER w1 AS lag1,
+           lag(value, 2) OVER w1 AS lag2,
+           COUNT(value) OVER wr AS trail_1h_n,
+           CASE WHEN COUNT(value) OVER wr > 0 THEN
+             floor((CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                         OVER wr AS DOUBLE) / 1000000.0
+                    / (COUNT(value) OVER wr)) * 10000 + 0.5) / 10000
+           END AS trail_1h_mean
+    FROM events
+    WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+           wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+    """

@@ -1029,6 +1029,62 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relevance.bm25(docs)
 
 
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 scale validation (TPC-H Q13 shape): the distribution of
+    orders-per-customer INCLUDING zero-order customers — the
+    LEFT-OUTER-preserves-unmatched pattern: orders aggregate to
+    per-customer counts first (the fact's only exchange, map-side
+    combined), customers LEFT-join that compact table (AQE broadcasts
+    it at this scale; co-keyed shuffle join beyond), unmatched
+    customers coalesce to 0, then the tiny second aggregate over
+    |customers| rows. Never join-then-count-rows (which would shuffle
+    the fact on the join key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    joined = cust.join(
+        per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("c_count"))
+    return (
+        joined.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K14 ML feature frame: per device event — previous two readings
+    (lag1/lag2) and the trailing-1-hour rolling count + mean (event-time
+    RANGE frame, current row excluded via [-3600s, -1us]) — the
+    standard forecasting/anomaly feature builder. One window
+    partitioning serves all four features (two row frames, one range
+    frame share the (key, ts, id) sort); the rolling mean accumulates
+    int64 micro-units inside the frame (order-free, portable), rounded
+    4dp. NULL lag/mean at each key's frame-empty rows, matching SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    wrow = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    wrange = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    msum = F.sum(analytics.micro_units(F.col("value"))).over(wrange)
+    mcnt = F.count(F.col("value")).over(wrange)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value", 1).over(wrow).alias("lag1"),
+        F.lag("value", 2).over(wrow).alias("lag2"),
+        mcnt.alias("trail_1h_n"),
+        F.when(
+            mcnt > 0,
+            round_half_up(msum.cast("double") / F.lit(1e6) / mcnt),
+        ).alias("trail_1h_mean"),
+    )
+
+
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J48 single-pass data-quality profile of the events table: row
     count, per-column nulls, exact distincts for the enum/key columns,
@@ -1941,8 +1997,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_asof_forward": q_asof_forward,
     "q_sessionize": q_sessionize,
-    "q_tf_idf": q_tf_idf,
-    "q_bm25": q_bm25,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -1984,9 +2038,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rfm": q_rfm,
     "q_transitions": q_transitions,
     "q_data_profile": q_data_profile,
+    "q_order_count_distribution": q_order_count_distribution,
+    "q_lag_features": q_lag_features,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_tf_idf": q_tf_idf,
+    "q_bm25": q_bm25,
     "q_tumbling_agg": q_tumbling_agg,
     "q_hopping_agg": q_hopping_agg,
     "q_interval_join": q_interval_join,
