@@ -853,30 +853,39 @@ def data_profile(
     4dp (portable); null counts and distincts are exact integers in
     double form.
     """
-    aggs = [F.count(F.lit(1)).cast("double").alias("m__rows__rows")]
+    # (col_name, metric, agg) triples — the metric labels travel beside
+    # the expressions (never parsed back out of alias names, which
+    # breaks on column names containing the delimiter); agg aliases are
+    # positional and inert
+    metrics: list[tuple[str, str, Column]] = [
+        ("rows", "rows", F.count(F.lit(1)).cast("double"))
+    ]
     for c in df.columns:
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("double")
-            .alias(f"m__{c}__nulls")
+        metrics.append(
+            (c, "nulls", F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("double"))
         )
     for c in distinct_cols:
-        aggs.append(
-            F.count_distinct(F.col(c)).cast("double").alias(f"m__{c}__distinct")
-        )
+        metrics.append((c, "distinct", F.count_distinct(F.col(c)).cast("double")))
     for c in numeric_cols:
-        aggs.append(round_half_up(F.min(F.col(c)).cast("double")).alias(f"m__{c}__min"))
-        aggs.append(round_half_up(F.max(F.col(c)).cast("double")).alias(f"m__{c}__max"))
+        metrics.append((c, "min", round_half_up(F.min(F.col(c)).cast("double"))))
+        metrics.append((c, "max", round_half_up(F.max(F.col(c)).cast("double"))))
     for c in ts_cols:
         ep = F.unix_micros(F.col(c)).cast("double") / F.lit(1e6)
-        aggs.append(F.min(ep).alias(f"m__{c}__min"))
-        aggs.append(F.max(ep).alias(f"m__{c}__max"))
-    one = df.agg(*aggs)
-    parts = []
-    for name in one.columns:
-        _, col_name, metric = name.split("__")
-        parts.append(f"'{col_name}', '{metric}', `{name}`")
-    n = len(one.columns)
+        metrics.append((c, "min", F.min(ep)))
+        metrics.append((c, "max", F.max(ep)))
+    one = df.agg(
+        *[agg.alias(f"_m{i}") for i, (_, _, agg) in enumerate(metrics)]
+    )
+
+    def lit_str(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    parts = [
+        f"{lit_str(col)}, {lit_str(metric)}, `_m{i}`"
+        for i, (col, metric, _) in enumerate(metrics)
+    ]
     return one.select(
-        F.expr(f"stack({n}, {', '.join(parts)})").alias("col_name", "metric", "value")
+        F.expr(f"stack({len(metrics)}, {', '.join(parts)})").alias(
+            "col_name", "metric", "value"
+        )
     )

@@ -851,11 +851,15 @@ def remove_frequent_lines(
     'frequent'; position is order-of-appearance among surviving lines.
     Split/explode is map-side; the only corpus shuffle is the
     reassembly aggregate in the core."""
+    # F.split takes a Java regex — quote the delimiter with \Q...\E so
+    # '.', '|', '\' etc. split literally (the rejoin side uses it
+    # literally, and the two must agree)
+    quoted = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col),
         F.posexplode(
             F.filter(
-                F.split(F.col(text_col), delimiter, -1), lambda s: s != ""
+                F.split(F.col(text_col), quoted, -1), lambda s: s != ""
             )
         ).alias("pos", "seg"),
     )

@@ -683,8 +683,10 @@ def ewma_per_key(
     trailing window first (the smoother forgets at rate 1-alpha anyway:
      60 events at alpha .3 leave < 1e-9 of the seed's weight).
 
-    NULL measurements are dropped (a NULL would poison every later
-    level through the recurrence — same policy as rate_of_change).
+    NULL and NaN measurements are both dropped (either would poison
+    every later level through the recurrence; and the streaming twin
+    cannot tell them apart — Arrow delivers NULL doubles as NaN — so
+    the batch contract matches what the twin can honor).
 
     Returns (key, n_events, ewma).
     """
@@ -706,8 +708,9 @@ def ewma_per_key(
             F.lit(alpha) * x["v"] + F.lit(1.0 - alpha) * acc
         ),
     )
+    v = F.col(value_col).cast("double")
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias("n_events"), arr.alias("_arr"))
         .select(

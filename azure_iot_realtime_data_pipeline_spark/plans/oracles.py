@@ -2320,7 +2320,7 @@ ORACLES["q_ewma"] = """
            floor(list_reduce(list(value ORDER BY ts, event_id),
                              (acc, x) -> 0.3*x + 0.7*acc) * 10000 + 0.5)
              / 10000 AS ewma
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     GROUP BY user_id
     """
 

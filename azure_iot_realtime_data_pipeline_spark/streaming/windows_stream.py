@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -980,8 +981,10 @@ def make_ewma_fn(
     measurement advances level = alpha*v + (1-alpha)*level (seeded by
     the first value) — the IDENTICAL IEEE double ops, in the identical
     order, as the batch fold in `sessions.ewma_per_key`, so the running
-    level needs no re-derivation to match. NULL measurements are
-    skipped entirely (the batch form filters them before the fold).
+    level needs no re-derivation to match. NULL and NaN measurements
+    are skipped entirely (Arrow delivers NULL doubles as NaN, so the
+    two are indistinguishable here — the batch form drops both, keeping
+    the equivalence contract exact).
     Emission rounds half-up to 4dp exactly like the batch output; the
     carried level stays UNROUNDED (rounding inside the recurrence would
     compound)."""
@@ -1086,6 +1089,12 @@ def make_mg_fn(k: int = 8):
             counters, n_seen = {}, 0
         for pdf in pdfs:
             for it in pdf["_item"]:
+                if pd.isna(it):
+                    # NULL items are ignored entirely (not counted in
+                    # n_seen): a NULL key is not a frequent "item", and
+                    # stringifying it would conflate it with a genuine
+                    # 'None' string
+                    continue
                 it = str(it)
                 n_seen += 1
                 if it in counters:
@@ -1150,8 +1159,7 @@ def heavy_hitters_stream(
 
 TRANSITION_STATE_SCHEMA = StructType(
     [
-        StructField("prev_ts_us", LongType()),
-        StructField("prev_id", LongType()),
+        StructField("has_prev", BooleanType()),
         StructField("prev_type", StringType()),
     ]
 )
@@ -1165,37 +1173,35 @@ def make_transition_fn(
 ):
     """applyInPandasWithState body for the L20 streaming twin (picklable
     closure). Per key: rows process in (ts, id) order; each event past
-    the key's first emits one (from_type, to_type) pair instance — the
-    same pair multiset the batch lead window produces (lead emits the
-    pair at the predecessor, the carry emits it at the successor;
-    multiset-equal, tested). State is one (ts, id, type) cell."""
+    the key's first yields one (from_type, to_type) pair instance, but
+    only pairs whose SUCCESSOR type is non-NULL are emitted — exactly
+    the batch lead window's multiset (lead emits the pair at the
+    predecessor and filters NULL lead; the carry emits at the successor).
+    A NULL type still advances the carry (the next pair's from_type is
+    NULL, never the string 'None'), which is why the state is
+    (has_prev, prev_type) — prev_type alone can't distinguish 'no prior
+    event' from 'prior event of NULL type'."""
 
     def fn(key, pdfs, state):
-        if state.exists:
-            prev_ts, prev_id, prev_type = state.get
-        else:
-            prev_ts = prev_id = prev_type = None
+        has_prev, prev_type = state.get if state.exists else (False, None)
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
-            ts = pdf[ts_col]
-            if getattr(ts.dt, "tz", None) is not None:
-                ts = ts.dt.tz_localize(None)
-            ts_us = ts.astype("datetime64[us]").astype("int64")
             froms, tos = [], []
-            for t, i, ty in zip(ts_us, pdf[id_col], pdf[type_col]):
-                if prev_type is not None:
+            for ty in pdf[type_col]:
+                cur = None if pd.isna(ty) else str(ty)
+                if has_prev and cur is not None:
                     froms.append(prev_type)
-                    tos.append(str(ty))
-                prev_ts, prev_id, prev_type = int(t), int(i), str(ty)
+                    tos.append(cur)
+                has_prev, prev_type = True, cur
             if froms:
                 yield pd.DataFrame(
                     {
                         key_col: [key[0]] * len(froms),
-                        "from_type": froms,
-                        "to_type": tos,
+                        "from_type": pd.Series(froms, dtype="object"),
+                        "to_type": pd.Series(tos, dtype="object"),
                     }
                 )
-        state.update((prev_ts, prev_id, prev_type))
+        state.update((has_prev, prev_type))
 
     return fn
 
@@ -1208,8 +1214,8 @@ def transitions_stream(
     type_col: str = "event_type",
 ) -> DataFrame:
     """L20 streaming twin: live per-key event transitions with a single
-    (ts, id, type) carry cell — the batch lead window becomes the
-    carry, the same O(1)-state shape as the gaps/rate twins. Downstream
+    (has_prev, prev_type) carry cell — the batch lead window becomes
+    the carry, the same O(1)-state shape as the gaps/rate twins. Downstream
     a streaming aggregate over (from_type, to_type) maintains the
     transition matrix; the emitted pair multiset equals the batch
     operator's on in-order replay (tested)."""

@@ -717,3 +717,22 @@ def test_remove_frequent_segments_broadcasts_tiny_frequent_set(spark, sf_oracle)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_remove_frequent_lines_treats_delimiter_literally(spark):
+    # review regression: '.' is a regex metacharacter — it must split
+    # on literal dots only (the rejoin uses it literally too)
+    rows = [
+        (1, "shared tail.alpha.beta"),
+        (2, "shared tail.gamma"),
+        (3, "shared tail"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in corpus.remove_frequent_lines(df, min_docs=3, delimiter=".").collect()
+    }
+    assert out[1]["clean_text"] == "alpha.beta"
+    assert out[2]["clean_text"] == "gamma"
+    assert out[3]["clean_text"] == ""
+    assert out[3]["removed_segments"] == 1

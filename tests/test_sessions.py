@@ -568,3 +568,48 @@ def test_ewma_matches_naive_reference(spark, rows):
     assert len(out) == 1
     assert out[0]["n_events"] == len(ordered)
     assert out[0]["ewma"] == want
+
+
+def test_ewma_drops_nan_like_the_streaming_twin(spark):
+    """Review regression: NaN measurements (distinct from NULL) must be
+    dropped by the batch fold — Arrow hands the streaming twin NULL
+    doubles as NaN, so the batch contract matches what the twin can
+    honor."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import ewma_per_key
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, 10.0),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 1), 2, float("nan")),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 2), 3, 20.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = ewma_per_key(df, "user_id", "ts", "value", "event_id", alpha=0.5).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 2
+    assert out[0]["ewma"] == 15.0
+
+
+def test_data_profile_handles_hostile_column_names(spark):
+    """Review regression: double-underscore and quote-bearing column
+    names must profile cleanly (metric labels travel beside the
+    expressions, never parsed out of alias strings)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        data_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 3.0)], ["device__id", "o'value"]
+    )
+    out = {
+        (r["col_name"], r["metric"]): r["value"]
+        for r in data_profile(
+            df, distinct_cols=("device__id",), numeric_cols=("o'value",)
+        ).collect()
+    }
+    assert out[("rows", "rows")] == 2.0
+    assert out[("device__id", "nulls")] == 0.0
+    assert out[("o'value", "nulls")] == 1.0
+    assert out[("device__id", "distinct")] == 2.0
+    assert out[("o'value", "min")] == 3.0

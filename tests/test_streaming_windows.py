@@ -1277,3 +1277,58 @@ def test_transitions_stream_pair_multiset_matches_batch(spark, sf_smoke, replay_
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_transitions_stream_null_types_match_batch_semantics(spark, tmp_path):
+    """Review regression: NULL event types must behave exactly like the
+    batch lead window — a NULL-type event emits no pair as successor,
+    advances the carry, and appears as a REAL NULL from_type (never the
+    string 'None')."""
+    import datetime as _dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        event_transitions,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        transitions_stream,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + _dt.timedelta(seconds=1), 1, "A"),
+        (2, base + _dt.timedelta(seconds=2), 1, None),
+        (3, base + _dt.timedelta(seconds=3), 1, "B"),
+        (4, base + _dt.timedelta(seconds=4), 1, "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    src = str(tmp_path / "null_type_src")
+    df.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).parquet(src)
+    )
+    q = (
+        transitions_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_null")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trans_null"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["from_type"], r["to_type"])
+        for r in spark.sql("SELECT from_type, to_type FROM trans_null").collect()
+    }
+    want = {
+        (r["from_type"], r["to_type"])
+        for r in event_transitions(df, "user_id", "ts", "event_type", "event_id")
+        .select("from_type", "to_type")
+        .collect()
+    }
+    # batch: (A -> NULL) dropped; (NULL -> B) kept with a REAL NULL;
+    # (B -> C) kept
+    assert want == {(None, "B"), ("B", "C")}
+    assert got == want
