@@ -719,3 +719,77 @@ def ewma_per_key(
             round_half_up(fold).alias("ewma"),
         )
     )
+
+
+def cusum_per_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """K15 one-sided CUSUM drift detection per key — the classic
+    change-point statistic (Page 1954): s_i = max(0, s_{i-1} + x_i -
+    target - slack), alarming when s crosses `threshold`. EWMA smooths;
+    CUSUM accumulates small persistent shifts that per-point thresholds
+    and smoothing both miss.
+
+    Distribution trick: the recurrence looks sequential, but the
+    clamped sum has a closed form — s_n = S_n - min(0, min_{j<=n} S_j)
+    over prefix sums S of (x - target - slack) — so it becomes TWO
+    stacked window expressions on one (key, ts, tiebreak) sort: the
+    running prefix sum, then the running minimum of that sum. No fold,
+    no Python. Deviations are exact int64 micro-units, so prefix sums
+    are order-exact integers and both engines agree bit-for-bit;
+    doubles appear only in the final /1e6 presentation.
+
+    NULL and NaN measurements are dropped (they carry no evidence of a
+    shift). Returns per key: (key, n, final_cusum, max_cusum, n_alarms)
+    — n_alarms counts measurements with s strictly above `threshold`.
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        micro_units,
+    )
+
+    v = F.col(value_col).cast("double")
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(key),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        F.col(tiebreak).alias("_tb"),
+        (micro_units(v) - F.lit(int(round((target + slack) * 1_000_000)))).alias(
+            "_d"
+        ),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_s = clean.withColumn("_S", F.sum("_d").over(w))
+    with_c = with_s.withColumn(
+        "_c", F.col("_S") - F.least(F.min("_S").over(w), F.lit(0))
+    )
+    thr_mu = int(round(threshold * 1_000_000))
+    return (
+        with_c.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.struct(F.col("_t"), F.col("_tb"), F.col("_c"))).alias("_last"),
+            F.max("_c").alias("_mx"),
+            F.sum(F.when(F.col("_c") > thr_mu, 1).otherwise(0)).alias("n_alarms"),
+        )
+        .select(
+            key,
+            "n",
+            round_half_up(
+                F.col("_last")["_c"].cast("double") / F.lit(1e6)
+            ).alias("final_cusum"),
+            round_half_up(F.col("_mx").cast("double") / F.lit(1e6)).alias(
+                "max_cusum"
+            ),
+            F.col("n_alarms").cast("long").alias("n_alarms"),
+        )
+    )

@@ -2679,3 +2679,49 @@ ORACLES["q_lag_features"] = """
            wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
     """
+
+# K15 CUSUM via the prefix-sum identity: s_n = S_n - min(0, min S_j)
+# over exact integer micro-unit deviations — bit-identical prefix sums,
+# doubles only at the /1e6 presentation.
+ORACLES["q_cusum"] = """
+    WITH clean AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) - 55000000 AS d
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    pre AS (
+      SELECT user_id, t, event_id,
+             SUM(d) OVER w AS S
+      FROM clean
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cu AS (
+      SELECT user_id, t, event_id,
+             S - least(MIN(S) OVER w, 0) AS c
+      FROM pre
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    last AS (
+      SELECT user_id, c AS final_c FROM (
+        SELECT user_id, c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY t DESC, event_id DESC) AS rn
+        FROM cu
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n, MAX(c) AS mx,
+             CAST(SUM(CASE WHEN c > 300000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms
+      FROM cu GROUP BY user_id
+    )
+    SELECT agg.user_id, agg.n,
+           floor(CAST(last.final_c AS DOUBLE) / 1000000.0 * 10000 + 0.5)
+             / 10000 AS final_cusum,
+           floor(CAST(agg.mx AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000
+             AS max_cusum,
+           agg.n_alarms
+    FROM agg JOIN last USING (user_id)
+    """

@@ -1085,6 +1085,18 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K15 per-device one-sided CUSUM (target 50 ~ the in-control mean,
+    slack 5, alarm threshold 300): the clamped recurrence as two stacked
+    window expressions over exact micro-unit prefix sums — no fold.
+    Non-trivial at both SFs (74/150 and 831/1500 devices alarm)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.cusum_per_key(
+        ev, "user_id", "ts", "value", "event_id",
+        target=50.0, slack=5.0, threshold=300.0,
+    )
+
+
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J48 single-pass data-quality profile of the events table: row
     count, per-column nulls, exact distincts for the enum/key columns,
@@ -1996,7 +2008,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_topk_cosine": q_topk_cosine,
     "q_asof_join": q_asof_join,
     "q_asof_forward": q_asof_forward,
-    "q_sessionize": q_sessionize,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -2040,9 +2051,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_data_profile": q_data_profile,
     "q_order_count_distribution": q_order_count_distribution,
     "q_lag_features": q_lag_features,
+    "q_cusum": q_cusum,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_sessionize": q_sessionize,
     "q_tf_idf": q_tf_idf,
     "q_bm25": q_bm25,
     "q_tumbling_agg": q_tumbling_agg,

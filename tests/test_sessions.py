@@ -613,3 +613,30 @@ def test_data_profile_handles_hostile_column_names(spark):
     assert out[("o'value", "nulls")] == 1.0
     assert out[("device__id", "distinct")] == 2.0
     assert out[("o'value", "min")] == 3.0
+
+
+def test_cusum_closed_form_matches_naive_recurrence(spark):
+    """K15: the prefix-sum identity must equal the textbook clamped
+    recurrence s_i = max(0, s_{i-1} + x_i - target - slack), including a
+    mid-series downward excursion that resets the statistic."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import cusum_per_key
+
+    base = dt.datetime(2024, 1, 1)
+    xs = [12.0, 15.0, 8.0, 2.0, 1.0, 14.0, 16.0, 18.0]
+    rows = [("k", base + dt.timedelta(seconds=i), i, v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = cusum_per_key(
+        df, "user_id", "ts", "value", "event_id", target=10.0, slack=0.0, threshold=7.0
+    ).collect()[0]
+    s, mx, alarms = 0.0, 0.0, 0
+    for v in xs:
+        s = max(0.0, s + v - 10.0)
+        mx = max(mx, s)
+        if s > 7.0:
+            alarms += 1
+    assert out["final_cusum"] == s
+    assert out["max_cusum"] == mx
+    assert out["n_alarms"] == alarms
+    assert out["n"] == len(xs)
