@@ -1238,3 +1238,108 @@ def transitions_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s_mu", LongType()),
+        StructField("mx_mu", LongType()),
+        StructField("n", LongType()),
+        StructField("n_alarms", LongType()),
+    ]
+)
+
+
+def make_cusum_fn(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    target: float = 50.0,
+    slack: float = 5.0,
+    threshold: float = 300.0,
+):
+    """applyInPandasWithState body for the K15 streaming twin (picklable
+    closure). Per key: rows process in (ts, id) order; the textbook
+    clamped recurrence runs DIRECTLY on the carried statistic — the
+    batch form's prefix-sum identity exists precisely because batch has
+    no carry; streaming does, so four longs of state replace the two
+    window passes. Deviations are the same exact int64 micro-units, so
+    the running statistic bit-matches the batch operator's at every
+    prefix. NULL/NaN measurements are skipped like the batch filter."""
+    import math
+
+    off_mu = int(round((target + slack) * 1_000_000))
+    thr_mu = int(round(threshold * 1_000_000))
+
+    def fn(key, pdfs, state):
+        s_mu, mx_mu, n, n_alarms = state.get if state.exists else (0, 0, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            for v in pdf[value_col]:
+                if pd.isna(v):
+                    continue
+                d = math.floor(float(v) * 1_000_000 + 0.5) - off_mu
+                s_mu = max(0, s_mu + d)
+                mx_mu = max(mx_mu, s_mu)
+                n += 1
+                if s_mu > thr_mu:
+                    n_alarms += 1
+        state.update((s_mu, mx_mu, n, n_alarms))
+        if n > 0:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [n],
+                    "final_cusum": [math.floor(s_mu / 1e6 * 10000 + 0.5) / 10000],
+                    "max_cusum": [math.floor(mx_mu / 1e6 * 10000 + 0.5) / 10000],
+                    "n_alarms": [n_alarms],
+                }
+            )
+
+    return fn
+
+
+def cusum_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    target: float = 50.0,
+    slack: float = 5.0,
+    threshold: float = 300.0,
+) -> DataFrame:
+    """K15 streaming twin: live per-key CUSUM drift alarming with FOUR
+    longs of state (statistic, running max, count, alarm count) — the
+    natural online form of the recurrence (this is what CUSUM was
+    designed for); the batch closed form exists only to avoid a
+    sequential fold. Final emission per key equals
+    `sessions.cusum_per_key` over the replayed data (tested)."""
+    tagged = events.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), F.col(value_col)
+    )
+    out_schema = StructType(
+        [
+            tagged.schema[key_col],
+            StructField("n", LongType()),
+            StructField("final_cusum", DoubleType()),
+            StructField("max_cusum", DoubleType()),
+            StructField("n_alarms", LongType()),
+        ]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_cusum_fn(
+            key_col=key_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            value_col=value_col,
+            target=target,
+            slack=slack,
+            threshold=threshold,
+        ),
+        outputStructType=out_schema,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

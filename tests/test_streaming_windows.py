@@ -1332,3 +1332,40 @@ def test_transitions_stream_null_types_match_batch_semantics(spark, tmp_path):
     # (B -> C) kept
     assert want == {(None, "B"), ("B", "C")}
     assert got == want
+
+
+def test_cusum_stream_final_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """K15 streaming twin: the four-longs carry cell across micro-batches
+    lands exactly on the batch closed form's (n, final, max, alarms) per
+    key — same integer micro-unit deviations, same rounding."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import cusum_per_key
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        cusum_stream,
+    )
+
+    q = (
+        cusum_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        """
+        SELECT user_id, n, final_cusum, max_cusum, n_alarms FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n DESC
+          ) AS rn FROM cusum
+        ) WHERE rn = 1
+        """
+    )
+    want = cusum_per_key(
+        load_table(spark, sf_smoke, "events"), "user_id", "ts", "value", "event_id",
+        target=50.0, slack=5.0, threshold=300.0,
+    )
+    cols = ["user_id", "n", "final_cusum", "max_cusum", "n_alarms"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
