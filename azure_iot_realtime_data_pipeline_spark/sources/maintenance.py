@@ -1,0 +1,72 @@
+"""Storage-maintenance utilities: small-file compaction and partition
+retention — the two jobs every continuously-written lake layout needs
+(reference analog: the ADLS bronze archive the A3 sink appends to,
+terraform/main-example.tf:60-71, accumulates one file per micro-batch
+forever; Azure leaves compaction/retention to the user, so a standalone
+engine must ship them).
+
+Scale notes:
+- Compaction reads once and writes once at a chosen output-file count —
+  coalesce (narrow, no shuffle) when shrinking, repartition only when
+  asked to grow. The swap is write-to-temp + atomic directory rename,
+  so readers never observe a half-compacted table; the temp lives
+  beside the target (same filesystem) for rename atomicity.
+- Partition expiry is pure directory manipulation on the Hive-style
+  layout `write_date_partitioned` produces — no Spark job at all; at
+  100 TB deleting history must not cost a scan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+) -> int:
+    """Rewrite a parquet directory into `target_files` files (per
+    partition directory none — this is for UNpartitioned sink output;
+    expire/compact partitioned layouts per-partition). Returns the
+    number of data files after compaction. Readers see the old or the
+    new directory, never a mix (temp + rename swap)."""
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    df: DataFrame = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+
+
+def expire_partitions(
+    path: str,
+    older_than: str,
+    partition_col: str = "event_date",
+) -> list[str]:
+    """Delete Hive-style partition directories with partition value
+    strictly below `older_than` (ISO date string compares
+    lexicographically = chronologically). Returns the partition values
+    removed. Directory-level retention: no scan, no Spark job —
+    the layout IS the index."""
+    removed: list[str] = []
+    prefix = partition_col + "="
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        value = entry[len(prefix):]
+        if value < older_than:
+            shutil.rmtree(os.path.join(path, entry))
+            removed.append(value)
+    return removed

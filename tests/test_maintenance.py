@@ -1,0 +1,57 @@
+"""Storage maintenance: compaction preserves content and hits the file
+target; partition expiry deletes exactly the aged directories."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+from azure_iot_realtime_data_pipeline_spark.sources.bucketed import (
+    write_date_partitioned,
+)
+from azure_iot_realtime_data_pipeline_spark.sources.maintenance import (
+    compact_parquet_dir,
+    expire_partitions,
+)
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, sf_smoke, tmp_path):
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "many_small")
+    # simulate a micro-batch sink: 37 tiny files
+    ev.repartition(37).write.parquet(path)
+    before_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before_files >= 30
+    before = {tuple(r) for r in ev.collect()}
+    n_files = compact_parquet_dir(spark, path, target_files=4)
+    assert n_files <= 4
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    # leftovers cleaned
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
+
+
+def test_expire_partitions_deletes_only_aged_dirs(spark, sf_smoke, tmp_path):
+    ev = load_table(spark, sf_smoke, "events")
+    path = str(tmp_path / "dated")
+    write_date_partitioned(ev, path)
+    parts = sorted(
+        e.split("=", 1)[1] for e in os.listdir(path) if e.startswith("event_date=")
+    )
+    assert len(parts) > 2
+    cutoff = parts[len(parts) // 2]
+    removed = expire_partitions(path, older_than=cutoff)
+    assert removed == [p for p in parts if p < cutoff]
+    kept = sorted(
+        e.split("=", 1)[1] for e in os.listdir(path) if e.startswith("event_date=")
+    )
+    assert kept == [p for p in parts if p >= cutoff]
+    # surviving data still reads, and only covers surviving dates
+    got_dates = {
+        str(r["event_date"])
+        for r in spark.read.parquet(path).select("event_date").distinct().collect()
+    }
+    assert got_dates == set(kept)
