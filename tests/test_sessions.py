@@ -640,3 +640,46 @@ def test_cusum_closed_form_matches_naive_recurrence(spark):
     assert out["max_cusum"] == mx
     assert out["n_alarms"] == alarms
     assert out["n"] == len(xs)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_cusum_closed_form_matches_naive_on_arbitrary_series(spark, rows):
+    """K15 property test: the prefix-sum identity equals the clamped
+    recurrence on arbitrary series (duplicate timestamps included),
+    computed over the same integer micro-units."""
+    import math
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import cusum_per_key
+
+    data = [
+        ("k", i + 1, _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=t), float(v))
+        for i, (t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id string, event_id int, ts timestamp, value double"
+    )
+    out = cusum_per_key(
+        df, "user_id", "ts", "value", "event_id", target=2.0, slack=1.0, threshold=5.0
+    ).collect()[0]
+    ordered = sorted((t, i + 1, v) for i, (t, v) in enumerate(rows))
+    s_mu, mx_mu, alarms = 0, 0, 0
+    for _, _, v in ordered:
+        d = math.floor(float(v) * 1_000_000 + 0.5) - 3_000_000
+        s_mu = max(0, s_mu + d)
+        mx_mu = max(mx_mu, s_mu)
+        if s_mu > 5_000_000:
+            alarms += 1
+    assert out["n"] == len(rows)
+    assert out["final_cusum"] == math.floor(s_mu / 1e6 * 10000 + 0.5) / 10000
+    assert out["max_cusum"] == math.floor(mx_mu / 1e6 * 10000 + 0.5) / 10000
+    assert out["n_alarms"] == alarms

@@ -1369,3 +1369,64 @@ def test_cusum_stream_final_matches_batch(spark, sf_smoke, replay_dir, tmp_path)
     cols = ["user_id", "n", "final_cusum", "max_cusum", "n_alarms"]
     assert _as_set(got, cols) == _as_set(want, cols)
     assert got.count() == want.count() > 0
+
+
+def test_cusum_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_path):
+    """Crash/restart contract for the K15 carry cell: half the stream,
+    stop, resume from the same checkpoint — the carried (statistic,
+    max, counts) must continue the recurrence so the final emission
+    equals the batch closed form over ALL events."""
+    import os
+    import shutil
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import cusum_per_key
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        cusum_stream,
+    )
+
+    src_buckets = sorted(os.listdir(replay_dir))
+    half_dir = str(tmp_path / "replay_half_cusum")
+    os.makedirs(half_dir)
+    for b in src_buckets[:2]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    ckpt = str(tmp_path / "ckpt_cusum_restart")
+    emissions: list[tuple] = []
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emissions.append(
+                    (r["user_id"], r["n"], r["final_cusum"], r["max_cusum"], r["n_alarms"])
+                )
+
+        q = (
+            cusum_stream(replay_events(spark, half_dir))
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first_len = len(emissions)
+    assert first_len > 0
+    for b in src_buckets[2:]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    run_once()
+    assert len(emissions) > first_len
+    final = {}
+    for uid, n, fc, mx, al in emissions:
+        cur = final.get(uid)
+        if cur is None or n > cur[0]:
+            final[uid] = (n, fc, mx, al)
+    got = {(u, *v) for u, v in final.items()}
+    want = {
+        (r["user_id"], r["n"], r["final_cusum"], r["max_cusum"], r["n_alarms"])
+        for r in cusum_per_key(
+            load_table(spark, sf_smoke, "events"), "user_id", "ts", "value",
+            "event_id", target=50.0, slack=5.0, threshold=300.0,
+        ).collect()
+    }
+    assert got == want
