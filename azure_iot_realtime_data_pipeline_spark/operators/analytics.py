@@ -889,3 +889,62 @@ def data_profile(
             "col_name", "metric", "value"
         )
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+) -> DataFrame:
+    """L21 audience overlap — for every unordered pair of event types,
+    how many distinct users did both, plus each side's audience and the
+    Jaccard overlap: the segment-intersection matrix behind "users who
+    viewed also purchased" dashboards.
+
+    Scale shape: the naive form self-joins the distinct (user, type)
+    table on the user — a second shuffle and a join that skews on power
+    users. Instead each user compacts to their SET of types (bounded by
+    |types|, ONE exchange on the user with a map-side-combined
+    collect_set partial), and the sorted set fans out its unordered
+    pairs MAP-SIDE (|types|²/2 per user at worst) straight into the
+    tiny pair-count aggregate; per-type audience totals ride the same
+    set table. No self-join exists in the plan.
+
+    Returns (type_a, type_b, n_both, n_a, n_b, jaccard) with
+    type_a < type_b and jaccard rounded 4dp.
+    """
+    sets = (
+        df.filter(F.col(type_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.sort_array(F.collect_set(F.col(type_col))).alias("_types"))
+    )
+    # all ordered pairs (i < j) of the sorted set, map-side
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_types"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("_types"), i + 2, F.size(F.col("_types"))
+                        ),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select(F.col("_p.a").alias("type_a"), F.col("_p.b").alias("type_b"))
+    both = pairs.groupBy("type_a", "type_b").agg(F.count(F.lit(1)).alias("n_both"))
+    totals = (
+        sets.select(F.explode("_types").alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    ta = totals.select(F.col("_t").alias("type_a"), F.col("_n").alias("n_a"))
+    tb = totals.select(F.col("_t").alias("type_b"), F.col("_n").alias("n_b"))
+    out = both.join(F.broadcast(ta), "type_a").join(F.broadcast(tb), "type_b")
+    jac = round_half_up(
+        F.col("n_both").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+    )
+    return out.select("type_a", "type_b", "n_both", "n_a", "n_b", jac.alias("jaccard"))

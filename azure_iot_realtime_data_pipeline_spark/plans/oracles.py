@@ -2725,3 +2725,26 @@ ORACLES["q_cusum"] = """
            agg.n_alarms
     FROM agg JOIN last USING (user_id)
     """
+
+# L21 audience overlap: the oracle states the SEMANTICS with a plain
+# distinct-pair self-join (results-equivalent; the Spark plan fans out
+# per-user type sets instead of self-joining).
+ORACLES["q_audience_overlap"] = """
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IS NOT NULL
+    ),
+    tot AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+    pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both, ta.n AS n_a, tb.n AS n_b,
+           floor(CAST(n_both AS DOUBLE)
+                 / (ta.n + tb.n - n_both) * 10000 + 0.5) / 10000 AS jaccard
+    FROM pr JOIN tot ta ON ta.event_type = pr.type_a
+            JOIN tot tb ON tb.event_type = pr.type_b
+    """

@@ -1085,6 +1085,14 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21 audience overlap matrix: distinct-user intersections +
+    Jaccard for every event-type pair — per-user type SETS fan out
+    their pairs map-side (one user exchange, no self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.audience_overlap(ev, "user_id", "event_type")
+
+
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K15 per-device one-sided CUSUM (target 50 ~ the in-control mean,
     slack 5, alarm threshold 300): the clamped recurrence as two stacked
@@ -2007,7 +2015,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_topk": q_lsh_topk,
     "q_topk_cosine": q_topk_cosine,
     "q_asof_join": q_asof_join,
-    "q_asof_forward": q_asof_forward,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -2052,9 +2059,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_order_count_distribution": q_order_count_distribution,
     "q_lag_features": q_lag_features,
     "q_cusum": q_cusum,
+    "q_audience_overlap": q_audience_overlap,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_asof_forward": q_asof_forward,
     "q_sessionize": q_sessionize,
     "q_tf_idf": q_tf_idf,
     "q_bm25": q_bm25,

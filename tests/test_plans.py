@@ -307,3 +307,16 @@ def test_semantic_dedup_anti_join_is_hashed(spark, sf_smoke):
     p = plan_of(spark, sf_smoke, "q_semantic_dedup", mode="simple")
     assert "SortMergeJoin" not in p, p
     assert "LeftAnti" in p, p
+
+
+def test_audience_overlap_has_no_self_join(spark, sf_smoke):
+    # L21: pair generation must be the map-side set fan-out — the plan
+    # may only join the two TINY per-type total tables (broadcast);
+    # the distinct (user, type) table never self-joins on the user.
+    p = plan_of(spark, sf_smoke, "q_audience_overlap", mode="simple")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") == 2, p
+    # the only non-broadcast exchanges: user-set agg, pair agg, totals agg
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "user_id" in ln or "type_a" in ln or "type_b" in ln or "_t" in ln, ln
