@@ -878,7 +878,10 @@ def data_profile(
     )
 
     def lit_str(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+        # escape backslashes FIRST (Spark SQL literals process escape
+        # sequences), then quotes — review finding: 'x\\' otherwise
+        # escapes the closing quote and 'a\\b' silently becomes a\x08
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
     parts = [
         f"{lit_str(col)}, {lit_str(metric)}, `_m{i}`"
@@ -914,7 +917,7 @@ def audience_overlap(
     type_a < type_b and jaccard rounded 4dp.
     """
     sets = (
-        df.filter(F.col(type_col).isNotNull())
+        df.filter(F.col(type_col).isNotNull() & F.col(user_col).isNotNull())
         .groupBy(user_col)
         .agg(F.sort_array(F.collect_set(F.col(type_col))).alias("_types"))
     )

@@ -32,16 +32,38 @@ def compact_parquet_dir(
     """Rewrite a parquet directory into `target_files` files (per
     partition directory none — this is for UNpartitioned sink output;
     expire/compact partitioned layouts per-partition). Returns the
-    number of data files after compaction. Readers see the old or the
-    new directory, never a mix (temp + rename swap)."""
+    number of data files after compaction.
+
+    Shrinking uses `coalesce` (narrow, no shuffle); a target ABOVE the
+    current partition count uses `repartition` (coalesce cannot grow).
+
+    Swap protocol: readers never see a MIX of old and new files, but
+    POSIX has no atomic directory exchange, so there is a brief window
+    between the two renames where `path` is absent (a concurrent read
+    raises path-not-found and should retry). Crash recovery is
+    self-healing and idempotent: a stale `._compact_tmp` is rebuilt; a
+    stale `._compact_old` with `path` present is a completed swap's
+    leftover (removed); `._compact_old` WITHOUT `path` means the crash
+    hit between the renames — the original is restored before
+    compacting again.
+    """
     if target_files < 1:
         raise ValueError("target_files must be >= 1")
-    df: DataFrame = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)       # previous run finished; leftover
+        else:
+            os.rename(old, path)     # crashed mid-swap; restore
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    df: DataFrame = spark.read.parquet(path)
+    if target_files > df.rdd.getNumPartitions():
+        df = df.repartition(target_files)
+    else:
+        df = df.coalesce(target_files)
+    df.write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

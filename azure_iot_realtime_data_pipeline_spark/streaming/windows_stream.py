@@ -49,6 +49,22 @@ from pyspark.sql.types import (
 DEFAULT_WATERMARK = "60 seconds"
 
 
+def one_frame(pdfs):
+    """Concatenate a key's Arrow chunks into ONE frame (or None when
+    empty). Every order-sensitive carry fn must sort the WHOLE
+    micro-batch before folding: `applyInPandasWithState` delivers a
+    key's batch as MULTIPLE chunks once it exceeds
+    `spark.sql.execution.arrow.maxRecordsPerBatch` (default 10k), and
+    chunk-local sorting would silently permute the series across chunk
+    boundaries — corrupting any order-dependent statistic (CUSUM, EWMA,
+    rates, carries). Order-insensitive sketches (KMV, binned counts,
+    Misra-Gries guarantees) may still stream chunk-by-chunk."""
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        return None
+    return frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+
+
 def _sum_value_dec(col: str = "value"):
     # identical arithmetic to the batch q_tumbling_agg/q_hopping_agg
     # surface: order-independent exact decimal sum, then double.
@@ -209,7 +225,8 @@ def make_asof_fn():
 
     def fn(key, pdfs, state):
         last_val = state.get[0] if state.exists else None
-        for pdf in pdfs:
+        pdf = one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values(["ts", "_side", "event_id"], kind="stable")
             carried = []
             for side, v in zip(pdf["_side"], pdf["value"]):
@@ -292,7 +309,8 @@ def make_gaps_fn(id_col: str = "event_id", key_col: str = "user_id", ts_col: str
 
     def fn(key, pdfs, state):
         last_ts = state.get[0] if state.exists else None
-        for pdf in pdfs:
+        pdf = one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
             ts = pdf[ts_col]
             if getattr(ts.dt, "tz", None) is not None:
@@ -370,7 +388,8 @@ def make_adjust_clamp_fn(
 
     def fn(key, pdfs, state):
         hwm = state.get[0] if state.exists else None
-        for pdf in pdfs:
+        pdf = one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values(id_col, kind="stable")
             ts = pdf[ts_col]
             if getattr(ts.dt, "tz", None) is not None:
@@ -729,7 +748,8 @@ def make_twa_fn(
         else:
             first_ts = prev_ts = prev_cents = None
             wsum, n, n_vals = 0, 0, 0
-        for pdf in pdfs:
+        pdf = one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
             ts = pdf[ts_col]
             if getattr(ts.dt, "tz", None) is not None:
@@ -876,7 +896,8 @@ def make_rate_fn(
 
     def fn(key, pdfs, state):
         prev_ts, prev_v = state.get if state.exists else (None, None)
-        for pdf in pdfs:
+        pdf = one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
             ts = pdf[ts_col]
             if getattr(ts.dt, "tz", None) is not None:
@@ -995,7 +1016,8 @@ def make_ewma_fn(
 
     def fn(key, pdfs, state):
         n, level = state.get if state.exists else (0, None)
-        for pdf in pdfs:
+        pdf = one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
             for v in pdf[value_col]:
                 if pd.isna(v):
@@ -1184,7 +1206,8 @@ def make_transition_fn(
 
     def fn(key, pdfs, state):
         has_prev, prev_type = state.get if state.exists else (False, None)
-        for pdf in pdfs:
+        pdf = one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
             froms, tos = [], []
             for ty in pdf[type_col]:
@@ -1274,7 +1297,8 @@ def make_cusum_fn(
 
     def fn(key, pdfs, state):
         s_mu, mx_mu, n, n_alarms = state.get if state.exists else (0, 0, 0, 0)
-        for pdf in pdfs:
+        pdf = one_frame(pdfs)
+        if pdf is not None:
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
             for v in pdf[value_col]:
                 if pd.isna(v):

@@ -55,3 +55,28 @@ def test_expire_partitions_deletes_only_aged_dirs(spark, sf_smoke, tmp_path):
         for r in spark.read.parquet(path).select("event_date").distinct().collect()
     }
     assert got_dates == set(kept)
+
+
+def test_compaction_recovers_from_mid_swap_crash_and_grows(spark, sf_smoke, tmp_path):
+    """Review regressions: (1) a crash between the two renames (path
+    absent, ._compact_old present) must self-heal on the next run;
+    (2) a completed run's stale ._compact_old must not block retries;
+    (3) a target ABOVE the current partition count must actually grow
+    the file count (repartition, not coalesce)."""
+    import shutil
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "value")
+    path = str(tmp_path / "crashy")
+    ev.coalesce(2).write.parquet(path)
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    # simulate the mid-swap crash state: path renamed away, tmp gone
+    os.rename(path, path + "._compact_old")
+    n = compact_parquet_dir(spark, path, target_files=8)
+    assert n >= 8  # grew from 2 partitions (repartition path)
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+    # stale OLD beside a live path (post-success crash): must not block
+    shutil.copytree(path, path + "._compact_old")
+    n2 = compact_parquet_dir(spark, path, target_files=2)
+    assert n2 <= 2
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+    assert not os.path.exists(path + "._compact_old")

@@ -683,3 +683,24 @@ def test_cusum_closed_form_matches_naive_on_arbitrary_series(spark, rows):
     assert out["final_cusum"] == math.floor(s_mu / 1e6 * 10000 + 0.5) / 10000
     assert out["max_cusum"] == math.floor(mx_mu / 1e6 * 10000 + 0.5) / 10000
     assert out["n_alarms"] == alarms
+
+
+def test_audience_overlap_ignores_null_users_and_hostile_profile_names(spark):
+    """Review regressions: NULL users must not collapse into one phantom
+    user that fabricates intersections (matches the oracle's
+    null-rejecting join); backslash-bearing column names must profile
+    without corrupting the literal."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        audience_overlap,
+        data_profile,
+    )
+
+    rows = [(None, "view"), (None, "buy"), (7, "view")]
+    df = spark.createDataFrame(rows, "user_id int, event_type string")
+    assert audience_overlap(df, "user_id", "event_type").collect() == []
+
+    df2 = spark.createDataFrame([(1.0,)], ["a\\b"])
+    out = {(r["col_name"], r["metric"]): r["value"]
+           for r in data_profile(df2, numeric_cols=("a\\b",)).collect()}
+    assert out[("a\\b", "nulls")] == 0.0
+    assert out[("a\\b", "min")] == 1.0
