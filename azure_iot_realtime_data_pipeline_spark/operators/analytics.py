@@ -951,3 +951,44 @@ def audience_overlap(
         / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
     )
     return out.select("type_a", "type_b", "n_both", "n_a", "n_b", jac.alias("jaccard"))
+
+
+def benford_profile(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+) -> DataFrame:
+    """J49 Benford first-digit profile per group — the fraud/data-quality
+    screen: naturally-occurring positive measurements follow
+    P(d) = log10(1 + 1/d); fabricated or clipped feeds don't. Emitted
+    per (group, leading digit): observed count, observed share, the
+    Benford expectation, and the deviation — the tall table an anomaly
+    monitor thresholds.
+
+    The leading digit comes from INTEGER string length, never log10
+    (floor(log10(v)) is a classic cross-libm trap: log10(1000) can
+    evaluate just under 3 and shift the digit): for v >= 1,
+    d = floor(v / 10^(len(str(floor(v))) - 1)) — exact in both engines.
+    Values below 1 and NULL/NaN are excluded (Benford applies to
+    magnitudes >= 1; sub-1 readings would need rescaling, which belongs
+    to the caller). One map-side digit expression + ONE hash aggregate;
+    shares normalize over a window on the tiny (group, digit) table.
+    """
+    v = F.col(value_col).cast("double")
+    clean = df.filter(v.isNotNull() & ~F.isnan(v) & (v >= 1.0))
+    mag = F.length(F.floor(v).cast("long").cast("string"))
+    digit = F.floor(v / F.pow(F.lit(10.0), (mag - 1).cast("double"))).cast("int")
+    counts = clean.groupBy(F.col(group), digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy(group)
+    share = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return counts.select(
+        F.col(group),
+        F.col("digit"),
+        F.col("n"),
+        round_half_up(share).alias("share"),
+        round_half_up(expected).alias("benford_share"),
+        round_half_up(share - expected).alias("deviation"),
+    )

@@ -2748,3 +2748,32 @@ ORACLES["q_audience_overlap"] = """
     FROM pr JOIN tot ta ON ta.event_type = pr.type_a
             JOIN tot tb ON tb.event_type = pr.type_b
     """
+
+# J49 Benford: identical string-length digit extraction (the log10
+# floor trap avoided in BOTH engines); expectations are log10 of exact
+# small rationals, rounded 4dp (1-ulp libm differences cannot survive
+# the rounding).
+ORACLES["q_benford"] = """
+    WITH clean AS (
+      SELECT event_type, value,
+             CAST(floor(value / power(10.0,
+               length(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)) - 1))
+               AS INTEGER) AS digit
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value) AND value >= 1.0
+    ),
+    counts AS (
+      SELECT event_type, digit, COUNT(*) AS n FROM clean GROUP BY 1, 2
+    )
+    SELECT event_type, digit, n,
+           floor(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS share,
+           floor(log10(1.0 + 1.0 / digit) * 10000 + 0.5) / 10000
+             AS benford_share,
+           floor((CAST(n AS DOUBLE)
+                  / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                  - log10(1.0 + 1.0 / digit)) * 10000 + 0.5) / 10000
+             AS deviation
+    FROM counts
+    """

@@ -1085,6 +1085,14 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J49 Benford first-digit screen per event type: string-length
+    digit extraction (no cross-libm log10 in the digit path), one hash
+    aggregate, expectations + deviations on the tiny digit table."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.benford_profile(ev, "event_type", "value")
+
+
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L21 audience overlap matrix: distinct-user intersections +
     Jaccard for every event-type pair — per-user type SETS fan out
@@ -2014,7 +2022,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_topk": q_ivf_topk,
     "q_lsh_topk": q_lsh_topk,
     "q_topk_cosine": q_topk_cosine,
-    "q_asof_join": q_asof_join,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -2060,9 +2067,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lag_features": q_lag_features,
     "q_cusum": q_cusum,
     "q_audience_overlap": q_audience_overlap,
+    "q_benford": q_benford,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_asof_join": q_asof_join,
     "q_asof_forward": q_asof_forward,
     "q_sessionize": q_sessionize,
     "q_tf_idf": q_tf_idf,

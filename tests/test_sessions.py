@@ -704,3 +704,20 @@ def test_audience_overlap_ignores_null_users_and_hostile_profile_names(spark):
            for r in data_profile(df2, numeric_cols=("a\\b",)).collect()}
     assert out[("a\\b", "nulls")] == 0.0
     assert out[("a\\b", "min")] == 1.0
+
+
+def test_benford_digit_extraction_boundaries(spark):
+    """J49: boundary magnitudes must not shift digits (the floor(log10)
+    trap this operator avoids by construction): 1000.0 -> 1,
+    999.99 -> 9, 1.0 -> 1; sub-1 and NULL values are excluded."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        benford_profile,
+    )
+
+    rows = [
+        ("t", 1000.0), ("t", 999.99), ("t", 1.0), ("t", 0.5), ("t", None),
+        ("t", 10.0), ("t", 95.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r["digit"]: r["n"] for r in benford_profile(df, "event_type", "value").collect()}
+    assert out == {1: 3, 9: 2}  # 1000, 1, 10 -> digit 1; 999.99, 95 -> 9
