@@ -736,3 +736,48 @@ def test_remove_frequent_lines_treats_delimiter_literally(spark):
     assert out[2]["clean_text"] == "gamma"
     assert out[3]["clean_text"] == ""
     assert out[3]["removed_segments"] == 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_remove_frequent_segments_matches_naive_reference(spark, docs):
+    """J46 property test: for arbitrary small corpora (segments drawn
+    from a 6-symbol alphabet so cross-doc repeats are common), the
+    operator equals a naive Python reference applying the same
+    distinct-doc-count >= min_docs rule and position-order reassembly."""
+    min_docs = 2
+    rows = [
+        (i, pos, f"s{tok}")
+        for i, segs in enumerate(docs)
+        for pos, tok in enumerate(segs)
+    ]
+    if not rows:
+        return
+    seg_df = spark.createDataFrame(rows, "doc_id long, pos int, seg string")
+    got = {
+        r["doc_id"]: (r["kept_segments"], r["removed_segments"], r["clean_text"])
+        for r in corpus.remove_frequent_segments(
+            seg_df, "doc_id", "pos", "seg", min_docs=min_docs
+        ).collect()
+    }
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, segs in enumerate(docs):
+        for tok in segs:
+            seen[f"s{tok}"].add(i)
+    frequent = {s for s, d in seen.items() if len(d) >= min_docs}
+    want = {}
+    for i, segs in enumerate(docs):
+        if not segs:
+            continue  # no segments -> no row, matching the group-by
+        kept = [f"s{t}" for t in segs if f"s{t}" not in frequent]
+        removed = len(segs) - len(kept)
+        want[i] = (len(kept), removed, " ".join(kept))
+    assert got == want

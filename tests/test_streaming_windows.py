@@ -1430,3 +1430,61 @@ def test_cusum_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_pa
         ).collect()
     }
     assert got == want
+
+
+def test_carry_twins_survive_arrow_chunking(spark, sf_smoke, replay_dir, tmp_path):
+    """Review regression (one_frame): with arrow.maxRecordsPerBatch
+    forced tiny, a key's micro-batch arrives as MANY pandas chunks —
+    order-sensitive carries must still sort the whole batch once, or
+    the CUSUM/EWMA series is silently permuted across chunk edges."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        cusum_per_key,
+        ewma_per_key,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        cusum_stream,
+        ewma_stream,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        for name, stream_fn, batch_fn, cols in (
+            ("chunked_ewma", ewma_stream, ewma_per_key, ["user_id", "n_events", "ewma"]),
+            ("chunked_cusum", cusum_stream, cusum_per_key,
+             ["user_id", "n", "final_cusum", "max_cusum", "n_alarms"]),
+        ):
+            q = (
+                stream_fn(replay_events(spark, replay_dir))
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            nc = cols[1]
+            got = spark.sql(
+                f"""
+                SELECT {', '.join(cols)} FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY {nc} DESC) AS rn FROM {name}
+                ) WHERE rn = 1
+                """
+            )
+            if batch_fn is ewma_per_key:
+                want = batch_fn(
+                    load_table(spark, sf_smoke, "events"),
+                    "user_id", "ts", "value", "event_id",
+                )
+            else:
+                want = batch_fn(
+                    load_table(spark, sf_smoke, "events"),
+                    "user_id", "ts", "value", "event_id",
+                    target=50.0, slack=5.0, threshold=300.0,
+                )
+            assert _as_set(got, cols) == _as_set(want, cols), name
+    finally:
+        spark.conf.set(key, old)
