@@ -793,3 +793,103 @@ def cusum_per_key(
             F.col("n_alarms").cast("long").alias("n_alarms"),
         )
     )
+
+
+def state_durations(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """K16 time-in-state accounting — "how long was each device in each
+    state": LOCF semantics (a state holds from its event until the
+    key's next event; the final event holds no duration — its state is
+    still open). The uptime/alarm-budget classic.
+
+    One lead window on the key partitioning computes each interval,
+    then ONE hash aggregate on (key, state) — both share the key's
+    partitioning. Durations sum as exact integer microseconds.
+
+    Returns (key, state, n_intervals, total_seconds) with seconds
+    rounded 4dp; keys with a single event produce no row (no closed
+    interval), matching the oracle's NULL-lead drop.
+    """
+    ts_us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key).orderBy(ts_us, F.col(tiebreak))
+    iv = (
+        df.select(
+            F.col(key),
+            F.col(state_col).alias("state"),
+            (F.lead(ts_us).over(w) - ts_us).alias("_dur_us"),
+        )
+        .filter(F.col("_dur_us").isNotNull())
+    )
+    return (
+        iv.groupBy(key, "state")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("_dur_us").alias("_tot_us"),
+        )
+        .select(
+            key,
+            "state",
+            "n_intervals",
+            round_half_up(F.col("_tot_us").cast("double") / F.lit(1e6)).alias(
+                "total_seconds"
+            ),
+        )
+    )
+
+
+def sustained_alarms(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    threshold: float,
+    min_events: int = 3,
+) -> DataFrame:
+    """K17 debounced alarming — page only on SUSTAINED threshold
+    breaches: consecutive above-threshold runs per key (a run breaks on
+    any at-or-below event) that last at least `min_events` events. The
+    flapping-sensor fix every alerting pipeline grows; the single-event
+    spike that F2 scores is exactly what this suppresses.
+
+    Run detection is the K1 sessionize trick on the FLAG dimension
+    instead of time: a run id is the running count of flag CHANGES, so
+    one window sort on the key serves both the lag and the running sum;
+    the per-run rollup is ONE aggregate on (key, run). NULL/NaN values
+    never extend a run (treated as below threshold).
+
+    Returns (key, alarm_start, alarm_end, n_events, peak_value).
+    """
+    v = F.col(value_col).cast("double")
+    above = (v.isNotNull() & ~F.isnan(v) & (v > threshold)).cast("int")
+    w = Window.partitionBy(key).orderBy(F.unix_micros(F.col(ts_col)), F.col(tiebreak))
+    run = Window.partitionBy(key).orderBy(
+        F.unix_micros(F.col(ts_col)), F.col("_tb")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = df.select(
+        F.col(key),
+        F.col(ts_col),
+        F.col(tiebreak).alias("_tb"),
+        v.alias("_v"),
+        above.alias("_above"),
+        F.when(F.lag(above).over(w).isNull() | (F.lag(above).over(w) != above), 1)
+        .otherwise(0)
+        .alias("_chg"),
+    ).withColumn("_run", F.sum("_chg").over(run))
+    return (
+        flagged.filter(F.col("_above") == 1)
+        .groupBy(key, "_run")
+        .agg(
+            F.min(ts_col).alias("alarm_start"),
+            F.max(ts_col).alias("alarm_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("_v").alias("peak_value"),
+        )
+        .filter(F.col("n_events") >= min_events)
+        .drop("_run")
+    )

@@ -2777,3 +2777,67 @@ ORACLES["q_benford"] = """
              AS deviation
     FROM counts
     """
+
+# K16 time-in-state: LOCF intervals from lead; final (open) events drop.
+ORACLES["q_state_durations"] = """
+    WITH iv AS (
+      SELECT user_id, event_type AS state,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               - epoch_us(ts) AS dur
+      FROM events
+    )
+    SELECT user_id, state, COUNT(*) AS n_intervals,
+           floor(CAST(SUM(dur) AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000
+             AS total_seconds
+    FROM iv WHERE dur IS NOT NULL GROUP BY 1, 2
+    """
+
+# K17 debounced alarms: gaps-and-islands run grouping is
+# results-equivalent to the operator's lag-change cumsum run ids.
+ORACLES["q_sustained_alarms"] = """
+    WITH f AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                   AND value > 60.0 THEN 1 ELSE 0 END AS ab,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+             - row_number() OVER (PARTITION BY user_id,
+                 (CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                       AND value > 60.0 THEN 1 ELSE 0 END)
+                 ORDER BY epoch_us(ts), event_id) AS grp
+      FROM events
+    )
+    SELECT user_id, MIN(ts) AS alarm_start, MAX(ts) AS alarm_end,
+           COUNT(*) AS n_events, MAX(value) AS peak_value
+    FROM f WHERE ab = 1
+    GROUP BY user_id, grp HAVING COUNT(*) >= 3
+    """
+
+# L22 Gini: rank-weighted micro-unit sums in exact integers; one double
+# cast at the closed form, same op order.
+ORACLES["q_gini"] = """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    r AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x, event_id) AS i
+      FROM v
+    ),
+    a AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, n,
+           CASE WHEN sx <> 0 THEN
+             floor((2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                    - (n + 1.0) / n) * 10000 + 0.5) / 10000
+           END AS gini
+    FROM a
+    """

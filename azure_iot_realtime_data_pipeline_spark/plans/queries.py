@@ -1085,6 +1085,30 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K16 time-in-state per device: LOCF intervals from one lead
+    window, summed as exact integer microseconds per (device, state)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.state_durations(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def q_sustained_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K17 debounced alarms: consecutive above-60 runs of >= 3 events
+    per device — the sessionize trick on the flag dimension, one window
+    sort + one per-run rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.sustained_alarms(
+        ev, "user_id", "ts", "value", "event_id", threshold=60.0, min_events=3
+    )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L22 Gini concentration of measurement mass per event type: one
+    window sort + one aggregate with DECIMAL(38,0) rank-weighted sums."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.gini_per_group(ev, "event_type", "value", "event_id")
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J49 Benford first-digit screen per event type: string-length
     digit extraction (no cross-libm log10 in the digit path), one hash
@@ -2019,9 +2043,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- 1. last driver-verified in round 3: fresh r5 greens -----------
     "q_simhash_portable": q_simhash_portable,
     "q_embed_dedup_lsh": q_embed_dedup_lsh,
-    "q_ivf_topk": q_ivf_topk,
-    "q_lsh_topk": q_lsh_topk,
-    "q_topk_cosine": q_topk_cosine,
     # -- 2. new or changed in round 5 (never driver-verified first) ----
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
@@ -2068,9 +2089,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cusum": q_cusum,
     "q_audience_overlap": q_audience_overlap,
     "q_benford": q_benford,
+    "q_state_durations": q_state_durations,
+    "q_sustained_alarms": q_sustained_alarms,
+    "q_gini": q_gini,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
+    "q_ivf_topk": q_ivf_topk,
+    "q_lsh_topk": q_lsh_topk,
+    "q_topk_cosine": q_topk_cosine,
     "q_asof_join": q_asof_join,
     "q_asof_forward": q_asof_forward,
     "q_sessionize": q_sessionize,

@@ -721,3 +721,71 @@ def test_benford_digit_extraction_boundaries(spark):
     df = spark.createDataFrame(rows, "event_type string, value double")
     out = {r["digit"]: r["n"] for r in benford_profile(df, "event_type", "value").collect()}
     assert out == {1: 3, 9: 2}  # 1000, 1, 10 -> digit 1; 999.99, 95 -> 9
+
+
+def test_state_durations_locf_semantics(spark):
+    """K16: a state holds until the NEXT event; the final event's state
+    is open and contributes nothing; single-event keys emit no row."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        state_durations,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "ok"),
+        (1, base + dt.timedelta(seconds=10), 2, "alarm"),
+        (1, base + dt.timedelta(seconds=25), 3, "ok"),
+        (1, base + dt.timedelta(seconds=30), 4, "alarm"),  # open -> dropped
+        (2, base, 5, "ok"),                                # single event
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {
+        (r["user_id"], r["state"]): (r["n_intervals"], r["total_seconds"])
+        for r in state_durations(df, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    assert out == {(1, "ok"): (2, 15.0), (1, "alarm"): (1, 15.0)}
+
+
+def test_sustained_alarms_debounce_semantics(spark):
+    """K17: runs break on any at-or-below event; only runs of >=
+    min_events emit; NULL never extends a run."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        sustained_alarms,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [99.0, 98.0, 97.0, 10.0, 95.0, 94.0, None, 93.0, 92.0, 91.0]
+    rows = [(1, base + dt.timedelta(seconds=i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = sustained_alarms(
+        df, "user_id", "ts", "value", "event_id", threshold=50.0, min_events=3
+    ).collect()
+    # runs: [99,98,97] emits; [95,94] broken by NULL (too short);
+    # [93,92,91] emits
+    got = {(r["n_events"], r["peak_value"]) for r in out}
+    assert got == {(3, 99.0), (3, 93.0)}
+
+
+def test_gini_known_distributions(spark):
+    """L22: perfectly even values -> 0; total concentration approaches
+    (n-1)/n; negative input raises."""
+    import pytest as _pytest
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        gini_per_group,
+    )
+
+    rows = [("even", i, 5.0) for i in range(4)] + [
+        ("conc", 0, 0.0), ("conc", 1, 0.0), ("conc", 2, 0.0), ("conc", 3, 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "event_id", "value"])
+    out = {r["event_type"]: r["gini"] for r in gini_per_group(df, "event_type", "value", "event_id").collect()}
+    assert out["even"] == 0.0
+    assert out["conc"] == 0.75  # (n-1)/n at n=4
+    bad = spark.createDataFrame([("g", 1, -1.0)], ["event_type", "event_id", "value"])
+    with _pytest.raises(Exception, match="non-negative"):
+        gini_per_group(bad, "event_type", "value", "event_id").collect()
