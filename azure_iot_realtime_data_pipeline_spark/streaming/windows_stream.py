@@ -1367,3 +1367,122 @@ def cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ALARM_STATE_SCHEMA = StructType(
+    [
+        StructField("run_open", BooleanType()),
+        StructField("run_start_us", LongType()),
+        StructField("run_last_us", LongType()),
+        StructField("run_n", LongType()),
+        StructField("run_peak", DoubleType()),
+    ]
+)
+
+
+def make_alarm_fn(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    threshold: float = 60.0,
+    min_events: int = 3,
+):
+    """applyInPandasWithState body for the K17 streaming twin (picklable
+    closure). Per key the state is ONE open-run cell (start, last, n,
+    peak): an above-threshold event extends or opens the run, an
+    at-or-below / NULL / NaN event CLOSES it — emitting the run iff it
+    reached `min_events`. Only CLOSED runs emit (a live run may still
+    grow), so the emitted set equals the batch operator's over the
+    replayed stream minus each key's final still-open run — the test
+    closes every run with a sentinel below-threshold event to assert
+    exact equality."""
+    import math
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            run_open, r_start, r_last, r_n, r_peak = state.get
+        else:
+            run_open, r_start, r_last, r_n, r_peak = False, 0, 0, 0, 0.0
+        outs = []
+        pdf = one_frame(pdfs)
+        if pdf is not None:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            ts = pdf[ts_col]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            ts_us = ts.astype("datetime64[us]").astype("int64")
+            for t, v in zip(ts_us, pdf[value_col]):
+                t = int(t)
+                above = (not pd.isna(v)) and float(v) > threshold and not math.isnan(float(v))
+                if above:
+                    if run_open:
+                        r_last, r_n = t, r_n + 1
+                        r_peak = max(r_peak, float(v))
+                    else:
+                        run_open, r_start, r_last, r_n, r_peak = (
+                            True, t, t, 1, float(v),
+                        )
+                elif run_open:
+                    if r_n >= min_events:
+                        outs.append((r_start, r_last, r_n, r_peak))
+                    run_open, r_start, r_last, r_n, r_peak = False, 0, 0, 0, 0.0
+        state.update((run_open, r_start, r_last, r_n, r_peak))
+        if outs:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(outs),
+                    "alarm_start": pd.Series(
+                        [o[0] for o in outs], dtype="int64"
+                    ).astype("datetime64[us]"),
+                    "alarm_end": pd.Series(
+                        [o[1] for o in outs], dtype="int64"
+                    ).astype("datetime64[us]"),
+                    "n_events": [o[2] for o in outs],
+                    "peak_value": [o[3] for o in outs],
+                }
+            )
+
+    return fn
+
+
+def sustained_alarms_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    threshold: float = 60.0,
+    min_events: int = 3,
+) -> DataFrame:
+    """K17 streaming twin: live debounced alarming with one open-run
+    cell per key — the alerting form this operator exists for (page
+    when the run CLOSES past min_events; a batch job can only page
+    after the fact). Closed runs match `sessions.sustained_alarms` on
+    the replayed stream (tested with a sentinel-closed tail)."""
+    tagged = events.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), F.col(value_col)
+    )
+    out_schema = StructType(
+        [
+            tagged.schema[key_col],
+            StructField("alarm_start", TimestampType()),
+            StructField("alarm_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("peak_value", DoubleType()),
+        ]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_alarm_fn(
+            key_col=key_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            value_col=value_col,
+            threshold=threshold,
+            min_events=min_events,
+        ),
+        outputStructType=out_schema,
+        stateStructType=ALARM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

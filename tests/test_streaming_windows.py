@@ -1488,3 +1488,64 @@ def test_carry_twins_survive_arrow_chunking(spark, sf_smoke, replay_dir, tmp_pat
             assert _as_set(got, cols) == _as_set(want, cols), name
     finally:
         spark.conf.set(key, old)
+
+
+def test_sustained_alarms_stream_matches_batch_on_closed_runs(spark, sf_smoke, tmp_path):
+    """K17 streaming twin: with every run force-closed by a per-key
+    below-threshold sentinel appended after the last event, the
+    emitted run set equals the batch operator over the same augmented
+    stream (cross-batch carry exercised by the 4-bucket replay)."""
+    import os
+    import time as _time
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        sustained_alarms,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        sustained_alarms_stream,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    sentinels = ev.groupBy("user_id").agg(
+        (F.max("event_id") + 1_000_000).alias("event_id"),
+        F.timestamp_seconds(F.unix_timestamp(F.max("ts")) + 10).alias("ts"),
+        F.lit(0.0).alias("value"),
+    ).select("event_id", "ts", "user_id", "value")
+    aug = ev.unionByName(sentinels)
+    # stage 4 chronological buckets (sentinels land in the last one)
+    src = str(tmp_path / "alarm_replay")
+    os.makedirs(src)
+    b = ev.agg(F.min(F.unix_timestamp("ts")).alias("lo"), F.max(F.unix_timestamp("ts")).alias("hi")).collect()[0]
+    span = max(int(b["hi"]) - int(b["lo"]), 1)
+    bucket = F.least(F.lit(3), ((F.unix_timestamp("ts") - F.lit(int(b["lo"]))) * 4 / span).cast("int"))
+    staged = aug.withColumn("_b", bucket)
+    for i in range(4):
+        part = os.path.join(src, f"bucket={i:02d}")
+        staged.filter(F.col("_b") == i).drop("_b").coalesce(1).write.parquet(part)
+        now = _time.time()
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i, now + i))
+    stream = spark.readStream.schema(aug.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/bucket=*")
+    q = (
+        sustained_alarms_stream(stream, threshold=60.0, min_events=3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("alarms")
+        .option("checkpointLocation", str(tmp_path / "ckpt_alarms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cols = ["user_id", "alarm_start", "alarm_end", "n_events", "peak_value"]
+    got = _as_set(spark.sql("SELECT * FROM alarms"), cols)
+    want = _as_set(
+        sustained_alarms(aug, "user_id", "ts", "value", "event_id",
+                         threshold=60.0, min_events=3),
+        cols,
+    )
+    assert got == want and len(got) > 0
