@@ -47,6 +47,25 @@ BNLJ_ALLOWED = {
 #: Exchange SinglePartition in the repo. Every other query must scale out.
 GLOBAL_WINDOW_ALLOWED = {"q_trailing_window_global"}
 
+#: single-partition exchanges that carry only PARTIAL-AGGREGATE rows
+#: (<= one row per upstream task) into a final global aggregate — the
+#: unavoidable and harmless last step of any scalar/global summary, not
+#: a data funnel. Audited via scripts/plan_audit.py (PLANS.md): q_count/
+#: q_max_ts (global scalars), q_small_qty_revenue (final revenue
+#: scalar), q_data_profile (one profile row), q_key_skew + q_wire_serve
+#: (one-row totals later broadcast), q_funnel (|stages| one-row frames).
+#: Anything NOT in this list that grows a single-partition exchange
+#: fails the sweep and must restructure or justify itself here.
+GLOBAL_AGG_SINGLE_PART_ALLOWED = {
+    "q_count",
+    "q_max_ts",
+    "q_small_qty_revenue",
+    "q_data_profile",
+    "q_key_skew",
+    "q_wire_serve",
+    "q_funnel",
+}
+
 
 def plan_of(spark, sf_smoke, name: str, mode: str = "formatted") -> str:
     buf = io.StringIO()
@@ -164,8 +183,13 @@ def test_no_pathological_plan_shapes(spark, sf_smoke, name):
     # or a pre-bucketed equi-join at this surface).
     p = plan_of(spark, sf_smoke, name)
     assert "CartesianProduct" not in p, name
-    if name not in GLOBAL_WINDOW_ALLOWED:
+    if name not in GLOBAL_WINDOW_ALLOWED | GLOBAL_AGG_SINGLE_PART_ALLOWED:
+        # formatted mode prints the node name and its arguments on
+        # SEPARATE lines, so the historical "Exchange SinglePartition"
+        # substring never matched — check the argument marker too
+        # (found via scripts/plan_audit.py, which profiles simple mode)
         assert "Exchange SinglePartition" not in p, name
+        assert "Arguments: SinglePartition" not in p, name
     assert "SortMergeJoin" not in p, name
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in p, name
