@@ -1486,3 +1486,90 @@ def sustained_alarms_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+STATE_DUR_STATE_SCHEMA = StructType(
+    [
+        StructField("prev_ts_us", LongType()),
+        StructField("prev_state", StringType()),
+    ]
+)
+
+
+def make_state_dur_fn(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+):
+    """applyInPandasWithState body for the K16 streaming twin (picklable
+    closure). Per key: each event CLOSES the previous event's state
+    interval (LOCF — a state holds until the next event) and opens its
+    own; the carry is one (ts, state) cell. Emitted closed intervals
+    aggregate downstream into the same (key, state) totals as the batch
+    operator (its open final state never emits there either)."""
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            prev_ts, prev_state = state.get
+        else:
+            prev_ts = prev_state = None
+        pdf = one_frame(pdfs)
+        if pdf is not None:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            ts = pdf[ts_col]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            ts_us = ts.astype("datetime64[us]").astype("int64")
+            states, durs = [], []
+            for t, st in zip(ts_us, pdf[state_col]):
+                t = int(t)
+                if prev_ts is not None:
+                    states.append(prev_state)
+                    durs.append(t - prev_ts)
+                prev_ts = t
+                prev_state = None if pd.isna(st) else str(st)
+            if states:
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]] * len(states),
+                        "state": pd.Series(states, dtype="object"),
+                        "dur_us": pd.Series(durs, dtype="int64"),
+                    }
+                )
+        if prev_ts is not None:
+            state.update((prev_ts, prev_state))
+
+    return fn
+
+
+def state_durations_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """K16 streaming twin: closed LOCF state intervals with one
+    (ts, state) carry cell per key — aggregate the emissions by
+    (key, state) and the totals equal `sessions.state_durations` over
+    the replayed stream (tested)."""
+    tagged = events.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), F.col(state_col)
+    )
+    out_schema = StructType(
+        [
+            tagged.schema[key_col],
+            StructField("state", StringType()),
+            StructField("dur_us", LongType()),
+        ]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_state_dur_fn(
+            key_col=key_col, ts_col=ts_col, id_col=id_col, state_col=state_col
+        ),
+        outputStructType=out_schema,
+        stateStructType=STATE_DUR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

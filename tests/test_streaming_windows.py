@@ -1549,3 +1549,40 @@ def test_sustained_alarms_stream_matches_batch_on_closed_runs(spark, sf_smoke, t
         cols,
     )
     assert got == want and len(got) > 0
+
+
+def test_state_durations_stream_totals_match_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """K16 streaming twin: aggregating the emitted closed intervals per
+    (key, state) reproduces the batch LOCF totals exactly (the open
+    final state emits in neither form)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        state_durations,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        state_durations_stream,
+    )
+
+    q = (
+        state_durations_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("state_dur")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state_dur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        """
+        SELECT user_id, state, COUNT(*) AS n_intervals,
+               floor(CAST(SUM(dur_us) AS DOUBLE) / 1000000.0 * 10000 + 0.5)
+                 / 10000 AS total_seconds
+        FROM state_dur GROUP BY 1, 2
+        """
+    )
+    want = state_durations(
+        load_table(spark, sf_smoke, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+    cols = ["user_id", "state", "n_intervals", "total_seconds"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
