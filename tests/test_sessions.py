@@ -789,3 +789,43 @@ def test_gini_known_distributions(spark):
     bad = spark.createDataFrame([("g", 1, -1.0)], ["event_type", "event_id", "value"])
     with _pytest.raises(Exception, match="non-negative"):
         gini_per_group(bad, "event_type", "value", "event_id").collect()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_state_durations_matches_naive_reference(spark, rows):
+    """K16 property test: LOCF interval totals equal a naive reference
+    over arbitrary series (duplicate timestamps resolved by the same
+    (ts, id) order)."""
+    from collections import defaultdict
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        state_durations,
+    )
+
+    data = [
+        ("k", i + 1, _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=t), s)
+        for i, (t, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id string, event_id int, ts timestamp, event_type string"
+    )
+    got = {
+        (r["state"],): (r["n_intervals"], r["total_seconds"])
+        for r in state_durations(df, "user_id", "ts", "event_type", "event_id").collect()
+    }
+    ordered = sorted((t, i + 1, s) for i, (t, s) in enumerate(rows))
+    want: dict = defaultdict(lambda: [0, 0])
+    for (t0, _, s0), (t1, _, _) in zip(ordered, ordered[1:]):
+        want[(s0,)][0] += 1
+        want[(s0,)][1] += t1 - t0
+    assert got == {k: (n, float(tot)) for k, (n, tot) in want.items()}
