@@ -893,3 +893,95 @@ def sustained_alarms(
         .filter(F.col("n_events") >= min_events)
         .drop("_run")
     )
+
+
+def holt_per_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    alpha: float = 0.3,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """K18 Holt double-exponential smoothing per key — the
+    trend-following upgrade of K13's EWMA (Holt 1957, public): per key
+    in (ts, tiebreak) order,
+
+        l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1})
+        b_i = gamma*(l_i - l_{i-1}) + (1-gamma)*b_{i-1}
+
+    seeded l_0 = x_0, b_0 = 0. Reports each key's final level, trend,
+    and the one-step-ahead forecast l + b — the feature every capacity
+    planner and drift monitor wants that a single EWMA can't give
+    (EWMA lags a trending series forever; Holt's trend term closes it).
+
+    Same distribution shape as `ewma_per_key`: ONE shuffle on the key
+    collecting (ts, tiebreak, value) structs, array_sort, sequential
+    `F.aggregate` fold, all JVM-side. The accumulator is a 2-field
+    struct; Spark builds each new struct from the OLD accumulator's
+    fields, and the oracle uses a DOUBLE[] accumulator (NOT a struct —
+    DuckDB 1.0's list_reduce evaluates struct fields sequentially
+    against a mutated accumulator, a measured wrong-answer bug) with
+    the textually identical expression tree, so both engines run the
+    same IEEE double ops in the same order and only the outputs need
+    the portable 4dp rounding. NULL/NaN measurements are dropped, same
+    contract (and for the same Arrow reason) as K13.
+
+    Streaming twin: `holt_stream` — a (count, level, trend) carry cell
+    per key, the O(1)-state production path at unbounded history.
+
+    Returns (key, n_events, level, trend, forecast).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    a = F.lit(float(alpha))
+    one_a = F.lit(1.0 - float(alpha))
+    g = F.lit(float(gamma))
+    one_g = F.lit(1.0 - float(gamma))
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak).alias("k"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+
+    def step(acc, x):
+        # the duplicated l_new subtree is intentional: the oracle's
+        # lambda repeats it textually, so both engines recompute the
+        # identical ops rather than share a temporary
+        l_new = a * x["v"] + one_a * (acc["l"] + acc["b"])
+        b_new = g * ((a * x["v"] + one_a * (acc["l"] + acc["b"])) - acc["l"]) + (
+            one_g * acc["b"]
+        )
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(x["v"].alias("l"), F.lit(0.0).alias("b")),
+        ).otherwise(F.struct(l_new.alias("l"), b_new.alias("b")))
+
+    fold = F.aggregate(
+        F.col("_arr"),
+        F.struct(
+            F.lit(None).cast("double").alias("l"), F.lit(0.0).alias("b")
+        ),
+        step,
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_events"), arr.alias("_arr"))
+        .withColumn("_st", fold)
+        .select(
+            key,
+            "n_events",
+            round_half_up(F.col("_st.l")).alias("level"),
+            round_half_up(F.col("_st.b")).alias("trend"),
+            round_half_up(F.col("_st.l") + F.col("_st.b")).alias("forecast"),
+        )
+    )

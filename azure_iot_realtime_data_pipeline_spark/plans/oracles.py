@@ -2324,6 +2324,35 @@ ORACLES["q_ewma"] = """
     GROUP BY user_id
     """
 
+# K18 Holt: the accumulator is a DOUBLE[] pair [level, trend] — NOT a
+# struct, because DuckDB 1.0 evaluates struct-fold fields sequentially
+# against a mutated accumulator (measured: {'s': acc.s+x.s, 'p':
+# acc.p+acc.s} folded over [1,2,3] returns p=7, not 4). The lambda
+# repeats the l_new subtree textually, exactly like the Spark fold, so
+# both engines run identical IEEE double ops in identical order.
+ORACLES["q_holt"] = """
+    WITH folded AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             list_reduce(
+               list_transform(list(value ORDER BY ts, event_id),
+                              v -> [CAST(v AS DOUBLE), 0.0::DOUBLE]),
+               (acc, x) -> [0.3::DOUBLE*x[1] + 0.7::DOUBLE*(acc[1]+acc[2]),
+                            0.2::DOUBLE*((0.3::DOUBLE*x[1]
+                                          + 0.7::DOUBLE*(acc[1]+acc[2]))
+                                         - acc[1])
+                              + 0.8::DOUBLE*acc[2]]
+             ) AS st
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           floor(st[1] * 10000 + 0.5) / 10000 AS level,
+           floor(st[2] * 10000 + 0.5) / 10000 AS trend,
+           floor((st[1] + st[2]) * 10000 + 0.5) / 10000 AS forecast
+    FROM folded
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

@@ -1799,6 +1799,19 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K18 per-device Holt double-exponential smoothing (alpha 0.3,
+    gamma 0.2): level + trend + one-step forecast from one key shuffle
+    and an ordered JVM struct fold; the oracle folds a DOUBLE[]
+    accumulator (DuckDB struct-fold is a measured wrong-answer bug)
+    over the identical expression tree. Streaming twin carries a
+    (count, level, trend) cell per key."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.holt_per_key(
+        ev, "user_id", "ts", "value", "event_id", alpha=0.3, gamma=0.2
+    )
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2092,6 +2105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_state_durations": q_state_durations,
     "q_sustained_alarms": q_sustained_alarms,
     "q_gini": q_gini,
+    "q_holt": q_holt,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------

@@ -1079,6 +1079,122 @@ def ewma_stream(
     )
 
 
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+
+
+def make_holt_fn(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    gamma: float = 0.2,
+):
+    """applyInPandasWithState body for the K18 streaming twin (picklable
+    closure). Per key: rows process in (ts, id) order; each non-NULL
+    measurement advances the Holt pair
+
+        l' = a*v + (1-a)*(l+b);  b' = g*(l' - l) + (1-g)*b
+
+    seeded (x_0, 0.0) — written with the IDENTICAL duplicated l'
+    subtree, in the identical order, as the batch fold in
+    `sessions.holt_per_key`, so the carried pair matches the batch
+    struct fold bit-for-bit over any processed prefix. NULL/NaN skipped
+    (same Arrow indistinguishability contract as K13). Emission rounds
+    4dp; the carried pair stays UNROUNDED."""
+    import math
+
+    a = float(alpha)
+    oa = 1.0 - float(alpha)
+    gm = float(gamma)
+    og = 1.0 - float(gamma)
+
+    def fn(key, pdfs, state):
+        n, level, trend = state.get if state.exists else (0, None, 0.0)
+        pdf = one_frame(pdfs)
+        if pdf is not None:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            for v in pdf[value_col]:
+                if pd.isna(v):
+                    continue
+                v = float(v)
+                if level is None:
+                    level, trend = v, 0.0
+                else:
+                    nl = a * v + oa * (level + trend)
+                    nb = gm * ((a * v + oa * (level + trend)) - level) + (
+                        og * trend
+                    )
+                    level, trend = nl, nb
+                n += 1
+        state.update((n, level, trend))
+        if n > 0:
+            r4 = lambda x: math.floor(x * 10000.0 + 0.5) / 10000.0
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "level": [r4(level)],
+                    "trend": [r4(trend)],
+                    "forecast": [r4(level + trend)],
+                }
+            )
+
+    return fn
+
+
+def holt_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """K18 streaming twin: running per-key Holt level+trend with a
+    THREE-field carry cell (count, level, trend) — O(1) state for the
+    inherently sequential double smoother, where the batch-exact form
+    (`sessions.holt_per_key`, oracled as `q_holt`) must collect each
+    key's history. Each micro-batch emits the running
+    (n_events, level, trend, forecast); n_events is monotone, so
+    max(n_events) marks the final row per key, and that final emission
+    equals the batch operator over the replayed data
+    (batch-equivalence + restart tested)."""
+    tagged = events.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), F.col(value_col)
+    )
+    out_schema = StructType(
+        [
+            tagged.schema[key_col],
+            StructField("n_events", LongType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_holt_fn(
+            key_col=key_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            value_col=value_col,
+            alpha=alpha,
+            gamma=gamma,
+        ),
+        outputStructType=out_schema,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 MG_STATE_SCHEMA = StructType(
     [
         StructField("items", ArrayType(StringType())),

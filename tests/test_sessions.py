@@ -570,6 +570,74 @@ def test_ewma_matches_naive_reference(spark, rows):
     assert out[0]["ewma"] == want
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50_000),  # offset seconds
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_holt_matches_naive_reference(spark, rows):
+    """K18 property test: for arbitrary single-key series (duplicate
+    timestamps and NULLs included) the struct fold equals a naive
+    Python Holt recurrence over the same (ts, id) order with identical
+    doubles — the same duplicated l' subtree, same op order."""
+    import math
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import holt_per_key
+
+    data = [
+        ("u", i + 1, _ts("2024-01-01 00:00:00") + dt.timedelta(seconds=t),
+         None if v is None else float(v))
+        for i, (t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id string, event_id int, ts timestamp, value double"
+    )
+    out = holt_per_key(
+        df, "user_id", "ts", "value", "event_id", alpha=0.3, gamma=0.2
+    ).collect()
+    ordered = sorted(
+        ((t, i + 1, v) for i, (t, v) in enumerate(rows) if v is not None),
+    )
+    if not ordered:
+        assert out == []
+        return
+    level, trend = None, 0.0
+    for _, _, v in ordered:
+        v = float(v)
+        if level is None:
+            level, trend = v, 0.0
+        else:
+            nl = 0.3 * v + 0.7 * (level + trend)
+            nb = 0.2 * ((0.3 * v + 0.7 * (level + trend)) - level) + (0.8 * trend)
+            level, trend = nl, nb
+    r4 = lambda x: math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert len(out) == 1
+    assert out[0]["n_events"] == len(ordered)
+    assert out[0]["level"] == r4(level)
+    assert out[0]["trend"] == r4(trend)
+    assert out[0]["forecast"] == r4(level + trend)
+
+
+def test_holt_validates_params(spark):
+    import pytest as _pytest
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import holt_per_key
+
+    with _pytest.raises(ValueError):
+        holt_per_key(None, "k", "t", "v", "i", alpha=0.0)
+    with _pytest.raises(ValueError):
+        holt_per_key(None, "k", "t", "v", "i", gamma=1.5)
+
+
 def test_ewma_drops_nan_like_the_streaming_twin(spark):
     """Review regression: NaN measurements (distinct from NULL) must be
     dropped by the batch fold — Arrow hands the streaming twin NULL

@@ -1185,6 +1185,103 @@ def test_ewma_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_pat
     assert got == want
 
 
+def test_holt_stream_final_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """K18 streaming twin: the (count, level, trend) carry cell, folded
+    across micro-batches in (ts, id) order, lands exactly on the batch
+    struct fold's (n_events, level, trend, forecast) per key —
+    identical IEEE double recurrence, rounding only at emission."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import holt_per_key
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        holt_stream,
+    )
+
+    q = (
+        holt_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("holt")
+        .option("checkpointLocation", str(tmp_path / "ckpt_holt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, level, trend, forecast FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC
+          ) AS rn FROM holt
+        ) WHERE rn = 1
+        """
+    )
+    want = holt_per_key(
+        load_table(spark, sf_smoke, "events"), "user_id", "ts", "value", "event_id"
+    )
+    cols = ["user_id", "n_events", "level", "trend", "forecast"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
+
+
+def test_holt_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_path):
+    """Crash/restart contract for the K18 carry cell: half the stream,
+    stop, resume from the same checkpoint over the full directory — the
+    carried (n, level, trend) must continue the recurrence so the final
+    running pair equals the batch fold over ALL events."""
+    import os
+    import shutil
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import holt_per_key
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        holt_stream,
+    )
+
+    src_buckets = sorted(os.listdir(replay_dir))
+    half_dir = str(tmp_path / "replay_half_holt")
+    os.makedirs(half_dir)
+    for b in src_buckets[:2]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    ckpt = str(tmp_path / "ckpt_holt_restart")
+    emissions: list[tuple] = []
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emissions.append(
+                    (r["user_id"], r["n_events"], r["level"], r["trend"])
+                )
+
+        q = (
+            holt_stream(replay_events(spark, half_dir))
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first_len = len(emissions)
+    assert first_len > 0
+    for b in src_buckets[2:]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    run_once()
+    assert len(emissions) > first_len
+    final = {}
+    for uid, n, level, trend in emissions:
+        cur = final.get(uid)
+        if cur is None or n > cur[0]:
+            final[uid] = (n, level, trend)
+    got = {(u, n, l, b) for u, (n, l, b) in final.items()}
+    want = {
+        (r["user_id"], r["n_events"], r["level"], r["trend"])
+        for r in holt_per_key(
+            load_table(spark, sf_smoke, "events"), "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_heavy_hitters_stream_mg_guarantees(spark, sf_smoke, replay_dir, tmp_path):
     """Misra-Gries invariants vs exact batch counts over the replayed
     events stream, per event_type group at k=8: (1) every item with
