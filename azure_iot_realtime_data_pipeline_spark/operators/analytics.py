@@ -1040,3 +1040,48 @@ def gini_per_group(
         F.raise_error(F.lit("gini requires non-negative values")),
     ).otherwise(F.when(F.col("_sx") != 0, round_half_up(gini)))
     return agg.select(F.col(group), F.col("n"), checked.alias("gini"))
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """L21 seasonal (hour-of-day) baseline deviation — the diurnal
+    anomaly screen that a global mean can't give: a thermostat reading
+    of 28° is normal at 15:00 and alarming at 03:00. Each measurement
+    is scored against the mean of ITS OWN (key, hour-of-day) stratum.
+
+    Plan shape: ONE shuffle on (key, hour) serving an unordered window
+    aggregate — the stratum mean rides the same partitioning as the
+    rows it scores, so no second pass and no join (the stats table at
+    |keys|x24 would not broadcast at fleet scale). The mean sums
+    DECIMAL(18,2) for order-independence (double accumulation is
+    order-dependent across engines) and divides in double only at the
+    end, the L14 z-score recipe.
+
+    NULL/NaN measurements are dropped (they have no deviation).
+    Returns (tiebreak, key, hr, value, baseline, deviation), 4dp.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(tiebreak),
+        F.col(key),
+        F.hour(F.col(ts_col)).alias("hr"),
+        v.alias("value"),
+    )
+    w = Window.partitionBy(key, "hr")
+    dec = F.col("value").cast("decimal(18,2)")
+    mean = F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w).cast(
+        "double"
+    )
+    return base.select(
+        tiebreak,
+        key,
+        "hr",
+        "value",
+        round_half_up(mean).alias("baseline"),
+        round_half_up(F.col("value") - mean).alias("deviation"),
+    )

@@ -2353,6 +2353,29 @@ ORACLES["q_holt"] = """
     FROM folded
     """
 
+# L21 seasonal baseline: the stratum mean is a window aggregate over
+# DECIMAL(18,2) sums (order-independent), divided in double only at the
+# end — same recipe as L14 z-score.
+ORACLES["q_seasonal_baseline"] = """
+    WITH v AS (
+      SELECT event_id, user_id, CAST(hour(ts) AS INTEGER) AS hr, value
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    s AS (
+      SELECT *,
+             SUM(CAST(value AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id, hr) AS sm,
+             COUNT(*) OVER (PARTITION BY user_id, hr) AS n
+      FROM v
+    )
+    SELECT event_id, user_id, hr, value,
+           floor((CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5)
+             / 10000 AS baseline,
+           floor((value - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS deviation
+    FROM s
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

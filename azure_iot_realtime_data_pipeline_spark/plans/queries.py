@@ -1812,6 +1812,14 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21 hour-of-day baseline deviation per device: one (key, hour)
+    shuffle, unordered window mean over DECIMAL-exact sums, no join —
+    each reading scored against its own diurnal stratum."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.seasonal_baseline(ev, "user_id", "ts", "value", "event_id")
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2106,6 +2114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sustained_alarms": q_sustained_alarms,
     "q_gini": q_gini,
     "q_holt": q_holt,
+    "q_seasonal_baseline": q_seasonal_baseline,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------

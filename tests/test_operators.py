@@ -912,3 +912,35 @@ def test_symspell_recall_on_all_edit_types(spark):
     assert all(5 not in k for k in pairs)
     with pytest.raises(ValueError):
         dedup.symspell_pairs(df, "id", "name", max_edits=2)
+
+def test_seasonal_baseline_scores_against_own_hour(spark):
+    """L21: a reading is scored against ITS hour-of-day stratum mean —
+    the 03:00 spike deviates while the identical 15:00 reading doesn't;
+    NaN/NULL measurements drop."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        seasonal_baseline,
+    )
+
+    rows = []
+    # hour 15 on three days: 28.0 each -> baseline 28, deviation 0
+    for d in range(3):
+        rows.append((d * 10 + 1, 1, dt.datetime(2024, 1, 1 + d, 15, 0), 28.0))
+    # hour 3 on three days: 10, 10, 28 -> the 28 deviates by +12
+    for i, v in enumerate([10.0, 10.0, 28.0]):
+        rows.append((i * 10 + 2, 1, dt.datetime(2024, 1, 1 + i, 3, 0), v))
+    rows.append((99, 1, dt.datetime(2024, 1, 1, 3, 30), None))
+    rows.append((98, 1, dt.datetime(2024, 1, 1, 3, 40), float("nan")))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r
+    for r in seasonal_baseline(df, "user_id", "ts", "value", "event_id").collect()
+    }
+    assert len(out) == 6  # NULL + NaN rows dropped
+    assert out[1]["baseline"] == 28.0 and out[1]["deviation"] == 0.0
+    assert out[22]["hr"] == 3
+    assert out[22]["baseline"] == 16.0 and out[22]["deviation"] == 12.0
+    assert out[2]["deviation"] == -6.0
