@@ -1085,3 +1085,48 @@ def seasonal_baseline(
         round_half_up(mean).alias("baseline"),
         round_half_up(F.col("value") - mean).alias("deviation"),
     )
+
+
+def referential_orphans(
+    child: DataFrame,
+    checks: list[tuple[str, str, DataFrame, str, bool]],
+    ) -> DataFrame:
+    """L22 referential-integrity audit (one child table): for each
+    (relationship, fk_col, parent, pk_col, broadcast) check, count the
+    child rows whose non-NULL foreign key has no parent row — the
+    orphan screen every warehouse load gate runs (the reference's FK
+    constraints, README.MD:159-165, enforce this; Spark tables can't,
+    so it becomes a query).
+
+    All checks against one child table share ONE scan: every parent's
+    key column left-joins on (its PK assumed unique — duplicated PKs
+    would fan rows out and inflate every later count), dimension-sized
+    parents broadcast (map-side, zero child shuffle), and a single
+    aggregate produces all orphan counts at once, unpivoted by `stack`
+    into the tall (relationship, n_child, n_orphans) report. NULL
+    foreign keys are not orphans (they reference nothing).
+    """
+    df = child
+    flags: list[tuple[str, str, str]] = []
+    for i, (rel, fk, parent, pk, bc) in enumerate(checks):
+        pcol = f"_pk{i}"
+        pr = parent.select(F.col(pk).alias(pcol))
+        if bc:
+            pr = F.broadcast(pr)
+        df = df.join(pr, F.col(fk) == F.col(pcol), "left")
+        flags.append((rel, fk, pcol))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (rel, fk, pcol) in enumerate(flags):
+        aggs.append(
+            F.count(
+                F.when(F.col(fk).isNotNull() & F.col(pcol).isNull(), 1)
+            ).alias(f"_o{i}")
+        )
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{rel}', _o{i}" for i, (rel, _, _) in enumerate(flags)
+    )
+    return row.selectExpr(
+        f"stack({len(flags)}, {stack_args}) AS (relationship, n_orphans)",
+        "_n AS n_child",
+    ).select("relationship", "n_child", "n_orphans")

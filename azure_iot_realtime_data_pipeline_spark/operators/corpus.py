@@ -866,3 +866,118 @@ def remove_frequent_lines(
     return remove_frequent_segments(
         lines, id_col, "pos", "seg", min_docs=min_docs, joiner=delimiter
     )
+
+
+def bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """J49 bigram language-model table — conditional next-token
+    probabilities P(w2|w1) over the corpus, the classic KenLM-lite
+    statistic behind perplexity filters and junk detection (a corpus
+    whose mass sits on a few rote bigrams is template spam).
+
+    Plan shape at 100 TB: bigram pairs are built INSIDE each document's
+    token array (zip the array with its own tail, map-side — no window
+    over rows, unlike L20's event transitions) and exploded once; ONE
+    shuffle produces the (w1, w2) count table, and the normalizing
+    denominator is a window over that already-aggregated table
+    partitioned by w1 — vocab-sized, never corpus-sized. `min_count`
+    prunes the long tail AFTER the denominator is fixed, so surviving
+    probabilities are true conditionals over ALL continuations, not
+    renormalized over the survivors.
+
+    Tokens are raw whitespace tokens (no case folding: engine-specific
+    Unicode lowering would poison cross-engine parity; fold upstream
+    with J21 normalize_text when wanted).
+
+    Returns (w1, w2, n, prob) with prob rounded 4dp.
+    """
+    toks = tokens(F.col(text_col))
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    exploded = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    counts = exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("w1")
+    return (
+        counts.withColumn(
+            "prob",
+            round_half_up(
+                F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+            ),
+        )
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    cutoffs: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """J50 vocabulary coverage curve — for each candidate vocab size k,
+    what fraction of all corpus tokens the k most frequent types cover.
+    THE sizing question for tokenizer training (where does the
+    frequency mass saturate?) and the OOV-rate estimate for any fixed
+    vocab.
+
+    Plan shape at 100 TB: ONE shuffle to the (token, n) vocab table
+    (map-side combined; vocab-sized, not corpus-sized), then
+    `global_row_number` ranks it by (n DESC, token) through
+    range-bucketed windows — never an Exchange SinglePartition (the
+    classic global-sort funnel this query tempts). Only the top
+    max(cutoffs) ranked rows survive to the tiny coverage aggregate;
+    the corpus-mass denominator is a ONE-row sum broadcast onto the
+    |cutoffs| result rows (the J35/L-family lazy-total pattern).
+
+    Returns (cutoff, vocab_size, covered, coverage) — vocab_size <
+    cutoff when the corpus has fewer types; coverage rounded 6dp.
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.ordering import (
+        global_row_number,
+    )
+
+    toks = (
+        ensure_parallelism(docs.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_row_number(
+        counts.withColumn("_negn", -F.col("n")), ["_negn", "token"], "rank"
+    )
+    top = ranked.filter(F.col("rank") <= max(cutoffs)).select("rank", "n")
+    total = counts.agg(F.sum("n").alias("_total"))
+    cuts = docs.sparkSession.createDataFrame(
+        [(int(c),) for c in sorted(cutoffs)], "cutoff long"
+    )
+    return (
+        top.crossJoin(F.broadcast(cuts))
+        .filter(F.col("rank") <= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("n").alias("covered"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cutoff",
+            "vocab_size",
+            "covered",
+            round_half_up(
+                F.col("covered").cast("double") / F.col("_total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -2376,6 +2376,116 @@ ORACLES["q_seasonal_baseline"] = """
     FROM s
     """
 
+# J49 bigram LM: pairs built by zipping each token list with its own
+# tail (list_zip pads with NULL -> the final sentinel pair drops); the
+# denominator is fixed over ALL continuations before min_count prunes.
+ORACLES["q_bigram_lm"] = """
+    WITH toks AS (
+      SELECT list_filter(str_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    z AS (
+      SELECT unnest(list_zip(tk, tk[2:])) AS p FROM toks
+    ),
+    pairs AS (
+      SELECT p[1] AS w1, p[2] AS w2 FROM z WHERE p[2] IS NOT NULL
+    ),
+    counts AS (
+      SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2
+    )
+    SELECT w1, w2, n,
+           floor(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS prob
+    FROM counts
+    QUALIFY n >= 5
+    """
+
+# J50 vocab coverage: rank over the aggregated vocab table, coverage
+# mass at each cutoff over the one-row corpus total; SUMs cast BIGINT
+# (DuckDB widens to HUGEINT).
+ORACLES["q_vocab_coverage"] = """
+    WITH toks AS (
+      SELECT unnest(list_filter(str_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT CAST(c.cutoff AS BIGINT) AS cutoff,
+           COUNT(*) AS vocab_size,
+           CAST(SUM(r.n) AS BIGINT) AS covered,
+           floor(CAST(SUM(r.n) AS DOUBLE) / CAST(ANY_VALUE(t.total) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS coverage
+    FROM (VALUES (100), (1000), (10000)) c(cutoff), ranked r, tot t
+    WHERE r.rank <= c.cutoff
+    GROUP BY c.cutoff
+    """
+
+# M8 Q15 shape: per-supplier revenue in int64 micro-units (order-free),
+# argmax by join against the one-row max.
+ORACLES["q_top_supplier"] = """
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(p.rev AS DOUBLE) / 1000000 AS total_revenue
+    FROM per_supp p
+    JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    WHERE p.rev = (SELECT MAX(rev) FROM per_supp)
+    """
+
+# L22 orphans: six FK edges, NULL FKs are not orphans; counts as BIGINT.
+ORACLES["q_orphans"] = """
+    SELECT 'lineitem.l_orderkey->orders' AS relationship,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+              ON l.l_partkey = p.p_partkey
+            WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+              ON l.l_suppkey = s.s_suppkey
+            WHERE l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+              ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+              ON s.s_nationkey = n.n_nationkey
+            WHERE s.s_nationkey IS NOT NULL AND n.n_nationkey IS NULL)
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

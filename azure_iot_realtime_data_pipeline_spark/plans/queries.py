@@ -1820,6 +1820,97 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.seasonal_baseline(ev, "user_id", "ts", "value", "event_id")
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J49 corpus bigram LM table P(w2|w1) at min_count 5: pairs zipped
+    map-side inside each token array (no row window), one shuffle to
+    the pair counts, denominator window over the vocab-sized aggregate
+    only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.bigram_lm(docs, "text", "doc_id", min_count=5)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J50 vocabulary coverage curve at 100/1k/10k cutoffs: vocab-table
+    rank via range-bucketed global_row_number (no single-partition
+    sort), one-row corpus-mass total broadcast onto |cutoffs| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.vocab_coverage(docs, "text", cutoffs=(100, 1000, 10000))
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 scale validation (TPC-H Q15 shape): the supplier(s) with the
+    maximum revenue in 1996Q1. The fact aggregates ONCE on l_suppkey
+    (map-side combined, int64 micro-units); the max is a ONE-row
+    aggregate of that supplier-sized table broadcast back onto it (the
+    argmax-by-join decorrelation — never a global sort); supplier
+    attributes broadcast in last. Ties all surface, like the spec's
+    view form."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        MICRO,
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = micro_units(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    mx = per_supp.agg(F.max("_rev").alias("_mx"))
+    return (
+        per_supp.join(F.broadcast(mx), F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("_rev").cast("double") / F.lit(MICRO)).alias("total_revenue"),
+        )
+    )
+
+
+def q_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L22 referential-integrity audit across the warehouse's six FK
+    edges in FOUR child scans (the three lineitem checks share one):
+    dimension parents broadcast map-side, orders joins hash; each scan
+    ends in one-row partial aggregates unpivoted to the tall report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    out = analytics.referential_orphans(
+        li,
+        [
+            ("lineitem.l_orderkey->orders", "l_orderkey", orders, "o_orderkey", False),
+            ("lineitem.l_partkey->part", "l_partkey", part, "p_partkey", True),
+            ("lineitem.l_suppkey->supplier", "l_suppkey", supp, "s_suppkey", True),
+        ],
+    )
+    out = out.unionByName(
+        analytics.referential_orphans(
+            orders, [("orders.o_custkey->customer", "o_custkey", cust, "c_custkey", True)]
+        )
+    )
+    out = out.unionByName(
+        analytics.referential_orphans(
+            cust, [("customer.c_nationkey->nation", "c_nationkey", nation, "n_nationkey", True)]
+        )
+    )
+    return out.unionByName(
+        analytics.referential_orphans(
+            supp, [("supplier.s_nationkey->nation", "s_nationkey", nation, "n_nationkey", True)]
+        )
+    )
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2115,6 +2206,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gini": q_gini,
     "q_holt": q_holt,
     "q_seasonal_baseline": q_seasonal_baseline,
+    "q_bigram_lm": q_bigram_lm,
+    "q_vocab_coverage": q_vocab_coverage,
+    "q_top_supplier": q_top_supplier,
+    "q_orphans": q_orphans,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------

@@ -781,3 +781,25 @@ def test_remove_frequent_segments_matches_naive_reference(spark, docs):
         removed = len(segs) - len(kept)
         want[i] = (len(kept), removed, " ".join(kept))
     assert got == want
+
+def test_bigram_lm_denominator_fixed_before_pruning(spark):
+    """J49: P(w2|w1) denominates over ALL continuations of w1 even when
+    min_count prunes some of them — probabilities must NOT renormalize
+    over survivors; single-token and empty docs contribute nothing."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import bigram_lm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a c"),   # pairs: ab, ba, ab, ba, ac
+            (2, "a b"),           # ab
+            (3, "solo"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["w1"], r["w2"]): r for r in bigram_lm(docs, min_count=2).collect()}
+    # a->b n=3, a->c n=1 (pruned): P(b|a) = 3/4, not 3/3
+    assert set(out) == {("a", "b"), ("b", "a")}
+    assert out[("a", "b")]["n"] == 3 and out[("a", "b")]["prob"] == 0.75
+    assert out[("b", "a")]["n"] == 2 and out[("b", "a")]["prob"] == 1.0
+

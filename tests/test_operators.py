@@ -944,3 +944,28 @@ def test_seasonal_baseline_scores_against_own_hour(spark):
     assert out[22]["hr"] == 3
     assert out[22]["baseline"] == 16.0 and out[22]["deviation"] == 12.0
     assert out[2]["deviation"] == -6.0
+
+def test_referential_orphans_counts_and_null_fks(spark):
+    """L22: non-NULL FKs without a parent count as orphans; NULL FKs do
+    not; all checks on one child share one scan and one aggregate."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        referential_orphans,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10, 100), (2, 11, None), (3, 99, 101), (4, None, 999)],
+        "id long, fk_a long, fk_b long",
+    )
+    pa = spark.createDataFrame([(10,), (11,)], "pk long")
+    pb = spark.createDataFrame([(100,), (101,)], "pk long")
+    out = {
+        r["relationship"]: r
+        for r in referential_orphans(
+            child,
+            [("c.fk_a->a", "fk_a", pa, "pk", True), ("c.fk_b->b", "fk_b", pb, "pk", True)],
+        ).collect()
+    }
+    assert out["c.fk_a->a"]["n_child"] == 4
+    assert out["c.fk_a->a"]["n_orphans"] == 1   # fk_a=99; NULL fk_a not counted
+    assert out["c.fk_b->b"]["n_orphans"] == 1   # fk_b=999; NULL fk_b not counted
+

@@ -33,12 +33,16 @@ from azure_iot_realtime_data_pipeline_spark.plans.queries import QUERIES
 #: build side is a single row).
 #: q_key_skew likewise broadcasts its ONE-row sum(n) total onto the
 #: top-k heavy hitters (lazy share denominator, ADVICE r4).
+#: q_vocab_coverage broadcasts the |cutoffs| literal rows onto the
+#: bounded top-max(cutoff) ranked slice, and its ONE-row corpus-mass
+#: total onto the |cutoffs| result rows.
 BNLJ_ALLOWED = {
     "q_topk_cosine",
     "q_ivf_topk",
     "q_embed_dedup",
     "q_wire_serve",
     "q_key_skew",
+    "q_vocab_coverage",
 }
 
 #: the reference's anomaly window has no PARTITION BY
@@ -64,6 +68,9 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_key_skew",
     "q_wire_serve",
     "q_funnel",
+    "q_vocab_coverage",  # one-row corpus-mass total (vocab-table sum)
+    "q_top_supplier",    # one-row max over the supplier-sized agg
+    "q_orphans",         # one audit row per child scan (4 scans)
 }
 
 
