@@ -1130,3 +1130,180 @@ def referential_orphans(
         f"stack({len(flags)}, {stack_args}) AS (relationship, n_orphans)",
         "_n AS n_child",
     ).select("relationship", "n_child", "n_orphans")
+
+
+def chi_square_cells(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """L23 chi-square contingency screen — observed vs expected count
+    per (a, b) cell under independence, with each cell's chi-square
+    contribution: the categorical drift/association test (is `lang`
+    independent of `source`? did a crawl snapshot shift the mix?).
+    Summing `contribution` gives the classic X^2 statistic with
+    (|A|-1)(|B|-1) degrees of freedom.
+
+    Plan shape: ONE shuffle to the |A|x|B| cell table; the row, column,
+    and grand totals are aggregates OF THAT TINY TABLE broadcast back
+    onto it (never a partition-all window, never a second pass over the
+    raw data). Expected counts and contributions are plain double math
+    written identically in the oracle. NULL categories are dropped.
+
+    Returns (col_a, col_b, observed, expected 4dp, contribution 4dp).
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rt = cells.groupBy(col_a).agg(F.sum("observed").alias("_r"))
+    ct = cells.groupBy(col_b).agg(F.sum("observed").alias("_c"))
+    g = cells.agg(F.sum("observed").alias("_n"))
+    e = (
+        F.col("_r").cast("double")
+        * F.col("_c").cast("double")
+        / F.col("_n").cast("double")
+    )
+    o = F.col("observed").cast("double")
+    return (
+        cells.join(F.broadcast(rt), col_a)
+        .join(F.broadcast(ct), col_b)
+        .crossJoin(F.broadcast(g))
+        .select(
+            col_a,
+            col_b,
+            "observed",
+            round_half_up(e).alias("expected"),
+            round_half_up((o - e) * (o - e) / e).alias("contribution"),
+        )
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str,
+    conversion_type: str,
+    lookback_seconds: int,
+) -> DataFrame:
+    """L24 last-touch conversion attribution — for every conversion
+    event, which event type the user touched LAST within the lookback
+    window, rolled up to credit totals: the standard marketing
+    attribution report (what drives purchases?) and, for IoT, the
+    what-preceded-the-failure triage view.
+
+    One window sort per key serves everything: the attributed
+    antecedent is `last(non-conversion (ts, type), ignorenulls)` over
+    rows UNBOUNDED..-1 — a rows frame with a tiebreak order, NOT a
+    range frame, so coincident timestamps resolve deterministically —
+    and the lookback check compares the carried antecedent timestamp
+    afterwards (a range frame could filter by time but cannot carry the
+    tiebreak determinism). Conversions with no in-window antecedent
+    credit '(none)'. The rollup is one aggregate of |types|+1 rows.
+
+    Returns (attributed_type, n_conversions).
+    """
+    ts_us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_us, F.col(tiebreak))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(
+            F.col(type_col) != conversion_type,
+            F.struct(ts_us.alias("t"), F.col(type_col).alias("ty")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attributed = F.when(
+        prev.isNotNull()
+        & (prev["t"] >= ts_us - F.lit(int(lookback_seconds) * 1_000_000)),
+        prev["ty"],
+    ).otherwise(F.lit("(none)"))
+    return (
+        df.withColumn("_attr", attributed)
+        .filter(F.col(type_col) == conversion_type)
+        .groupBy(F.col("_attr").alias("attributed_type"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+
+
+def metric_correlation(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """L25 cross-metric correlation matrix — pairwise Pearson
+    correlation between metric types over their aligned DAILY mean
+    series: the "which sensors move together" screen behind root-cause
+    triage (battery dips tracking temperature spikes) and redundant-
+    feature pruning.
+
+    Two-stage exactness: stage 1 collapses the stream to the tiny
+    (type, epoch-day, mean) table — DECIMAL-exact sums, one double
+    division, then the daily mean FROZEN into half-up micro-units so
+    stage 2 is integer arithmetic; stage 2 self-joins that table on day
+    (type_a < type_b keeps each unordered pair once), accumulates the
+    five moments in DECIMAL(38,0) (order-free), and applies the L17
+    closed form — one double division and sqrt in fixed order, 4dp.
+    Pairs with <2 shared days or zero variance yield NULL corr.
+
+    Plan shape: the stream shuffles ONCE (to the daily aggregate, its
+    partials map-side combined); everything after runs on the
+    days x types table, with the smaller join side broadcast. Returns
+    (type_a, type_b, n_days, corr).
+    """
+    v = F.col(value_col).cast("double")
+    ep_day = (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(F.col(type_col).alias("_ty"), ep_day.alias("_day"),
+                v.cast("decimal(18,2)").alias("_v"))
+        .groupBy("_ty", "_day")
+        .agg(
+            (
+                F.floor(
+                    F.sum("_v").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    * F.lit(1_000_000.0)
+                    + F.lit(0.5)
+                )
+            ).alias("_m")
+        )
+    )
+    a = daily.select(
+        F.col("_ty").alias("type_a"), F.col("_day"),
+        F.col("_m").cast("decimal(19,0)").alias("_ya"),
+    )
+    b = daily.select(
+        F.col("_ty").alias("type_b"), F.col("_day").alias("_day_b"),
+        F.col("_m").cast("decimal(19,0)").alias("_yb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("_day") == F.col("_day_b")) & (F.col("type_a") < F.col("type_b")),
+    )
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_ya").alias("_sa"),
+        F.sum("_yb").alias("_sb"),
+        F.sum(F.col("_ya") * F.col("_yb")).alias("_sab"),
+        F.sum(F.col("_ya") * F.col("_ya")).alias("_saa"),
+        F.sum(F.col("_yb") * F.col("_yb")).alias("_sbb"),
+    )
+    nd = F.col("n_days").cast("decimal(38,0)")
+    num = (nd * F.col("_sab") - F.col("_sa") * F.col("_sb")).cast("double")
+    den_a = (nd * F.col("_saa") - F.col("_sa") * F.col("_sa")).cast("double")
+    den_b = (nd * F.col("_sbb") - F.col("_sb") * F.col("_sb")).cast("double")
+    corr = round_half_up(num / F.sqrt(den_a * den_b))
+    return m.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.when((den_a != 0.0) & (den_b != 0.0), corr).alias("corr"),
+    )

@@ -2486,6 +2486,96 @@ ORACLES["q_orphans"] = """
             WHERE s.s_nationkey IS NOT NULL AND n.n_nationkey IS NULL)
     """
 
+# L23 chi-square cells: totals aggregate the tiny cell table; expected
+# and contribution use the identical double expression tree as Spark.
+ORACLES["q_chi_square"] = """
+    WITH cells AS (
+      SELECT source, lang, COUNT(*) AS observed
+      FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY source, lang
+    ),
+    rt AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS r
+           FROM cells GROUP BY source),
+    ct AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS c
+           FROM cells GROUP BY lang),
+    g AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells)
+    SELECT cells.source, cells.lang, observed,
+           floor(CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS expected,
+           floor((CAST(observed AS DOUBLE)
+                  - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(observed AS DOUBLE)
+                    - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS contribution
+    FROM cells
+    JOIN rt ON cells.source = rt.source
+    JOIN ct ON cells.lang = ct.lang
+    CROSS JOIN g
+    """
+
+# L24 last-touch attribution: rows-frame carry with tiebreak order;
+# the lookback compares the carried antecedent epoch afterwards.
+ORACLES["q_attribution"] = """
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN struct_pack(t := epoch_us(ts),
+                                              ty := event_type)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev
+      FROM events
+    )
+    SELECT CASE WHEN prev IS NOT NULL
+                 AND prev.t >= t - 86400000000
+                THEN prev.ty ELSE '(none)' END AS attributed_type,
+           COUNT(*) AS n_conversions
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """
+
+# L25 metric correlation: daily means frozen into half-up micro-units,
+# five DECIMAL(38,0) integer moments, the L17 closed form in double.
+ORACLES["q_metric_corr"] = """
+    WITH daily AS (
+      SELECT event_type AS ty, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5)
+                  AS DECIMAL(19,0)) AS m
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+      GROUP BY event_type, day
+    ),
+    moments AS (
+      SELECT a.ty AS type_a, b.ty AS type_b,
+             COUNT(*) AS n_days,
+             SUM(a.m) AS sa, SUM(b.m) AS sb,
+             SUM(a.m * b.m) AS sab,
+             SUM(a.m * a.m) AS saa,
+             SUM(b.m * b.m) AS sbb
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.ty < b.ty
+      GROUP BY a.ty, b.ty
+    )
+    SELECT type_a, type_b, n_days,
+           CASE WHEN CAST(CAST(n_days AS DECIMAL(38,0)) * saa - sa * sa
+                          AS DOUBLE) <> 0.0
+                 AND CAST(CAST(n_days AS DECIMAL(38,0)) * sbb - sb * sb
+                          AS DOUBLE) <> 0.0
+                THEN floor(CAST(CAST(n_days AS DECIMAL(38,0)) * sab - sa * sb
+                                AS DOUBLE)
+                           / sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * saa
+                                       - sa * sa AS DOUBLE)
+                                  * CAST(CAST(n_days AS DECIMAL(38,0)) * sbb
+                                         - sb * sb AS DOUBLE))
+                           * 10000 + 0.5) / 10000
+           END AS corr
+    FROM moments
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

@@ -1911,6 +1911,33 @@ def q_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23 source x lang chi-square contingency cells: one corpus
+    shuffle to the cell table, totals broadcast back onto it; summing
+    `contribution` gives the X^2 drift statistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return analytics.chi_square_cells(docs, "source", "lang")
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24 last-touch purchase attribution with a 24-h lookback: one
+    window sort per user (rows frame + tiebreak for deterministic
+    coincident timestamps), tiny credit rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.last_touch_attribution(
+        ev, "user_id", "ts", "event_type", "event_id",
+        conversion_type="purchase", lookback_seconds=86400,
+    )
+
+
+def q_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25 cross-metric correlation matrix over aligned daily means:
+    one stream shuffle to the daily table, DECIMAL(38,0) moments on the
+    broadcast self-join, L17 closed form."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.metric_correlation(ev, "event_type", "ts", "value")
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2210,6 +2237,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_vocab_coverage": q_vocab_coverage,
     "q_top_supplier": q_top_supplier,
     "q_orphans": q_orphans,
+    "q_chi_square": q_chi_square,
+    "q_attribution": q_attribution,
+    "q_metric_corr": q_metric_corr,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------

@@ -969,3 +969,68 @@ def test_referential_orphans_counts_and_null_fks(spark):
     assert out["c.fk_a->a"]["n_orphans"] == 1   # fk_a=99; NULL fk_a not counted
     assert out["c.fk_b->b"]["n_orphans"] == 1   # fk_b=999; NULL fk_b not counted
 
+def test_attribution_lookback_tiebreak_and_none(spark):
+    """L24: credit goes to the LAST non-conversion touch inside the
+    lookback; outside-lookback or absent antecedents credit '(none)';
+    coincident timestamps resolve by the tiebreak column."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # u1: click 1h before purchase -> click credited
+        (1, 1, t0 - dt.timedelta(hours=1), "click"),
+        (2, 1, t0, "purchase"),
+        # u2: view 3 days before purchase (outside 24h) -> (none)
+        (3, 2, t0 - dt.timedelta(days=3), "view"),
+        (4, 2, t0, "purchase"),
+        # u3: purchase with no antecedent -> (none)
+        (5, 3, t0, "purchase"),
+        # u4: two touches at the SAME ts as each other -> higher
+        # event_id (later in tiebreak order) wins
+        (6, 4, t0 - dt.timedelta(minutes=5), "view"),
+        (7, 4, t0 - dt.timedelta(minutes=5), "click"),
+        (8, 4, t0, "purchase"),
+        # prior purchases never take credit
+        (9, 5, t0 - dt.timedelta(minutes=10), "purchase"),
+        (10, 5, t0, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["attributed_type"]: r["n_conversions"]
+        for r in last_touch_attribution(
+            df, "user_id", "ts", "event_type", "event_id",
+            conversion_type="purchase", lookback_seconds=86400,
+        ).collect()
+    }
+    assert out == {"click": 2, "(none)": 4}
+
+
+def test_chi_square_cells_match_textbook_2x2(spark):
+    """L23: a hand-checkable 2x2 table — expected counts are
+    row*col/grand and contributions sum to the textbook X^2."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        chi_square_cells,
+    )
+
+    rows = (
+        [("s1", "en")] * 30 + [("s1", "de")] * 10
+        + [("s2", "en")] * 20 + [("s2", "de")] * 40
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {(r["source"], r["lang"]): r for r in chi_square_cells(df, "source", "lang").collect()}
+    assert out[("s1", "en")]["observed"] == 30
+    assert out[("s1", "en")]["expected"] == 20.0  # 40*50/100
+    # X^2 = sum (o-e)^2/e = 100/20+100/20+100/50+100/50 = 14 ... per-cell:
+    assert out[("s1", "en")]["contribution"] == 5.0
+    assert out[("s1", "de")]["contribution"] == 5.0
+    assert out[("s2", "en")]["expected"] == 30.0  # 60*50/100
+    assert out[("s2", "en")]["contribution"] == 3.3333  # 100/30 half-up 4dp
+    total = sum(r["contribution"] for r in out.values())
+    assert abs(total - (5.0 + 5.0 + 10.0 / 3 + 10.0 / 3)) < 1e-3
+

@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "q_wire_serve",
     "q_key_skew",
     "q_vocab_coverage",
+    "q_chi_square",
 }
 
 #: the reference's anomaly window has no PARTITION BY
@@ -71,6 +72,7 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_vocab_coverage",  # one-row corpus-mass total (vocab-table sum)
     "q_top_supplier",    # one-row max over the supplier-sized agg
     "q_orphans",         # one audit row per child scan (4 scans)
+    "q_chi_square",      # one-row grand total of the tiny cell table
 }
 
 
