@@ -1307,3 +1307,60 @@ def metric_correlation(
         "n_days",
         F.when((den_a != 0.0) & (den_b != 0.0), corr).alias("corr"),
     )
+
+
+def autocorr_per_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """L26 lag-1 autocorrelation per key — Pearson correlation between
+    each measurement and its successor: the "is this series trending or
+    white noise" screen that decides whether K13/K18 smoothing has
+    anything to smooth, and the residual-whiteness check after a model
+    fit.
+
+    One window sort per key builds the (x_t, x_{t+1}) pairs from
+    consecutive NON-NULL measurements (NULL/NaN rows are removed before
+    pairing, so the lag skips them rather than voiding two pairs); the
+    same (key) partitioning then accumulates the five moments as exact
+    DECIMAL(38,0) integers over half-up micro-unit values (the L17/L25
+    order-free recipe) and applies the closed form — one double
+    division and sqrt, 4dp. Keys with <2 pairs or zero variance on
+    either margin yield NULL.
+
+    Returns (key, n_pairs, acf1).
+    """
+    v = F.col(value_col).cast("double")
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(key),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        F.col(tiebreak).alias("_tb"),
+        micro_units(v).cast("decimal(19,0)").alias("_x"),
+    )
+    w = Window.partitionBy(key).orderBy(F.col("_t"), F.col("_tb"))
+    pairs = clean.select(
+        F.col(key),
+        F.col("_x"),
+        F.lead("_x").over(w).alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+    m = pairs.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    nd = F.col("n_pairs").cast("decimal(38,0)")
+    num = (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den_x = (nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    den_y = (nd * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    acf = round_half_up(num / F.sqrt(den_x * den_y))
+    return m.select(
+        F.col(key),
+        "n_pairs",
+        F.when((den_x != 0.0) & (den_y != 0.0), acf).alias("acf1"),
+    )

@@ -981,3 +981,103 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """J51 BPE merge learning — the first `n_merges` byte-pair-encoding
+    merge rules over the corpus (Sennrich et al. 2016, public): the
+    tokenizer-training step of every LLM data pipeline, learned
+    distributed.
+
+    The classic scaling trick: BPE statistics depend only on the WORD
+    FREQUENCY table, so the corpus is touched ONCE (token explode ->
+    (word, n) aggregate, map-side combined); all `n_merges` iterations
+    run on that vocab-sized table. Each iteration: adjacent symbol
+    pairs weighted by word count (one vocab-sized aggregate), argmax
+    via orderBy().limit(1) — TakeOrderedAndProject, a bounded one-row
+    collect, never a global sort — deterministic tie-break (count DESC,
+    pair ASC); then a map-side `F.aggregate` fold rewrites each word's
+    symbol array greedily LEFT-TO-RIGHT (non-overlapping, the reference
+    semantics: 'aaa' + (a,a) -> [aa, a]), lineage truncated per round
+    (localCheckpoint — without it the plan doubles each iteration).
+    Stops early when the best pair's count drops below
+    `min_pair_count`. No end-of-word marker is appended (documented
+    simplification; add one upstream by suffixing tokens if wanted).
+
+    Not SQL-oracle-able (the per-iteration global argmax cannot live in
+    a recursive CTE); verified instead by a naive-reference property
+    test over arbitrary corpora and a determinism gate.
+
+    Returns (merge_rank, left, right, pair_count) with merge_rank
+    starting at 1 in learning order.
+    """
+    words = (
+        ensure_parallelism(docs.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split(F.col("w"), "").alias("syms"), F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, int(n_merges) + 1):
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.filter(
+                        F.zip_with(
+                            F.col("syms"),
+                            F.slice(
+                                F.col("syms"),
+                                2,
+                                F.greatest(F.size("syms") - 1, F.lit(0)),
+                            ),
+                            lambda a, b: F.struct(
+                                a.alias("l"), b.alias("r")
+                            ),
+                        ),
+                        lambda p: p["r"].isNotNull(),
+                    )
+                ).alias("p"),
+                F.col("n"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(
+                F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        merged = a + b
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(fold.alias("syms"), F.col("n")).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )

@@ -2576,6 +2576,42 @@ ORACLES["q_metric_corr"] = """
     FROM moments
     """
 
+# L26 lag-1 autocorrelation: consecutive non-NULL pairs, the same
+# DECIMAL(38,0) micro-unit moments and closed form as L17/L25.
+ORACLES["q_autocorr"] = """
+    WITH clean AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                  AS DECIMAL(19,0)) AS x
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    pairs AS (
+      SELECT user_id, x,
+             lead(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM clean
+    ),
+    m AS (
+      SELECT user_id, COUNT(*) AS n_pairs,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM pairs WHERE y IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_pairs,
+           CASE WHEN CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxx - sx * sx
+                          AS DOUBLE) <> 0.0
+                 AND CAST(CAST(n_pairs AS DECIMAL(38,0)) * syy - sy * sy
+                          AS DOUBLE) <> 0.0
+                THEN floor(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxy - sx * sy
+                                AS DOUBLE)
+                           / sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxx
+                                       - sx * sx AS DOUBLE)
+                                  * CAST(CAST(n_pairs AS DECIMAL(38,0)) * syy
+                                         - sy * sy AS DOUBLE))
+                           * 10000 + 0.5) / 10000
+           END AS acf1
+    FROM m
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

@@ -1938,6 +1938,24 @@ def q_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.metric_correlation(ev, "event_type", "ts", "value")
 
 
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26 per-device lag-1 autocorrelation: one window sort builds
+    consecutive pairs, DECIMAL(38,0) moments on the same partitioning,
+    L17 closed form."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.autocorr_per_key(ev, "user_id", "ts", "value", "event_id")
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J51 BPE merge learning (first 10 merges): corpus touched once to
+    the word-frequency table; every iteration runs vocab-sized with a
+    bounded one-row argmax collect. Rows-only by design (the
+    per-iteration global argmax cannot live in a recursive CTE);
+    verified by a naive-reference property test + determinism gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.bpe_learn_merges(docs, "text", n_merges=10)
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2240,6 +2258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chi_square": q_chi_square,
     "q_attribution": q_attribution,
     "q_metric_corr": q_metric_corr,
+    "q_autocorr": q_autocorr,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------
@@ -2335,7 +2354,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_canonical_docs": q_canonical_docs,
     "q_minhash_lsh_portable": q_minhash_lsh_portable,
     # -- 5. rows-only by design (xxhash64 engine hashes; portable twins
-    #       above are hash-green; cross-form gate in tests) ------------
+    #       above are hash-green; cross-form gate in tests; J51 BPE has
+    #       a per-iteration global argmax no recursive CTE can express,
+    #       naive-reference property-tested instead) ------------------
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
+    "q_bpe_merges": q_bpe_merges,
 }

@@ -803,3 +803,95 @@ def test_bigram_lm_denominator_fixed_before_pruning(spark):
     assert out[("a", "b")]["n"] == 3 and out[("a", "b")]["prob"] == 0.75
     assert out[("b", "a")]["n"] == 2 and out[("b", "a")]["prob"] == 1.0
 
+def _naive_bpe(word_counts, n_merges, min_pair_count=2):
+    """Reference BPE on a word-frequency dict: max-count pair (ties:
+    lexicographic smallest), greedy left-to-right non-overlapping
+    rewrite — Sennrich et al. 2016 semantics."""
+    words = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, a, b, cnt))
+        new_words = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + n
+        words = new_words
+    return merges
+
+
+def test_bpe_matches_naive_reference_on_classic_corpus(spark):
+    """J51: the distributed learner reproduces the reference BPE merge
+    list (order, pairs, weighted counts) on a hand-checkable corpus,
+    including the overlapping-run greedy rewrite."""
+    from collections import Counter
+
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        bpe_learn_merges,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaa banana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    wc = Counter(w for t in texts for w in t.split() if w)
+    want = _naive_bpe(wc, 8)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_learn_merges(docs, n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bpe_matches_naive_reference_property(spark, words):
+    """J51 property test: arbitrary small corpora (heavy duplicate and
+    overlapping-pair pressure from a 3-letter alphabet) — merge lists
+    must match the reference exactly."""
+    from collections import Counter
+
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    want = _naive_bpe(Counter(words), 5)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_learn_merges(docs, n_merges=5)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+
