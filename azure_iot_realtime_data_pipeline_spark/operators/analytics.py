@@ -1364,3 +1364,96 @@ def autocorr_per_key(
         "n_pairs",
         F.when((den_x != 0.0) & (den_y != 0.0), acf).alias("acf1"),
     )
+
+
+def top_journeys(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str,
+    gap_seconds: int = 3600,
+    top_k: int = 20,
+) -> DataFrame:
+    """L27 top user journeys — the most common ordered event-type paths
+    per session: the qualitative companion to L20's one-step transition
+    matrix (which forgets everything but adjacent pairs) and L12's
+    fixed funnel (which only counts the path you asked about).
+
+    Plan shape: K1 sessionize (one key-partitioned sort), then each
+    session's path assembles MAP-SIDE on the same partitioning — the
+    ordered type sequence via the array_sort(collect_list(struct))
+    trick (Spark has no ordered string_agg), joined with '>'; one
+    aggregate to the |distinct journeys| table; top_k via
+    orderBy().limit() = TakeOrderedAndProject with a lexicographic
+    tie-break, never a global sort.
+
+    Returns (journey, n_sessions), the top_k most frequent.
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        sessionize,
+    )
+
+    sess = sessionize(df, key, ts_col, gap_seconds, tiebreak)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("t"),
+                F.col(tiebreak).alias("k"),
+                F.col(type_col).alias("ty"),
+            )
+        )
+    )
+    journeys = (
+        sess.groupBy(key, "session_id")
+        .agg(arr.alias("_a"))
+        .select(
+            F.concat_ws(
+                ">", F.transform(F.col("_a"), lambda x: x["ty"])
+            ).alias("journey")
+        )
+    )
+    return (
+        journeys.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("journey").asc())
+        .limit(top_k)
+    )
+
+
+def impute_median(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """L28 median imputation — fill missing (NULL or NaN) measurements
+    with their group's exact lower median: the robust ML-prep default
+    (mean imputation inherits the stuck-sensor 2.4e305 problem L15
+    exists to dodge). The was_imputed flag stays, as every downstream
+    model wants it.
+
+    The median comes from the same exact rank selection as L15
+    (`exact_percentiles` over the NON-missing rows only — missing rows
+    must not occupy rank positions); the tiny per-group median table
+    BROADCASTS back, so the stream never shuffles — one window sort for
+    the rank pass, one map-side fill pass. Groups that are ALL missing
+    have no median and stay NULL (was_imputed still true).
+
+    Returns (tiebreak, group, value, imputed_value, was_imputed).
+    """
+    v = F.col(value_col).cast("double")
+    missing = v.isNull() | F.isnan(v)
+    med = exact_percentiles(
+        df.filter(~missing), group, value_col, tiebreak, quantiles=(0.5,)
+    ).select(F.col(group), F.col("p_value").alias("_med"))
+    return (
+        df.join(F.broadcast(med), group, "left")
+        .select(
+            F.col(tiebreak),
+            F.col(group),
+            F.col(value_col),
+            F.when(missing, F.col("_med")).otherwise(v).alias("imputed_value"),
+            missing.alias("was_imputed"),
+        )
+    )

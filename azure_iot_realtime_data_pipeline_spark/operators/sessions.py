@@ -985,3 +985,55 @@ def holt_per_key(
             round_half_up(F.col("_st.l") + F.col("_st.b")).alias("forecast"),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """K20 SCD Type-2 dimension build — collapse an attribute's event
+    history into versioned validity intervals (valid_from, valid_to,
+    is_current): the slowly-changing-dimension table every warehouse
+    keeps for as-of joins, built from the raw change feed. K16's
+    time-in-state aggregates durations away; this KEEPS the intervals,
+    including each key's OPEN current version (valid_to NULL).
+
+    One window sort per key does everything: a change row is one whose
+    attribute differs from its lag (first row included — lag NULL with
+    a non-null attribute counts as a change, and NULL-to-value
+    transitions compare via null-safe equality); consecutive duplicates
+    collapse away; valid_to is the lead of valid_from OVER THE CHANGE
+    ROWS ONLY (the second window runs on the filtered, already-
+    partitioned stream — no extra shuffle). Version numbers come from
+    the same sort.
+
+    Returns (key, attr, version, valid_from, valid_to, is_current).
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.unix_micros(F.col(ts_col)), F.col(tiebreak)
+    )
+    tagged = df.select(
+        F.col(key),
+        F.col(ts_col),
+        F.col(tiebreak).alias("_tb"),
+        F.col(attr_col).alias("attr"),
+        F.lag(F.col(attr_col)).over(w).alias("_prev"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    changes = tagged.filter(
+        (F.col("_rn") == 1) | ~F.col("attr").eqNullSafe(F.col("_prev"))
+    )
+    wc = Window.partitionBy(key).orderBy(
+        F.unix_micros(F.col(ts_col)), F.col("_tb")
+    )
+    return changes.select(
+        F.col(key),
+        F.col("attr"),
+        F.row_number().over(wc).alias("version"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(wc).alias("valid_to"),
+        F.lead(F.col(ts_col)).over(wc).isNull().alias("is_current"),
+    )

@@ -2612,6 +2612,87 @@ ORACLES["q_autocorr"] = """
     FROM m
     """
 
+# K20 SCD2: change rows via null-safe lag compare, intervals closed by
+# lead over the change rows only; DuckDB's IS NOT DISTINCT FROM is the
+# null-safe equality.
+ORACLES["q_scd2"] = """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type AS attr,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT * FROM tagged
+      WHERE rn = 1 OR attr IS DISTINCT FROM prev
+    )
+    SELECT user_id, attr,
+           CAST(row_number() OVER wc AS INTEGER) AS version,
+           ts AS valid_from,
+           lead(ts) OVER wc AS valid_to,
+           lead(ts) OVER wc IS NULL AS is_current
+    FROM changes
+    WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+# L27 top journeys: the K1 session CTE, DuckDB's ordered string_agg
+# standing in for the array_sort(collect_list) trick.
+ORACLES["q_top_journeys"] = """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    paths AS (
+      SELECT string_agg(event_type, '>'
+                        ORDER BY epoch_us(ts), event_id) AS journey
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT journey, COUNT(*) AS n_sessions
+    FROM paths GROUP BY journey
+    ORDER BY n_sessions DESC, journey ASC
+    LIMIT 20
+    """
+
+# L28 impute: the L15 lower-median rank selection over PRESENT rows
+# only, left-joined back so all-missing groups stay NULL.
+ORACLES["q_impute"] = """
+    WITH miss AS (
+      SELECT event_id, event_type, value,
+             (value IS NULL OR isnan(value)) AS was_imputed
+      FROM events
+    ),
+    r1 AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM miss WHERE NOT was_imputed
+    ),
+    med AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                 THEN value END) AS m
+      FROM r1 GROUP BY event_type
+    )
+    SELECT miss.event_id, miss.event_type, miss.value,
+           CASE WHEN miss.was_imputed THEN med.m
+                ELSE miss.value END AS imputed_value,
+           miss.was_imputed
+    FROM miss LEFT JOIN med USING (event_type)
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

@@ -1956,6 +1956,32 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bpe_learn_merges(docs, "text", n_merges=10)
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K20 SCD Type-2 history of each user's event_type attribute:
+    change detection and interval close-out share one key-partitioned
+    sort; open current versions keep valid_to NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.scd2_history(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def q_top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27 top-20 session journeys at a 1-h gap: sessionize sort, paths
+    assembled map-side on the same partitioning, TakeOrdered top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.top_journeys(
+        ev, "user_id", "ts", "event_type", "event_id",
+        gap_seconds=3600, top_k=20,
+    )
+
+
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28 per-type median imputation: exact lower median over present
+    rows only, tiny median table broadcast back — the stream never
+    shuffles for the fill."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.impute_median(ev, "event_type", "value", "event_id")
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2259,6 +2285,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_attribution": q_attribution,
     "q_metric_corr": q_metric_corr,
     "q_autocorr": q_autocorr,
+    "q_scd2": q_scd2,
+    "q_top_journeys": q_top_journeys,
+    "q_impute": q_impute,
     # -- 3. displaced to fit never-driver-verified queries above; all
     #       keep r3 driver greens (locally parity-checked every run)
     #       and head the r6 window rotation, in this order -------------

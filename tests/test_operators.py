@@ -1034,3 +1034,23 @@ def test_chi_square_cells_match_textbook_2x2(spark):
     total = sum(r["contribution"] for r in out.values())
     assert abs(total - (5.0 + 5.0 + 10.0 / 3 + 10.0 / 3)) < 1e-3
 
+def test_impute_median_fills_and_flags(spark):
+    """L28: NULL and NaN fill with the group's exact lower median;
+    present values pass through; all-missing groups stay NULL but
+    flagged."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        impute_median,
+    )
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0),
+        (4, "a", None), (5, "a", float("nan")),
+        (6, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_id"]: r for r in impute_median(df, "event_type", "value", "event_id").collect()}
+    assert out[4]["imputed_value"] == 20.0 and out[4]["was_imputed"]
+    assert out[5]["imputed_value"] == 20.0 and out[5]["was_imputed"]
+    assert out[1]["imputed_value"] == 10.0 and not out[1]["was_imputed"]
+    assert out[6]["imputed_value"] is None and out[6]["was_imputed"]
+

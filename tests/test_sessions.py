@@ -897,3 +897,42 @@ def test_state_durations_matches_naive_reference(spark, rows):
         want[(s0,)][0] += 1
         want[(s0,)][1] += t1 - t0
     assert got == {k: (n, float(tot)) for k, (n, tot) in want.items()}
+
+def test_scd2_versions_intervals_and_current_flag(spark):
+    """K20: consecutive duplicates collapse, NULL attributes version
+    null-safely, intervals chain exactly, only the last version per key
+    is current."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        scd2_history,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, 1, t(0), "a"),
+        (2, 1, t(1), "a"),      # duplicate -> collapses
+        (3, 1, t(2), None),     # a -> NULL is a change
+        (4, 1, t(3), None),     # NULL -> NULL collapses (null-safe)
+        (5, 1, t(4), "b"),
+        (6, 2, t(0), "x"),      # single-event key: one open version
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, attr string"
+    )
+    out = sorted(
+        (
+            (r["user_id"], r["version"], r["attr"],
+             r["valid_from"].minute,
+             None if r["valid_to"] is None else r["valid_to"].minute,
+             r["is_current"])
+            for r in scd2_history(df, "user_id", "ts", "attr", "event_id").collect()
+        )
+    )
+    assert out == [
+        (1, 1, "a", 0, 2, False),
+        (1, 2, None, 2, 4, False),
+        (1, 3, "b", 4, None, True),
+        (2, 1, "x", 0, None, True),
+    ]
+
