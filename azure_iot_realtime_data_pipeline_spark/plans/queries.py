@@ -2223,10 +2223,12 @@ def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries stay covered by the local parity suite
 # (tests/test_queries_oracle.py) every run regardless of position.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- 1. last driver-verified in round 3: fresh r5 greens -----------
-    "q_simhash_portable": q_simhash_portable,
-    "q_embed_dedup_lsh": q_embed_dedup_lsh,
-    # -- 2. new or changed in round 5 (never driver-verified first) ----
+    # -- 1. new or changed in round 5 (never driver-verified first; 58
+    #       candidates for 50 slots -> FIFO by addition order: sessions
+    #       1-3 queries first, then session 4's q_holt +
+    #       q_seasonal_baseline fill the window; the 11 later session-4
+    #       queries and the two r3-green portable twins they displaced
+    #       head section 3 and the r6 rotation) ------------------------
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
     "q_top_ngrams": q_top_ngrams,
@@ -2277,6 +2279,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gini": q_gini,
     "q_holt": q_holt,
     "q_seasonal_baseline": q_seasonal_baseline,
+    # -- 2. never driver-verified session-4 queries past the 50-slot
+    #       window; FIRST in the r6 rotation ---------------------------
     "q_bigram_lm": q_bigram_lm,
     "q_vocab_coverage": q_vocab_coverage,
     "q_top_supplier": q_top_supplier,
@@ -2288,9 +2292,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scd2": q_scd2,
     "q_top_journeys": q_top_journeys,
     "q_impute": q_impute,
-    # -- 3. displaced to fit never-driver-verified queries above; all
-    #       keep r3 driver greens (locally parity-checked every run)
-    #       and head the r6 window rotation, in this order -------------
+    # -- 3. displaced stale greens (r3 for the portable twins, r3/r4
+    #       below); all locally parity-checked every run; next in the
+    #       r6 rotation after section 2, in this order -----------------
+    "q_simhash_portable": q_simhash_portable,
+    "q_embed_dedup_lsh": q_embed_dedup_lsh,
     "q_ivf_topk": q_ivf_topk,
     "q_lsh_topk": q_lsh_topk,
     "q_topk_cosine": q_topk_cosine,
