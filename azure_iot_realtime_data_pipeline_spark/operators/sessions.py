@@ -1037,3 +1037,63 @@ def scd2_history(
         F.lead(F.col(ts_col)).over(wc).alias("valid_to"),
         F.lead(F.col(ts_col)).over(wc).isNull().alias("is_current"),
     )
+
+
+def availability_per_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    offline_gap_seconds: int,
+) -> DataFrame:
+    """K21 availability / uptime report — the SLA number every device
+    fleet dashboard leads with: a device is OFFLINE during any silence
+    longer than `offline_gap_seconds` between consecutive events; the
+    WHOLE such gap counts as downtime (the threshold decides whether a
+    silence counts, not how much of it). availability =
+    1 - downtime/span over the key's observed [first, last] span.
+
+    K12's event_gaps lists the gaps; this is the rolled-up fleet
+    number. One window sort per key (lead) feeding ONE aggregate on the
+    same partitioning; all duration math in exact integer microseconds,
+    doubles only at the final division. Single-event keys have zero
+    span: availability NULL (undefined, not 100%).
+
+    Returns (key, n_events, span_seconds, downtime_seconds,
+    availability) — seconds 4dp, availability 6dp.
+    """
+    ts_us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key).orderBy(ts_us, F.col(tiebreak))
+    gap = F.lead(ts_us).over(w) - ts_us
+    thresh = int(offline_gap_seconds) * 1_000_000
+    per = (
+        df.select(F.col(key), ts_us.alias("_t"), gap.alias("_gap"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("_t") - F.min("_t")).alias("_span"),
+            F.sum(
+                F.when(F.col("_gap") > thresh, F.col("_gap")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_down"),
+        )
+    )
+    return per.select(
+        key,
+        "n_events",
+        round_half_up(F.col("_span").cast("double") / F.lit(1e6)).alias(
+            "span_seconds"
+        ),
+        round_half_up(F.col("_down").cast("double") / F.lit(1e6)).alias(
+            "downtime_seconds"
+        ),
+        F.when(
+            F.col("_span") > 0,
+            round_half_up(
+                F.lit(1.0)
+                - F.col("_down").cast("double") / F.col("_span").cast("double"),
+                6,
+            ),
+        ).alias("availability"),
+    )

@@ -2305,7 +2305,57 @@ ORACLES["q_weighted_sample"] = f"""
     """
 ORACLES["q_kmv_distinct"] = _kmv_distinct_oracle()
 ORACLES["q_lsh_topk_multiprobe"] = _lsh_topk_multiprobe_oracle()
+def _dedup_pipeline_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    est_threshold: float = 0.3,
+    verify_threshold: float = 0.5,
+) -> str:
+    """Mirror of dedup.dedup_verified_pairs (J52 chain #6): the portable
+    candidate construction wrapped as a CTE, then exact shingle-Jaccard
+    verification joined over the candidate pairs only."""
+    inner = _minhash_portable_oracle(num_hashes, bands, k, est_threshold)
+    return f"""
+        WITH cand2 AS ({inner}),
+        toks2 AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents
+        ),
+        idx2 AS (
+          SELECT doc_id, tk,
+                 unnest(generate_series(1, len(tk) - {k - 1})) AS i
+          FROM toks2 WHERE len(tk) >= {k}
+        ),
+        sh2 AS (
+          SELECT DISTINCT doc_id,
+                 {" || ' ' || ".join("tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(k))} AS s
+          FROM idx2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, c.est_jaccard, COUNT(*) AS n_common
+          FROM cand2 c
+          JOIN sh2 a ON a.doc_id = c.doc_a
+          JOIN sh2 b ON b.doc_id = c.doc_b AND a.s = b.s
+          GROUP BY c.doc_a, c.doc_b, c.est_jaccard
+        )
+        SELECT i.doc_a, i.doc_b, i.est_jaccard,
+               floor(CAST(i.n_common AS DOUBLE)
+                     / CAST(sa.n + sb.n - i.n_common AS DOUBLE)
+                     * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE floor(CAST(i.n_common AS DOUBLE)
+                    / CAST(sa.n + sb.n - i.n_common AS DOUBLE)
+                    * 10000 + 0.5) / 10000 >= {verify_threshold}
+        """
+
+
 ORACLES["q_minhash_lsh_portable"] = _minhash_portable_oracle()
+ORACLES["q_dedup_pipeline"] = _dedup_pipeline_oracle()
 ORACLES["q_simhash_portable"] = _simhash_portable_oracle()
 ORACLES["q_lsh_topk"] = _lsh_topk_oracle()
 ORACLES["q_embed_dedup_lsh"] = _embed_dedup_lsh_oracle()
@@ -2691,6 +2741,36 @@ ORACLES["q_impute"] = """
                 ELSE miss.value END AS imputed_value,
            miss.was_imputed
     FROM miss LEFT JOIN med USING (event_type)
+    """
+
+# K21 availability: whole gaps above the threshold count as downtime;
+# integer-microsecond sums, doubles only at the final division.
+ORACLES["q_availability"] = """
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               - epoch_us(ts) AS gap
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             MAX(t) - MIN(t) AS span,
+             CAST(COALESCE(SUM(CASE WHEN gap > 21600000000
+                                    THEN gap ELSE 0 END), 0) AS BIGINT)
+               AS down
+      FROM g GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           floor(CAST(span AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+             AS span_seconds,
+           floor(CAST(down AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+             AS downtime_seconds,
+           CASE WHEN span > 0
+                THEN floor((1.0 - CAST(down AS DOUBLE) / CAST(span AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000
+           END AS availability
+    FROM per
     """
 
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)

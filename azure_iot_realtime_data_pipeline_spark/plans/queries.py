@@ -1982,6 +1982,27 @@ def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.impute_median(ev, "event_type", "value", "event_id")
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J52 candidate-then-verify dedup chain (#6): portable MinHash-LSH
+    proposes pairs at a generous est 0.3, exact shingle Jaccard keeps
+    true duplicates at 0.5 — everything after candidate generation is
+    candidate-set-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_verified_pairs(
+        docs, est_threshold=0.3, verify_threshold=0.5
+    )
+
+
+def q_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K21 per-device availability at a 6-h offline threshold: one
+    window sort feeding one aggregate on the same key partitioning,
+    integer-microsecond duration math."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.availability_per_key(
+        ev, "user_id", "ts", "event_id", offline_gap_seconds=21600
+    )
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2292,6 +2313,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scd2": q_scd2,
     "q_top_journeys": q_top_journeys,
     "q_impute": q_impute,
+    "q_dedup_pipeline": q_dedup_pipeline,
+    "q_availability": q_availability,
     # -- 3. displaced stale greens (r3 for the portable twins, r3/r4
     #       below); all locally parity-checked every run; next in the
     #       r6 rotation after section 2, in this order -----------------

@@ -895,3 +895,25 @@ def test_bpe_matches_naive_reference_property(spark, words):
     ]
     assert got == want
 
+def test_dedup_pipeline_verify_prunes_false_candidates(spark):
+    """J52: exact-Jaccard verification keeps true near-dups and prunes
+    candidate pairs whose real overlap is below the verify threshold."""
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        dedup_verified_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, "completely different text about spark engines and shuffles at scale")],
+        ["doc_id", "text"],
+    )
+    out = dedup_verified_pairs(
+        docs, est_threshold=0.0, verify_threshold=0.5
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+    row = next(r for r in out if (r["doc_a"], r["doc_b"]) == (1, 2))
+    assert row["jaccard"] >= 0.5
+

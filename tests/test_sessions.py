@@ -936,3 +936,27 @@ def test_scd2_versions_intervals_and_current_flag(spark):
         (2, 1, "x", 0, None, True),
     ]
 
+def test_availability_gap_accounting(spark):
+    """K21: a 10-h silence at a 6-h threshold counts whole as downtime;
+    sub-threshold gaps don't; single-event keys have NULL availability."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        availability_per_key,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(hours=1)),            # 1h gap: fine
+        (3, 1, t0 + dt.timedelta(hours=11)),           # 10h gap: down
+        (4, 1, t0 + dt.timedelta(hours=12)),
+        (5, 2, t0),                                     # single event
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["user_id"]: r for r in availability_per_key(df, "user_id", "ts", "event_id", 21600).collect()}
+    assert out[1]["span_seconds"] == 12 * 3600.0
+    assert out[1]["downtime_seconds"] == 10 * 3600.0
+    assert out[1]["availability"] == round(1 - 10 / 12, 6)
+    assert out[2]["availability"] is None and out[2]["span_seconds"] == 0.0
+
