@@ -1457,3 +1457,72 @@ def impute_median(
             missing.alias("was_imputed"),
         )
     )
+
+
+def daily_rollup_state(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """L29a mergeable daily rollup STATE — per (key, epoch-day):
+    (n, micro-unit sum, min, max) with every field chosen to be
+    associatively combinable, which is the property that makes
+    incremental view maintenance correct (state(old) ⊕ state(delta) =
+    state(old ∪ delta), no reprocessing of history). NULL/NaN
+    measurements carry no state.
+    """
+    v = F.col(value_col).cast("double")
+    day = (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast("long")
+    return (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(F.col(key), day.alias("day"), v.alias("_v"))
+        .groupBy(key, "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micro_units(F.col("_v"))).alias("_sum_micro"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+        )
+    )
+
+
+def merge_rollup_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """L29b incremental rollup merge — combine two rollup state tables
+    (yesterday's materialized view + today's delta) WITHOUT touching
+    raw history: a keys-partitioned aggregate over the two SMALL state
+    tables, each field merged by its own associative law (counts and
+    micro-sums add, min/min and max/max). The equivalence
+    state(full) = merge(state(half1), state(half2)) is the oracle
+    contract of `q_rollup_incremental` and the unit gate.
+    """
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("_sum_micro").alias("_sum_micro"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def present_rollup(state: DataFrame, keys: list[str]) -> DataFrame:
+    """L29c rollup presentation: micro-unit sums to 4dp doubles, plus
+    the mean derived from (sum, n) — derived measures live OUTSIDE the
+    state so merging stays exact."""
+    return state.select(
+        *keys,
+        F.col("n"),
+        round_half_up(F.col("_sum_micro").cast("double") / F.lit(MICRO)).alias(
+            "sum_value"
+        ),
+        round_half_up(
+            F.col("_sum_micro").cast("double")
+            / F.lit(MICRO)
+            / F.col("n").cast("double")
+        ).alias("avg_value"),
+        round_half_up(F.col("min_value")).alias("min_value"),
+        round_half_up(F.col("max_value")).alias("max_value"),
+    )

@@ -2773,6 +2773,26 @@ ORACLES["q_availability"] = """
     FROM per
     """
 
+# L29 incremental rollup: the oracle aggregates the FULL table in one
+# pass — equality with the Spark side's merged half-states proves the
+# associative merge law.
+ORACLES["q_rollup_incremental"] = """
+    SELECT user_id,
+           epoch_us(ts) // 86400000000 AS day,
+           COUNT(*) AS n,
+           floor(CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000
+             AS sum_value,
+           floor(CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1000000 / COUNT(*) * 10000 + 0.5) / 10000
+             AS avg_value,
+           floor(MIN(value) * 10000 + 0.5) / 10000 AS min_value,
+           floor(MAX(value) * 10000 + 0.5) / 10000 AS max_value
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY user_id, day
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

@@ -2003,6 +2003,22 @@ def q_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29 incremental view maintenance: the daily rollup built as
+    merge(state(first half), state(second half)) — two delta-sized
+    aggregates and one state-table merge, never a history reprocess;
+    the oracle recomputes from the full table, proving the merge law."""
+    ev = load_table(spark, sf_dir, "events")
+    half1 = analytics.daily_rollup_state(
+        ev.filter(F.col("event_id") % 2 == 0), "user_id", "ts", "value"
+    )
+    half2 = analytics.daily_rollup_state(
+        ev.filter(F.col("event_id") % 2 == 1), "user_id", "ts", "value"
+    )
+    merged = analytics.merge_rollup_states(half1, half2, ["user_id", "day"])
+    return analytics.present_rollup(merged, ["user_id", "day"])
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2315,6 +2331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_impute": q_impute,
     "q_dedup_pipeline": q_dedup_pipeline,
     "q_availability": q_availability,
+    "q_rollup_incremental": q_rollup_incremental,
     # -- 3. displaced stale greens (r3 for the portable twins, r3/r4
     #       below); all locally parity-checked every run; next in the
     #       r6 rotation after section 2, in this order -----------------

@@ -133,3 +133,33 @@ def write_clustered(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative integer columns
+    into one sort key — multi-dimensional clustering for
+    `write_clustered`: a lexicographic (a, b) sort makes row-group
+    statistics narrow on `a` only (each group spans b's full range);
+    sorting by the interleaved key makes BOTH columns' per-row-group
+    ranges narrow, so predicates on EITHER dimension skip row groups
+    (the public Z-order layout trick Delta/Iceberg OPTIMIZE uses,
+    Morton 1966).
+
+    Pure JVM bit expressions (2*bits shift/or terms, constant-folded
+    per row — no UDF). Callers normalize each dimension into
+    [0, 2^bits) first (rank, bucket id, or offset from a minimum);
+    values are masked to `bits` low bits, so overflow wraps rather than
+    poisoning the sort.
+    """
+    from pyspark.sql import functions as F
+
+    a = c1.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    b = c2.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return key

@@ -1195,6 +1195,113 @@ def holt_stream(
     )
 
 
+AVAIL_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("down_us", LongType()),
+    ]
+)
+
+
+def make_availability_fn(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    offline_gap_seconds: int = 21600,
+):
+    """applyInPandasWithState body for the K21 streaming twin (picklable
+    closure). Per key the carry cell is FOUR longs — (count, first
+    epoch, last epoch, accumulated downtime): each row in (ts, id)
+    order extends last; a gap above the threshold adds WHOLE to
+    downtime, matching the batch contract exactly (same integer
+    microsecond arithmetic). Emission recomputes span/availability from
+    the cell, rounded exactly like the batch operator."""
+    import math
+
+    thresh = int(offline_gap_seconds) * 1_000_000
+
+    def fn(key, pdfs, state):
+        n, first, last, down = (
+            state.get if state.exists else (0, None, None, 0)
+        )
+        pdf = one_frame(pdfs)
+        if pdf is not None:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            ts = pdf[ts_col]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            for t in ts.astype("datetime64[us]").astype("int64"):
+                t = int(t)
+                if first is None:
+                    first = t
+                else:
+                    gap = t - last
+                    if gap > thresh:
+                        down += gap
+                last = t
+                n += 1
+        state.update((n, first, last, down))
+        if n > 0:
+            span = last - first
+            r4 = lambda x: math.floor(x * 10000.0 + 0.5) / 10000.0
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "span_seconds": [r4(span / 1e6)],
+                    "downtime_seconds": [r4(down / 1e6)],
+                    "availability": [
+                        math.floor((1.0 - down / span) * 1000000.0 + 0.5)
+                        / 1000000.0
+                        if span > 0
+                        else None
+                    ],
+                }
+            )
+
+    return fn
+
+
+def availability_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    offline_gap_seconds: int = 21600,
+) -> DataFrame:
+    """K21 streaming twin: running per-key availability with a
+    FOUR-long carry cell — the live SLA board, where the batch form
+    (`sessions.availability_per_key`, oracled as `q_availability`)
+    recomputes from history. n_events is monotone, so max(n_events)
+    marks the final row per key; that final emission equals the batch
+    operator over the replayed data (batch-equivalence + restart
+    tested)."""
+    tagged = events.select(F.col(key_col), F.col(ts_col), F.col(id_col))
+    out_schema = StructType(
+        [
+            tagged.schema[key_col],
+            StructField("n_events", LongType()),
+            StructField("span_seconds", DoubleType()),
+            StructField("downtime_seconds", DoubleType()),
+            StructField("availability", DoubleType()),
+        ]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_availability_fn(
+            key_col=key_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            offline_gap_seconds=offline_gap_seconds,
+        ),
+        outputStructType=out_schema,
+        stateStructType=AVAIL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 MG_STATE_SCHEMA = StructType(
     [
         StructField("items", ArrayType(StringType())),

@@ -214,3 +214,67 @@ def test_clustered_write_rowgroup_stats_are_selective(spark, sf_smoke, tmp_path)
             multi += 1
     assert multi > 0, "expected multi-row-group files at 8 KiB blocks"
 
+def test_zorder_key_narrows_both_dimensions(spark, sf_smoke, tmp_path):
+    """zorder_key + write_clustered: vs the lexicographic (user, hour)
+    sort — where row groups are narrow on user but span hour's full
+    range — the Morton-interleaved sort must shrink the average
+    per-row-group HOUR range while keeping user ranges bounded. That
+    range shrinkage is exactly what lets a predicate on either
+    dimension skip row groups."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+    from azure_iot_realtime_data_pipeline_spark.sources.bucketed import (
+        write_clustered,
+        zorder_key,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    mn = ev.agg(F.min(F.unix_micros("ts"))).collect()[0][0]
+    # pin the write date so everything lands in one partition dir; the
+    # hour index is the second clustering dimension under test
+    ev2 = load_table(spark, sf_smoke, "events").select(
+        "event_id",
+        "user_id",
+        ((F.unix_micros("ts") - F.lit(mn)) / F.lit(3_600_000_000)).cast("long").alias("hour_idx"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+    def avg_ranges(dst):
+        files = glob.glob(os.path.join(dst, "event_date=*", "*.parquet"))
+        tot_u = tot_h = n = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ui, hi = names.index("user_id"), names.index("hour_idx")
+            for g in range(md.num_row_groups):
+                su = md.row_group(g).column(ui).statistics
+                sh = md.row_group(g).column(hi).statistics
+                tot_u += su.max - su.min
+                tot_h += sh.max - sh.min
+                n += 1
+        return tot_u / n, tot_h / n, n
+
+    lex = str(tmp_path / "lex")
+    write_clustered(
+        ev2, lex, cluster_cols=("user_id", "hour_idx"),
+        writer_options={"parquet.block.size": "8192"},
+    )
+    zo = str(tmp_path / "zo")
+    z = ev2.withColumn("_z", zorder_key(F.col("user_id"), F.col("hour_idx")))
+    write_clustered(
+        z, zo, cluster_cols=("_z",),
+        writer_options={"parquet.block.size": "8192"},
+    )
+    u_lex, h_lex, n_lex = avg_ranges(lex)
+    u_zo, h_zo, n_zo = avg_ranges(zo)
+    assert n_lex > 1 and n_zo > 1
+    # Z-order must narrow the second dimension dramatically...
+    assert h_zo < h_lex * 0.6, (h_zo, h_lex)
+    # ...without giving up all locality on the first
+    assert u_zo < (u_lex + 1) * 64, (u_zo, u_lex)
+

@@ -1282,6 +1282,48 @@ def test_holt_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_pat
     assert got == want
 
 
+def test_availability_stream_final_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """K21 streaming twin: the four-long carry cell's final emission per
+    key equals the batch availability report over the replayed data —
+    identical integer-microsecond gap accounting."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        availability_per_key,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        availability_stream,
+    )
+
+    q = (
+        availability_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("avail")
+        .option("checkpointLocation", str(tmp_path / "ckpt_avail"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, span_seconds, downtime_seconds,
+               availability FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC
+          ) AS rn FROM avail
+        ) WHERE rn = 1
+        """
+    )
+    want = availability_per_key(
+        load_table(spark, sf_smoke, "events"), "user_id", "ts", "event_id", 21600
+    )
+    cols = [
+        "user_id", "n_events", "span_seconds", "downtime_seconds",
+        "availability",
+    ]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
+
+
 def test_heavy_hitters_stream_mg_guarantees(spark, sf_smoke, replay_dir, tmp_path):
     """Misra-Gries invariants vs exact batch counts over the replayed
     events stream, per event_type group at k=8: (1) every item with
