@@ -1526,3 +1526,44 @@ def present_rollup(state: DataFrame, keys: list[str]) -> DataFrame:
         round_half_up(F.col("min_value")).alias("min_value"),
         round_half_up(F.col("max_value")).alias("max_value"),
     )
+
+
+def trending_counts(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """L30 trending screen — per (type, time bucket): event count, the
+    previous bucket's count, and the growth ratio. The "what just took
+    off" view behind alerting on error bursts and content trends; L16's
+    day-over-day is the calendar special case, this is the generic
+    bucketed form with gap-aware lag (a type silent for a bucket
+    compares against its LAST ACTIVE bucket, not an imaginary zero —
+    documented choice, matching the oracle).
+
+    ONE shuffle to the (type, bucket) counts (map-side combined); the
+    lag window runs over that aggregated table only. Growth is NULL for
+    each type's first bucket; 4dp.
+
+    Returns (type, bucket_start, n, prev_n, growth).
+    """
+    b_us = int(bucket_seconds) * 1_000_000
+    bucket = (F.unix_micros(F.col(ts_col)) / F.lit(b_us)).cast(
+        "long"
+    ) * F.lit(b_us)
+    counts = (
+        df.select(F.col(type_col).alias("type"), bucket.alias("_b"))
+        .groupBy("type", "_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("type").orderBy(F.col("_b"))
+    return counts.select(
+        "type",
+        F.timestamp_micros(F.col("_b")).alias("bucket_start"),
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        round_half_up(
+            F.col("n").cast("double") / F.lag("n").over(w).cast("double")
+        ).alias("growth"),
+    )

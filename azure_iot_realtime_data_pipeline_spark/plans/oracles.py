@@ -2793,6 +2793,53 @@ ORACLES["q_rollup_incremental"] = """
     GROUP BY user_id, day
     """
 
+# L30 trending: integer bucket arithmetic, lag over the aggregated
+# (type, bucket) table; growth NULL on each type's first bucket.
+ORACLES["q_trending"] = """
+    WITH counts AS (
+      SELECT event_type AS type,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT type, make_timestamp(b) AS bucket_start, n,
+           lag(n) OVER w AS prev_n,
+           floor(CAST(n AS DOUBLE) / CAST(lag(n) OVER w AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS growth
+    FROM counts
+    WINDOW w AS (PARTITION BY type ORDER BY b)
+    """
+
+# J53 corpus prep chain: dedup carries min(text) (identical within an
+# md5 group), then lang/quality/tokens run on the deduped rows only.
+ORACLES["q_corpus_prep"] = f"""
+    WITH dd AS (
+      SELECT min(doc_id) AS doc_id, min(text) AS text
+      FROM documents GROUP BY md5(text)
+    ),
+    t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM dd
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             floor((0.5 * (CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^a-z ]', '', 'g'))
+                              AS DOUBLE) / length(text) END)
+                 + 0.5 * (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(toks, t -> t IN {STOP_IN}))
+                              AS DOUBLE) / len(toks) END))
+                   * 10000 + 0.5) / 10000 AS quality,
+             CASE WHEN len(list_filter(toks, t -> t IN {STOP_IN})) > 0
+                  THEN 'en' ELSE 'und' END AS lang
+      FROM t
+    )
+    SELECT doc_id, n_tokens, quality
+    FROM scored WHERE lang = 'en' AND quality >= 0.5
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

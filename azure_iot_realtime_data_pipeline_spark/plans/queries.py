@@ -2019,6 +2019,38 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.present_rollup(merged, ["user_id", "day"])
 
 
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L30 hour-bucket trending: one shuffle to the (type, bucket)
+    counts, gap-aware lag window over the aggregated table only."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.trending_counts(ev, "event_type", "ts", bucket_seconds=3600)
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J53 corpus-preparation chain (#7): exact dedup -> language
+    filter -> quality filter -> per-doc token accounting, the standard
+    LLM data-cleaning front end — in ONE total shuffle. The trick: all
+    copies in an md5 group share the SAME text, so the dedup aggregate
+    carries min(text) through and every later stage (J10 lang-id, J9
+    quality, J9 token count) runs MAP-SIDE on the deduped table — no
+    join back to the corpus at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    dd = (
+        docs.select(F.md5(F.col("text")).alias("_h"), "doc_id", "text")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+    )
+    scored = dd.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.quality_score(F.col("text")).alias("quality"),
+        text.lang_id(F.col("text")).alias("_lang"),
+    )
+    return scored.filter(
+        (F.col("_lang") == "en") & (F.col("quality") >= 0.5)
+    ).select("doc_id", "n_tokens", "quality")
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2332,6 +2364,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_pipeline": q_dedup_pipeline,
     "q_availability": q_availability,
     "q_rollup_incremental": q_rollup_incremental,
+    "q_trending": q_trending,
+    "q_corpus_prep": q_corpus_prep,
     # -- 3. displaced stale greens (r3 for the portable twins, r3/r4
     #       below); all locally parity-checked every run; next in the
     #       r6 rotation after section 2, in this order -----------------
