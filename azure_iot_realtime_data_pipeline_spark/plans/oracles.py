@@ -2840,6 +2840,66 @@ ORACLES["q_corpus_prep"] = f"""
     FROM scored WHERE lang = 'en' AND quality >= 0.5
     """
 
+# M9 Q2 shape: struct-min argmin with suppkey tie-break; unit cost in
+# exact micro-units.
+ORACLES["q_cheapest_supplier"] = """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(floor(l_extendedprice / l_quantity * 1000000 + 0.5)
+                      AS BIGINT)) AS cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, cost, l_suppkey,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY cost, l_suppkey) AS rn
+      FROM offers
+    )
+    SELECT b.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+           CAST(b.cost AS DOUBLE) / 1000000 AS unit_cost
+    FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    WHERE b.rn = 1
+    """
+
+# M10 Q11 shape: per-part revenue vs one-row grand total.
+ORACLES["q_important_parts"] = """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS t FROM per_part)
+    SELECT l_partkey AS p_partkey,
+           CAST(rev AS DOUBLE) / 1000000 AS revenue,
+           floor(CAST(rev AS DOUBLE) / CAST(t AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS share
+    FROM per_part, tot
+    WHERE CAST(rev AS DOUBLE) > 0.001 * CAST(t AS DOUBLE)
+    """
+
+# M11 Q22 shape: scalar-avg broadcast filter + NOT EXISTS as anti join;
+# balances in exact cents.
+ORACLES["q_idle_rich_customers"] = """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total_balance
+    FROM customer c, avg_bal
+    WHERE CAST(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS DOUBLE)
+            > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

@@ -2051,6 +2051,105 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "quality")
 
 
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 scale validation (TPC-H Q2 shape): the cheapest supplier per
+    part — the GROUPWISE-ARGMIN correlated subquery, decorrelated as a
+    struct-min aggregate (the E5/K8 trick: min over (cost, suppkey)
+    structs picks the argmin in the SAME one pass — no per-part min
+    table joined back, no second fact scan, deterministic suppkey
+    tie-break). Unit cost is exact micro-units of
+    extendedprice/quantity; the fact shuffles ONCE on (part, supp) for
+    the offer aggregate, once more on part for the argmin — both
+    map-side combined; supplier names broadcast in last."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        MICRO,
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    offers = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                micro_units(F.col("l_extendedprice") / F.col("l_quantity"))
+            ).alias("_cost")
+        )
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min(F.struct(F.col("_cost"), F.col("l_suppkey"))).alias("_b")
+    )
+    return best.join(
+        F.broadcast(supp), best["_b"]["l_suppkey"] == supp["s_suppkey"]
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "s_suppkey",
+        "s_name",
+        (F.col("_b")["_cost"].cast("double") / F.lit(MICRO)).alias("unit_cost"),
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 scale validation (TPC-H Q11 shape): parts whose revenue share
+    exceeds 0.1% of the corpus total — the HAVING-over-global-scalar
+    decorrelation: per-part revenue is the fact's ONE exchange, the
+    grand total is a one-row aggregate OF THAT TABLE broadcast back as
+    a filter (never a second fact scan, never a subquery per group)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        MICRO,
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = micro_units(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("_rev"))
+    total = per_part.agg(F.sum("_rev").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_rev").cast("double")
+            > F.lit(0.001) * F.col("_tot").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("_rev").cast("double") / F.lit(MICRO)).alias("revenue"),
+            round_half_up(
+                F.col("_rev").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("share"),
+        )
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 scale validation (TPC-H Q22 shape): per nation, customers
+    with above-average balance and NO orders — the two classic
+    decorrelations in one query: the scalar AVG subquery becomes a
+    one-row broadcast filter, NOT EXISTS becomes a LEFT ANTI hash join
+    (orders project to the distinct custkey column only before the
+    anti side). Balance sums in exact int64 cents."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(cents).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "_avg_cents"
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(cents.cast("double") > F.col("_avg_cents"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_balance"),
+        )
+    )
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2366,6 +2465,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rollup_incremental": q_rollup_incremental,
     "q_trending": q_trending,
     "q_corpus_prep": q_corpus_prep,
+    "q_cheapest_supplier": q_cheapest_supplier,
+    "q_important_parts": q_important_parts,
+    "q_idle_rich_customers": q_idle_rich_customers,
     # -- 3. displaced stale greens (r3 for the portable twins, r3/r4
     #       below); all locally parity-checked every run; next in the
     #       r6 rotation after section 2, in this order -----------------

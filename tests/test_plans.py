@@ -44,6 +44,8 @@ BNLJ_ALLOWED = {
     "q_key_skew",
     "q_vocab_coverage",
     "q_chi_square",
+    "q_important_parts",      # one-row grand total onto per-part revs
+    "q_idle_rich_customers",  # one-row scalar-avg broadcast filter
 }
 
 #: the reference's anomaly window has no PARTITION BY
@@ -73,6 +75,8 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_top_supplier",    # one-row max over the supplier-sized agg
     "q_orphans",         # one audit row per child scan (4 scans)
     "q_chi_square",      # one-row grand total of the tiny cell table
+    "q_important_parts",      # one-row grand total (Q11 decorrelation)
+    "q_idle_rich_customers",  # one-row scalar avg (Q22 decorrelation)
 }
 
 
