@@ -1049,7 +1049,7 @@ def seasonal_baseline(
     value_col: str,
     tiebreak: str,
 ) -> DataFrame:
-    """L21 seasonal (hour-of-day) baseline deviation — the diurnal
+    """L31 seasonal (hour-of-day) baseline deviation — the diurnal
     anomaly screen that a global mean can't give: a thermostat reading
     of 28° is normal at 15:00 and alarming at 03:00. Each measurement
     is scored against the mean of ITS OWN (key, hour-of-day) stratum.
@@ -1091,7 +1091,7 @@ def referential_orphans(
     child: DataFrame,
     checks: list[tuple[str, str, DataFrame, str, bool]],
     ) -> DataFrame:
-    """L22 referential-integrity audit (one child table): for each
+    """L32 referential-integrity audit (one child table): for each
     (relationship, fk_col, parent, pk_col, broadcast) check, count the
     child rows whose non-NULL foreign key has no parent row — the
     orphan screen every warehouse load gate runs (the reference's FK
@@ -1101,7 +1101,11 @@ def referential_orphans(
     All checks against one child table share ONE scan: every parent's
     key column left-joins on (its PK assumed unique — duplicated PKs
     would fan rows out and inflate every later count), dimension-sized
-    parents broadcast (map-side, zero child shuffle), and a single
+    parents broadcast (map-side, zero child shuffle), big parents are
+    PINNED to a shuffle hash join (without the hint Spark's
+    preferSortMergeJoin default turns the orders-sized edge into the
+    repo-banned SortMergeJoin once it outgrows auto-broadcast — the
+    smoke-scale plan gate can't see that), and a single
     aggregate produces all orphan counts at once, unpivoted by `stack`
     into the tall (relationship, n_child, n_orphans) report. NULL
     foreign keys are not orphans (they reference nothing).
@@ -1111,8 +1115,7 @@ def referential_orphans(
     for i, (rel, fk, parent, pk, bc) in enumerate(checks):
         pcol = f"_pk{i}"
         pr = parent.select(F.col(pk).alias(pcol))
-        if bc:
-            pr = F.broadcast(pr)
+        pr = F.broadcast(pr) if bc else pr.hint("shuffle_hash")
         df = df.join(pr, F.col(fk) == F.col(pcol), "left")
         flags.append((rel, fk, pcol))
     aggs = [F.count(F.lit(1)).alias("_n")]
@@ -1232,6 +1235,32 @@ def last_touch_attribution(
     )
 
 
+def pearson_from_moments(
+    m: DataFrame,
+    n_col: str,
+    sx: str,
+    sy: str,
+    sxy: str,
+    sxx: str,
+    syy: str,
+    out_col: str = "corr",
+) -> DataFrame:
+    """Shared L17/L25/L26 closed form: Pearson correlation from five
+    exact DECIMAL(38,0) moments — num/den cast to double ONCE, one
+    division and sqrt in fixed order, NULL when either margin has zero
+    variance, 4dp half-up. One implementation site so the cross-engine
+    rounding/NULL-variance contract can't drift between the three
+    moment consumers."""
+    nd = F.col(n_col).cast("decimal(38,0)")
+    num = (nd * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+    den_x = (nd * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+    den_y = (nd * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+    corr = round_half_up(num / F.sqrt(den_x * den_y))
+    return m.withColumn(
+        out_col, F.when((den_x != 0.0) & (den_y != 0.0), corr)
+    )
+
+
 def metric_correlation(
     df: DataFrame,
     type_col: str,
@@ -1296,17 +1325,9 @@ def metric_correlation(
         F.sum(F.col("_ya") * F.col("_ya")).alias("_saa"),
         F.sum(F.col("_yb") * F.col("_yb")).alias("_sbb"),
     )
-    nd = F.col("n_days").cast("decimal(38,0)")
-    num = (nd * F.col("_sab") - F.col("_sa") * F.col("_sb")).cast("double")
-    den_a = (nd * F.col("_saa") - F.col("_sa") * F.col("_sa")).cast("double")
-    den_b = (nd * F.col("_sbb") - F.col("_sb") * F.col("_sb")).cast("double")
-    corr = round_half_up(num / F.sqrt(den_a * den_b))
-    return m.select(
-        "type_a",
-        "type_b",
-        "n_days",
-        F.when((den_a != 0.0) & (den_b != 0.0), corr).alias("corr"),
-    )
+    return pearson_from_moments(
+        m, "n_days", "_sa", "_sb", "_sab", "_saa", "_sbb"
+    ).select("type_a", "type_b", "n_days", "corr")
 
 
 def autocorr_per_key(
@@ -1354,16 +1375,9 @@ def autocorr_per_key(
         F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
         F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
     )
-    nd = F.col("n_pairs").cast("decimal(38,0)")
-    num = (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
-    den_x = (nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
-    den_y = (nd * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
-    acf = round_half_up(num / F.sqrt(den_x * den_y))
-    return m.select(
-        F.col(key),
-        "n_pairs",
-        F.when((den_x != 0.0) & (den_y != 0.0), acf).alias("acf1"),
-    )
+    return pearson_from_moments(
+        m, "n_pairs", "_sx", "_sy", "_sxy", "_sxx", "_syy", out_col="acf1"
+    ).select(F.col(key), "n_pairs", "acf1")
 
 
 def top_journeys(

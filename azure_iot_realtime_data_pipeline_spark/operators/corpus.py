@@ -874,7 +874,7 @@ def bigram_lm(
     id_col: str = "doc_id",
     min_count: int = 5,
 ) -> DataFrame:
-    """J49 bigram language-model table — conditional next-token
+    """J54 bigram language-model table — conditional next-token
     probabilities P(w2|w1) over the corpus, the classic KenLM-lite
     statistic behind perplexity filters and junk detection (a corpus
     whose mass sits on a few rote bigrams is template spam).

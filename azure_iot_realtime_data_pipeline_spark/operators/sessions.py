@@ -1067,7 +1067,8 @@ def availability_per_key(
     gap = F.lead(ts_us).over(w) - ts_us
     thresh = int(offline_gap_seconds) * 1_000_000
     per = (
-        df.select(F.col(key), ts_us.alias("_t"), gap.alias("_gap"))
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(key), ts_us.alias("_t"), gap.alias("_gap"))
         .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -2403,7 +2403,7 @@ ORACLES["q_holt"] = """
     FROM folded
     """
 
-# L21 seasonal baseline: the stratum mean is a window aggregate over
+# L31 seasonal baseline: the stratum mean is a window aggregate over
 # DECIMAL(18,2) sums (order-independent), divided in double only at the
 # end — same recipe as L14 z-score.
 ORACLES["q_seasonal_baseline"] = """
@@ -2426,7 +2426,7 @@ ORACLES["q_seasonal_baseline"] = """
     FROM s
     """
 
-# J49 bigram LM: pairs built by zipping each token list with its own
+# J54 bigram LM: pairs built by zipping each token list with its own
 # tail (list_zip pads with NULL -> the final sentinel pair drops); the
 # denominator is fixed over ALL continuations before min_count prunes.
 ORACLES["q_bigram_lm"] = """
@@ -2496,7 +2496,7 @@ ORACLES["q_top_supplier"] = """
     WHERE p.rev = (SELECT MAX(rev) FROM per_supp)
     """
 
-# L22 orphans: six FK edges, NULL FKs are not orphans; counts as BIGINT.
+# L32 orphans: six FK edges, NULL FKs are not orphans; counts as BIGINT.
 ORACLES["q_orphans"] = """
     SELECT 'lineitem.l_orderkey->orders' AS relationship,
            (SELECT COUNT(*) FROM lineitem) AS n_child,

@@ -1813,7 +1813,7 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L21 hour-of-day baseline deviation per device: one (key, hour)
+    """L31 hour-of-day baseline deviation per device: one (key, hour)
     shuffle, unordered window mean over DECIMAL-exact sums, no join —
     each reading scored against its own diurnal stratum."""
     ev = load_table(spark, sf_dir, "events")
@@ -1821,7 +1821,7 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J49 corpus bigram LM table P(w2|w1) at min_count 5: pairs zipped
+    """J54 corpus bigram LM table P(w2|w1) at min_count 5: pairs zipped
     map-side inside each token array (no row window), one shuffle to
     the pair counts, denominator window over the vocab-sized aggregate
     only."""
@@ -1876,7 +1876,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L22 referential-integrity audit across the warehouse's six FK
+    """L32 referential-integrity audit across the warehouse's six FK
     edges in FOUR child scans (the three lineitem checks share one):
     dimension parents broadcast map-side, orders joins hash; each scan
     ends in one-row partial aggregates unpivoted to the tall report."""
@@ -1996,7 +1996,8 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K21 per-device availability at a 6-h offline threshold: one
     window sort feeding one aggregate on the same key partitioning,
-    integer-microsecond duration math."""
+    integer-microsecond duration math; NULL timestamps carry no
+    observation (dropped, matching the streaming twin)."""
     ev = load_table(spark, sf_dir, "events")
     return sessions.availability_per_key(
         ev, "user_id", "ts", "event_id", offline_gap_seconds=21600
@@ -2129,7 +2130,9 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelations in one query: the scalar AVG subquery becomes a
     one-row broadcast filter, NOT EXISTS becomes a LEFT ANTI hash join
     (orders project to the distinct custkey column only before the
-    anti side). Balance sums in exact int64 cents."""
+    anti side, PINNED shuffle-hash — auto-broadcast covers it at smoke
+    scale but at warehouse scale the unhinted default would be the
+    banned SortMergeJoin). Balance sums in exact int64 cents."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
     cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
@@ -2141,7 +2144,11 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(cents.cast("double") > F.col("_avg_cents"))
-        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .join(
+            orders.hint("shuffle_hash"),
+            cust["c_custkey"] == orders["o_custkey"],
+            "left_anti",
+        )
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

@@ -1228,6 +1228,10 @@ def make_availability_fn(
         )
         pdf = one_frame(pdfs)
         if pdf is not None:
+            # NaT guard BEFORE the int64 cast: a NULL ts would become
+            # INT64 min and poison first/last/downtime; the batch form
+            # drops NULL timestamps, so the twin must skip them too
+            pdf = pdf[pdf[ts_col].notna()]
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
             ts = pdf[ts_col]
             if getattr(ts.dt, "tz", None) is not None:

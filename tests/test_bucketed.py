@@ -159,8 +159,9 @@ def test_clustered_write_rowgroup_stats_are_selective(spark, sf_smoke, tmp_path)
     """write_clustered: within every written file the cluster column's
     row-group min/max ranges must be sorted and non-overlapping (that
     is what makes parquet statistics prune on a point predicate), and
-    the partition directories must exist. Contrast-checked against an
-    unclustered write, where row-group key ranges overlap heavily."""
+    the partition directories must exist. Dropping sortWithinPartitions
+    fails the non-overlap assertion directly (hash-distributed keys
+    span the full range in every group)."""
     import glob
     import os
 

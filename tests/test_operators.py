@@ -914,7 +914,7 @@ def test_symspell_recall_on_all_edit_types(spark):
         dedup.symspell_pairs(df, "id", "name", max_edits=2)
 
 def test_seasonal_baseline_scores_against_own_hour(spark):
-    """L21: a reading is scored against ITS hour-of-day stratum mean —
+    """L31: a reading is scored against ITS hour-of-day stratum mean —
     the 03:00 spike deviates while the identical 15:00 reading doesn't;
     NaN/NULL measurements drop."""
     import datetime as dt
@@ -946,7 +946,7 @@ def test_seasonal_baseline_scores_against_own_hour(spark):
     assert out[2]["deviation"] == -6.0
 
 def test_referential_orphans_counts_and_null_fks(spark):
-    """L22: non-NULL FKs without a parent count as orphans; NULL FKs do
+    """L32: non-NULL FKs without a parent count as orphans; NULL FKs do
     not; all checks on one child share one scan and one aggregate."""
     from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
         referential_orphans,

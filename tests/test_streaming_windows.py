@@ -1324,6 +1324,41 @@ def test_availability_stream_final_matches_batch(spark, sf_smoke, replay_dir, tm
     assert got.count() == want.count() > 0
 
 
+def test_availability_fn_skips_nat_timestamps():
+    """Review regression: a NULL/NaT timestamp must be SKIPPED by the
+    K21 carry fn (the batch form drops NULL ts) — without the guard the
+    int64 cast turns NaT into INT64 min and poisons first/last/down."""
+    import pandas as pd
+
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        make_availability_fn,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    fn = make_availability_fn(offline_gap_seconds=21600)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", None, "2024-01-01 12:00:00"]
+            ),
+            "event_id": [1, 2, 3],
+        }
+    )
+    st = FakeState()
+    out = list(fn((1,), iter([pdf]), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["n_events"] == 2
+    assert row["span_seconds"] == 12 * 3600.0
+    assert row["downtime_seconds"] == 12 * 3600.0  # one 12-h gap > 6 h
+
+
 def test_heavy_hitters_stream_mg_guarantees(spark, sf_smoke, replay_dir, tmp_path):
     """Misra-Gries invariants vs exact batch counts over the replayed
     events stream, per event_type group at k=8: (1) every item with
