@@ -1306,6 +1306,112 @@ def availability_stream(
     )
 
 
+TRENDING_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_bucket", LongType()),
+        StructField("cur_n", LongType()),
+        StructField("prev_n", LongType()),
+    ]
+)
+
+
+def make_trending_fn(
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+):
+    """applyInPandasWithState body for the L30 streaming twin (picklable
+    closure). Per type the carry is THREE longs — (current bucket id,
+    its running count, the LAST CLOSED bucket's count): a row landing
+    in a LATER bucket closes the current one, emitting (bucket_start,
+    n, prev_n, growth) with the gap-aware lag semantics of the batch
+    operator (growth compares against the last ACTIVE bucket, silent
+    buckets don't reset it). The open bucket is never emitted — the
+    batch-equivalence test excludes each type's final bucket. NULL
+    timestamps are skipped (no bucket)."""
+    import math
+
+    b_us = int(bucket_seconds) * 1_000_000
+
+    def fn(key, pdfs, state):
+        cur_b, cur_n, prev_n = (
+            state.get if state.exists else (None, 0, None)
+        )
+        rows = []
+        pdf = one_frame(pdfs)
+        if pdf is not None:
+            pdf = pdf[pdf[ts_col].notna()]
+            pdf = pdf.sort_values([ts_col], kind="stable")
+            ts = pdf[ts_col]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            for t in ts.astype("datetime64[us]").astype("int64"):
+                b = (int(t) // b_us) * b_us
+                if cur_b is None:
+                    cur_b, cur_n = b, 0
+                elif b > cur_b:
+                    growth = (
+                        None
+                        if prev_n is None
+                        else math.floor(cur_n / prev_n * 10000.0 + 0.5)
+                        / 10000.0
+                    )
+                    rows.append((key[0], cur_b, cur_n, prev_n, growth))
+                    prev_n = cur_n
+                    cur_b, cur_n = b, 0
+                cur_n += 1
+        state.update((cur_b, cur_n, prev_n))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    type_col, "_bucket_us", "n", "prev_n", "growth"
+                ],
+            )
+
+    return fn
+
+
+def trending_stream(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """L30 streaming twin: per-type bucket counts with gap-aware growth,
+    emitted as buckets CLOSE (a later-bucket arrival closes the current
+    one) — three longs of state per type, where the batch form
+    (`analytics.trending_counts`, oracled as `q_trending`) re-sorts
+    history. Emitted rows equal the batch rows for every bucket except
+    each type's final (still-open) one (batch-equivalence tested)."""
+    tagged = events.select(F.col(type_col), F.col(ts_col))
+    out_schema = StructType(
+        [
+            tagged.schema[type_col],
+            StructField("_bucket_us", LongType()),
+            StructField("n", LongType()),
+            StructField("prev_n", LongType()),
+            StructField("growth", DoubleType()),
+        ]
+    )
+    out = tagged.groupBy(type_col).applyInPandasWithState(
+        make_trending_fn(
+            type_col=type_col, ts_col=ts_col, bucket_seconds=bucket_seconds
+        ),
+        outputStructType=out_schema,
+        stateStructType=TRENDING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        F.col(type_col).alias("type"),
+        F.timestamp_micros(F.col("_bucket_us")).alias("bucket_start"),
+        "n",
+        "prev_n",
+        "growth",
+    )
+
+
 MG_STATE_SCHEMA = StructType(
     [
         StructField("items", ArrayType(StringType())),

@@ -1359,6 +1359,44 @@ def test_availability_fn_skips_nat_timestamps():
     assert row["downtime_seconds"] == 12 * 3600.0  # one 12-h gap > 6 h
 
 
+def test_trending_stream_closed_buckets_match_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """L30 streaming twin: every CLOSED bucket's (n, prev_n, growth)
+    equals the batch operator's row; only each type's final (open)
+    bucket is absent from the stream output."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        trending_counts,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        trending_stream,
+    )
+
+    q = (
+        trending_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trending")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trending"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("trending")
+    batch = trending_counts(
+        load_table(spark, sf_smoke, "events"), "event_type", "ts", 3600
+    )
+    # exclude each type's final bucket from the batch side
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    w = W.partitionBy("type")
+    closed = batch.withColumn(
+        "_mx", SF.max("bucket_start").over(w)
+    ).filter(SF.col("bucket_start") < SF.col("_mx")).drop("_mx")
+    cols = ["type", "bucket_start", "n", "prev_n", "growth"]
+    assert _as_set(got, cols) == _as_set(closed, cols)
+    assert got.count() == closed.count() > 0
+
+
 def test_heavy_hitters_stream_mg_guarantees(spark, sf_smoke, replay_dir, tmp_path):
     """Misra-Gries invariants vs exact batch counts over the replayed
     events stream, per event_type group at k=8: (1) every item with
