@@ -1581,3 +1581,85 @@ def trending_counts(
             F.col("n").cast("double") / F.lag("n").over(w).cast("double")
         ).alias("growth"),
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+) -> DataFrame:
+    """L33 Kaplan-Meier survival curve over observed lifespans — the
+    churn/retention statistic (Kaplan & Meier 1958, public): for each
+    observed lifespan t (whole days between a key's first and last
+    event), the fraction of the population still "alive" after t,
+    S(t) = prod_{t_j <= t} (1 - d_j / n_j) with d_j deaths at t_j and
+    n_j the at-risk count. Complete-observation model (every key's
+    lifespan is observed — no censoring; the standard estimator
+    degenerates to exactly this product, kept in KM form so censoring
+    can be added without changing the algebra).
+
+    Plan shape: ONE shuffle to per-key lifespans, one aggregate to the
+    tiny (distinct-lifespan, deaths) table, then the WHOLE curve
+    computes inside a single-row array fold: elements mapped to
+    [d, 0] pairs, accumulator [cum_deaths, running_product] seeded
+    [0, 1] — the DOUBLE[]-pair fold (NOT a struct accumulator: DuckDB
+    1.0 evaluates struct-fold fields against a mutated accumulator, the
+    measured K18 bug) with the oracle running list_reduce over the
+    list_prepend'ed identical seed, so both engines execute the same
+    IEEE multiply/divide sequence. O(n^2) prefix folds over a
+    |distinct lifespans| array — bounded by the observation window in
+    days, never by corpus size.
+
+    Returns (t_days, deaths, at_risk, survival 6dp) ordered data
+    (one row per distinct lifespan).
+    """
+    ts_us = F.unix_micros(F.col(ts_col))
+    spans = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(key)
+        .agg(
+            ((F.max(ts_us) - F.min(ts_us)) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("_t")
+        )
+    )
+    deaths = spans.groupBy("_t").agg(F.count(F.lit(1)).alias("_d"))
+    one = deaths.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_t"), F.col("_d")))
+        ).alias("_arr"),
+        F.sum("_d").alias("_n")
+    )
+    n_total = F.col("_n").cast("double")
+    mapped = F.transform(
+        F.col("_arr"),
+        lambda x: F.array(x["_d"].cast("double"), F.lit(0.0)),
+    )
+    folds = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_arr"))),
+        lambda i: F.aggregate(
+            F.slice(mapped, 1, i),
+            F.array(F.lit(0.0), F.lit(1.0)),
+            lambda acc, x: F.array(
+                F.element_at(acc, 1) + F.element_at(x, 1),
+                F.element_at(acc, 2)
+                * (
+                    F.lit(1.0)
+                    - F.element_at(x, 1) / (n_total - F.element_at(acc, 1))
+                ),
+            ),
+        ),
+    )
+    exploded = one.select(
+        F.col("_n"),
+        F.posexplode(F.arrays_zip(F.col("_arr"), folds)).alias("_i", "_z")
+    )
+    cum_after = F.col("_z")["1"].getItem(0)
+    surv = F.col("_z")["1"].getItem(1)
+    return exploded.select(
+        F.col("_z")["_arr"]["_t"].alias("t_days"),
+        F.col("_z")["_arr"]["_d"].alias("deaths"),
+        (F.col("_n") - cum_after.cast("long") + F.col("_z")["_arr"]["_d"])
+        .alias("at_risk"),
+        round_half_up(surv, 6).alias("survival"),
+    )

@@ -2900,6 +2900,45 @@ ORACLES["q_idle_rich_customers"] = """
     GROUP BY c.c_nationkey
     """
 
+# L33 Kaplan-Meier: the [cum_deaths, product] DOUBLE[] fold with the
+# seed prepended (list_reduce seeds from the first element — the J11
+# fingerprint trick), identical op order to the Spark explicit-init
+# fold; struct accumulators are off-limits (the K18 DuckDB bug).
+ORACLES["q_survival"] = """
+    WITH spans AS (
+      SELECT user_id,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS t
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ),
+    deaths AS (SELECT t, COUNT(*) AS d FROM spans GROUP BY t),
+    one AS (
+      SELECT list({'t': t, 'd': d} ORDER BY t) AS arr,
+             CAST(SUM(d) AS BIGINT) AS n
+      FROM deaths
+    ),
+    idx AS (
+      SELECT arr, n, unnest(generate_series(1, len(arr))) AS i FROM one
+    ),
+    folded AS (
+      SELECT arr[i]['t'] AS t_days,
+             arr[i]['d'] AS deaths,
+             n,
+             list_reduce(
+               list_prepend([0.0::DOUBLE, 1.0::DOUBLE],
+                 list_transform(arr[1:i],
+                                x -> [CAST(x.d AS DOUBLE), 0.0::DOUBLE])),
+               (acc, x) -> [acc[1] + x[1],
+                            acc[2] * (1.0::DOUBLE
+                                      - x[1] / (CAST(n AS DOUBLE) - acc[1]))]
+             ) AS st
+      FROM idx
+    )
+    SELECT t_days, deaths,
+           n - CAST(st[1] AS BIGINT) + deaths AS at_risk,
+           floor(st[2] * 1000000 + 0.5) / 1000000 AS survival
+    FROM folded
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

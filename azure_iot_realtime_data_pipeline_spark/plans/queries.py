@@ -2157,6 +2157,14 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33 Kaplan-Meier lifespan curve over device observation spans:
+    one shuffle to per-key lifespans, the whole curve from a single-row
+    DOUBLE[]-pair fold shared bit-for-bit with the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.survival_curve(ev, "user_id", "ts")
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2472,6 +2480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rollup_incremental": q_rollup_incremental,
     "q_trending": q_trending,
     "q_corpus_prep": q_corpus_prep,
+    "q_survival": q_survival,
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_important_parts": q_important_parts,
     "q_idle_rich_customers": q_idle_rich_customers,

@@ -1054,3 +1054,26 @@ def test_impute_median_fills_and_flags(spark):
     assert out[1]["imputed_value"] == 10.0 and not out[1]["was_imputed"]
     assert out[6]["imputed_value"] is None and out[6]["was_imputed"]
 
+def test_survival_curve_textbook_km(spark):
+    """L33: hand-checkable Kaplan-Meier — lifespans {0,0,1,2} give
+    S = 0.5, 0.25, 0.0 at t = 0, 1, 2 with the right at-risk counts."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        survival_curve,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (2, t0), (2, t0),
+        (3, t0), (3, t0 + dt.timedelta(days=1)),
+        (4, t0), (4, t0 + dt.timedelta(days=2, hours=3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = [
+        (r["t_days"], r["deaths"], r["at_risk"], r["survival"])
+        for r in survival_curve(df, "user_id", "ts").orderBy("t_days").collect()
+    ]
+    assert out == [(0, 2, 4, 0.5), (1, 1, 2, 0.25), (2, 1, 1, 0.0)]
+

@@ -77,6 +77,7 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_chi_square",      # one-row grand total of the tiny cell table
     "q_important_parts",      # one-row grand total (Q11 decorrelation)
     "q_idle_rich_customers",  # one-row scalar avg (Q22 decorrelation)
+    "q_survival",             # one-row curve fold over <= |observed days| cells
 }
 
 
