@@ -1663,3 +1663,92 @@ def survival_curve(
         .alias("at_risk"),
         round_half_up(surv, 6).alias("survival"),
     )
+
+
+def ab_mean_test(
+    df: DataFrame,
+    flag: Column,
+    value_col: str,
+) -> DataFrame:
+    """L34 two-sample mean comparison — the experimentation readout
+    (did variant B move the metric?): per arm n/mean/variance from ONE
+    map-side-combined aggregate (DECIMAL-exact sum and sum-of-squares,
+    the L14 recipe — double accumulation is order-dependent), then the
+    Welch-style z statistic z = (mean_b - mean_a) /
+    sqrt(var_a/n_a + var_b/n_b) with population variances, computed in
+    fixed double order. No p-value (normal CDF is a cross-libm trap —
+    erf differs in the last ulp between engines); |z| > 1.96 is the
+    standard 5% read.
+
+    The arm assignment is the caller's Column (a hash split, a flag
+    column, a date cutoff), so the operator composes with J19's
+    hash_split for real experiment plumbing. NULL/NaN measurements drop.
+
+    Returns ONE row: (n_a, n_b, mean_a, mean_b, diff, z), 4dp.
+    """
+    v = F.col(value_col).cast("double")
+    dec = v.cast("decimal(18,2)")
+    tagged = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.when(flag, F.lit("b")).otherwise(F.lit("a")).alias("_arm"),
+        dec.alias("_v"),
+    )
+    arms = tagged.groupBy("_arm").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_ss"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = F.col("_ss").cast("double") / n - mean * mean
+    stats = arms.select(
+        "_arm", "_n", mean.alias("_m"), var.alias("_var")
+    )
+    a = stats.filter(F.col("_arm") == "a").select(
+        F.col("_n").alias("n_a"), F.col("_m").alias("_ma"),
+        F.col("_var").alias("_va"),
+    )
+    b = stats.filter(F.col("_arm") == "b").select(
+        F.col("_n").alias("n_b"), F.col("_m").alias("_mb"),
+        F.col("_var").alias("_vb"),
+    )
+    z = (F.col("_mb") - F.col("_ma")) / F.sqrt(
+        F.col("_va") / F.col("n_a").cast("double")
+        + F.col("_vb") / F.col("n_b").cast("double")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        round_half_up(F.col("_ma")).alias("mean_a"),
+        round_half_up(F.col("_mb")).alias("mean_b"),
+        round_half_up(F.col("_mb") - F.col("_ma")).alias("diff"),
+        round_half_up(z).alias("z"),
+    )
+
+
+def schema_drift(a: DataFrame, b: DataFrame) -> DataFrame:
+    """L35 schema-drift report — the data-contract check run before
+    appending a new batch to an existing table (the silent killer at a
+    continuously-written bronze layout: an upstream type widening
+    corrupts every reader downstream). PURE METADATA — no job runs; the
+    result is a local relation built from the two schemas.
+
+    Status per column: 'ok' (same type), 'type_changed', 'added' (only
+    in b), 'removed' (only in a). Order: a's columns first (in a's
+    order), then b-only columns in b's order.
+    """
+    ta = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    tb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    rows = []
+    for name in [f.name for f in a.schema.fields]:
+        if name not in tb:
+            rows.append((name, ta[name], None, "removed"))
+        elif ta[name] != tb[name]:
+            rows.append((name, ta[name], tb[name], "type_changed"))
+        else:
+            rows.append((name, ta[name], tb[name], "ok"))
+    for name in [f.name for f in b.schema.fields]:
+        if name not in ta:
+            rows.append((name, None, tb[name], "added"))
+    return a.sparkSession.createDataFrame(
+        rows, "column string, type_a string, type_b string, status string"
+    )

@@ -2939,6 +2939,38 @@ ORACLES["q_survival"] = """
     FROM folded
     """
 
+# L34 A/B mean test: per-arm DECIMAL-exact moments, Welch z in the
+# identical double op order; population variance.
+ORACLES["q_ab_test"] = """
+    WITH tagged AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 'b' ELSE 'a' END AS arm,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n, SUM(v) AS s, SUM(v*v) AS ss
+      FROM tagged GROUP BY arm
+    ),
+    stats AS (
+      SELECT arm, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+      FROM arms
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           floor(a.m * 10000 + 0.5) / 10000 AS mean_a,
+           floor(b.m * 10000 + 0.5) / 10000 AS mean_b,
+           floor((b.m - a.m) * 10000 + 0.5) / 10000 AS diff,
+           floor((b.m - a.m)
+                 / sqrt(a.var / CAST(a.n AS DOUBLE)
+                        + b.var / CAST(b.n AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS z
+    FROM (SELECT * FROM stats WHERE arm = 'a') a,
+         (SELECT * FROM stats WHERE arm = 'b') b
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

@@ -2165,6 +2165,14 @@ def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.survival_curve(ev, "user_id", "ts")
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34 two-arm mean test on a user-parity split: one exact-moment
+    aggregate per arm, Welch z in fixed double order (no p-value —
+    erf is a cross-libm trap)."""
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.ab_mean_test(ev, F.col("user_id") % 2 == 1, "value")
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2481,6 +2489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_trending": q_trending,
     "q_corpus_prep": q_corpus_prep,
     "q_survival": q_survival,
+    "q_ab_test": q_ab_test,
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_important_parts": q_important_parts,
     "q_idle_rich_customers": q_idle_rich_customers,

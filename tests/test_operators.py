@@ -1077,3 +1077,20 @@ def test_survival_curve_textbook_km(spark):
     ]
     assert out == [(0, 2, 4, 0.5), (1, 1, 2, 0.25), (2, 1, 1, 0.0)]
 
+def test_schema_drift_statuses(spark):
+    """L35: added / removed / type_changed / ok classification, a's
+    column order first; no Spark job runs (pure metadata)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        schema_drift,
+    )
+
+    a = spark.createDataFrame([], "id long, v double, gone string")
+    b = spark.createDataFrame([], "id long, v string, fresh int")
+    out = [(r["column"], r["status"]) for r in schema_drift(a, b).collect()]
+    assert out == [
+        ("id", "ok"),
+        ("v", "type_changed"),
+        ("gone", "removed"),
+        ("fresh", "added"),
+    ]
+
