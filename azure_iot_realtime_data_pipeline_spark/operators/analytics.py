@@ -1563,9 +1563,12 @@ def trending_counts(
     Returns (type, bucket_start, n, prev_n, growth).
     """
     b_us = int(bucket_seconds) * 1_000_000
-    bucket = (F.unix_micros(F.col(ts_col)) / F.lit(b_us)).cast(
-        "long"
-    ) * F.lit(b_us)
+    # floor division, NOT double-divide-and-cast: the cast truncates
+    # toward zero, so pre-epoch timestamps would land one bucket high —
+    # diverging from both the oracle's // and the streaming twin
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(b_us)
+    ).cast("long") * F.lit(b_us)
     counts = (
         df.select(F.col(type_col).alias("type"), bucket.alias("_b"))
         .groupBy("type", "_b")
@@ -1629,7 +1632,9 @@ def survival_curve(
             F.collect_list(F.struct(F.col("_t"), F.col("_d")))
         ).alias("_arr"),
         F.sum("_d").alias("_n")
-    )
+    ).filter(F.size("_arr") > 0)  # empty input: zero rows, like the
+    # oracle — without this, sequence(1, 0) DESCENDS and arrays_zip
+    # pads two phantom rows
     n_total = F.col("_n").cast("double")
     mapped = F.transform(
         F.col("_arr"),
@@ -1682,45 +1687,57 @@ def ab_mean_test(
 
     The arm assignment is the caller's Column (a hash split, a flag
     column, a date cutoff), so the operator composes with J19's
-    hash_split for real experiment plumbing. NULL/NaN measurements drop.
+    hash_split for real experiment plumbing. NULL/NaN measurements
+    drop. Degenerate inputs stay visible instead of crashing or lying:
+    an empty arm yields NULL mean/z with its n at 0 (still one row);
+    constant arms clamp the FP-cancelled variance at 0 and yield NULL z
+    (undefined), never sqrt(negative).
 
     Returns ONE row: (n_a, n_b, mean_a, mean_b, diff, z), 4dp.
     """
     v = F.col(value_col).cast("double")
     dec = v.cast("decimal(18,2)")
     tagged = df.filter(v.isNotNull() & ~F.isnan(v)).select(
-        F.when(flag, F.lit("b")).otherwise(F.lit("a")).alias("_arm"),
-        dec.alias("_v"),
+        flag.alias("_b"), dec.alias("_v")
     )
-    arms = tagged.groupBy("_arm").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_v").alias("_s"),
-        F.sum(F.col("_v") * F.col("_v")).alias("_ss"),
-    )
-    n = F.col("_n").cast("double")
-    mean = F.col("_s").cast("double") / n
-    var = F.col("_ss").cast("double") / n - mean * mean
-    stats = arms.select(
-        "_arm", "_n", mean.alias("_m"), var.alias("_var")
-    )
-    a = stats.filter(F.col("_arm") == "a").select(
-        F.col("_n").alias("n_a"), F.col("_m").alias("_ma"),
-        F.col("_var").alias("_va"),
-    )
-    b = stats.filter(F.col("_arm") == "b").select(
-        F.col("_n").alias("n_b"), F.col("_m").alias("_mb"),
-        F.col("_var").alias("_vb"),
-    )
-    z = (F.col("_mb") - F.col("_ma")) / F.sqrt(
-        F.col("_va") / F.col("n_a").cast("double")
-        + F.col("_vb") / F.col("n_b").cast("double")
-    )
-    return a.crossJoin(F.broadcast(b)).select(
-        "n_a",
-        "n_b",
-        round_half_up(F.col("_ma")).alias("mean_a"),
-        round_half_up(F.col("_mb")).alias("mean_b"),
-        round_half_up(F.col("_mb") - F.col("_ma")).alias("diff"),
+
+    def side(cond, suffix):
+        n = F.count(F.when(cond, 1)).alias(f"_n{suffix}")
+        sm = F.sum(F.when(cond, F.col("_v"))).alias(f"_s{suffix}")
+        ss = F.sum(F.when(cond, F.col("_v") * F.col("_v"))).alias(
+            f"_ss{suffix}"
+        )
+        return [n, sm, ss]
+
+    # ONE conditional aggregate — always exactly one output row, even
+    # when an arm is empty (its mean/var surface as NULL, never a
+    # silently-vanishing result)
+    row = tagged.agg(*side(~F.col("_b"), "a"), *side(F.col("_b"), "b"))
+
+    def stats(suffix):
+        n = F.col(f"_n{suffix}").cast("double")
+        mean = F.when(
+            F.col(f"_n{suffix}") > 0, F.col(f"_s{suffix}").cast("double") / n
+        )
+        # greatest(..., 0): FP cancellation can push a constant arm's
+        # moment variance to ~-1e-18; sqrt of that is NaN on the Spark
+        # side and a hard error in the oracle
+        var = F.greatest(
+            F.col(f"_ss{suffix}").cast("double") / n - mean * mean,
+            F.lit(0.0),
+        )
+        return n, mean, var
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    denom = F.sqrt(va / na + vb / nb)
+    z = F.when(denom > 0, (mb - ma) / denom)
+    return row.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        round_half_up(ma).alias("mean_a"),
+        round_half_up(mb).alias("mean_b"),
+        round_half_up(mb - ma).alias("diff"),
         round_half_up(z).alias("z"),
     )
 
@@ -1734,8 +1751,20 @@ def schema_drift(a: DataFrame, b: DataFrame) -> DataFrame:
 
     Status per column: 'ok' (same type), 'type_changed', 'added' (only
     in b), 'removed' (only in a). Order: a's columns first (in a's
-    order), then b-only columns in b's order.
+    order), then b-only columns in b's order. Duplicate column names
+    (legal on a post-join frame, invalid for any stored table this
+    check exists to protect) raise rather than silently comparing the
+    last duplicate's type. Name matching is EXACT (case-sensitive) —
+    a case-only rename is reported as removed+added, which for a data
+    contract is the honest answer.
     """
+    for side, frame in (("a", a), ("b", b)):
+        names = [f.name for f in frame.schema.fields]
+        if len(names) != len(set(names)):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(
+                f"schema_drift: duplicate column name(s) in {side}: {dupes}"
+            )
     ta = {f.name: f.dataType.simpleString() for f in a.schema.fields}
     tb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
     rows = []

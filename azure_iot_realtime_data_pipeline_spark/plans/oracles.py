@@ -2943,32 +2943,46 @@ ORACLES["q_survival"] = """
 # identical double op order; population variance.
 ORACLES["q_ab_test"] = """
     WITH tagged AS (
-      SELECT CASE WHEN user_id % 2 = 1 THEN 'b' ELSE 'a' END AS arm,
-             CAST(value AS DECIMAL(18,2)) AS v
+      SELECT (user_id % 2 = 1) AS b, CAST(value AS DECIMAL(18,2)) AS v
       FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     ),
-    arms AS (
-      SELECT arm, COUNT(*) AS n, SUM(v) AS s, SUM(v*v) AS ss
-      FROM tagged GROUP BY arm
+    row1 AS (
+      SELECT COUNT(*) FILTER (NOT b) AS n_a,
+             SUM(v) FILTER (NOT b) AS s_a,
+             SUM(v*v) FILTER (NOT b) AS ss_a,
+             COUNT(*) FILTER (b) AS n_b,
+             SUM(v) FILTER (b) AS s_b,
+             SUM(v*v) FILTER (b) AS ss_b
+      FROM tagged
     ),
     stats AS (
-      SELECT arm, n,
-             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
-             CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
-               - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var
-      FROM arms
+      SELECT n_a, n_b,
+             CASE WHEN n_a > 0
+                  THEN CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS ma,
+             CASE WHEN n_b > 0
+                  THEN CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS mb,
+             greatest(CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                        * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)),
+                      0.0::DOUBLE) AS va,
+             greatest(CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                      - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                        * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)),
+                      0.0::DOUBLE) AS vb
+      FROM row1
     )
-    SELECT a.n AS n_a, b.n AS n_b,
-           floor(a.m * 10000 + 0.5) / 10000 AS mean_a,
-           floor(b.m * 10000 + 0.5) / 10000 AS mean_b,
-           floor((b.m - a.m) * 10000 + 0.5) / 10000 AS diff,
-           floor((b.m - a.m)
-                 / sqrt(a.var / CAST(a.n AS DOUBLE)
-                        + b.var / CAST(b.n AS DOUBLE))
-                 * 10000 + 0.5) / 10000 AS z
-    FROM (SELECT * FROM stats WHERE arm = 'a') a,
-         (SELECT * FROM stats WHERE arm = 'b') b
+    SELECT n_a, n_b,
+           floor(ma * 10000 + 0.5) / 10000 AS mean_a,
+           floor(mb * 10000 + 0.5) / 10000 AS mean_b,
+           floor((mb - ma) * 10000 + 0.5) / 10000 AS diff,
+           CASE WHEN sqrt(va / CAST(n_a AS DOUBLE)
+                          + vb / CAST(n_b AS DOUBLE)) > 0
+                THEN floor((mb - ma)
+                           / sqrt(va / CAST(n_a AS DOUBLE)
+                                  + vb / CAST(n_b AS DOUBLE))
+                           * 10000 + 0.5) / 10000
+           END AS z
+    FROM stats
     """
 
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)

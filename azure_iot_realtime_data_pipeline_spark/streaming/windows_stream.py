@@ -1347,6 +1347,14 @@ def make_trending_fn(
                 ts = ts.dt.tz_localize(None)
             for t in ts.astype("datetime64[us]").astype("int64"):
                 b = (int(t) // b_us) * b_us
+                if cur_b is not None and b < cur_b:
+                    # late arrival for an already-advanced bucket: DROP
+                    # (watermark semantics — an emitted bucket cannot be
+                    # amended in append mode; counting it into the open
+                    # bucket would silently shift growth). The
+                    # batch-equivalence contract therefore assumes
+                    # in-order replay, like every carry twin here.
+                    continue
                 if cur_b is None:
                     cur_b, cur_n = b, 0
                 elif b > cur_b:

@@ -1094,3 +1094,76 @@ def test_schema_drift_statuses(spark):
         ("fresh", "added"),
     ]
 
+def test_ab_test_degenerate_inputs_stay_visible(spark):
+    """Review regression (L34): constant arms clamp the FP-cancelled
+    variance and yield NULL z (not NaN-masked 0.0); an empty arm still
+    returns exactly ONE row with NULL mean/z and n=0."""
+    from pyspark.sql import functions as SF
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        ab_mean_test,
+    )
+
+    const = spark.createDataFrame(
+        [(i, 0.1) for i in range(100)], "user_id long, value double"
+    )
+    r = ab_mean_test(const, SF.col("user_id") % 2 == 1, "value").collect()
+    assert len(r) == 1
+    assert r[0]["z"] is None and r[0]["diff"] == 0.0
+
+    one_arm = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "user_id long, value double"
+    )
+    r2 = ab_mean_test(one_arm, SF.lit(False), "value").collect()
+    assert len(r2) == 1
+    assert r2[0]["n_b"] == 0 and r2[0]["mean_b"] is None and r2[0]["z"] is None
+    assert r2[0]["n_a"] == 2 and r2[0]["mean_a"] == 1.5
+
+
+def test_survival_curve_empty_input_yields_zero_rows(spark):
+    """Review regression (L33): empty / all-NULL-ts input returns ZERO
+    rows (descending sequence(1,0) must not fabricate phantom points)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        survival_curve,
+    )
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp")
+    assert survival_curve(empty, "user_id", "ts").collect() == []
+    nulls = spark.createDataFrame([(1, None)], "user_id long, ts timestamp")
+    assert survival_curve(nulls, "user_id", "ts").collect() == []
+
+
+def test_schema_drift_rejects_duplicate_columns(spark):
+    """Review regression (L35): duplicate column names raise instead of
+    silently comparing the last duplicate's type."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as SF
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        schema_drift,
+    )
+
+    a = spark.createDataFrame([(1.0, "x")], "v double, w string").select(
+        "v", SF.col("w").alias("v")
+    )
+    b = spark.createDataFrame([], "v string")
+    with _pytest.raises(ValueError, match="duplicate column"):
+        schema_drift(a, b)
+
+
+def test_trending_counts_floor_buckets_pre_epoch(spark):
+    """Review regression (L30): pre-epoch timestamps bucket by FLOOR
+    division (matching oracle // and the streaming twin), not
+    truncation toward zero."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        trending_counts,
+    )
+
+    rows = [(1, "x", dt.datetime(1969, 12, 31, 23, 30))]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    out = trending_counts(df, "event_type", "ts", 3600).collect()
+    assert out[0]["bucket_start"] == dt.datetime(1969, 12, 31, 23, 0)
+

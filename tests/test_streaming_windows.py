@@ -1397,6 +1397,47 @@ def test_trending_stream_closed_buckets_match_batch(spark, sf_smoke, replay_dir,
     assert got.count() == closed.count() > 0
 
 
+def test_trending_fn_drops_late_bucket_arrivals():
+    """Review regression (L30 twin): an arrival for a bucket EARLIER
+    than the open one is dropped (append mode cannot amend an emitted
+    bucket), never counted into the open bucket."""
+    import pandas as pd
+
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        make_trending_fn,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self.value
+
+    fn = make_trending_fn(bucket_seconds=3600)
+    st = FakeState()
+    b1 = pd.DataFrame(
+        {"event_type": ["x"] * 2,
+         "ts": pd.to_datetime(["2024-01-01 10:10", "2024-01-01 11:05"])}
+    )
+    out1 = list(fn(("x",), iter([b1]), st))
+    # 10:00 bucket closed with n=1
+    assert out1[0].iloc[0]["n"] == 1
+    # late arrival for 10:59 in a later micro-batch: dropped
+    b2 = pd.DataFrame(
+        {"event_type": ["x", "x"],
+         "ts": pd.to_datetime(["2024-01-01 10:59", "2024-01-01 12:01"])}
+    )
+    out2 = list(fn(("x",), iter([b2]), st))
+    closed_11 = out2[0].iloc[0]
+    assert closed_11["n"] == 1  # the 11:05 event only — late row NOT added
+    assert closed_11["prev_n"] == 1 and closed_11["growth"] == 1.0
+
+
 def test_heavy_hitters_stream_mg_guarantees(spark, sf_smoke, replay_dir, tmp_path):
     """Misra-Gries invariants vs exact batch counts over the replayed
     events stream, per event_type group at k=8: (1) every item with
