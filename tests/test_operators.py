@@ -1167,3 +1167,59 @@ def test_trending_counts_floor_buckets_pre_epoch(spark):
     out = trending_counts(df, "event_type", "ts", 3600).collect()
     assert out[0]["bucket_start"] == dt.datetime(1969, 12, 31, 23, 0)
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200_000),  # offset seconds
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_attribution_matches_naive_reference(spark, events):
+    """L24 property test: arbitrary single-user event sequences
+    (duplicate timestamps included) — credits equal a naive Python
+    last-touch walk with the identical (ts, event_id) order and
+    lookback rule."""
+    from datetime import datetime, timedelta
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i + 1, 1, t0 + timedelta(seconds=off), ty)
+        for i, (off, ty) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["attributed_type"]: r["n_conversions"]
+        for r in last_touch_attribution(
+            df, "user_id", "ts", "event_type", "event_id",
+            conversion_type="purchase", lookback_seconds=3600,
+        ).collect()
+    }
+    ordered = sorted(
+        ((off, i + 1, ty) for i, (off, ty) in enumerate(events))
+    )
+    want: dict[str, int] = {}
+    last = None  # (off, type) of last non-purchase
+    for off, _, ty in ordered:
+        if ty == "purchase":
+            if last is not None and last[0] >= off - 3600:
+                credit = last[1]
+            else:
+                credit = "(none)"
+            want[credit] = want.get(credit, 0) + 1
+        else:
+            last = (off, ty)
+    if not want:
+        assert got == {}
+    else:
+        assert got == want
+

@@ -960,3 +960,86 @@ def test_availability_gap_accounting(spark):
     assert out[1]["availability"] == round(1 - 10 / 12, 6)
     assert out[2]["availability"] is None and out[2]["span_seconds"] == 0.0
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=40_000),  # gap seconds
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_availability_matches_naive_reference(spark, gaps):
+    """K21 property test: for an arbitrary single-key gap sequence the
+    operator equals a naive Python accounting — whole gaps above the
+    threshold as downtime, integer-microsecond arithmetic."""
+    import math
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        availability_per_key,
+    )
+
+    thresh_s = 7200
+    t = _ts("2024-01-01 00:00:00")
+    times = [t]
+    for g in gaps:
+        t = t + dt.timedelta(seconds=g)
+        times.append(t)
+    rows = [(i + 1, 1, ts) for i, ts in enumerate(times)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = availability_per_key(df, "user_id", "ts", "event_id", thresh_s).collect()
+    span = sum(gaps)
+    down = sum(g for g in gaps if g > thresh_s)
+    r4 = lambda x: math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert len(out) == 1
+    assert out[0]["n_events"] == len(times)
+    assert out[0]["span_seconds"] == r4(float(span))
+    assert out[0]["downtime_seconds"] == r4(float(down))
+    if span > 0:
+        want = math.floor((1.0 - down * 1e6 / (span * 1e6)) * 1e6 + 0.5) / 1e6
+        assert out[0]["availability"] == want
+    else:
+        assert out[0]["availability"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=60),  # lifespans in days
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_survival_matches_naive_km(spark, lifespans):
+    """L33 property test: arbitrary lifespan multisets — the curve
+    equals a naive Python Kaplan-Meier with the identical
+    left-to-right double product."""
+    import math
+    from collections import Counter
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        survival_curve,
+    )
+
+    t0 = _ts("2024-01-01 00:00:00")
+    rows = []
+    for uid, d in enumerate(lifespans):
+        rows.append((uid * 10 + 1, uid, t0))
+        rows.append((uid * 10 + 2, uid, t0 + dt.timedelta(days=d)))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["t_days"]: (r["deaths"], r["at_risk"], r["survival"])
+        for r in survival_curve(df, "user_id", "ts").collect()
+    }
+    counts = Counter(lifespans)
+    n = len(lifespans)
+    cum = 0
+    prod = 1.0
+    want = {}
+    for t in sorted(counts):
+        d = counts[t]
+        at_risk = n - cum
+        prod = prod * (1.0 - d / (n - cum))
+        cum += d
+        want[t] = (d, at_risk, math.floor(prod * 1e6 + 0.5) / 1e6)
+    assert got == want
+
