@@ -1438,6 +1438,71 @@ def test_trending_fn_drops_late_bucket_arrivals():
     assert closed_11["prev_n"] == 1 and closed_11["growth"] == 1.0
 
 
+def test_availability_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_path):
+    """Crash/restart contract for the K21 carry cell: half the stream,
+    stop, resume from the same checkpoint over the full directory — the
+    carried (n, first, last, down) must continue the gap accounting so
+    the final emission equals the batch report over ALL events."""
+    import os
+    import shutil
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        availability_per_key,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        availability_stream,
+    )
+
+    src_buckets = sorted(os.listdir(replay_dir))
+    half_dir = str(tmp_path / "replay_half_avail")
+    os.makedirs(half_dir)
+    for b in src_buckets[:2]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    ckpt = str(tmp_path / "ckpt_avail_restart")
+    emissions: list[tuple] = []
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emissions.append(
+                    (r["user_id"], r["n_events"], r["span_seconds"],
+                     r["downtime_seconds"], r["availability"])
+                )
+
+        q = (
+            availability_stream(replay_events(spark, half_dir))
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first_len = len(emissions)
+    assert first_len > 0
+    for b in src_buckets[2:]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    run_once()
+    assert len(emissions) > first_len
+    final = {}
+    for uid, n, sp, dn, av in emissions:
+        cur = final.get(uid)
+        if cur is None or n > cur[0]:
+            final[uid] = (n, sp, dn, av)
+    got = {(u, *v) for u, v in final.items()}
+    want = {
+        (r["user_id"], r["n_events"], r["span_seconds"],
+         r["downtime_seconds"], r["availability"])
+        for r in availability_per_key(
+            load_table(spark, sf_smoke, "events"), "user_id", "ts",
+            "event_id", 21600,
+        ).collect()
+    }
+    assert got == want
+
+
 def test_heavy_hitters_stream_mg_guarantees(spark, sf_smoke, replay_dir, tmp_path):
     """Misra-Gries invariants vs exact batch counts over the replayed
     events stream, per event_type group at k=8: (1) every item with
