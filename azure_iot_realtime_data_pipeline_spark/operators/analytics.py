@@ -1781,3 +1781,45 @@ def schema_drift(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.sparkSession.createDataFrame(
         rows, "column string, type_a string, type_b string, status string"
     )
+
+
+def lorenz_curve(
+    spend: DataFrame,
+    key: str,
+    value_col: str,
+) -> DataFrame:
+    """L36 Lorenz curve — the concentration curve behind L22's Gini
+    scalar: for the population sorted by value ascending, each member's
+    cumulative population share vs cumulative value share ("the bottom
+    40% of customers carry 6% of revenue"). `value_col` must be
+    integer units (cents/micro) and non-negative.
+
+    Scale shape: rank comes from `global_row_number` and the running
+    total from `global_cumsum` — the SAME range-bucketing machinery, so
+    neither plans the single-task global sort this curve tempts; the
+    grand totals are a one-row aggregate broadcast onto the curve.
+
+    Returns (key, value, rank, pop_share, value_share), shares 6dp.
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.ordering import (
+        global_cumsum,
+        global_row_number,
+    )
+
+    base = spend.select(F.col(key), F.col(value_col).alias("_v"))
+    ranked = global_row_number(base, ["_v", key], "rank")
+    summed = global_cumsum(ranked, ["_v", key], "_v", "_cum")
+    totals = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_tot")
+    )
+    return summed.crossJoin(F.broadcast(totals)).select(
+        F.col(key),
+        F.col("_v").alias("value"),
+        "rank",
+        round_half_up(
+            F.col("rank").cast("double") / F.col("_n").cast("double"), 6
+        ).alias("pop_share"),
+        round_half_up(
+            F.col("_cum").cast("double") / F.col("_tot").cast("double"), 6
+        ).alias("value_share"),
+    )

@@ -143,3 +143,84 @@ def global_row_number(
         )
         .drop("_bucket")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Distributed global prefix sum in (order_cols) order — the
+    running-total primitive (cumulative revenue, Lorenz curves,
+    cumulative distribution mass) computed WITHOUT the single-task sort
+    the naive `Window.orderBy(...)` plans. Ordering keys must be unique
+    (pass a tiebreaker); `value_col` must be an INTEGER column
+    (micro-units) — bucket offsets are partial sums, and double partial
+    sums would make the result depend on the bucket split.
+
+    Same two-phase shape as `global_row_number` (same bucketing code,
+    so the two primitives can never disagree on bucket assignment):
+    approxQuantile range-buckets the leading key, ONE small pass
+    collects per-bucket value sums, the driver prefix-sums those into
+    per-bucket offsets (|buckets| numbers), and the within-bucket
+    running sum rides an ordered window per bucket. At any scale the
+    driver state is the bucket count, never the data.
+    """
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism
+    lead = _numeric_order_key(df, order_cols[0])
+
+    probs = [i / n for i in range(1, n)]
+    bounds: list[float] = []
+    keys = df.select(
+        lead.alias("_k"), F.col(value_col).alias("_v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if probs:
+            sample = keys.where(F.col("_k").isNotNull())
+            raw = sample.stat.approxQuantile("_k", probs, 0.001)
+            import math
+
+            bounds = sorted({b for b in raw if math.isfinite(b)})
+        key_bucket = (
+            _bucket_search(F.col("_k"), bounds, 0, len(bounds))
+            if bounds
+            else F.lit(0)
+        )
+        sums = [
+            (r["_bucket"], r["_s"])
+            for r in keys.groupBy(key_bucket.alias("_bucket"))
+            .agg(F.sum("_v").alias("_s"))
+            .collect()
+        ]
+    finally:
+        keys.unpersist()
+
+    acc = 0
+    offsets: dict[int, int] = {}
+    for b, sval in sorted(sums):
+        offsets[b] = acc
+        acc += int(sval or 0)
+    offset_map = F.create_map(
+        *[F.lit(x) for pair in offsets.items() for x in pair]
+    )
+
+    bucket = _bucket_search(lead, bounds, 0, len(bounds)) if bounds else F.lit(0)
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn(
+            out_col,
+            (
+                F.sum(F.col(value_col)).over(w)
+                + offset_map[F.col("_bucket")]
+            ).cast("long"),
+        )
+        .drop("_bucket")
+    )

@@ -2985,6 +2985,35 @@ ORACLES["q_ab_test"] = """
     FROM stats
     """
 
+# L36 Lorenz: rank + running int64 cents total in (spend, custkey)
+# order; shares over the one-row grand totals.
+ORACLES["q_lorenz"] = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, spend_cents,
+             CAST(row_number() OVER w AS BIGINT) AS rank,
+             CAST(SUM(spend_cents) OVER (w ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM spend
+      WINDOW w AS (ORDER BY spend_cents, o_custkey)
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, CAST(SUM(spend_cents) AS BIGINT) AS t
+      FROM spend
+    )
+    SELECT o_custkey, spend_cents AS value, rank,
+           floor(CAST(rank AS DOUBLE) / CAST(n AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS pop_share,
+           floor(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS value_share
+    FROM ranked, tot
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

@@ -2173,6 +2173,20 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.ab_mean_test(ev, F.col("user_id") % 2 == 1, "value")
 
 
+def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L36 revenue Lorenz curve over purchasing customers: rank and
+    running total both from the range-bucketed two-phase primitives
+    (global_row_number / global_cumsum) — no single-task sort; spend in
+    exact int64 cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("spend_cents")
+    )
+    return analytics.lorenz_curve(spend, "o_custkey", "spend_cents")
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2490,6 +2504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_prep": q_corpus_prep,
     "q_survival": q_survival,
     "q_ab_test": q_ab_test,
+    "q_lorenz": q_lorenz,
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_important_parts": q_important_parts,
     "q_idle_rich_customers": q_idle_rich_customers,

@@ -1223,3 +1223,74 @@ def test_attribution_matches_naive_reference(spark, events):
     else:
         assert got == want
 
+def _assert_cumsum_matches_naive(spark, rows, schema, order_cols, vcol):
+    from pyspark.sql import Window as W
+
+    from azure_iot_realtime_data_pipeline_spark.operators.ordering import (
+        global_cumsum,
+    )
+
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        tuple(r)
+        for r in global_cumsum(df, order_cols, vcol, out_col="cs").collect()
+    }
+    w = (
+        W.orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        tuple(r)
+        for r in df.withColumn(
+            "cs", F.sum(F.col(vcol)).over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_matches_naive_on_edges(spark):
+    """global_cumsum must be bit-identical to the naive single-window
+    running sum on every edge the bucketing could get wrong: NULL
+    leading keys (bucket 0), heavy ties (tiebreaker order), NULL
+    values (sum skips, running total carries), tiny inputs."""
+    rows = [
+        (None, 3, 10),
+        (5.0, 1, 1),
+        (5.0, 2, 2),
+        (None, 1, 5),
+        (1.0, 4, None),   # NULL value: no contribution, total carries
+        (9.0, 5, 100),
+    ]
+    _assert_cumsum_matches_naive(
+        spark, rows, "k double, id long, v long", ["k", "id"], "v"
+    )
+    _assert_cumsum_matches_naive(
+        spark, [(2.0, 1, 7)], "k double, id long, v long", ["k", "id"], "v"
+    )
+
+
+def test_global_cumsum_matches_naive_at_smoke_scale(spark, sf_smoke):
+    from pyspark.sql import Window as W
+
+    from azure_iot_realtime_data_pipeline_spark.operators.ordering import (
+        global_cumsum,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id"
+    )
+    got = {
+        (r["event_id"], r["cs"])
+        for r in global_cumsum(
+            ev, ["event_id"], "user_id", out_col="cs"
+        ).collect()
+    }
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        (r["event_id"], r["cs"])
+        for r in ev.withColumn(
+            "cs", F.sum("user_id").over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+

@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "q_important_parts",      # one-row grand total onto per-part revs
     "q_idle_rich_customers",  # one-row scalar-avg broadcast filter
     "q_ab_test",              # one-row arm B broadcast onto arm A
+    "q_lorenz",               # one-row totals broadcast onto the curve
 }
 
 #: the reference's anomaly window has no PARTITION BY
@@ -80,6 +81,7 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_idle_rich_customers",  # one-row scalar avg (Q22 decorrelation)
     "q_survival",             # one-row curve fold over <= |observed days| cells
     "q_ab_test",              # two one-row arm summaries crossed
+    "q_lorenz",               # one-row grand totals onto the curve
 }
 
 
