@@ -3014,6 +3014,45 @@ ORACLES["q_lorenz"] = """
     FROM ranked, tot
     """
 
+# M12 Q14 shape: numerator and denominator from ONE conditional
+# aggregate over the broadcast join; int64 micro-units.
+ORACLES["q_promo_share"] = """
+    WITH j AS (
+      SELECT p.p_type,
+             CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                        * 1000000 + 0.5) AS BIGINT) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                  AS BIGINT) AS promo,
+             CAST(SUM(rev) AS BIGINT) AS total
+      FROM j
+    )
+    SELECT CAST(promo AS DOUBLE) / 1000000 AS promo_revenue,
+           CAST(total AS DOUBLE) / 1000000 AS total_revenue,
+           floor(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS promo_share_pct
+    FROM agg
+    """
+
+# M13 Q19 shape: the OR-of-ANDs disjunction evaluated after the join.
+ORACLES["q_brand_size_revenue"] = """
+    SELECT COUNT(*) AS n_lines,
+           CAST(CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                    * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 1000000 AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

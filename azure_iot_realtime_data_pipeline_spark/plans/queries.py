@@ -2187,6 +2187,87 @@ def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.lorenz_curve(spend, "o_custkey", "spend_cents")
 
 
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 scale validation (TPC-H Q14 shape): promo revenue share for
+    one month — the CONDITIONAL-AGGREGATE-over-join decorrelation: part
+    broadcasts into the date-pruned fact, and BOTH the promo numerator
+    and the total denominator come from ONE map-side-combined aggregate
+    (CASE inside SUM), never two scans or a self-join. Int64
+    micro-units; one output row."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = micro_units(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+        .alias("_promo"),
+        F.sum(rev).alias("_total"),
+    )
+    return agg.select(
+        (F.col("_promo").cast("double") / F.lit(1e6)).alias("promo_revenue"),
+        (F.col("_total").cast("double") / F.lit(1e6)).alias("total_revenue"),
+        round_half_up(
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("promo_share_pct"),
+    )
+
+
+def q_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 scale validation (TPC-H Q19 shape): revenue under an
+    OR-of-ANDs predicate — three (brand, size-range, quantity-range)
+    disjuncts. The decorrelation story: the dimension-only conjuncts
+    CANNOT be pushed below the join as a simple filter (they differ per
+    disjunct), but part still BROADCASTS and the whole disjunction
+    evaluates map-side in the joined stream — one fact scan, zero
+    shuffles, one output row. Plan-gated: no fact exchange."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    rev = micro_units(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    j = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).filter(cond)
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(rev).cast("double") / F.lit(1e6)).alias("revenue"),
+    )
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2505,6 +2586,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_survival": q_survival,
     "q_ab_test": q_ab_test,
     "q_lorenz": q_lorenz,
+    "q_promo_share": q_promo_share,
+    "q_brand_size_revenue": q_brand_size_revenue,
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_important_parts": q_important_parts,
     "q_idle_rich_customers": q_idle_rich_customers,

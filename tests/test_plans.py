@@ -82,6 +82,8 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_survival",             # one-row curve fold over <= |observed days| cells
     "q_ab_test",              # two one-row arm summaries crossed
     "q_lorenz",               # one-row grand totals onto the curve
+    "q_promo_share",          # one-row conditional aggregate (Q14)
+    "q_brand_size_revenue",   # one-row disjunctive aggregate (Q19)
 }
 
 
