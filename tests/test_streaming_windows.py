@@ -1503,6 +1503,71 @@ def test_availability_stream_state_survives_restart(spark, sf_smoke, replay_dir,
     assert got == want
 
 
+def test_trending_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_path):
+    """Crash/restart contract for the L30 carry: half the stream, stop,
+    resume from the same checkpoint — closed-bucket emissions across
+    both runs must equal the batch operator minus each type's final
+    open bucket."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        trending_counts,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        trending_stream,
+    )
+
+    src_buckets = sorted(os.listdir(replay_dir))
+    half_dir = str(tmp_path / "replay_half_tr")
+    os.makedirs(half_dir)
+    for b in src_buckets[:2]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    ckpt = str(tmp_path / "ckpt_tr_restart")
+    emissions: list[tuple] = []
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emissions.append(
+                    (r["type"], r["bucket_start"], r["n"], r["prev_n"],
+                     r["growth"])
+                )
+
+        q = (
+            trending_stream(replay_events(spark, half_dir))
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first_len = len(emissions)
+    assert first_len > 0
+    for b in src_buckets[2:]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    run_once()
+    assert len(emissions) > first_len
+    batch = trending_counts(
+        load_table(spark, sf_smoke, "events"), "event_type", "ts", 3600
+    )
+    w = W.partitionBy("type")
+    closed = batch.withColumn(
+        "_mx", SF.max("bucket_start").over(w)
+    ).filter(SF.col("bucket_start") < SF.col("_mx")).drop("_mx")
+    want = {
+        (r["type"], r["bucket_start"], r["n"], r["prev_n"], r["growth"])
+        for r in closed.collect()
+    }
+    assert set(emissions) == want
+
+
 def test_heavy_hitters_stream_mg_guarantees(spark, sf_smoke, replay_dir, tmp_path):
     """Misra-Gries invariants vs exact batch counts over the replayed
     events stream, per event_type group at k=8: (1) every item with
