@@ -1823,3 +1823,73 @@ def lorenz_curve(
             F.col("_cum").cast("double") / F.col("_tot").cast("double"), 6
         ).alias("value_share"),
     )
+
+
+def basket_lift(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+) -> DataFrame:
+    """L37 market-basket lift — association strength between item pairs
+    across baskets: lift(a,b) = P(a,b) / (P(a) P(b)), computed as
+    n_both * n_baskets / (n_a * n_b). Lift > 1 means the pair
+    co-occurs more than independence predicts — "users who error also
+    purchase?" — the counting core of association-rule mining (Agrawal
+    et al. 1993, public). L21's audience overlap is the single-key
+    user-intersection special case; the basket here is any composite
+    key (e.g. user x day). No logarithms by design (PMI's log is a
+    cross-libm trap) — lift carries the same ordering.
+
+    Scale shape (the L21 recipe on a composite key): each basket
+    compacts to its sorted item SET in ONE exchange, unordered pairs
+    fan out MAP-SIDE into the tiny pair aggregate, marginals ride the
+    same set table, the one-row basket count broadcasts. No self-join.
+
+    Returns (item_a, item_b, n_both, n_a, n_b, n_baskets, lift 4dp).
+    """
+    clean = df.filter(F.col(item_col).isNotNull())
+    for c in basket_cols:
+        clean = clean.filter(F.col(c).isNotNull())
+    sets = clean.groupBy(*basket_cols).agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("_items")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_items"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("_items"), i + 2, F.size(F.col("_items"))
+                        ),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    ).select(F.col("_p.a").alias("item_a"), F.col("_p.b").alias("item_b"))
+    both = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    totals = (
+        sets.select(F.explode("_items").alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    n_baskets = sets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    ta = totals.select(F.col("_t").alias("item_a"), F.col("_n").alias("n_a"))
+    tb = totals.select(F.col("_t").alias("item_b"), F.col("_n").alias("n_b"))
+    out = (
+        both.join(F.broadcast(ta), "item_a")
+        .join(F.broadcast(tb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    lift = round_half_up(
+        F.col("n_both").cast("double")
+        * F.col("n_baskets").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return out.select(
+        "item_a", "item_b", "n_both", "n_a", "n_b", "n_baskets",
+        lift.alias("lift"),
+    )

