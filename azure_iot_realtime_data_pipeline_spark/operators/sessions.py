@@ -1098,3 +1098,39 @@ def availability_per_key(
             ),
         ).alias("availability"),
     )
+
+
+def scd2_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+) -> DataFrame:
+    """K22 point-in-time enrichment against a K20 SCD Type-2 dimension:
+    each fact row joins the dimension VERSION that was valid at its
+    event time (valid_from <= ts < valid_to, open current version
+    matches everything from valid_from on) — the as-of semantics every
+    warehouse needs to avoid leaking future attribute values into
+    historical facts.
+
+    Plan shape: the versioned dimension is |keys| x versions — the
+    small side by construction — so it BROADCASTS and the interval
+    predicate evaluates map-side on the fact stream: zero fact
+    shuffles. Left join: facts before their key's first version (or
+    with no dimension key) keep NULL attributes.
+    """
+    d = dim.select(
+        F.col(key).alias("_dk"),
+        F.col("attr"),
+        F.col("version"),
+        F.col("valid_from"),
+        F.col("valid_to"),
+    )
+    cond = (
+        (facts[key] == F.col("_dk"))
+        & (facts[ts_col] >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (facts[ts_col] < F.col("valid_to")))
+    )
+    return facts.join(F.broadcast(d), cond, "left").drop(
+        "_dk", "valid_from", "valid_to"
+    )

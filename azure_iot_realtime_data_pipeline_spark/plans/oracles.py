@@ -3089,6 +3089,38 @@ ORACLES["q_event_lift"] = """
     CROSS JOIN nb
     """
 
+# K22 SCD2 enrich: the K20 history CTE joined back on the validity
+# interval; open versions match everything from valid_from on.
+ORACLES["q_scd2_enrich"] = """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type AS attr,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT * FROM tagged
+      WHERE rn = 1 OR attr IS DISTINCT FROM prev
+    ),
+    dim AS (
+      SELECT user_id, attr,
+             CAST(row_number() OVER wc AS INTEGER) AS version,
+             ts AS valid_from,
+             lead(ts) OVER wc AS valid_to
+      FROM changes
+      WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e.event_id, e.user_id,
+           d.attr AS active_type,
+           d.version AS active_version
+    FROM events e
+    LEFT JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

@@ -2281,6 +2281,22 @@ def q_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.basket_lift(ev, ["user_id", "_day"], "event_type")
 
 
+def q_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K22 point-in-time enrichment (chain #8): the K20 SCD2 history of
+    each user's event_type, joined back so every event carries the
+    version active AT ITS TIME — the versioned dimension broadcasts,
+    the fact never shuffles for the join."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = sessions.scd2_history(ev, "user_id", "ts", "event_type", "event_id")
+    enriched = sessions.scd2_enrich(
+        ev.select("event_id", "user_id", "ts"), dim, "user_id", "ts"
+    )
+    return enriched.select(
+        "event_id", "user_id", F.col("attr").alias("active_type"),
+        F.col("version").alias("active_version"),
+    )
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2602,6 +2618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_promo_share": q_promo_share,
     "q_brand_size_revenue": q_brand_size_revenue,
     "q_event_lift": q_event_lift,
+    "q_scd2_enrich": q_scd2_enrich,
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_important_parts": q_important_parts,
     "q_idle_rich_customers": q_idle_rich_customers,
