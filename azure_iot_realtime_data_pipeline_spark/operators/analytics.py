@@ -1805,8 +1805,17 @@ def lorenz_curve(
         global_cumsum,
         global_row_number,
     )
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import (
+        stage_to_parquet,
+    )
 
-    base = spend.select(F.col(key), F.col(value_col).alias("_v"))
+    # stage ONCE: the two primitives each run a quantile pass and a
+    # bucket-stats pass, and the totals aggregate is a fifth consumer —
+    # without staging every one of them recomputes the caller's full
+    # upstream lineage (the review-measured 5x scan bill)
+    base = stage_to_parquet(
+        spend.select(F.col(key), F.col(value_col).alias("_v")), "lorenz_spend_"
+    )
     ranked = global_row_number(base, ["_v", key], "rank")
     summed = global_cumsum(ranked, ["_v", key], "_v", "_cum")
     totals = base.agg(

@@ -71,6 +71,74 @@ def _numeric_order_key(df: DataFrame, col: str) -> Column:
     return c.cast("double")
 
 
+def _bucket_stats(
+    df: DataFrame,
+    order_cols: list[str],
+    num_buckets: int | None,
+    value_col: str | None = None,
+):
+    """Shared two-phase scaffold for the global-prefix primitives
+    (`global_row_number`, `global_cumsum`): ONE quantile-bounds pass on
+    the leading key and ONE per-bucket stats pass — per bucket the row
+    count plus, when `value_col` is given, the value sum and NON-NULL
+    value count (the NULL-safety the prefix sum needs: a bucket whose
+    running frame holds only NULLs must inherit the carried total, and
+    only a running non-null COUNT can distinguish 'no value yet' — NULL
+    result — from a genuine zero). One implementation site so the two
+    primitives can never disagree on bucket assignment.
+
+    Returns (bounds, lead_expr, stats) with stats a sorted list of
+    (bucket, n_rows, value_sum, n_nonnull)."""
+    spark = df.sparkSession
+    n = num_buckets or spark.sparkContext.defaultParallelism
+    lead = _numeric_order_key(df, order_cols[0])
+
+    probs = [i / n for i in range(1, n)]
+    bounds: list[float] = []
+    cols = [lead.alias("_k")]
+    if value_col is not None:
+        cols.append(F.col(value_col).alias("_v"))
+    keys = df.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if probs:
+            sample = keys.where(F.col("_k").isNotNull())
+            raw = sample.stat.approxQuantile("_k", probs, 0.001)
+            # FINITE bounds only: a NaN bound breaks Python's sorted()
+            # invariant (NaN is unordered) and the search-tree
+            # monotonicity; an inf bound separates nothing. Dropping
+            # them merges the extremes into the edge buckets: NaN keys
+            # compare greater than every finite bound (Spark sorts NaN
+            # last) -> last bucket; -inf/NULL keys fail every
+            # `bound < key` -> bucket 0. Order stays consistent with
+            # the window sort either way.
+            import math
+
+            bounds = sorted({b for b in raw if math.isfinite(b)})
+        key_bucket = (
+            _bucket_search(F.col("_k"), bounds, 0, len(bounds))
+            if bounds
+            else F.lit(0)
+        )
+        aggs = [F.count("*").alias("_n")]
+        if value_col is not None:
+            aggs.append(F.sum("_v").alias("_s"))
+            aggs.append(F.count("_v").alias("_nn"))
+        stats = sorted(
+            (
+                r["_bucket"],
+                r["_n"],
+                r["_s"] if value_col is not None else None,
+                r["_nn"] if value_col is not None else None,
+            )
+            for r in keys.groupBy(key_bucket.alias("_bucket"))
+            .agg(*aggs)
+            .collect()
+        )
+    finally:
+        keys.unpersist()
+    return bounds, lead, stats
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -88,45 +156,11 @@ def global_row_number(
     MEMORY_AND_DISK, released before return); the only full-width pass
     over the data is the numbering job itself.
     """
-    spark = df.sparkSession
-    n = num_buckets or spark.sparkContext.defaultParallelism
-    lead = _numeric_order_key(df, order_cols[0])
-
-    probs = [i / n for i in range(1, n)]
-    bounds: list[float] = []
-    counts: list[tuple[int, int]] = []
-    keys = df.select(lead.alias("_k")).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        if probs:
-            sample = keys.where(F.col("_k").isNotNull())
-            raw = sample.stat.approxQuantile("_k", probs, 0.001)
-            # FINITE bounds only: a NaN bound breaks Python's sorted()
-            # invariant (NaN is unordered) and the search-tree monotonicity;
-            # an inf bound separates nothing. Dropping them just merges the
-            # extremes into the edge buckets: NaN keys compare greater than
-            # every finite bound (Spark sorts NaN last) -> last bucket;
-            # -inf/NULL keys fail every `bound < key` -> bucket 0. Order
-            # stays consistent with the window sort either way.
-            import math
-
-            bounds = sorted({b for b in raw if math.isfinite(b)})
-        key_bucket = (
-            _bucket_search(F.col("_k"), bounds, 0, len(bounds))
-            if bounds
-            else F.lit(0)
-        )
-        counts = [
-            (r["_bucket"], r["_n"])
-            for r in keys.groupBy(key_bucket.alias("_bucket"))
-            .agg(F.count("*").alias("_n"))
-            .collect()
-        ]
-    finally:
-        keys.unpersist()
+    bounds, lead, stats = _bucket_stats(df, order_cols, num_buckets)
 
     acc = 0
     offsets: dict[int, int] = {}
-    for b, c in sorted(counts):
+    for b, c, _, _ in stats:
         offsets[b] = acc
         acc += c
     offset_map = F.create_map(
@@ -160,51 +194,38 @@ def global_cumsum(
     (micro-units) — bucket offsets are partial sums, and double partial
     sums would make the result depend on the bucket split.
 
-    Same two-phase shape as `global_row_number` (same bucketing code,
-    so the two primitives can never disagree on bucket assignment):
-    approxQuantile range-buckets the leading key, ONE small pass
-    collects per-bucket value sums, the driver prefix-sums those into
-    per-bucket offsets (|buckets| numbers), and the within-bucket
-    running sum rides an ordered window per bucket. At any scale the
-    driver state is the bucket count, never the data.
+    Same two-phase shape as `global_row_number` — literally the same
+    bucketing code (`_bucket_stats`), so the two primitives can never
+    disagree on bucket assignment: approxQuantile range-buckets the
+    leading key, ONE small pass collects per-bucket (sum, non-null
+    count), the driver prefix-sums those into per-bucket offsets
+    (|buckets| numbers), and the within-bucket running sum rides an
+    ordered window per bucket. NULL-value semantics match the naive
+    window exactly: the running total CARRIES over NULL values (a
+    bucket whose frame holds only NULLs inherits its offset), and the
+    result is NULL only while the global prefix has seen no non-null
+    value at all — that is what the per-bucket non-null counts exist to
+    decide. At any scale the driver state is the bucket count, never
+    the data.
     """
-    spark = df.sparkSession
-    n = num_buckets or spark.sparkContext.defaultParallelism
-    lead = _numeric_order_key(df, order_cols[0])
-
-    probs = [i / n for i in range(1, n)]
-    bounds: list[float] = []
-    keys = df.select(
-        lead.alias("_k"), F.col(value_col).alias("_v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        if probs:
-            sample = keys.where(F.col("_k").isNotNull())
-            raw = sample.stat.approxQuantile("_k", probs, 0.001)
-            import math
-
-            bounds = sorted({b for b in raw if math.isfinite(b)})
-        key_bucket = (
-            _bucket_search(F.col("_k"), bounds, 0, len(bounds))
-            if bounds
-            else F.lit(0)
-        )
-        sums = [
-            (r["_bucket"], r["_s"])
-            for r in keys.groupBy(key_bucket.alias("_bucket"))
-            .agg(F.sum("_v").alias("_s"))
-            .collect()
-        ]
-    finally:
-        keys.unpersist()
+    bounds, lead, stats = _bucket_stats(
+        df, order_cols, num_buckets, value_col=value_col
+    )
 
     acc = 0
+    acc_nn = 0
     offsets: dict[int, int] = {}
-    for b, sval in sorted(sums):
+    nn_offsets: dict[int, int] = {}
+    for b, _, sval, nn in stats:
         offsets[b] = acc
+        nn_offsets[b] = acc_nn
         acc += int(sval or 0)
+        acc_nn += int(nn or 0)
     offset_map = F.create_map(
         *[F.lit(x) for pair in offsets.items() for x in pair]
+    )
+    nn_map = F.create_map(
+        *[F.lit(x) for pair in nn_offsets.items() for x in pair]
     )
 
     bucket = _bucket_search(lead, bounds, 0, len(bounds)) if bounds else F.lit(0)
@@ -213,14 +234,20 @@ def global_cumsum(
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    in_bucket_sum = F.sum(F.col(value_col)).over(w)
+    in_bucket_nn = F.count(F.col(value_col)).over(w)
+    running_nn = in_bucket_nn + nn_map[F.col("_bucket")]
     return (
         df.withColumn("_bucket", bucket)
         .withColumn(
             out_col,
-            (
-                F.sum(F.col(value_col)).over(w)
-                + offset_map[F.col("_bucket")]
-            ).cast("long"),
+            F.when(
+                running_nn > 0,
+                (
+                    F.coalesce(in_bucket_sum, F.lit(0))
+                    + offset_map[F.col("_bucket")]
+                ).cast("long"),
+            ),
         )
         .drop("_bucket")
     )

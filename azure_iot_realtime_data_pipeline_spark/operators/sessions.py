@@ -1105,6 +1105,7 @@ def scd2_enrich(
     dim: DataFrame,
     key: str,
     ts_col: str,
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """K22 point-in-time enrichment against a K20 SCD Type-2 dimension:
     each fact row joins the dimension VERSION that was valid at its
@@ -1113,11 +1114,17 @@ def scd2_enrich(
     warehouse needs to avoid leaking future attribute values into
     historical facts.
 
-    Plan shape: the versioned dimension is |keys| x versions — the
-    small side by construction — so it BROADCASTS and the interval
-    predicate evaluates map-side on the fact stream: zero fact
-    shuffles. Left join: facts before their key's first version (or
-    with no dimension key) keep NULL attributes.
+    Plan shape: a LOW-CHURN dimension (|keys| x few versions) is the
+    small side and broadcasts — the interval predicate evaluates
+    map-side on the fact stream, zero fact shuffles. For a HIGH-CHURN
+    attribute the version table is the same order as the change feed
+    itself; pass broadcast_dim=False and the join pins to a shuffle
+    hash join on the key equality (the range conditions ride as the
+    join residual) instead of shipping a fact-sized table to every
+    executor. Left join either way: facts before their key's first
+    version (or with no dimension key) keep NULL attributes. Facts must
+    not already carry attr/version/valid_from/valid_to columns (the
+    join output names them).
     """
     d = dim.select(
         F.col(key).alias("_dk"),
@@ -1126,11 +1133,18 @@ def scd2_enrich(
         F.col("valid_from"),
         F.col("valid_to"),
     )
+    reserved = {"attr", "version", "valid_from", "valid_to"}
+    clash = reserved & set(facts.columns)
+    if clash:
+        raise ValueError(
+            f"scd2_enrich: facts already carry reserved column(s) {sorted(clash)}"
+        )
+    d = F.broadcast(d) if broadcast_dim else d.hint("shuffle_hash")
     cond = (
         (facts[key] == F.col("_dk"))
         & (facts[ts_col] >= F.col("valid_from"))
         & (F.col("valid_to").isNull() | (facts[ts_col] < F.col("valid_to")))
     )
-    return facts.join(F.broadcast(d), cond, "left").drop(
+    return facts.join(d, cond, "left").drop(
         "_dk", "valid_from", "valid_to"
     )

@@ -3057,7 +3057,9 @@ ORACLES["q_brand_size_revenue"] = """
 # lift = n_both * n_baskets / (n_a * n_b) — no logs (libm trap).
 ORACLES["q_event_lift"] = """
     WITH b AS (
-      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+      SELECT DISTINCT user_id,
+             CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                  AS BIGINT) AS day,
              event_type
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL

@@ -1269,6 +1269,37 @@ def test_global_cumsum_matches_naive_on_edges(spark):
     )
 
 
+def test_global_cumsum_null_value_leading_its_bucket(spark):
+    """Review regression: a NULL value that is the FIRST row of its
+    bucket must inherit the carried running total (coalesce + offset),
+    not go NULL — and an all-NULL global prefix must stay NULL."""
+    from pyspark.sql import Window as W
+
+    from azure_iot_realtime_data_pipeline_spark.operators.ordering import (
+        global_cumsum,
+    )
+
+    rows = [(1.0, 1, 10), (2.0, 2, 20), (3.0, 3, None), (4.0, 4, 40)]
+    df = spark.createDataFrame(rows, "k double, id long, v long")
+    got = {
+        (r["k"], r["cs"])
+        for r in global_cumsum(
+            df, ["k", "id"], "v", out_col="cs", num_buckets=2
+        ).collect()
+    }
+    assert got == {(1.0, 10), (2.0, 30), (3.0, 30), (4.0, 70)}
+    # all-NULL prefix: first rows stay NULL exactly like the naive window
+    rows2 = [(1.0, 1, None), (2.0, 2, None), (3.0, 3, 5), (4.0, 4, None)]
+    df2 = spark.createDataFrame(rows2, "k double, id long, v long")
+    got2 = {
+        (r["k"], r["cs"])
+        for r in global_cumsum(
+            df2, ["k", "id"], "v", out_col="cs", num_buckets=2
+        ).collect()
+    }
+    assert got2 == {(1.0, None), (2.0, None), (3.0, 5), (4.0, 5)}
+
+
 def test_global_cumsum_matches_naive_at_smoke_scale(spark, sf_smoke):
     from pyspark.sql import Window as W
 
@@ -1320,17 +1351,26 @@ def test_basket_lift_independence_and_association(spark):
     assert out[("x", "y")]["n_both"] == 4 and out[("x", "y")]["lift"] == 1.0
     assert out[("x", "z")]["lift"] == 1.0
     assert ("w", "z") not in out
-    # anti-association: make z AVOID y in a 5th basket world
-    rows2 = rows + [(4, "y")]
-    out2 = {
-        (r["item_a"], r["item_b"]): r
+    # non-unit lifts (review regression: every earlier assertion was
+    # 1.0, which a constant-lift bug would satisfy): 4 baskets, p only
+    # ever with q -> positive association; p never with r -> the (p,r)
+    # pair that DOES occur once is anti-associated
+    rows3 = [
+        (0, "p"), (0, "q"),
+        (1, "p"), (1, "q"),
+        (2, "r"), (2, "q"),
+        (3, "r"), (3, "p"),
+    ]
+    out3 = {
+        (r["item_a"], r["item_b"]): r["lift"]
         for r in basket_lift(
-            spark.createDataFrame(rows2, "basket long, item string"),
+            spark.createDataFrame(rows3, "basket long, item string"),
             ["basket"], "item",
         ).collect()
     }
-    # y in 5 baskets, z in 2, together in 2: lift = 2*5/(5*2) = 1.0;
-    # x in 4 of 5 baskets with y in 4: lift = 4*5/(4*5) = 1.0; but
-    # (x,y) vs total 5 baskets with co-occurrence 4 -> exactly 1.0
-    assert out2[("x", "y")]["n_baskets"] == 5
+    # p:3 baskets, q:3, r:2, N=4. (p,q)=2 -> 2*4/(3*3)=0.8889;
+    # (q,r)=1 -> 1*4/(3*2)=0.6667; (p,r)=1 -> 1*4/(3*2)=0.6667
+    assert out3[("p", "q")] == 0.8889
+    assert out3[("p", "r")] == 0.6667
+    assert out3[("q", "r")] == 0.6667
 

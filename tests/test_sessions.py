@@ -1043,3 +1043,43 @@ def test_survival_matches_naive_km(spark, lifespans):
         want[t] = (d, at_risk, math.floor(prod * 1e6 + 0.5) / 1e6)
     assert got == want
 
+def test_scd2_enrich_reserved_columns_and_shuffle_path(spark):
+    """Review regression (K22): facts carrying a reserved column raise
+    loudly; the broadcast_dim=False path returns identical rows via the
+    shuffle hash join."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        scd2_enrich,
+        scd2_history,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, 1, t(0), "a"),
+        (2, 1, t(2), "b"),
+        (3, 1, t(4), "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, attrv string"
+    )
+    dim = scd2_history(ev, "user_id", "ts", "attrv", "event_id")
+    facts = ev.select("event_id", "user_id", "ts")
+    bc = {
+        r["event_id"]: (r["attr"], r["version"])
+        for r in scd2_enrich(facts, dim, "user_id", "ts").collect()
+    }
+    sh = {
+        r["event_id"]: (r["attr"], r["version"])
+        for r in scd2_enrich(
+            facts, dim, "user_id", "ts", broadcast_dim=False
+        ).collect()
+    }
+    assert bc == sh == {1: ("a", 1), 2: ("b", 2), 3: ("b", 2)}
+    with _pytest.raises(ValueError, match="reserved column"):
+        scd2_enrich(
+            facts.withColumn("version", facts["event_id"]), dim, "user_id", "ts"
+        )
+
