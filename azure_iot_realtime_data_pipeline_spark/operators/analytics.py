@@ -1902,3 +1902,126 @@ def basket_lift(
         "item_a", "item_b", "n_both", "n_a", "n_b", "n_baskets",
         lift.alias("lift"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """L38 snapshot differ — the change-data-capture generator: given
+    two snapshots of a keyed table, emit one row per changed key with
+    op in {insert, delete, update} — what a CDC feed would have carried
+    between the snapshots, reconstructed from state (the fallback every
+    pipeline needs when the upstream has no change log).
+
+    ONE full outer hash join on the key (PINNED shuffle-hash: Spark's
+    preferSortMergeJoin default would otherwise plan the repo-banned
+    SortMergeJoin — full outer cannot broadcast); change classification
+    is a map-side null-safe struct comparison of the compared columns
+    (eqNullSafe — NULL-to-value transitions are real updates, NULL==
+    NULL is no change). Unchanged keys drop. Keys must be unique per
+    snapshot (duplicates would fan the join out — the same PK contract
+    as L32's orphan audit).
+
+    Returns (op, *key_cols) plus old_/new_ pairs of compare_cols.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ko_{k}") for k in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_vo"),
+    )
+    nw = new.select(
+        *[F.col(k).alias(f"_kn_{k}") for k in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_vn"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(nw.hint("shuffle_hash"), cond, "full_outer")
+    old_missing = F.col(f"_ko_{key_cols[0]}").isNull() & F.col("_vo").isNull()
+    new_missing = F.col(f"_kn_{key_cols[0]}").isNull() & F.col("_vn").isNull()
+    op = (
+        F.when(old_missing, F.lit("insert"))
+        .when(new_missing, F.lit("delete"))
+        .when(~F.col("_vo").eqNullSafe(F.col("_vn")), F.lit("update"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k)
+        for k in key_cols
+    ]
+    for c in compare_cols:
+        out_cols.append(F.col("_vo")[c].alias(f"old_{c}"))
+        out_cols.append(F.col("_vn")[c].alias(f"new_{c}"))
+    return j.select(op.alias("op"), *out_cols).filter(F.col("op").isNotNull())
+
+
+def reconcile_feeds(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tolerance_seconds: int,
+    group_col: str,
+) -> DataFrame:
+    """L39 cross-feed reconciliation — do two event feeds agree? Each
+    side's row counts as MATCHED when the other feed has at least one
+    row with the same keys within the time tolerance (the standard
+    exists-based recon — deliberately NOT one-to-one assignment, which
+    is a matching problem no warehouse runs at scale). The daily
+    source-vs-sink audit every ingestion pipeline needs.
+
+    Plan shape: two semi joins (one per direction) on the key equality
+    with the |ts diff| band as the join residual — hash joins on the
+    keys, never a cross product; the per-group rollups aggregate the
+    semi-join outputs and FULL-outer-merge (shuffle-hash pinned) so a
+    group present in only one feed still reports. NULL keys never
+    match (SQL equality), counting as unmatched.
+
+    Returns (group, n_a, matched_a, unmatched_a, n_b, matched_b,
+    unmatched_b).
+    """
+    tol_us = int(tolerance_seconds) * 1_000_000
+
+    def matched(x: DataFrame, y: DataFrame) -> DataFrame:
+        yk = y.select(
+            *[F.col(k).alias(f"_y_{k}") for k in key_cols],
+            F.unix_micros(F.col(ts_col)).alias("_y_t"),
+        )
+        cond = None
+        for k in key_cols:
+            c = x[k] == F.col(f"_y_{k}")
+            cond = c if cond is None else (cond & c)
+        cond = cond & (
+            F.abs(F.unix_micros(x[ts_col]) - F.col("_y_t")) <= tol_us
+        )
+        return x.join(yk, cond, "left_semi")
+
+    def rollup(x: DataFrame, m: DataFrame, side: str) -> DataFrame:
+        tot = x.groupBy(F.col(group_col).alias("group")).agg(
+            F.count(F.lit(1)).alias(f"n_{side}")
+        )
+        mm = m.groupBy(F.col(group_col).alias("group")).agg(
+            F.count(F.lit(1)).alias(f"matched_{side}")
+        )
+        return tot.join(mm, "group", "left").select(
+            "group",
+            f"n_{side}",
+            F.coalesce(F.col(f"matched_{side}"), F.lit(0)).alias(
+                f"matched_{side}"
+            ),
+        )
+    ra = rollup(a, matched(a, b), "a")
+    rb = rollup(b, matched(b, a), "b")
+    merged = ra.join(rb.hint("shuffle_hash"), "group", "full_outer")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return merged.select(
+        "group",
+        z("n_a").alias("n_a"),
+        z("matched_a").alias("matched_a"),
+        (z("n_a") - z("matched_a")).alias("unmatched_a"),
+        z("n_b").alias("n_b"),
+        z("matched_b").alias("matched_b"),
+        (z("n_b") - z("matched_b")).alias("unmatched_b"),
+    )

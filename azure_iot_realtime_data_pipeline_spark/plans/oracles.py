@@ -3123,6 +3123,77 @@ ORACLES["q_scd2_enrich"] = """
      AND (d.valid_to IS NULL OR e.ts < d.valid_to)
     """
 
+# L38 snapshot diff: full outer join + null-safe per-column compare
+# (IS DISTINCT FROM); unchanged keys drop.
+ORACLES["q_snapshot_diff"] = """
+    WITH old AS (
+      SELECT event_id, event_type, value FROM events
+    ),
+    new AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 5 = 0 THEN value + 1.0
+                  ELSE value END AS value
+      FROM events WHERE event_id % 11 <> 0
+    ),
+    j AS (
+      SELECT o.event_id AS ko, n.event_id AS kn,
+             o.event_type AS o_ty, o.value AS o_v,
+             n.event_type AS n_ty, n.value AS n_v,
+             o.event_id IS NULL AS old_missing,
+             n.event_id IS NULL AS new_missing
+      FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    )
+    SELECT CASE WHEN old_missing THEN 'insert'
+                WHEN new_missing THEN 'delete'
+                WHEN (o_ty IS DISTINCT FROM n_ty)
+                  OR (o_v IS DISTINCT FROM n_v) THEN 'update'
+           END AS op,
+           COALESCE(ko, kn) AS event_id,
+           o_ty AS old_event_type, n_ty AS new_event_type,
+           o_v AS old_value, n_v AS new_value
+    FROM j
+    WHERE old_missing OR new_missing
+       OR (o_ty IS DISTINCT FROM n_ty) OR (o_v IS DISTINCT FROM n_v)
+    """
+
+# L39 reconciliation: EXISTS within the tolerance, both directions,
+# per-type rollups full-outer merged.
+ORACLES["q_reconcile"] = """
+    WITH a AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    b AS (SELECT * FROM events WHERE event_id % 2 = 1),
+    ma AS (
+      SELECT event_type, COUNT(*) AS matched_a
+      FROM a WHERE EXISTS (
+        SELECT 1 FROM b
+        WHERE b.user_id = a.user_id AND b.event_type = a.event_type
+          AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
+      )
+      GROUP BY event_type
+    ),
+    mb AS (
+      SELECT event_type, COUNT(*) AS matched_b
+      FROM b WHERE EXISTS (
+        SELECT 1 FROM a
+        WHERE a.user_id = b.user_id AND a.event_type = b.event_type
+          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+      )
+      GROUP BY event_type
+    ),
+    ta AS (SELECT event_type, COUNT(*) AS n_a FROM a GROUP BY event_type),
+    tb AS (SELECT event_type, COUNT(*) AS n_b FROM b GROUP BY event_type)
+    SELECT COALESCE(ta.event_type, tb.event_type) AS group,
+           COALESCE(n_a, 0) AS n_a,
+           COALESCE(matched_a, 0) AS matched_a,
+           COALESCE(n_a, 0) - COALESCE(matched_a, 0) AS unmatched_a,
+           COALESCE(n_b, 0) AS n_b,
+           COALESCE(matched_b, 0) AS matched_b,
+           COALESCE(n_b, 0) - COALESCE(matched_b, 0) AS unmatched_b
+    FROM ta
+    FULL OUTER JOIN tb ON ta.event_type = tb.event_type
+    LEFT JOIN ma ON COALESCE(ta.event_type, tb.event_type) = ma.event_type
+    LEFT JOIN mb ON COALESCE(ta.event_type, tb.event_type) = mb.event_type
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

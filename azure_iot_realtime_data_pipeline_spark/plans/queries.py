@@ -2297,6 +2297,41 @@ def q_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38 CDC reconstruction between two synthetic snapshots of the
+    events table (drops every 11th id, bumps value on every 5th): one
+    full outer hash join on the key, map-side null-safe classification
+    into insert/delete/update."""
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.select("event_id", "event_type", "value")
+    new = (
+        ev.filter(F.col("event_id") % 11 != 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("event_id") % 5 == 0, F.col("value") + F.lit(1.0)
+            ).otherwise(F.col("value")).alias("value"),
+        )
+    )
+    return analytics.snapshot_diff(
+        old, new, ["event_id"], ["event_type", "value"]
+    )
+
+
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L39 feed reconciliation between the odd and even event-id halves
+    at a 5-minute tolerance on (user, type): two key-equality semi
+    joins with the time band as residual, per-type rollups full-outer
+    merged."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    return analytics.reconcile_feeds(
+        a, b, ["user_id", "event_type"], "ts", 300, "event_type"
+    )
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2619,6 +2654,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_brand_size_revenue": q_brand_size_revenue,
     "q_event_lift": q_event_lift,
     "q_scd2_enrich": q_scd2_enrich,
+    "q_snapshot_diff": q_snapshot_diff,
+    "q_reconcile": q_reconcile,
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_important_parts": q_important_parts,
     "q_idle_rich_customers": q_idle_rich_customers,

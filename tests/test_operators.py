@@ -1374,3 +1374,59 @@ def test_basket_lift_independence_and_association(spark):
     assert out3[("p", "r")] == 0.6667
     assert out3[("q", "r")] == 0.6667
 
+def test_snapshot_diff_classifies_all_ops(spark):
+    """L38: insert/delete/update classification with null-safe value
+    comparison — NULL->value and value->NULL are real updates,
+    NULL->NULL is no change, unchanged keys drop."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", None)],
+        "id long, ty string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (4, "d", None), (5, "e", 5.0)],
+        "id long, ty string, v double",
+    )
+    out = {r["id"]: r["op"] for r in snapshot_diff(old, new, ["id"], ["ty", "v"]).collect()}
+    assert out == {2: "update", 3: "delete", 5: "insert"}  # 1, 4 unchanged
+
+def test_reconcile_feeds_tolerance_and_one_sided_groups(spark):
+    """L39: matches require same keys AND |ts diff| <= tolerance; a
+    group present in only one feed still reports with zero matches."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        reconcile_feeds,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    a = spark.createDataFrame(
+        [
+            (1, 1, "x", t0),                                  # matched
+            (2, 1, "x", t0 + dt.timedelta(seconds=400)),      # outside tol
+            (3, 2, "only_a", t0),                             # one-sided group
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    b = spark.createDataFrame(
+        [
+            (11, 1, "x", t0 + dt.timedelta(seconds=30)),      # matches a#1
+            (12, 3, "x", t0),                                  # wrong user
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {
+        r["group"]: r
+        for r in reconcile_feeds(
+            a, b, ["user_id", "event_type"], "ts", 300, "event_type"
+        ).collect()
+    }
+    x = out["x"]
+    assert (x["n_a"], x["matched_a"], x["unmatched_a"]) == (2, 1, 1)
+    assert (x["n_b"], x["matched_b"], x["unmatched_b"]) == (2, 1, 1)
+    oa = out["only_a"]
+    assert (oa["n_a"], oa["matched_a"], oa["n_b"]) == (1, 0, 0)
+
