@@ -3194,6 +3194,26 @@ ORACLES["q_reconcile"] = """
     LEFT JOIN mb ON COALESCE(ta.event_type, tb.event_type) = mb.event_type
     """
 
+# M14 Q7 shape: five-table star, cross-nation pairs by year, int64
+# micro-unit revenue; year cast INTEGER to match Spark.
+ORACLES["q_nation_trade"] = """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                    * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 1000000 AS volume,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, ship_year
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

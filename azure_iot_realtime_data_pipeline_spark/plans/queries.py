@@ -2332,6 +2332,67 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14 scale validation (TPC-H Q7 shape): shipping volume between
+    supplier-nation and customer-nation pairs by year, cross-nation
+    only — the FIVE-table star: every dimension chain (supplier+nation,
+    orders+customer+nation) broadcasts INTO the fact scan, so lineitem's
+    only exchange is the final (nation, nation, year) aggregate —
+    plan-gated like M2. At warehouse scale the orders chain outgrows
+    broadcast and AQE swaps that edge to a shuffle join — a stats
+    decision, not a code change. Revenue in int64 micro-units."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        MICRO,
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supp_n = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ord_n = orders.join(
+        F.broadcast(cust_n), orders["o_custkey"] == cust_n["c_custkey"]
+    ).select("o_orderkey", "cust_nation")
+    rev = micro_units(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    j = (
+        li.join(F.broadcast(supp_n), li["l_suppkey"] == supp_n["s_suppkey"])
+        .join(F.broadcast(ord_n), li["l_orderkey"] == ord_n["o_orderkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            (F.col("_rev").cast("double") / F.lit(MICRO)).alias("volume"),
+            "n_lines",
+        )
+    )
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2656,6 +2717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scd2_enrich": q_scd2_enrich,
     "q_snapshot_diff": q_snapshot_diff,
     "q_reconcile": q_reconcile,
+    "q_nation_trade": q_nation_trade,
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_important_parts": q_important_parts,
     "q_idle_rich_customers": q_idle_rich_customers,
