@@ -3214,6 +3214,36 @@ ORACLES["q_nation_trade"] = """
     GROUP BY sn.n_name, cn.n_name, ship_year
     """
 
+# M15 region share: int64 micro-unit revenue per customer nation with
+# ratio-to-region (window over the 25-row table) and ratio-to-world.
+ORACLES["q_region_share"] = """
+    WITH per_nation AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ),
+    named AS (
+      SELECT r.r_name AS region, n.n_name AS nation, p.rev
+      FROM per_nation p
+      JOIN nation n ON p.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS world FROM named)
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) / 1000000 AS revenue,
+           floor(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS region_share,
+           floor(CAST(rev AS DOUBLE) / CAST(world AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS world_share
+    FROM named, tot
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

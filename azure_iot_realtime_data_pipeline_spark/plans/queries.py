@@ -2393,6 +2393,73 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 ratio-to-parent contribution report (and the region table's
+    debut — every warehouse table now has a registered consumer):
+    revenue per customer nation with its share of the REGION and of the
+    WORLD. The fact aggregates once through the M14 broadcast chain;
+    both ratios compute on the 25-row nation table (region share as a
+    window partitioned by region — never single-partition; world total
+    as the sanctioned one-row broadcast)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        MICRO,
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region")
+    rev = micro_units(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    ord_n = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "c_nationkey")
+    per_nation = (
+        li.join(F.broadcast(ord_n), li["l_orderkey"] == ord_n["o_orderkey"])
+        .groupBy("c_nationkey")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    named = (
+        per_nation.join(
+            F.broadcast(nation),
+            per_nation["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("_rev"),
+        )
+    )
+    wr = Window.partitionBy("region")
+    total = named.agg(F.sum("_rev").alias("_world"))
+    return named.crossJoin(F.broadcast(total)).select(
+        "region",
+        "nation",
+        (F.col("_rev").cast("double") / F.lit(MICRO)).alias("revenue"),
+        round_half_up(
+            F.col("_rev").cast("double")
+            / F.sum("_rev").over(wr).cast("double"),
+            6,
+        ).alias("region_share"),
+        round_half_up(
+            F.col("_rev").cast("double") / F.col("_world").cast("double"), 6
+        ).alias("world_share"),
+    )
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2718,6 +2785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_snapshot_diff": q_snapshot_diff,
     "q_reconcile": q_reconcile,
     "q_nation_trade": q_nation_trade,
+    "q_region_share": q_region_share,
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_important_parts": q_important_parts,
     "q_idle_rich_customers": q_idle_rich_customers,

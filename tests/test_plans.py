@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "q_ab_test",              # one-row arm B broadcast onto arm A
     "q_lorenz",               # one-row totals broadcast onto the curve
     "q_event_lift",           # one-row basket count broadcast
+    "q_region_share",         # one-row world total broadcast
 }
 
 #: the reference's anomaly window has no PARTITION BY
@@ -84,6 +85,7 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_ab_test",              # two one-row arm summaries crossed
     "q_lorenz",               # one-row grand totals onto the curve
     "q_event_lift",           # one-row basket count onto the pair table
+    "q_region_share",         # one-row world total onto 25 nation rows
     "q_promo_share",          # one-row conditional aggregate (Q14)
     "q_brand_size_revenue",   # one-row disjunctive aggregate (Q19)
 }
