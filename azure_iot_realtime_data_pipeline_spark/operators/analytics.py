@@ -1937,11 +1937,14 @@ def snapshot_diff(
     )
     cond = None
     for k in key_cols:
-        c = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
+        c = F.col(f"_ko_{k}") == F.col(f"_kn_{k}")
         cond = c if cond is None else (cond & c)
     j = o.join(nw.hint("shuffle_hash"), cond, "full_outer")
-    old_missing = F.col(f"_ko_{key_cols[0]}").isNull() & F.col("_vo").isNull()
-    new_missing = F.col(f"_kn_{key_cols[0]}").isNull() & F.col("_vn").isNull()
+    # side-presence via the value struct (non-NULL whenever the row
+    # exists, even with NULL fields), not via key NULL-ness — a
+    # NULL-key row's own key can't distinguish absent from present
+    old_missing = F.col("_vo").isNull()
+    new_missing = F.col("_vn").isNull()
     op = (
         F.when(old_missing, F.lit("insert"))
         .when(new_missing, F.lit("delete"))
@@ -1996,7 +1999,10 @@ def reconcile_feeds(
         cond = cond & (
             F.abs(F.unix_micros(x[ts_col]) - F.col("_y_t")) <= tol_us
         )
-        return x.join(yk, cond, "left_semi")
+        # pinned shuffle-hash: past the broadcast threshold the default
+        # would be the repo-banned SortMergeJoin (the group-level merge
+        # below is pinned for the same reason)
+        return x.join(yk.hint("shuffle_hash"), cond, "left_semi")
 
     def rollup(x: DataFrame, m: DataFrame, side: str) -> DataFrame:
         tot = x.groupBy(F.col(group_col).alias("group")).agg(

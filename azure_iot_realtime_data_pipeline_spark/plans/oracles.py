@@ -3139,9 +3139,11 @@ ORACLES["q_snapshot_diff"] = """
       SELECT o.event_id AS ko, n.event_id AS kn,
              o.event_type AS o_ty, o.value AS o_v,
              n.event_type AS n_ty, n.value AS n_v,
-             o.event_id IS NULL AS old_missing,
-             n.event_id IS NULL AS new_missing
-      FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+             o.present IS NULL AS old_missing,
+             n.present IS NULL AS new_missing
+      FROM (SELECT *, TRUE AS present FROM old) o
+      FULL OUTER JOIN (SELECT *, TRUE AS present FROM new) n
+        ON o.event_id = n.event_id
     )
     SELECT CASE WHEN old_missing THEN 'insert'
                 WHEN new_missing THEN 'delete'

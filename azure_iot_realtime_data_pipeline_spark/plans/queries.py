@@ -2336,11 +2336,15 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M14 scale validation (TPC-H Q7 shape): shipping volume between
     supplier-nation and customer-nation pairs by year, cross-nation
     only — the FIVE-table star: every dimension chain (supplier+nation,
-    orders+customer+nation) broadcasts INTO the fact scan, so lineitem's
-    only exchange is the final (nation, nation, year) aggregate —
-    plan-gated like M2. At warehouse scale the orders chain outgrows
-    broadcast and AQE swaps that edge to a shuffle join — a stats
-    decision, not a code change. Revenue in int64 micro-units."""
+    orders+customer+nation) joins INTO the fact: the TRUE dimensions
+    broadcast by hint; the orders chain — itself fact-sized at
+    warehouse scale — is PINNED to a shuffle hash join on l_orderkey
+    (broadcasting it would OOM at scale since hints are never demoted,
+    and unhinted the stats-less derived side statically plans the
+    banned SortMergeJoin). Plan: one join exchange pair on l_orderkey
+    plus the final map-side-combined (nation, nation, year) aggregate
+    exchange, pinned by a dedicated gate. Revenue in int64
+    micro-units."""
     from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
         MICRO,
         micro_units,
@@ -2373,7 +2377,10 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(F.broadcast(supp_n), li["l_suppkey"] == supp_n["s_suppkey"])
-        .join(F.broadcast(ord_n), li["l_orderkey"] == ord_n["o_orderkey"])
+        .join(
+            ord_n.hint("shuffle_hash"),
+            li["l_orderkey"] == ord_n["o_orderkey"],
+        )
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -2424,7 +2431,11 @@ def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
     ).select("o_orderkey", "c_nationkey")
     per_nation = (
-        li.join(F.broadcast(ord_n), li["l_orderkey"] == ord_n["o_orderkey"])
+        # orders edge pinned shuffle-hash, same reasoning as M14
+        li.join(
+            ord_n.hint("shuffle_hash"),
+            li["l_orderkey"] == ord_n["o_orderkey"],
+        )
         .groupBy("c_nationkey")
         .agg(F.sum(rev).alias("_rev"))
     )

@@ -219,6 +219,18 @@ def test_no_pathological_plan_shapes(spark, sf_smoke, name):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
+def test_nation_trade_star_shape(spark, sf_smoke):
+    """M14: the true dimensions ride broadcast joins; the fact-sized
+    orders edge is a PINNED shuffle hash join on l_orderkey (never
+    SortMergeJoin, never a fact-sized broadcast); total hash exchanges
+    stay at the join pair + the final aggregate."""
+    p = plan_of(spark, sf_smoke, "q_nation_trade")
+    assert "ShuffledHashJoin" in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
 def test_pricing_summary_pushes_filter_and_prunes(spark, sf_smoke):
     # M1: the shipdate cutoff must reach the parquet scan, and the scan
     # must read only the 7 needed columns of lineitem's 11 — at 100 TB
