@@ -92,3 +92,46 @@ def expire_partitions(
             shutil.rmtree(os.path.join(path, entry))
             removed.append(value)
     return removed
+
+
+def lake_file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Lake file-layout report — the input to the compaction decision
+    `compact_parquet_dir` acts on: per data file its on-disk size and
+    row count, plus the small-file flag (< 16 MiB, the classic
+    too-many-tiny-files smell on an append-forever bronze layout).
+
+    Two metadata-scale passes, no full data scan: file sizes come from
+    a driver-side recursive filesystem listing (pure namenode/inode
+    metadata — the same cost class as `expire_partitions`), row counts
+    from ONE Spark job over the parquet FOOTERS (count() on a parquet
+    scan reads metadata only, grouped by `input_file_name`). Returns
+    (file, bytes, n_rows, is_small) ordered data.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                sizes.append((full, os.path.getsize(full)))
+    size_df = spark.createDataFrame(sizes, "file string, bytes long")
+    counts = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("_uri"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            # input_file_name yields file:///abs/path — strip exactly
+            # the scheme+authority, keeping the absolute path's slash
+            F.regexp_replace(F.col("_uri"), "^file://", "").alias("file"),
+            "n_rows",
+        )
+    )
+    return size_df.join(counts, "file", "left").select(
+        "file",
+        "bytes",
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+        (F.col("bytes") < 16 * 1024 * 1024).alias("is_small"),
+    )

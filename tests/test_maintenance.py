@@ -80,3 +80,25 @@ def test_compaction_recovers_from_mid_swap_crash_and_grows(spark, sf_smoke, tmp_
     assert n2 <= 2
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
     assert not os.path.exists(path + "._compact_old")
+
+def test_lake_file_stats_reports_sizes_and_counts(spark, sf_smoke, tmp_path):
+    """lake_file_stats: every parquet data file reports its on-disk
+    bytes and footer row count; totals reconcile with the table; tiny
+    files carry the small-file flag the compactor keys on."""
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+    from azure_iot_realtime_data_pipeline_spark.sources.bucketed import (
+        write_date_partitioned,
+    )
+    from azure_iot_realtime_data_pipeline_spark.sources.maintenance import (
+        lake_file_stats,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    path = str(tmp_path / "lake")
+    write_date_partitioned(ev, path)
+    stats = lake_file_stats(spark, path).collect()
+    assert len(stats) > 1
+    assert all(r["bytes"] > 0 for r in stats)
+    assert sum(r["n_rows"] for r in stats) == ev.count()
+    assert all(r["is_small"] for r in stats)  # smoke files are tiny
+
