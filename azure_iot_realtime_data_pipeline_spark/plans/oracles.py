@@ -3246,6 +3246,40 @@ ORACLES["q_region_share"] = """
     FROM named, tot
     """
 
+# L40 session conversion: the K1 session CTE, entry type via the
+# ordered-struct min, conversion as a MAX flag.
+ORACLES["q_session_conversion"] = """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    per AS (
+      SELECT user_id, session_id,
+             (MIN(struct_pack(t := epoch_us(ts), i := event_id,
+                              ty := event_type)))['ty'] AS entry_type,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT entry_type,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(conv) AS BIGINT) AS n_converted,
+           floor(CAST(SUM(conv) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+             / 10000 AS conversion_rate
+    FROM per GROUP BY entry_type
+    """
+
 # L15 MAD: two exact lower-median rank selections (same ceil(0.5*n)
 # arithmetic as exact_percentiles); deviations are |x - med| on the
 # identical doubles, so the selected values match bit-for-bit.

@@ -2471,6 +2471,33 @@ def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L40 session conversion by ENTRY type — which landing event kind
+    converts: per K1 session the first event's type (struct-min over
+    (ts, id, type), the E5 aggregate-not-window trick) and whether a
+    purchase occurred anywhere in it; one rollup to the |types| table.
+    Rides the sessionize sort; no extra shuffle beyond the rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessions.sessionize(ev, "user_id", "ts", 3600, "event_id")
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min(
+            F.struct(
+                F.unix_micros(F.col("ts")).alias("t"),
+                F.col("event_id").alias("i"),
+                F.col("event_type").alias("ty"),
+            )
+        )["ty"].alias("entry_type"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("_conv"),
+    )
+    return per.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("_conv").alias("n_converted"),
+        round_half_up(
+            F.sum("_conv").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("conversion_rate"),
+    )
+
+
 def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L15 per-type median absolute deviation — the robust dispersion
     beside q_zscore's stddev: two exact rank selections sharing one
@@ -2797,6 +2824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_reconcile": q_reconcile,
     "q_nation_trade": q_nation_trade,
     "q_region_share": q_region_share,
+    "q_session_conversion": q_session_conversion,
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_important_parts": q_important_parts,
     "q_idle_rich_customers": q_idle_rich_customers,
