@@ -116,8 +116,17 @@ MICRO = 1_000_000.0
 
 def micro_units(v: Column) -> Column:
     """Half-up integer micro-units of a float/double value — the
-    order-free, engine-portable accumulation domain (see module doc)."""
-    return F.floor(v.cast("double") * MICRO + F.lit(0.5)).cast("long")
+    order-free, engine-portable accumulation domain (see module doc).
+
+    NaN maps to NULL, not 0: Spark's floor(NaN*1e6+0.5) silently yields
+    0 while DuckDB's CAST(floor(NaN..) AS BIGINT) raises, so a NaN
+    measurement would diverge from the oracles in any query that only
+    filters IS NOT NULL. NULL makes both engines drop the row the same
+    way (ADVICE r5)."""
+    d = v.cast("double")
+    return F.when(
+        ~F.isnan(d), F.floor(d * MICRO + F.lit(0.5)).cast("long")
+    )
 
 
 def embedding_centroids(
@@ -1126,8 +1135,15 @@ def referential_orphans(
             ).alias(f"_o{i}")
         )
     row = df.agg(*aggs)
+
+    def lit_str(s: str) -> str:
+        # same escaping as data_profile: backslashes first (Spark SQL
+        # literals process escape sequences), then quotes — an
+        # un-escaped caller label like "o'brien" would break the stack()
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
     stack_args = ", ".join(
-        f"'{rel}', _o{i}" for i, (rel, _, _) in enumerate(flags)
+        f"{lit_str(rel)}, _o{i}" for i, (rel, _, _) in enumerate(flags)
     )
     return row.selectExpr(
         f"stack({len(flags)}, {stack_args}) AS (relationship, n_orphans)",

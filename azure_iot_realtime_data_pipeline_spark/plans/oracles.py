@@ -2751,7 +2751,7 @@ ORACLES["q_availability"] = """
              lead(epoch_us(ts)) OVER (PARTITION BY user_id
                                       ORDER BY epoch_us(ts), event_id)
                - epoch_us(ts) AS gap
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     per AS (
       SELECT user_id, COUNT(*) AS n_events,
@@ -3353,7 +3353,7 @@ ORACLES["q_day_over_day"] = """
       GROUP BY 1, 2
     )
     SELECT event_type,
-           to_timestamp(b * 86400) AS period_start,
+           make_timestamp(b * 86400000000) AS period_start,
            n,
            floor((CAST(s AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000 AS total,
            floor((CAST(lag(s) OVER w AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000

@@ -123,9 +123,20 @@ def lake_file_stats(spark: SparkSession, path: str) -> DataFrame:
         .groupBy(F.input_file_name().alias("_uri"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(
-            # input_file_name yields file:///abs/path — strip exactly
-            # the scheme+authority, keeping the absolute path's slash
-            F.regexp_replace(F.col("_uri"), "^file://", "").alias("file"),
+            # input_file_name yields a URL-ENCODED file:///abs/path URI
+            # (spaces -> %20, %% -> %25), so strip the scheme+authority
+            # then percent-decode or the equi-join against the os.walk
+            # listing silently misses those files (n_rows=0). url_decode
+            # is form-decoding ('+' -> space), but Hadoop's Path.toUri
+            # never encodes a space as '+', so any literal '+' in the
+            # URI is a real '+' — pre-escape it to %2B first.
+            F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("_uri"), "^file://", ""),
+                    "\\+",
+                    "%2B",
+                )
+            ).alias("file"),
             "n_rows",
         )
     )

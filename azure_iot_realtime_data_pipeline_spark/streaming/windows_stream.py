@@ -1748,6 +1748,10 @@ def make_alarm_fn(
         outs = []
         pdf = one_frame(pdfs)
         if pdf is not None:
+            # NaT guard (mirrors make_availability_fn): a NULL ts would
+            # survive astype('int64') as INT64 min, emitting a bogus
+            # negative run and poisoning the carried state.
+            pdf = pdf[pdf[ts_col].notna()]
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
             ts = pdf[ts_col]
             if getattr(ts.dt, "tz", None) is not None:
@@ -1857,6 +1861,10 @@ def make_state_dur_fn(
             prev_ts = prev_state = None
         pdf = one_frame(pdfs)
         if pdf is not None:
+            # NaT guard (mirrors make_availability_fn): NULL ts ->
+            # INT64 min under astype('int64') would poison prev_ts for
+            # every later batch; batch twin drops NULL-ts rows too.
+            pdf = pdf[pdf[ts_col].notna()]
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
             ts = pdf[ts_col]
             if getattr(ts.dt, "tz", None) is not None:

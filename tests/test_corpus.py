@@ -895,6 +895,46 @@ def test_bpe_matches_naive_reference_property(spark, words):
     ]
     assert got == want
 
+def test_bpe_merge_prefix_stability(spark):
+    """VERDICT r5 #6: two stability laws for the rows-only J51 surface.
+    (a) Budget growth: the first k rules of an n>k-merge run equal the
+    k-merge run exactly (greedy BPE never revises earlier rules).
+    (b) Corpus replication: duplicating every document scales each
+    pair_count by the replication factor but leaves the (rank, left,
+    right) rule sequence identical — the argmax order is count-ratio
+    driven, so uniform growth cannot reorder it."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        bpe_learn_merges,
+    )
+
+    texts = ["low low low lower lowest", "new newer newest low", "banana band"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    full = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_learn_merges(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    short = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_learn_merges(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    assert full[: len(short)] == short
+
+    tripled = spark.createDataFrame(
+        [(100 * k + i, t) for k in range(3) for i, t in enumerate(texts)],
+        ["doc_id", "text"],
+    )
+    grown = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_learn_merges(tripled, n_merges=8)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert [(g[0], g[1], g[2]) for g in grown] == [(f[0], f[1], f[2]) for f in full]
+    assert [g[3] for g in grown] == [3 * f[3] for f in full]
+
+
 def test_dedup_pipeline_verify_prunes_false_candidates(spark):
     """J52: exact-Jaccard verification keeps true near-dups and prunes
     candidate pairs whose real overlap is below the verify threshold."""

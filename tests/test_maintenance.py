@@ -102,3 +102,20 @@ def test_lake_file_stats_reports_sizes_and_counts(spark, sf_smoke, tmp_path):
     assert sum(r["n_rows"] for r in stats) == ev.count()
     assert all(r["is_small"] for r in stats)  # smoke files are tiny
 
+
+def test_lake_file_stats_url_encoded_paths(spark, sf_smoke, tmp_path):
+    """ADVICE r5: input_file_name() returns URL-ENCODED URIs, so a
+    directory with a space / '%' / '+' must still join against the
+    os.walk listing (previously reported n_rows=0 for those files)."""
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+    from azure_iot_realtime_data_pipeline_spark.sources.maintenance import (
+        lake_file_stats,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").limit(100)
+    path = str(tmp_path / "odd dir %x +plus")
+    ev.coalesce(1).write.parquet(path)
+    stats = lake_file_stats(spark, path).collect()
+    assert len(stats) == 1
+    assert stats[0]["n_rows"] == 100
+

@@ -92,6 +92,24 @@ def test_embedding_near_dup_lsh_is_subset_of_exact(spark, sf_smoke):
     assert exact  # threshold tuned so the test is non-vacuous
 
 
+def test_embedding_near_dup_exact_refuses_unbounded_input(spark, sf_smoke):
+    """VERDICT r5 #5: the num_planes=0 all-pairs crossJoin is a bounded-
+    slice tool; pointing it at anything larger than max_exact_rows must
+    raise (naming the LSH escape hatch), never silently run O(n^2)."""
+    import pytest
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    with pytest.raises(ValueError, match="num_planes>0"):
+        dedup.embedding_near_dup(emb, threshold=0.25, max_exact_rows=10)
+    # explicit raise of the bound is the documented override
+    small = emb.filter(F.col("vec_id") < 30)
+    assert (
+        dedup.embedding_near_dup(small, threshold=-1.0, max_exact_rows=30)
+        .count()
+        == 30 * 29 // 2
+    )
+
+
 def test_image_ahash_pairs_find_duplicate_payloads(spark):
     """J44 pairs: identical payloads -> hamming 0 and paired; the
     unrelated doc pairs with nothing at the threshold (fake-decode

@@ -1359,6 +1359,59 @@ def test_availability_fn_skips_nat_timestamps():
     assert row["downtime_seconds"] == 12 * 3600.0  # one 12-h gap > 6 h
 
 
+def test_state_dur_and_alarm_fns_skip_nat_timestamps():
+    """ADVICE r5: make_state_dur_fn / make_alarm_fn must drop NULL-ts
+    rows like make_availability_fn (and the batch twins) do — without
+    the guard astype('int64') turns NaT into INT64 min, emitting a
+    hugely negative duration and poisoning the carried prev_ts."""
+    import pandas as pd
+
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        make_alarm_fn,
+        make_state_dur_fn,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", None, "2024-01-01 01:00:00"]
+            ),
+            "event_id": [1, 2, 3],
+            "event_type": ["a", "b", "c"],
+            "value": [99.0, 99.0, 10.0],
+        }
+    )
+
+    fn = make_state_dur_fn()
+    st = FakeState()
+    out = list(fn((1,), iter([pdf.copy()]), st))
+    assert len(out) == 1
+    r = out[0].iloc[0]
+    # exactly ONE closed interval: a -> c (NaT row contributes nothing)
+    assert len(out[0]) == 1 and r["state"] == "a" and r["dur_us"] == 3600 * 10**6
+    assert st.value == (pd.Timestamp("2024-01-01 01:00:00").value // 1000, "c")
+
+    # alarm fn: the NaT row (value 99 > threshold) must NOT extend the
+    # run; run closes at the third event with n_events=1 (< min_events
+    # without the NaT row, so nothing emits; state carries run closed)
+    afn = make_alarm_fn(threshold=60.0, min_events=1)
+    ast = FakeState()
+    aout = list(afn((1,), iter([pdf.copy()]), ast))
+    assert len(aout) == 1
+    arow = aout[0].iloc[0]
+    assert arow["n_events"] == 1  # NaT row excluded from the run
+    assert arow["alarm_start"] == arow["alarm_end"] == pd.Timestamp(
+        "2024-01-01 00:00:00"
+    )
+
+
 def test_trending_stream_closed_buckets_match_batch(spark, sf_smoke, replay_dir, tmp_path):
     """L30 streaming twin: every CLOSED bucket's (n, prev_n, growth)
     equals the batch operator's row; only each type's final (open)
