@@ -2,10 +2,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "queries_min": {...},
-   "queries_all": {...}, "value_all": ..., "reps": N, "sf": ...}
+Prints ONE COMPACT JSON line (must fit the driver's ~2000-char stdout
+capture — BENCH_r03..r06.json all recorded "parsed": null because the
+line outgrew the window once `queries_all` reached 176 entries):
+  {"metric": "...", "value": <headline_sec>, "unit": "sec",
+   "queries": {<headline medians only>}, "value_all": ...,
+   "cpu_steal_pct": ..., "reps": N, "sf": ..., "detail": "bench_full.json"}
+The full record (queries_min, queries_all, slow_medians, skipped_all)
+is written to bench_full.json next to this script.
 
 `value`/`queries` stay the 30-query HEADLINE suite (round-over-round
 comparable); since round 4 each headline query runs
@@ -192,10 +196,18 @@ def main() -> None:
         slow_n = int(os.environ.get("SPARK_GRAFT_BENCH_SLOW_N", "10"))
         slow_budget = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_BUDGET_SEC", "120"))
         t_slow = time.perf_counter()
-        slowest = sorted(
-            (n for n in timings_all if n not in HEADLINE),
+        # Pinned: adjudicated-noisy queries that must ALWAYS get medians
+        # so round-over-round comparisons stop re-litigating them
+        # (r6 tail inflated both ~25% on single shots).
+        pinned = [
+            n
+            for n in ("q_dedup_pipeline", "q_canonical_docs")
+            if n in timings_all and n not in HEADLINE
+        ]
+        slowest = pinned + sorted(
+            (n for n in timings_all if n not in HEADLINE and n not in pinned),
             key=lambda n: -timings_all[n],
-        )[:slow_n]
+        )[: max(0, slow_n - len(pinned))]
         for name in slowest:
             if time.perf_counter() - t_slow > slow_budget:
                 break
@@ -216,28 +228,47 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # Compact line: headline medians + summary scalars ONLY. The full
+    # per-query sweep goes to the sidecar — the driver's capture window
+    # truncated the old 176-entry line for four straight rounds, losing
+    # `value` and `cpu_steal_pct` from the official record.
     out = {
         "metric": "headline_suite_wall_sec",
         "value": round(sum(medians.values()), 3),
         "unit": "sec",
         "queries": medians,
-        "queries_min": mins,
         "reps": reps,
         "sf": sf_dir,
+        "detail": "bench_full.json",
     }
     jiffies_end = _cpu_jiffies()
     if jiffies_start and jiffies_end and jiffies_end[1] > jiffies_start[1]:
         steal = jiffies_end[0] - jiffies_start[0]
         total = jiffies_end[1] - jiffies_start[1]
         out["cpu_steal_pct"] = round(100.0 * steal / total, 2)
+    full = dict(out)
+    full["queries_min"] = mins
     if run_all:
-        out["queries_all"] = timings_all
         out["value_all"] = round(sum(timings_all.values()), 3)
+        out["n_all"] = len(timings_all)
+        full["value_all"] = out["value_all"]
+        full["queries_all"] = timings_all
         if slow_medians:
-            out["slow_medians"] = slow_medians
+            full["slow_medians"] = slow_medians
         if skipped:
-            out["skipped_all"] = skipped
-    print(json.dumps(out))
+            out["n_skipped"] = len(skipped)
+            full["skipped_all"] = skipped
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:  # sidecar is best-effort; the line must still print
+        print(f"# sidecar write failed: {e}", file=sys.stderr)
+    line = json.dumps(out)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the capture again
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 
