@@ -118,14 +118,17 @@ def micro_units(v: Column) -> Column:
     """Half-up integer micro-units of a float/double value — the
     order-free, engine-portable accumulation domain (see module doc).
 
-    NaN maps to NULL, not 0: Spark's floor(NaN*1e6+0.5) silently yields
-    0 while DuckDB's CAST(floor(NaN..) AS BIGINT) raises, so a NaN
-    measurement would diverge from the oracles in any query that only
-    filters IS NOT NULL. NULL makes both engines drop the row the same
-    way (ADVICE r5)."""
+    Non-finite maps to NULL, not 0/saturation: Spark's
+    floor(NaN*1e6+0.5) silently yields 0 and floor(inf*1e6+0.5)
+    .cast('long') saturates (or throws under ANSI), while DuckDB's
+    CAST(floor(..) AS BIGINT) raises on both, so a NaN/Inf measurement
+    would diverge from the oracles in any query that only filters
+    IS NOT NULL. NULL makes both engines drop the row the same way
+    (ADVICE r5 NaN, r6 +/-Inf)."""
     d = v.cast("double")
     return F.when(
-        ~F.isnan(d), F.floor(d * MICRO + F.lit(0.5)).cast("long")
+        ~F.isnan(d) & (F.abs(d) != F.lit(float("inf"))),
+        F.floor(d * MICRO + F.lit(0.5)).cast("long"),
     )
 
 

@@ -1430,3 +1430,30 @@ def test_reconcile_feeds_tolerance_and_one_sided_groups(spark):
     oa = out["only_a"]
     assert (oa["n_a"], oa["matched_a"], oa["n_b"]) == (1, 0, 0)
 
+
+
+def test_micro_units_nonfinite_maps_to_null(spark):
+    """micro_units: NaN AND +/-Inf -> NULL (ADVICE r5/r6). Spark would
+    otherwise floor NaN to 0 and saturate Inf on the long cast (or throw
+    under ANSI) while DuckDB raises on both — NULL makes both engines
+    drop the row identically. Finite values half-up round."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        micro_units,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.2345675),
+            (2, float("nan")),
+            (3, float("inf")),
+            (4, float("-inf")),
+            (5, None),
+            (6, -2.5e-7),
+        ],
+        "id long, v double",
+    )
+    out = {r.id: r.m for r in df.select("id", micro_units(F.col("v")).alias("m")).collect()}
+    assert out[1] == 1234568  # half-up at the micro digit
+    assert out[2] is None and out[3] is None and out[4] is None
+    assert out[5] is None
+    assert out[6] == 0  # floor(-0.25 + 0.5) = 0
