@@ -1457,3 +1457,39 @@ def test_micro_units_nonfinite_maps_to_null(spark):
     assert out[2] is None and out[3] is None and out[4] is None
     assert out[5] is None
     assert out[6] == 0  # floor(-0.25 + 0.5) = 0
+
+
+def test_ivf_kmeans_dial_response_at_sf01(spark, sf_bench):
+    """IVF n_probe dial-response on HELD-OUT queries at sf0.1 (r6
+    verdict item 4): recall@10 must respond monotonically to n_probe
+    (2 <= 4 <= 8) and the production k-means centroids must beat the
+    deterministic parity centroids at every dial setting. Measured r7
+    (fixed data, seeded k-means -> stable): kmeans 0.28/0.60/0.82 vs
+    deterministic 0.20/0.40/0.74 at n_probe 2/4/8 — the recall you buy
+    per extra probed cell is the scale dial a 100 TB deployment tunes,
+    so the curve itself is the gated artifact, not one point."""
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_bench, "embeddings")
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    exact = {(r.query_id, r.cand_id) for r in cosine_topk(q, c, k=10).collect()}
+
+    def recall(mode, n_probe):
+        got = {
+            (r.query_id, r.cand_id)
+            for r in ivf_topk(q, c, k=10, n_probe=n_probe, centroids=mode).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    km = [recall("kmeans", p) for p in (2, 4, 8)]
+    det = [recall("deterministic", p) for p in (2, 4, 8)]
+    assert km[0] <= km[1] <= km[2], km
+    assert det[0] <= det[1] <= det[2], det
+    assert all(k >= d for k, d in zip(km, det)), (km, det)
+    assert km[2] >= 0.7, km
