@@ -109,3 +109,87 @@ def replay_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.option("recursiveFileLookup", "true").parquet(replay_dir)
+
+
+def stage_replay_dir_delayed_builds(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    num_files: int = 4,
+    delayed_type: str = "purchase",
+    nudge_type: str = "click",
+) -> str:
+    """Stage `events` chronologically but DELAY every `delayed_type` row
+    one file behind its event-time bucket — the production out-of-order
+    case where the build side of a stream-stream as-of runs a whole
+    micro-batch late (e.g. the hub partition carrying purchases lags).
+
+    File i holds bucket-i rows of every other type plus bucket-(i-1)
+    rows of `delayed_type`, so within each micro-batch the delayed
+    side's event times are up to a full bucket-span OLDER than the rest:
+    exactly what `asof_stream` (immediate emission) gets wrong and
+    `asof_stream_watermarked` must absorb, provided the watermark delay
+    covers one bucket span.
+
+    Two trailing files each hold one far-future `nudge_type` row per
+    user (negative event_ids, NULL value): the first advances the
+    event-time watermark past all real data, the second delivers
+    per-key input so a NoTimeout stateful operator is invoked once more
+    UNDER that watermark and flushes its buffer. The nudges' own event
+    time stays above every watermark they ever see, so they are never
+    emitted themselves.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("lo"),
+        F.max(F.unix_timestamp("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(hi - lo, 1)
+    bucket = F.least(
+        F.lit(num_files - 1),
+        ((F.unix_timestamp("ts") - F.lit(lo)) * num_files / span).cast("int"),
+    )
+    staged = ev.withColumn("_bucket", bucket)
+    far_future = hi + 2 * span
+    nudges = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            (-F.col("user_id") - 1).alias("event_id"),
+            F.timestamp_seconds(F.lit(far_future)).alias("ts"),
+            "user_id",
+            F.lit(nudge_type).alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .select(*ev.columns)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(num_files + 2):
+        parts = []
+        if i < num_files:
+            parts.append(
+                staged.filter(
+                    (F.col("_bucket") == i) & (F.col("event_type") != delayed_type)
+                ).drop("_bucket")
+            )
+        if 1 <= i <= num_files:
+            parts.append(
+                staged.filter(
+                    (F.col("_bucket") == i - 1)
+                    & (F.col("event_type") == delayed_type)
+                ).drop("_bucket")
+            )
+        if i >= num_files:
+            parts.append(nudges)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        part_dir = os.path.join(out_dir, f"bucket={i:02d}")
+        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        now = time.time()
+        for root, _dirs, files in os.walk(part_dir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i, now + i))
+    return out_dir

@@ -291,6 +291,139 @@ def asof_stream(
     )
 
 
+#: watermark-buffered as-of: carry cell + the not-yet-final row buffer
+ASOF_WM_STATE_SCHEMA = StructType(
+    [
+        StructField("last_val", DoubleType()),
+        StructField("buf_ts_us", ArrayType(LongType())),
+        StructField("buf_side", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_val", ArrayType(DoubleType())),
+    ]
+)
+
+
+def make_asof_wm_fn():
+    """applyInPandasWithState body for the WATERMARK-BUFFERED K4 twin.
+
+    Per key, every arriving row (both sides) is buffered in state; only
+    rows whose event time has been passed by the CURRENT event-time
+    watermark are finalized — sorted (ts, side, event_id) exactly like
+    the in-order twin — and probe outputs emitted. Because the watermark
+    is Spark's two-sided bound ("no row older than this will arrive on
+    EITHER side"), a build delayed a full micro-batch behind its probes
+    still lands in the buffer before those probes finalize: the
+    production out-of-order case the in-order twin documents away.
+    State bound: watermark-delay x per-key arrival rate rows — the same
+    bound a native stream-stream interval join carries."""
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            last_val, b_ts, b_side, b_id, b_val = state.get
+            buf = [
+                (int(t), int(s), int(i), v)
+                for t, s, i, v in zip(b_ts, b_side, b_id, b_val)
+            ]
+        else:
+            last_val, buf = None, []
+        pdf = one_frame(pdfs)
+        if pdf is not None:
+            ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            for t, s, eid, v in zip(
+                ts_us, pdf["_side"], pdf["event_id"], pdf["value"]
+            ):
+                buf.append(
+                    (int(t), int(s), int(eid), None if pd.isna(v) else float(v))
+                )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # unique event_ids make the (ts, side, id) prefix decisive, so the
+        # possibly-None value never participates in the sort
+        buf.sort()
+        pend = [r for r in buf if r[0] > wm_us]
+        out = []
+        for t, s, eid, v in buf:
+            if t > wm_us:
+                continue
+            if s == 0:
+                last_val = v
+            else:
+                out.append((eid, int(key[0]), t, last_val))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.Series([o[0] for o in out], dtype="int64"),
+                    "user_id": pd.Series([o[1] for o in out], dtype="int64"),
+                    "ts": pd.to_datetime([o[2] for o in out], unit="us"),
+                    "asof_purchase_value": pd.Series(
+                        [o[3] for o in out], dtype="float64"
+                    ),
+                }
+            )
+        state.update(
+            (
+                None if last_val is None else float(last_val),
+                [r[0] for r in pend],
+                [r[1] for r in pend],
+                [r[2] for r in pend],
+                [r[3] for r in pend],
+            )
+        )
+
+    return fn
+
+
+def asof_stream_watermarked(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    probe_type: str = "click",
+    build_type: str = "purchase",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """K4 streaming twin, watermark-buffered: exact as-of semantics under
+    out-of-order arrival on BOTH streams, bounded by the watermark.
+
+    ``asof_stream`` emits each probe immediately and so assumes builds
+    never arrive later than the probes they should enrich (the staged
+    replay source's guarantee). This variant holds rows in state until
+    the event-time watermark passes them, which makes the output
+    invariant to ANY arrival interleaving within the watermark delay —
+    including the build side running a whole micro-batch behind.
+    Trade: probes emit with up to watermark-delay latency, and state
+    carries the in-flight rows instead of one cell.
+
+    The watermark node sits BEFORE the event-type filter so every event
+    advances the clock — a quiet build stream can never stall probe
+    finalization (the classic two-sided-bound deadlock).
+    """
+    if watermark is None:
+        raise ValueError(
+            "asof_stream_watermarked requires a watermark: finalization "
+            "IS the watermark passing; use asof_stream for the "
+            "in-order/immediate-emission form."
+        )
+    tagged = (
+        events.withWatermark(ts_col, watermark)
+        .filter(F.col("event_type").isin(probe_type, build_type))
+        .select(
+            "event_id",
+            F.col(key_col),
+            F.col(ts_col),
+            F.when(F.col("event_type") == build_type, 0)
+            .otherwise(1)
+            .alias("_side"),
+            F.col("value"),
+        )
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_asof_wm_fn(),
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_WM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 #: one carry cell per key: the previous event's microsecond timestamp
 GAPS_STATE_SCHEMA = StructType([StructField("last_ts_us", LongType())])
 

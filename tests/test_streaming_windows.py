@@ -2022,3 +2022,66 @@ def test_state_durations_stream_totals_match_batch(spark, sf_smoke, replay_dir, 
     cols = ["user_id", "state", "n_intervals", "total_seconds"]
     assert _as_set(got, cols) == _as_set(want, cols)
     assert got.count() == want.count() > 0
+
+
+def test_asof_stream_watermarked_survives_build_side_delay(
+    spark, sf_smoke, tmp_path_factory, tmp_path
+):
+    """K4 two-sided watermark bound (r6 verdict item 6): the build side
+    (purchases) is staged a FULL micro-batch behind its event-time
+    bucket — the production interleaving `asof_stream`'s immediate
+    emission cannot absorb — and the watermark-buffered twin must still
+    match the batch as-of exactly. Watermark 200 h > the ~7.5-day bucket
+    span, so no delayed build is ever late-dropped; the two trailing
+    nudge files advance the watermark past all real data and trigger the
+    final flush (see stage_replay_dir_delayed_builds)."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import q_asof_join
+    from azure_iot_realtime_data_pipeline_spark.streaming.source import (
+        stage_replay_dir_delayed_builds,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        asof_stream_watermarked,
+    )
+
+    out = str(tmp_path_factory.mktemp("replay_delayed_builds"))
+    stage_replay_dir_delayed_builds(spark, sf_smoke, out, num_files=4)
+    q = (
+        asof_stream_watermarked(
+            replay_events(spark, out), watermark="200 hours"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_wm")
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive
+    got = spark.sql("select * from asof_wm")
+    want = q_asof_join(spark, sf_smoke)
+    cols = ["event_id", "user_id", "ts", "asof_purchase_value"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.filter(F.col("asof_purchase_value").isNotNull()).count() > 0
+    # adversarialness guard: the IN-ORDER twin must diverge on this
+    # staging (measured: 294 differing carries at sf0.001) — otherwise a
+    # staging bug (builds not actually delayed) makes the match above
+    # vacuous
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        asof_stream,
+    )
+
+    q2 = (
+        asof_stream(replay_events(spark, out), watermark=None)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_inorder_delayed")
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof_inorder"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    inorder = spark.sql(
+        "select * from asof_inorder_delayed where event_id >= 0"
+    )
+    assert _as_set(inorder, cols) != _as_set(want, cols)
