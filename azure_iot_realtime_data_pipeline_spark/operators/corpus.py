@@ -1081,3 +1081,82 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """J56: temperature-scaled sampling weights for a multi-source
+    training mixture — the standard alternative to J33's equal-share
+    budget. With natural token share p_s = tokens_s / total, the
+    sampling weight is w_s = p_s^alpha / sum(p^alpha): alpha=1 keeps
+    natural proportions, alpha=0 is uniform, and the 0.2-0.7 band is the
+    published multilingual/multi-domain recipe (mT5, PaLM, XLM-R style)
+    that up-weights small sources without flattening large ones.
+    `epochs` = w_s / p_s is the effective pass count over each source at
+    the mixed rate — the number a data engineer sanity-checks (an epochs
+    of 8 on a tiny source means 8 repetitions: overfitting signal).
+
+    Engine parity: p_s is a single exact-integer division; p^alpha is
+    the one libm call, immediately pinned to integer NANO-units
+    (floor(x*1e9+0.5)) so the normalizing sum runs order-free in int64
+    and a 1-ulp pow() divergence must cross a 5e-10 boundary to be
+    visible (same accepted knife-edge class as every rounded cosine in
+    operators/similarity.py). Weight/epochs derive from those integers.
+
+    Plan: one groupBy(source) aggregate (output: one row per source),
+    one O(n_sources)-row driver collect for the two grand totals —
+    identical shape to domain_mixture_sample; the corpus never
+    shuffles.
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.text import token_count
+
+    NANO = 1_000_000_000.0
+    per_source = (
+        df.select(
+            F.col(source_col).alias("source"),
+            token_count(F.col(text_col)).alias("_n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("s")
+    ).collect()[0]
+    t = int(totals["t"]) if totals["t"] is not None else 0
+    if t == 0:
+        return per_source.limit(0).select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.lit(0.0).alias("p"),
+            F.lit(0.0).alias("weight"),
+            F.lit(0.0).alias("epochs"),
+        )
+    si = F.floor(
+        F.pow(F.col("n_tokens").cast("double") / F.lit(float(t)), F.lit(alpha))
+        * F.lit(NANO)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = per_source.withColumn("_si", si)
+    s_tot = int(scored.agg(F.sum("_si").alias("st")).collect()[0]["st"])
+    return scored.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        round_half_up(F.col("n_tokens").cast("double") / F.lit(float(t)), 6).alias("p"),
+        round_half_up(F.col("_si").cast("double") / F.lit(float(s_tot)), 6).alias(
+            "weight"
+        ),
+        round_half_up(
+            (F.col("_si").cast("double") * F.lit(float(t)))
+            / (F.lit(float(s_tot)) * F.col("n_tokens").cast("double")),
+            4,
+        ).alias("epochs"),
+    )

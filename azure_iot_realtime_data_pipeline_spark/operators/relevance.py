@@ -243,3 +243,59 @@ def inverted_index(
         ).alias("postings")
     )
     return counts.join(postings, "term")
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    vocab_size: int = 1000,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """J55: CCNet-style quality partitioning (Wenzek et al. 2020): score
+    every document with the corpus-LM perplexity proxy
+    (`unigram_logprob_scores`), then split EACH LANGUAGE into
+    equal-count rank buckets — head (best-scoring third), middle, tail.
+    CCNet trains on head/middle and drops or down-weights tail; the
+    per-language split is the point (absolute LM scores are not
+    comparable across languages, rank within language is).
+
+    Bucketing is RANK-based, not threshold-based: bucket_idx =
+    floor(n_buckets * (rank-1) / n_lang) over the deterministic total
+    order (logprob_mean DESC, doc_id ASC) — engine-portable integer
+    arithmetic, no cross-engine percentile-interpolation trap.
+
+    Plan: the LM scorer's shape (one token aggregate + broadcast vocab),
+    then one per-language window. Languages are the natural shards of a
+    CCNet run (the reference pipeline processes each language as its own
+    job), so the window partition is the job boundary; within one
+    language at 100 TB swap the window for the distributed rank
+    primitive (operators/ordering.py:global_row_number) — same output
+    contract. Zero-token docs have no LM score and are absent, as in
+    `unigram_logprob_scores`.
+    """
+    from pyspark.sql import Window
+
+    scores = unigram_logprob_scores(docs, text_col, id_col, vocab_size)
+    scored = scores.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("logprob_mean").desc(), F.col("doc_id").asc()
+    )
+    n = Window.partitionBy("lang")
+    idx = F.floor(
+        F.lit(n_buckets) * (F.row_number().over(w) - F.lit(1)) / F.count(F.lit(1)).over(n)
+    ).cast("int")
+    return (
+        scored.withColumn("bucket_idx", idx)
+        .withColumn(
+            "bucket",
+            F.when(F.col("bucket_idx") == 0, F.lit("head"))
+            .when(F.col("bucket_idx") == n_buckets - 1, F.lit("tail"))
+            .otherwise(F.lit("middle")),
+        )
+        .select("doc_id", "lang", "logprob_mean", "bucket_idx", "bucket")
+    )

@@ -54,18 +54,32 @@ def cosine_topk(
     Deterministic ranking: (rounded cosine DESC, cand_id ASC) so ties
     break identically across engines.
     """
-    from pyspark.sql import Window
+    pairs = _cosine_pairs(
+        queries, candidates, query_id, cand_id, query_vec, cand_vec
+    )
+    return _rank_topk(pairs, k, query_id, cand_id)
 
-    # per-VECTOR norms before the pair expansion: recomputing both
-    # norms inside the pair projection would triple the per-pair HOF
-    # cost (pairs >> vectors); same fold, bit-identical rounded cosine
+
+def _cosine_pairs(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    query_vec: str,
+    cand_vec: str,
+) -> DataFrame:
+    """(query_id, cand_id, cosine) for every query x candidate pair,
+    self-matches excluded. Per-VECTOR norms before the pair expansion:
+    recomputing both norms inside the pair projection would triple the
+    per-pair HOF cost (pairs >> vectors); same fold, bit-identical
+    rounded cosine."""
     q = queries.select(
         query_id, query_vec, norm_f64(F.col(query_vec)).alias("_qn")
     )
     c = candidates.select(
         cand_id, cand_vec, norm_f64(F.col(cand_vec)).alias("_cn")
     )
-    pairs = (
+    return (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col(query_id) != F.col(cand_id))
@@ -78,11 +92,49 @@ def cosine_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
+
+
+def _rank_topk(pairs: DataFrame, k: int, query_id: str, cand_id: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(cand_id).asc()
+    )
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    dup_threshold: float = 0.99,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    query_vec: str = "qv",
+    cand_vec: str = "cv",
+) -> DataFrame:
+    """J57: hard-negative mining for embedding/retriever training — per
+    query, the top-k most similar candidates that are NOT near-
+    duplicates (rounded cosine < `dup_threshold`). Near-dup pairs are
+    positives (or label noise) in a contrastive batch, so they are
+    excluded BEFORE the rank: a candidate above the threshold does not
+    occupy one of the k slots, it is invisible.
+
+    Same deterministic rank contract as `cosine_topk` ((cosine DESC,
+    cand_id ASC)) and the same plan shape: broadcast queries, stream
+    candidates, per-query top-k via TakeOrderedAndProject-style window —
+    the candidate side never shuffles. At 100 TB swap the exact pair
+    scoring for the IVF/LSH candidate generation (`ivf_topk`/`lsh_topk`)
+    with an over-fetched k, then apply the same dup-filter + re-rank on
+    the bounded candidate set — the standard mine-from-ANN recipe.
+    """
+    pairs = _cosine_pairs(
+        queries, candidates, query_id, cand_id, query_vec, cand_vec
+    ).filter(F.col("cosine") < dup_threshold)
+    return _rank_topk(pairs, k, query_id, cand_id)
 
 
 def _kmeans_centroids(

@@ -3797,3 +3797,110 @@ ORACLES["q_gini"] = """
            END AS gini
     FROM a
     """
+
+# J55 CCNet buckets: the q_lm_score model + per-language rank terciles.
+# Rank bucketing is floor(3*(rn-1)/n) — pure integer-lattice double
+# arithmetic, identical in both engines (no percentile interpolation).
+ORACLES["q_ccnet_buckets"] = """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+      FROM documents
+    ),
+    counts AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+    vocab AS (
+      SELECT t,
+             CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT) AS lp
+      FROM counts, tot
+      ORDER BY c DESC, t ASC LIMIT 1000
+    ),
+    scored AS (
+      SELECT doc_id,
+             coalesce(v.lp,
+               (SELECT CAST(floor(ln(1.0 / n) * 1000000 + 0.5) AS BIGINT) FROM tot)
+             ) AS lp
+      FROM tok LEFT JOIN vocab v ON tok.t = v.t
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(lp) AS BIGINT) AS s
+      FROM scored GROUP BY doc_id
+    ),
+    lm AS (
+      SELECT doc_id,
+             floor(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+                   * 10000 + 0.5) / 10000 AS logprob_mean
+      FROM agg
+    ),
+    j AS (
+      SELECT lm.doc_id, d.lang, lm.logprob_mean
+      FROM lm JOIN documents d USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, lang, logprob_mean,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY logprob_mean DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM j
+    )
+    SELECT doc_id, lang, logprob_mean,
+           CAST(floor(3.0 * (rn - 1) / n) AS INTEGER) AS bucket_idx,
+           CASE WHEN floor(3.0 * (rn - 1) / n) = 0 THEN 'head'
+                WHEN floor(3.0 * (rn - 1) / n) = 2 THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM r
+    """
+
+# J56 temperature mixture: p^0.7 pinned to integer NANO-units before the
+# order-free normalizing sum (same knife-edge class as every rounded
+# cosine); p/weight/epochs derive from exact integers.
+ORACLES["q_temperature_mix"] = """
+    WITH staged AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      FROM staged GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS t FROM per_source),
+    sc AS (
+      SELECT source, n_docs, src_tokens, t,
+             CAST(floor(pow(CAST(src_tokens AS DOUBLE) / CAST(t AS DOUBLE), 0.7)
+                        * 1000000000 + 0.5) AS BIGINT) AS si
+      FROM per_source, tot
+    ),
+    st AS (SELECT CAST(sum(si) AS BIGINT) AS s_tot FROM sc)
+    SELECT source, n_docs, src_tokens AS n_tokens,
+           floor(CAST(src_tokens AS DOUBLE) / CAST(t AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS p,
+           floor(CAST(si AS DOUBLE) / CAST(s_tot AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS weight,
+           floor((CAST(si AS DOUBLE) * CAST(t AS DOUBLE))
+                 / (CAST(s_tot AS DOUBLE) * CAST(src_tokens AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS epochs
+    FROM sc, st
+    """
+
+# J57 hard negatives: the q_topk_cosine pair scoring with the near-dup
+# exclusion applied BEFORE the rank.
+ORACLES["q_hard_negatives"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    pairs AS (
+      SELECT query_id, cand_id,
+        floor((
+          list_sum(list_transform(list_zip(qv, cv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          ) * 10000 + 0.5) / 10000 AS cosine
+      FROM q, c WHERE query_id <> cand_id
+    ),
+    kept AS (SELECT * FROM pairs WHERE cosine < 0.35)
+    SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+      FROM kept
+    ) WHERE rn <= 10
+    """

@@ -957,3 +957,98 @@ def test_dedup_pipeline_verify_prunes_false_candidates(spark):
     row = next(r for r in out if (r["doc_a"], r["doc_b"]) == (1, 2))
     assert row["jaccard"] >= 0.5
 
+
+
+def test_ccnet_buckets_per_language_terciles(spark):
+    """J55: equal-count rank terciles WITHIN each language; head holds
+    the best LM scores under the deterministic (score DESC, doc_id ASC)
+    order, and bucket sizes per language differ by at most one."""
+    from azure_iot_realtime_data_pipeline_spark.operators.relevance import (
+        ccnet_buckets,
+    )
+
+    rows = []
+    # lang A: 7 docs — 'common common' scores high (frequent tokens),
+    # increasingly rare-token soup scores lower
+    for i in range(7):
+        rows.append((i, "common " * (8 - i) + f"rare{i} " * i, "en"))
+    # lang B: 5 docs
+    for i in range(5):
+        rows.append((100 + i, "shared " * (6 - i) + f"junk{i} " * i, "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == {"en", "de"}
+    for lang, rs in by_lang.items():
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            sizes[r.bucket] += 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        # rank order respects (score DESC, doc_id ASC) bucket monotonicity
+        order = sorted(rs, key=lambda r: (-r.logprob_mean, r.doc_id))
+        idxs = [r.bucket_idx for r in order]
+        assert idxs == sorted(idxs), (lang, idxs)
+
+
+def test_temperature_mixture_alpha_limits(spark):
+    """J56: alpha=1 reproduces natural shares, alpha=0 is uniform,
+    alpha=0.7 sits between; weights sum to ~1 and epochs = weight/p."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "tok " * 90, "big") for i in range(9)] + [
+        (100, "tok " * 10, "small")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def as_map(alpha):
+        return {
+            r.source: r for r in temperature_mixture(docs, alpha=alpha).collect()
+        }
+
+    nat = as_map(1.0)
+    assert abs(nat["big"].weight - nat["big"].p) < 1e-5
+    assert abs(nat["small"].weight - 0.012195) < 1e-5  # 10/820
+    uni = as_map(0.0)
+    assert abs(uni["big"].weight - 0.5) < 1e-5
+    assert abs(uni["small"].weight - 0.5) < 1e-5
+    mid = as_map(0.7)
+    assert nat["small"].weight < mid["small"].weight < uni["small"].weight
+    assert abs(sum(r.weight for r in mid.values()) - 1.0) < 1e-5
+    for r in mid.values():
+        assert abs(r.epochs - r.weight / r.p) < 1e-3
+    # the up-weighted small source repeats; the big one is under-sampled
+    assert mid["small"].epochs > 1.0 > mid["big"].epochs
+
+
+def test_hard_negatives_excludes_near_dups_before_rank(spark):
+    """J57: a candidate above dup_threshold is INVISIBLE (does not eat a
+    slot), the survivors re-rank contiguously, and no returned cosine
+    crosses the threshold."""
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        hard_negatives,
+    )
+
+    # query q0 = [1,0]; candidate 1 is its near-dup (cos=1.0), the rest
+    # fan out at decreasing cosine
+    import math
+
+    def vec(theta):
+        return [float(math.cos(theta)), float(math.sin(theta))]
+
+    q = spark.createDataFrame([(0, vec(0.0))], "query_id long, qv array<float>")
+    cands = [(1, vec(0.0))] + [
+        (i, vec(0.12 * (i - 1))) for i in range(2, 8)
+    ]
+    c = spark.createDataFrame(cands, "cand_id long, cv array<float>")
+    plain = cosine_topk(q, c, k=3).collect()
+    hard = hard_negatives(q, c, k=3, dup_threshold=0.999).collect()
+    assert [r.cand_id for r in plain][0] == 1  # dup tops the plain rank
+    got = [r.cand_id for r in hard]
+    assert 1 not in got and len(got) == 3  # excluded, slots refilled
+    assert [r.rank for r in hard] == [1, 2, 3]
+    assert all(r.cosine < 0.999 for r in hard)

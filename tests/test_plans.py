@@ -38,6 +38,7 @@ from azure_iot_realtime_data_pipeline_spark.plans.queries import QUERIES
 #: total onto the |cutoffs| result rows.
 BNLJ_ALLOWED = {
     "q_topk_cosine",
+    "q_hard_negatives",       # same bounded broadcast-queries shape
     "q_ivf_topk",
     "q_embed_dedup",
     "q_wire_serve",
