@@ -278,8 +278,15 @@ def ccnet_buckets(
     from pyspark.sql import Window
 
     scores = unigram_logprob_scores(docs, text_col, id_col, vocab_size)
+    # both sides are corpus-sized (one row per doc): broadcast would OOM
+    # at scale and the static planner's fallback is the repo-banned
+    # SortMergeJoin — pin shuffle-hash (same rationale as the L32/M14
+    # pinned joins); the build side is the 2-narrow-column lang
+    # projection, the cheaper hash table
     scored = scores.join(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+        ).hint("SHUFFLE_HASH"),
         "doc_id",
     )
     w = Window.partitionBy("lang").orderBy(
