@@ -3904,3 +3904,76 @@ ORACLES["q_hard_negatives"] = """
       FROM kept
     ) WHERE rn <= 10
     """
+
+# M16 (Q6): pure-pushdown revenue scalar, micro-unit sum.
+ORACLES["q_discount_revenue"] = """
+    SELECT CAST(r AS DOUBLE) / 1000000.0 AS revenue, n_items FROM (
+      SELECT SUM(CAST(floor(l_extendedprice * l_discount * 1000000 + 0.5) AS BIGINT)) AS r,
+             COUNT(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24.0
+    )
+    """
+
+# M17 (Q10): returned-item revenue per customer, top 20 by
+# (revenue DESC, custkey ASC) — the Spark side's TakeOrderedAndProject
+# ordering exactly.
+ORACLES["q_returned_customers"] = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    ),
+    agg AS (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+             SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000 + 0.5) AS BIGINT)) AS r
+      FROM lineitem l
+      JOIN o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_custkey, c_name, CAST(r AS DOUBLE) / 1000000.0 AS revenue,
+           c_acctbal, n_name
+    FROM agg
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """
+
+# M18 (Q8): NATION_7's ASIA-market share for ECONOMY parts by order
+# year — conditional micro-unit sum over total, 6-dp half-up share.
+ORACLES["q_market_share"] = """
+    WITH cust_r AS (
+      SELECT c_custkey FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    j AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             sn.n_name AS supp_nation,
+             CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000 + 0.5) AS BIGINT) AS rev
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN cust_r cr ON o.o_custkey = cr.c_custkey
+    ),
+    agg AS (
+      SELECT o_year,
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0 END) AS BIGINT) AS nr,
+             CAST(SUM(rev) AS BIGINT) AS tr
+      FROM j GROUP BY o_year
+    )
+    SELECT CAST(o_year AS INTEGER) AS o_year,
+           CAST(nr AS DOUBLE) / 1000000.0 AS nation_rev,
+           CAST(tr AS DOUBLE) / 1000000.0 AS total_rev,
+           floor(CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS mkt_share
+    FROM agg
+    """

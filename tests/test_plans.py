@@ -70,6 +70,7 @@ GLOBAL_WINDOW_ALLOWED = {"q_trailing_window_global"}
 #: fails the sweep and must restructure or justify itself here.
 GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_count",
+    "q_discount_revenue",  # one-row Q6 revenue scalar
     "q_max_ts",
     "q_small_qty_revenue",
     "q_data_profile",
@@ -381,3 +382,27 @@ def test_audience_overlap_has_no_self_join(spark, sf_smoke):
     for ln in p.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "user_id" in ln or "type_a" in ln or "type_b" in ln or "_t" in ln, ln
+
+
+def test_market_share_star_shape(spark, sf_smoke):
+    """M18 (Q8): the deepest star — part/supplier/nation/region ride
+    broadcast joins; the region-filtered orders chain is PINNED shuffle
+    hash on l_orderkey; never SortMergeJoin; exchanges stay at the join
+    pair + the final year aggregate."""
+    p = plan_of(spark, sf_smoke, "q_market_share")
+    assert "ShuffledHashJoin" in p, p
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_discount_revenue_pushes_all_three_predicates(spark, sf_smoke):
+    """M16 (Q6): every predicate reaches the parquet scan and the scan
+    reads only the 4 needed columns — at 100 TB this IS the query."""
+    p = plan_of(spark, sf_smoke, "q_discount_revenue")
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", p), p
+    assert re.search(r"PushedFilters: \[.*l_discount", p), p
+    assert re.search(r"PushedFilters: \[.*LessThan\(l_quantity", p), p
+    schema_line = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    for col in ("l_partkey", "l_suppkey", "l_orderkey", "l_returnflag"):
+        assert col not in schema_line, schema_line
