@@ -306,3 +306,165 @@ def ccnet_buckets(
         )
         .select("doc_id", "lang", "logprob_mean", "bucket_idx", "bucket")
     )
+
+
+def freeze_unigram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> dict:
+    """Freeze the `unigram_logprob_scores` corpus model into a driver
+    dict: {"vocab": {token: lp_micro_int}, "floor_lp": int}. The values
+    are COLLECTED from the same Spark plan the batch scorer runs
+    (bounded: <= vocab_size rows + one scalar), so frozen scoring is
+    bit-identical to batch scoring by construction — no recomputed ln()
+    to diverge. This is the production handoff for incremental
+    pipelines: fit once on the corpus snapshot, score every new crawl
+    batch (or stream) against the FROZEN model."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        micro_units,
+    )
+
+    tok = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    counts = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_n")).collect()[0]["_n"]
+    if total is None:
+        return {"vocab": {}, "floor_lp": None}
+    vocab_rows = (
+        counts.orderBy(F.col("_c").desc(), F.col("_t").asc())
+        .limit(vocab_size)
+        .select(
+            "_t",
+            micro_units(
+                F.log(F.col("_c").cast("double") / F.lit(float(total)))
+            ).alias("_lp"),
+        )
+        .collect()
+    )
+    floor_lp = (
+        docs.sparkSession.range(1)
+        .select(
+            micro_units(F.log(F.lit(1.0) / F.lit(float(total)))).alias("_f")
+        )
+        .collect()[0]["_f"]
+    )
+    return {
+        "vocab": {r["_t"]: int(r["_lp"]) for r in vocab_rows},
+        "floor_lp": int(floor_lp),
+    }
+
+
+def score_with_frozen_lm(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score documents against a FROZEN unigram model (from
+    `freeze_unigram_model`) — per-row Arrow `mapInPandas`, zero
+    shuffles, zero state: each doc tokenizes and folds its own integer
+    micro-unit sum against the broadcast-closure vocab dict. Works
+    identically on batch and STREAMING DataFrames (stateless row map),
+    which makes it the streaming twin of `unigram_logprob_scores`: new
+    docs score under the corpus model without re-aggregating the
+    corpus. Output contract matches the batch scorer exactly —
+    (doc_id, n_tokens, logprob_mean [, carry_cols...]), zero-token docs
+    absent; the mean replays the identical IEEE sequence (s/n/1e6 then
+    4-dp half-up floor), and the model's lp values are Spark-computed
+    integers, so frozen scores are bit-identical to batch scores (gated
+    in tests/test_corpus.py). `carry_cols` ride through the row map —
+    on a stream this avoids the stream-stream self-join (unbounded
+    state) that re-attaching metadata would otherwise cost."""
+    import math
+
+    vocab = model["vocab"]
+    floor_lp = model["floor_lp"]
+    carries = list(carry_cols)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_tokens": [], "logprob_mean": []}
+            for c in carries:
+                out[c] = []
+            for i, (did, txt) in enumerate(zip(pdf[id_col], pdf[text_col])):
+                if txt is None:
+                    continue
+                toks = [t for t in txt.split(" ") if t != ""]
+                if not toks:
+                    continue
+                s = 0
+                for t in toks:
+                    lp = vocab.get(t, floor_lp)
+                    if lp is None:
+                        continue
+                    s += lp
+                n = len(toks)
+                mean = math.floor(float(s) / float(n) / 1e6 * 10000.0 + 0.5) / 10000.0
+                out["doc_id"].append(int(did))
+                out["n_tokens"].append(n)
+                out["logprob_mean"].append(mean)
+                for c in carries:
+                    out[c].append(pdf[c].iloc[i])
+            frame = {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_tokens": pd.Series(out["n_tokens"], dtype="int64"),
+                "logprob_mean": pd.Series(out["logprob_mean"], dtype="float64"),
+            }
+            for c in carries:
+                frame[c] = pd.Series(out[c])
+            yield pd.DataFrame(frame)
+
+    carry_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in carries
+    )
+    return docs.select(F.col(id_col), F.col(text_col), *carries).mapInPandas(
+        score,
+        schema="doc_id long, n_tokens long, logprob_mean double" + carry_schema,
+    )
+
+
+def ccnet_thresholds(bucketed: DataFrame) -> DataFrame:
+    """Per-language score boundaries of a `ccnet_buckets` result:
+    (lang, head_min, middle_min) — the frozen artifact that lets NEW
+    documents be bucket-assigned without recomputing corpus ranks."""
+    return (
+        bucketed.groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("bucket") == "head", F.col("logprob_mean"))).alias(
+                "head_min"
+            ),
+            F.min(
+                F.when(F.col("bucket") == "middle", F.col("logprob_mean"))
+            ).alias("middle_min"),
+        )
+    )
+
+
+def ccnet_assign(
+    scored: DataFrame, thresholds: DataFrame, lang_col: str = "lang"
+) -> DataFrame:
+    """Assign CCNet buckets to newly scored docs by comparing against
+    frozen per-language thresholds (broadcast stream-static join; works
+    on streaming `scored` inputs unchanged). Boundary ties go to the
+    HIGHER bucket (score >= head_min -> head) — the rank-based batch
+    split arbitrates ties by doc_id instead, so assignment can differ
+    from a batch re-rank exactly on boundary-score ties, documented and
+    gated. Languages absent from the thresholds get NULL bucket (a new
+    language has no frozen boundaries — route to the batch path)."""
+    t = F.broadcast(thresholds)
+    j = scored.join(t, scored[lang_col] == thresholds["lang"], "left").drop(
+        thresholds["lang"]
+    )
+    return j.withColumn(
+        "bucket",
+        F.when(F.col("head_min").isNull(), F.lit(None).cast("string"))
+        .when(F.col("logprob_mean") >= F.col("head_min"), F.lit("head"))
+        .when(F.col("logprob_mean") >= F.col("middle_min"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("head_min", "middle_min")

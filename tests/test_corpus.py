@@ -1052,3 +1052,110 @@ def test_hard_negatives_excludes_near_dups_before_rank(spark):
     assert 1 not in got and len(got) == 3  # excluded, slots refilled
     assert [r.rank for r in hard] == [1, 2, 3]
     assert all(r.cosine < 0.999 for r in hard)
+
+
+def test_frozen_lm_scoring_is_bit_identical_to_batch(spark, sf_smoke):
+    """Frozen-model scoring (the incremental/streaming path) must
+    reproduce the batch scorer EXACTLY: the model's lp integers are
+    collected from the same Spark plan and the mapInPandas mean replays
+    the identical IEEE sequence, so every (doc_id, n_tokens,
+    logprob_mean) triple matches bit-for-bit."""
+    from azure_iot_realtime_data_pipeline_spark.operators.relevance import (
+        freeze_unigram_model,
+        score_with_frozen_lm,
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    want = {
+        r.doc_id: (r.n_tokens, r.logprob_mean)
+        for r in unigram_logprob_scores(docs).collect()
+    }
+    model = freeze_unigram_model(docs)
+    got = {
+        r.doc_id: (r.n_tokens, r.logprob_mean)
+        for r in score_with_frozen_lm(docs, model).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ccnet_assign_matches_batch_buckets_off_boundary(spark, sf_smoke):
+    """Threshold assignment of the SAME corpus agrees with the batch
+    rank split everywhere except exact boundary-score ties (where the
+    rank split arbitrates by doc_id but thresholds send every tie to
+    the higher bucket — the documented divergence)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.relevance import (
+        ccnet_assign,
+        ccnet_buckets,
+        ccnet_thresholds,
+        freeze_unigram_model,
+        score_with_frozen_lm,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    bucketed = ccnet_buckets(docs)
+    batch = {r.doc_id: r for r in bucketed.collect()}
+    thresholds = ccnet_thresholds(bucketed)
+    bounds = {
+        r.lang: {r.head_min, r.middle_min} for r in thresholds.collect()
+    }
+    scored = score_with_frozen_lm(
+        docs, freeze_unigram_model(docs), carry_cols=("lang",)
+    )
+    assigned = {r.doc_id: r.bucket for r in ccnet_assign(scored, thresholds).collect()}
+    assert set(assigned) == set(batch)
+    checked = 0
+    for did, b in batch.items():
+        if b.logprob_mean in bounds[b.lang]:
+            continue  # boundary tie: divergence is the documented contract
+        assert assigned[did] == b.bucket, (did, assigned[did], b.bucket)
+        checked += 1
+    assert checked > len(batch) * 0.8  # the exemption must stay rare
+
+
+def test_frozen_lm_score_and_assign_work_on_a_stream(spark, sf_smoke, tmp_path):
+    """The production shape: new docs arrive as a STREAM, score against
+    the frozen model (stateless mapInPandas) and bucket-assign against
+    broadcast thresholds — append mode, no watermark, no state. The
+    streamed assignment must equal the batch assignment of the same
+    rows."""
+    from azure_iot_realtime_data_pipeline_spark.operators.relevance import (
+        ccnet_assign,
+        ccnet_buckets,
+        ccnet_thresholds,
+        freeze_unigram_model,
+        score_with_frozen_lm,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    model = freeze_unigram_model(docs)
+    thresholds = ccnet_thresholds(ccnet_buckets(docs))
+    staged = str(tmp_path / "docs_stream")
+    docs.coalesce(2).write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    scored = score_with_frozen_lm(stream, model, carry_cols=("lang",))
+    q = (
+        ccnet_assign(scored, thresholds)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ccnet_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ccnet"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.doc_id: r.bucket
+        for r in spark.sql("select doc_id, bucket from ccnet_stream").collect()
+    }
+    batch_scored = score_with_frozen_lm(docs, model, carry_cols=("lang",))
+    want = {
+        r.doc_id: r.bucket for r in ccnet_assign(batch_scored, thresholds).collect()
+    }
+    assert got == want and len(got) > 0
