@@ -118,16 +118,19 @@ def micro_units(v: Column) -> Column:
     """Half-up integer micro-units of a float/double value — the
     order-free, engine-portable accumulation domain (see module doc).
 
-    Non-finite maps to NULL, not 0/saturation: Spark's
-    floor(NaN*1e6+0.5) silently yields 0 and floor(inf*1e6+0.5)
-    .cast('long') saturates (or throws under ANSI), while DuckDB's
-    CAST(floor(..) AS BIGINT) raises on both, so a NaN/Inf measurement
-    would diverge from the oracles in any query that only filters
-    IS NOT NULL. NULL makes both engines drop the row the same way
-    (ADVICE r5 NaN, r6 +/-Inf)."""
+    Non-finite AND out-of-range maps to NULL, not 0/saturation: Spark's
+    floor(NaN*1e6+0.5) silently yields 0, and any |v| >= 2^63/1e6
+    (~9.22e12 — the reference's FLOAT fields carry values up to
+    2.365e+305, SURVEY.md §1.2) saturates the long cast (or throws
+    under ANSI), while DuckDB's CAST(floor(..) AS BIGINT) raises on
+    all of these — so such a measurement would diverge from the
+    oracles in any query that only filters IS NOT NULL. NULL makes
+    both engines drop the row the same way (ADVICE r5 NaN, r6 +/-Inf,
+    review r7 finite overflow). The bound is conservatively
+    9.2233720368547e12 < (2^63-1)/1e6."""
     d = v.cast("double")
     return F.when(
-        ~F.isnan(d) & (F.abs(d) != F.lit(float("inf"))),
+        ~F.isnan(d) & (F.abs(d) < F.lit(9.2233720368547e12)),
         F.floor(d * MICRO + F.lit(0.5)).cast("long"),
     )
 

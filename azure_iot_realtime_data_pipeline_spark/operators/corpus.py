@@ -1108,9 +1108,15 @@ def temperature_mixture(
     operators/similarity.py). Weight/epochs derive from those integers.
 
     Plan: one groupBy(source) aggregate (output: one row per source),
-    one O(n_sources)-row driver collect for the two grand totals —
-    identical shape to domain_mixture_sample; the corpus never
-    shuffles.
+    materialized ONCE via localCheckpoint so the corpus tokenize+count
+    never re-runs for the grand-total collects or the final job —
+    otherwise Catalyst would replay the dominant scan three times
+    (review r7); then one O(n_sources)-row driver collect. The corpus
+    never shuffles beyond the one aggregate.
+
+    A source with ZERO tokens (empty-text docs) gets p=0, weight=0 and
+    NULL epochs (0/0 is undefined; Spark's zero-divisor NULL and
+    DuckDB's IEEE NaN would otherwise silently diverge — review r7).
     """
     from azure_iot_realtime_data_pipeline_spark.operators.text import token_count
 
@@ -1125,10 +1131,9 @@ def temperature_mixture(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_n").alias("n_tokens"),
         )
+        .localCheckpoint()
     )
-    totals = per_source.agg(
-        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("s")
-    ).collect()[0]
+    totals = per_source.agg(F.sum("n_tokens").alias("t")).collect()[0]
     t = int(totals["t"]) if totals["t"] is not None else 0
     if t == 0:
         return per_source.limit(0).select(
@@ -1154,9 +1159,12 @@ def temperature_mixture(
         round_half_up(F.col("_si").cast("double") / F.lit(float(s_tot)), 6).alias(
             "weight"
         ),
-        round_half_up(
-            (F.col("_si").cast("double") * F.lit(float(t)))
-            / (F.lit(float(s_tot)) * F.col("n_tokens").cast("double")),
-            4,
+        F.when(
+            F.col("n_tokens") > 0,
+            round_half_up(
+                (F.col("_si").cast("double") * F.lit(float(t)))
+                / (F.lit(float(s_tot)) * F.col("n_tokens").cast("double")),
+                4,
+            ),
         ).alias("epochs"),
     )

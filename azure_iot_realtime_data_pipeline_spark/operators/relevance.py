@@ -329,7 +329,12 @@ def freeze_unigram_model(
     tok = docs.select(
         F.explode(tokens(F.col(text_col))).alias("_t")
     )
-    counts = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    # materialize the token-count aggregate ONCE: the corpus tokenize is
+    # the dominant job and would otherwise replay for the total collect
+    # AND the vocab collect (review r7)
+    counts = (
+        tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint()
+    )
     total = counts.agg(F.sum("_c").alias("_n")).collect()[0]["_n"]
     if total is None:
         return {"vocab": {}, "floor_lp": None}
@@ -384,11 +389,27 @@ def score_with_frozen_lm(
     vocab = model["vocab"]
     floor_lp = model["floor_lp"]
     carries = list(carry_cols)
+    empty_model = floor_lp is None
+    if empty_model and vocab:
+        raise ValueError("frozen model has tokens but no floor_lp")
 
     def score(batches):
         import pandas as pd
 
         for pdf in batches:
+            if empty_model:
+                # empty-corpus model: the batch scorer returns ZERO rows
+                # (no tokens, no model) — fabricating mean=0.0 here would
+                # send junk docs to the top CCNet bucket (review r7)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "n_tokens": pd.Series([], dtype="int64"),
+                        "logprob_mean": pd.Series([], dtype="float64"),
+                        **{c: pd.Series([]) for c in carries},
+                    }
+                )
+                continue
             out = {"doc_id": [], "n_tokens": [], "logprob_mean": []}
             for c in carries:
                 out[c] = []
@@ -400,10 +421,7 @@ def score_with_frozen_lm(
                     continue
                 s = 0
                 for t in toks:
-                    lp = vocab.get(t, floor_lp)
-                    if lp is None:
-                        continue
-                    s += lp
+                    s += vocab.get(t, floor_lp)
                 n = len(toks)
                 mean = math.floor(float(s) / float(n) / 1e6 * 10000.0 + 0.5) / 10000.0
                 out["doc_id"].append(int(did))

@@ -3877,9 +3877,11 @@ ORACLES["q_temperature_mix"] = """
              / 1000000 AS p,
            floor(CAST(si AS DOUBLE) / CAST(s_tot AS DOUBLE) * 1000000 + 0.5)
              / 1000000 AS weight,
-           floor((CAST(si AS DOUBLE) * CAST(t AS DOUBLE))
-                 / (CAST(s_tot AS DOUBLE) * CAST(src_tokens AS DOUBLE))
-                 * 10000 + 0.5) / 10000 AS epochs
+           CASE WHEN src_tokens > 0 THEN
+             floor((CAST(si AS DOUBLE) * CAST(t AS DOUBLE))
+                   / (CAST(s_tot AS DOUBLE) * CAST(src_tokens AS DOUBLE))
+                   * 10000 + 0.5) / 10000
+           END AS epochs
     FROM sc, st
     """
 

@@ -2929,9 +2929,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds 1-6 — CORRECTNESS_r*.json truncates at the 50th registered
 # query). Rotation policy (since r5): stalest driver green first, so
 # every oracled query's evidence stays fresh across rounds. Round-7
-# window: the 26 queries whose last green is r3, then 24 of the 48 r4
-# greens (the remaining 24 r4 greens head the r8 rotation, then the r5
-# block). Rows-only queries (no oracle -> the driver records `err`) sit
+# window: the 6 NEW never-verified queries, the 26 queries whose last
+# green is r3, then 18 of the 48 r4 greens (the remaining 30 r4 greens
+# head the r8 rotation, then the r5 block). Rows-only queries (no oracle -> the driver records `err`) sit
 # last; ALL queries stay covered by the local parity suite
 # (tests/test_queries_oracle.py) every run regardless of position.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2988,10 +2988,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_anomaly_flag": q_anomaly_flag,
     "q_normalize": q_normalize,
     "q_array_transform": q_array_transform,
-    "q_map_from_entries": q_map_from_entries,
     # ==== driver window cutoff (first 50 above, incl. the 6 new
     #      never-verified) — entries below are covered by the local
     #      parity suite every run =======================================
+    "q_map_from_entries": q_map_from_entries,
     "q_count": q_count,
     "q_max_ts": q_max_ts,
     "q_date_format": q_date_format,

@@ -18,10 +18,33 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+
+
+def _bucket_col(order_expr: Column, lo: int, span: int, num_files: int) -> Column:
+    """Shared replay-bucket rule: proportional split of `order_expr`
+    over [lo, lo+span] into `num_files` buckets, last bucket capped.
+    One definition — the three stagers below must never drift on the
+    bucket-edge arithmetic (review r7)."""
+    return F.least(
+        F.lit(num_files - 1),
+        ((order_expr - F.lit(lo)) * num_files / span).cast("int"),
+    )
+
+
+def _write_replay_file(df: DataFrame, out_dir: str, i: int) -> None:
+    """Write one replay file and stamp its mtime to `now + i`: the file
+    stream source orders files by modification time, so the stamp IS
+    the replay order. Shared by all stagers (review r7)."""
+    part_dir = os.path.join(out_dir, f"bucket={i:02d}")
+    df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+    now = time.time()
+    for root, _dirs, files in os.walk(part_dir):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (now + i, now + i))
 
 
 def stage_replay_dir(
@@ -39,22 +62,16 @@ def stage_replay_dir(
     bounds = ev.agg(
         F.min(F.unix_timestamp("ts")).alias("lo"), F.max(F.unix_timestamp("ts")).alias("hi")
     ).collect()[0]
-    span = max(int(bounds["hi"]) - int(bounds["lo"]), 1)
-    bucket = F.least(
-        F.lit(num_files - 1),
-        ((F.unix_timestamp("ts") - F.lit(int(bounds["lo"]))) * num_files / span).cast("int"),
+    lo = int(bounds["lo"])
+    span = max(int(bounds["hi"]) - lo, 1)
+    staged = ev.withColumn(
+        "_bucket", _bucket_col(F.unix_timestamp("ts"), lo, span, num_files)
     )
-    staged = ev.withColumn("_bucket", bucket)
     os.makedirs(out_dir, exist_ok=True)
     for i in range(num_files):
-        part_dir = os.path.join(out_dir, f"bucket={i:02d}")
-        staged.filter(F.col("_bucket") == i).drop("_bucket").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part_dir)
-        now = time.time()
-        for root, _dirs, files in os.walk(part_dir):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (now + i, now + i))
+        _write_replay_file(
+            staged.filter(F.col("_bucket") == i).drop("_bucket"), out_dir, i
+        )
     return out_dir
 
 
@@ -79,24 +96,16 @@ def stage_replay_dir_arrival(
     bounds = ev.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).collect()[0]
-    span = max(int(bounds["hi"]) - int(bounds["lo"]), 1)
-    bucket = F.least(
-        F.lit(num_files - 1),
-        (
-            (F.col(order_col) - F.lit(int(bounds["lo"]))) * num_files / span
-        ).cast("int"),
+    lo = int(bounds["lo"])
+    span = max(int(bounds["hi"]) - lo, 1)
+    staged = ev.withColumn(
+        "_bucket", _bucket_col(F.col(order_col), lo, span, num_files)
     )
-    staged = ev.withColumn("_bucket", bucket)
     os.makedirs(out_dir, exist_ok=True)
     for i in range(num_files):
-        part_dir = os.path.join(out_dir, f"bucket={i:02d}")
-        staged.filter(F.col("_bucket") == i).drop("_bucket").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part_dir)
-        now = time.time()
-        for root, _dirs, files in os.walk(part_dir):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (now + i, now + i))
+        _write_replay_file(
+            staged.filter(F.col("_bucket") == i).drop("_bucket"), out_dir, i
+        )
     return out_dir
 
 
@@ -146,11 +155,9 @@ def stage_replay_dir_delayed_builds(
     ).collect()[0]
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = max(hi - lo, 1)
-    bucket = F.least(
-        F.lit(num_files - 1),
-        ((F.unix_timestamp("ts") - F.lit(lo)) * num_files / span).cast("int"),
+    staged = ev.withColumn(
+        "_bucket", _bucket_col(F.unix_timestamp("ts"), lo, span, num_files)
     )
-    staged = ev.withColumn("_bucket", bucket)
     far_future = hi + 2 * span
     nudges = (
         ev.select("user_id")
@@ -186,10 +193,5 @@ def stage_replay_dir_delayed_builds(
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        part_dir = os.path.join(out_dir, f"bucket={i:02d}")
-        df.coalesce(1).write.mode("overwrite").parquet(part_dir)
-        now = time.time()
-        for root, _dirs, files in os.walk(part_dir):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (now + i, now + i))
+        _write_replay_file(df, out_dir, i)
     return out_dir

@@ -231,7 +231,11 @@ def make_asof_fn():
             carried = []
             for side, v in zip(pdf["_side"], pdf["value"]):
                 if side == 0:
-                    last_val = float(v)
+                    if not pd.isna(v):
+                        # batch asof_join carries last(value,
+                        # ignorenulls=True): a NULL-valued build must
+                        # not reset the carry to NaN (review r7)
+                        last_val = float(v)
                 else:
                     carried.append(last_val)
             out = pdf[pdf["_side"] == 1][["event_id", "user_id", "ts"]].copy()
@@ -339,13 +343,21 @@ def make_asof_wm_fn():
         # unique event_ids make the (ts, side, id) prefix decisive, so the
         # possibly-None value never participates in the sort
         buf.sort()
-        pend = [r for r in buf if r[0] > wm_us]
+        # STRICT bound: Spark's late-row filter only drops rows strictly
+        # OLDER than the watermark, so a row with ts == wm may still
+        # legally arrive — finalizing at ts == wm would emit its tied
+        # probes before a tied build could land (review r7)
+        pend = [r for r in buf if r[0] >= wm_us]
         out = []
         for t, s, eid, v in buf:
-            if t > wm_us:
+            if t >= wm_us:
                 continue
             if s == 0:
-                last_val = v
+                if v is not None:
+                    # match the batch carry exactly: asof_join carries
+                    # last(value, ignorenulls=True), so a NULL-valued
+                    # build must NOT reset the carry (review r7)
+                    last_val = v
             else:
                 out.append((eid, int(key[0]), t, last_val))
         if out:

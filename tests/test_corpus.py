@@ -1159,3 +1159,38 @@ def test_frozen_lm_score_and_assign_work_on_a_stream(spark, sf_smoke, tmp_path):
         r.doc_id: r.bucket for r in ccnet_assign(batch_scored, thresholds).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_temperature_mixture_zero_token_source_gets_null_epochs(spark):
+    """A source whose docs are all empty-text: p=0, weight=0, epochs
+    NULL (0/0 is undefined — Spark's zero-divisor NULL and DuckDB's
+    IEEE NaN would otherwise diverge; review r7)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        temperature_mixture,
+    )
+
+    rows = [(1, "tok tok tok", "real"), (2, "", "hollow"), (3, "  ", "hollow")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in temperature_mixture(docs, alpha=0.7).collect()}
+    assert out["hollow"].p == 0.0 and out["hollow"].weight == 0.0
+    assert out["hollow"].epochs is None
+    assert out["real"].weight == 1.0 and out["real"].epochs == 1.0
+
+
+def test_frozen_lm_empty_model_scores_nothing(spark):
+    """A model frozen from an empty/all-empty-text corpus must score
+    ZERO rows — the batch scorer's contract — not fabricate mean=0.0
+    'perfect' scores that would route junk to the head bucket
+    (review r7)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.relevance import (
+        freeze_unigram_model,
+        score_with_frozen_lm,
+    )
+
+    empty = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    model = freeze_unigram_model(empty)
+    assert model == {"vocab": {}, "floor_lp": None}
+    docs = spark.createDataFrame([(7, "some new text")], "doc_id long, text string")
+    assert score_with_frozen_lm(docs, model).count() == 0

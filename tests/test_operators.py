@@ -1449,6 +1449,9 @@ def test_micro_units_nonfinite_maps_to_null(spark):
             (4, float("-inf")),
             (5, None),
             (6, -2.5e-7),
+            (7, 2.365e305),   # the reference's own FLOAT extreme (SURVEY §1.2)
+            (8, -1.0e13),     # finite but past the int64 micro-unit range
+            (9, 9.0e12),      # finite and inside the range
         ],
         "id long, v double",
     )
@@ -1457,6 +1460,8 @@ def test_micro_units_nonfinite_maps_to_null(spark):
     assert out[2] is None and out[3] is None and out[4] is None
     assert out[5] is None
     assert out[6] == 0  # floor(-0.25 + 0.5) = 0
+    assert out[7] is None and out[8] is None  # overflow -> NULL, not saturation
+    assert out[9] == 9_000_000_000_000_000_000
 
 
 def test_ivf_kmeans_dial_response_at_sf01(spark, sf_bench):

@@ -2085,3 +2085,69 @@ def test_asof_stream_watermarked_survives_build_side_delay(
         "select * from asof_inorder_delayed where event_id >= 0"
     )
     assert _as_set(inorder, cols) != _as_set(want, cols)
+
+
+def test_asof_twins_ignore_null_valued_builds(spark, tmp_path):
+    """Batch asof_join carries last(value, ignorenulls=True): a
+    NULL-valued build must NOT reset the carry. Both streaming twins
+    (in-order and watermark-buffered) must match on a synthetic series
+    purchase(10.0) -> purchase(NULL) -> click, where the click carries
+    10.0, not NULL (review r7 — testdata has no NULL purchase values so
+    the replay parity tests never exercised this)."""
+    import datetime as dt
+    import os
+    import time as time_mod
+
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        asof_stream,
+        asof_stream_watermarked,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "purchase", 10.0, None),
+        (2, t0 + dt.timedelta(seconds=10), 7, "purchase", None, None),
+        (3, t0 + dt.timedelta(seconds=20), 7, "click", 0.0, None),
+        # far-future nudges for the watermark-buffered twin's flush
+        (-1, t0 + dt.timedelta(days=10), 7, "click", 0.0, None),
+        (-2, t0 + dt.timedelta(days=10), 7, "click", 0.0, None),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    staged = str(tmp_path / "null_build_replay")
+    os.makedirs(staged)
+    # one file per row, mtime-ordered -> one micro-batch each
+    for i, r in enumerate(rows):
+        part = os.path.join(staged, f"bucket={i:02d}")
+        spark.createDataFrame([r], schema).coalesce(1).write.parquet(part)
+        now = time_mod.time()
+        for root, _d, files in os.walk(part):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now + i, now + i))
+    src_schema = spark.read.parquet(staged + "/bucket=00").schema
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    for name, df in (
+        ("nb_inorder", asof_stream(stream(), watermark=None)),
+        ("nb_wm", asof_stream_watermarked(stream(), watermark="60 seconds")),
+    ):
+        q = (
+            df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            r.event_id: r.asof_purchase_value
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+        assert got[3] == 10.0, (name, got)
