@@ -509,6 +509,108 @@ def event_gaps_stream(
     )
 
 
+#: watermark-buffered gaps: carried last finalized ts + row buffer
+GAPS_WM_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("buf_ts_us", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+    ]
+)
+
+
+def make_gaps_wm_fn(
+    id_col: str = "event_id", key_col: str = "user_id", ts_col: str = "ts"
+):
+    """Watermark-buffered body for the L3 twin (the `make_asof_wm_fn`
+    pattern): rows buffer in state and finalize in (ts, id) order only
+    once the event-time watermark strictly passes them, so an event
+    arriving a whole micro-batch late still slots into its event-time
+    position — which changes BOTH its own gap and its successor's, the
+    two rows the in-order twin would have already emitted wrong."""
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            last_ts, b_ts, b_id = state.get
+            buf = [(int(t), int(i)) for t, i in zip(b_ts, b_id)]
+        else:
+            last_ts, buf = None, []
+        pdf = one_frame(pdfs)
+        if pdf is not None:
+            ts = pdf[ts_col]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            ts_us = ts.astype("datetime64[us]").astype("int64")
+            buf.extend(
+                (int(t), int(i)) for t, i in zip(ts_us, pdf[id_col])
+            )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf.sort()
+        pend = [r for r in buf if r[0] >= wm_us]
+        out_ids, out_ts, out_gaps = [], [], []
+        for t, i in buf:
+            if t >= wm_us:
+                continue
+            out_ids.append(i)
+            out_ts.append(t)
+            out_gaps.append(None if last_ts is None else t - last_ts)
+            last_ts = t
+        if out_ids:
+            frame = pd.DataFrame(
+                {
+                    id_col: pd.Series(out_ids, dtype="int64"),
+                    key_col: pd.Series([key[0]] * len(out_ids), dtype="int64"),
+                    ts_col: pd.to_datetime(out_ts, unit="us"),
+                    "gap_us": pd.Series(out_gaps, dtype="Int64"),
+                }
+            )
+            yield frame
+        state.update(
+            (
+                None if last_ts is None else int(last_ts),
+                [r[0] for r in pend],
+                [r[1] for r in pend],
+            )
+        )
+
+    return fn
+
+
+def event_gaps_stream_watermarked(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """L3 streaming twin, watermark-buffered: exact inter-arrival gaps
+    under out-of-order delivery, bounded by the watermark — the same
+    two-sided-bound construction as `asof_stream_watermarked` (strict
+    finalization below the watermark; state = carry + in-flight rows).
+    Use when the transport can reorder events across micro-batches;
+    `event_gaps_stream` stays the zero-latency form for in-order
+    replay."""
+    if watermark is None:
+        raise ValueError(
+            "event_gaps_stream_watermarked requires a watermark: "
+            "finalization IS the watermark passing; use "
+            "event_gaps_stream for the in-order form."
+        )
+    tagged = events.select(
+        F.col(id_col), F.col(key_col), F.col(ts_col)
+    ).withWatermark(ts_col, watermark)
+    out_schema = StructType(
+        [*tagged.schema.fields, StructField("gap_us", LongType())]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_gaps_wm_fn(id_col=id_col, key_col=key_col, ts_col=ts_col),
+        outputStructType=out_schema,
+        stateStructType=GAPS_WM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 #: one carry cell per key: the running high-watermark in microseconds
 CLAMP_STATE_SCHEMA = StructType([StructField("hwm_us", LongType())])
 

@@ -2151,3 +2151,55 @@ def test_asof_twins_ignore_null_valued_builds(spark, tmp_path):
             for r in spark.sql(f"select * from {name}").collect()
         }
         assert got[3] == 10.0, (name, got)
+
+
+def test_gaps_stream_watermarked_survives_out_of_order_arrival(
+    spark, sf_smoke, tmp_path_factory, tmp_path
+):
+    """L3 two-sided watermark bound: purchases staged a FULL micro-batch
+    behind their event-time bucket reorder the per-key series across
+    batches — a late event changes its own gap AND its successor's. The
+    watermark-buffered twin must still match the batch lag window
+    exactly; the in-order twin must DIVERGE on the same staging (the
+    vacuousness guard, as in the as-of test)."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import q_event_gaps
+    from azure_iot_realtime_data_pipeline_spark.streaming.source import (
+        stage_replay_dir_delayed_builds,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        event_gaps_stream,
+        event_gaps_stream_watermarked,
+    )
+
+    out = str(tmp_path_factory.mktemp("replay_delayed_gaps"))
+    stage_replay_dir_delayed_builds(spark, sf_smoke, out, num_files=4)
+    q = (
+        event_gaps_stream_watermarked(
+            replay_events(spark, out), watermark="200 hours"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gaps_wm")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gaps_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from gaps_wm where event_id >= 0")
+    want = q_event_gaps(spark, sf_smoke)
+    cols = ["event_id", "user_id", "gap_us"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
+
+    q2 = (
+        event_gaps_stream(replay_events(spark, out), watermark=None)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gaps_inorder_delayed")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gaps_inorder"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    inorder = spark.sql("select * from gaps_inorder_delayed where event_id >= 0")
+    assert _as_set(inorder, cols) != _as_set(want, cols)
