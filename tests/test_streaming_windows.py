@@ -2203,3 +2203,125 @@ def test_gaps_stream_watermarked_survives_out_of_order_arrival(
     q2.awaitTermination(300)
     inorder = spark.sql("select * from gaps_inorder_delayed where event_id >= 0")
     assert _as_set(inorder, cols) != _as_set(want, cols)
+
+
+_ASOF_PROP_COUNTER = [0]
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),        # key
+            st.booleans(),                                 # is_build
+            st.integers(min_value=0, max_value=599),       # ts offset sec
+            st.integers(min_value=0, max_value=999),       # value*10
+            st.integers(min_value=0, max_value=2),         # file displacement
+        ),
+        min_size=10,
+        max_size=30,
+    )
+)
+def test_asof_watermarked_matches_batch_under_random_bounded_lateness(
+    spark, tmp_path_factory, events
+):
+    """Property gate for the watermark-buffered as-of: under ANY
+    interleaving where every event arrives at most two bucket-spans (300 s)
+    late and the watermark delay (320 s) covers that, the twin must
+    equal the batch asof_join bit-for-bit — random keys, sides, ties,
+    and displacements, not just the one delayed-build staging."""
+    import datetime as dt
+    import os
+    import time as time_mod
+
+    from pyspark.sql import Window
+
+    from azure_iot_realtime_data_pipeline_spark.operators import sessions
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        asof_stream_watermarked,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    span = 150  # 4 base buckets over the 600-s range
+    rows, files = [], {}
+    for eid, (key, is_build, off, val10, disp) in enumerate(events, start=1):
+        rows.append(
+            (
+                eid,
+                t0 + dt.timedelta(seconds=off),
+                key,
+                "purchase" if is_build else "click",
+                val10 / 10.0,
+                None,
+            )
+        )
+        files.setdefault(min(off // span + disp, 5), []).append(rows[-1])
+    # trailing nudges: advance the watermark, then flush every key
+    for j, fidx in enumerate((6, 7)):
+        files[fidx] = [
+            (-(k + 10 * j + 1), t0 + dt.timedelta(days=30), k, "click", 0.0, None)
+            for k in (1, 2)
+        ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    staged = str(tmp_path_factory.mktemp("asof_prop"))
+    for i in sorted(files):
+        part = os.path.join(staged, f"bucket={i:02d}")
+        spark.createDataFrame(files[i], schema).coalesce(1).write.parquet(part)
+        now = time_mod.time()
+        for root, _d, fns in os.walk(part):
+            for fn in fns:
+                os.utime(os.path.join(root, fn), (now + i, now + i))
+    first = sorted(files)[0]
+    src_schema = spark.read.parquet(staged + f"/bucket={first:02d}").schema
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    _ASOF_PROP_COUNTER[0] += 1
+    name = f"asof_prop_{_ASOF_PROP_COUNTER[0]}"
+    q = (
+        asof_stream_watermarked(stream, watermark="320 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.event_id, r.asof_purchase_value)
+        for r in spark.sql(f"select * from {name} where event_id >= 0").collect()
+    }
+    # batch expectation: the q_asof_join construction on the same rows
+    df = spark.createDataFrame(rows, schema)
+    probe = df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    build = (
+        df.filter(F.col("event_type") == "purchase")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    want = {
+        (r.event_id, r.asof_purchase_value)
+        for r in sessions.asof_join(
+            probe,
+            build,
+            key="user_id",
+            ts_col="ts",
+            value_cols=["purchase_value"],
+            probe_tiebreak="event_id",
+        ).collect()
+    }
+    assert got == want
