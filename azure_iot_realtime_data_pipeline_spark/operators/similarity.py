@@ -295,10 +295,17 @@ def ivf_topk(
     centroids: str = "deterministic",
     kmeans_seed: int = 7,
     kmeans_sample_fraction: float = 1.0,
+    dup_threshold: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition candidates into
     `n_cells` Voronoi cells around centroids, search only the `n_probe`
     cells nearest each query.
+
+    `dup_threshold` (optional) excludes near-duplicate pairs (rounded
+    cosine >= threshold) BEFORE the rank — the ANN form of
+    `hard_negatives`: overfetch is unnecessary because the filter runs
+    on the scored candidate pairs, so survivors simply fill the k
+    slots. This is the documented 100 TB mine-from-ANN recipe.
 
     Centroid choice: `centroids="deterministic"` (default) takes the
     `n_cells` lowest-id candidate vectors — exactly reproducible and
@@ -471,6 +478,9 @@ def ivf_topk(
             ).alias("cosine"),
         )
     )
+    if dup_threshold is not None:
+        # hard-negative mode: near-dups are invisible, not slot-eaters
+        pairs = pairs.filter(F.col("cosine") < dup_threshold)
     wk = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id).asc())
     return pairs.withColumn("rank", F.row_number().over(wk).cast("int")).filter(
         F.col("rank") <= k

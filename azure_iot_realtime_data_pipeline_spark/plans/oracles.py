@@ -3979,3 +3979,56 @@ ORACLES["q_market_share"] = """
              / 1000000 AS mkt_share
     FROM agg
     """
+
+# J57b hard negatives, ANN form: the q_ivf_topk oracle with the near-dup
+# exclusion applied to the scored pairs before the rank.
+ORACLES["q_hard_negatives_ann"] = """
+    WITH cands AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent_vec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    assigned AS (
+      SELECT cand_id, cv, cent_id AS cell_id FROM (
+        SELECT cands.cand_id, cands.cv, cents.cent_id,
+          row_number() OVER (PARTITION BY cands.cand_id ORDER BY
+            floor((
+              list_sum(list_transform(list_zip(cv, cent_vec),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(cent_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              ) * 10000 + 0.5) / 10000 DESC, cent_id) AS rn
+        FROM cands, cents
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cent_id AS cell_id FROM (
+        SELECT q.query_id, q.qv, cents.cent_id,
+          row_number() OVER (PARTITION BY q.query_id ORDER BY
+            floor((
+              list_sum(list_transform(list_zip(qv, cent_vec),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(cent_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              ) * 10000 + 0.5) / 10000 DESC, cent_id) AS rn
+        FROM q, cents
+      ) WHERE rn <= 4
+    ),
+    pairs AS (
+      SELECT query_id, cand_id,
+        floor((
+          list_sum(list_transform(list_zip(qv, cv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          ) * 10000 + 0.5) / 10000 AS cosine
+      FROM probes JOIN assigned USING (cell_id)
+      WHERE query_id <> cand_id
+    ),
+    kept AS (SELECT * FROM pairs WHERE cosine < 0.35)
+    SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+      FROM kept
+    ) WHERE rn <= 10
+    """
