@@ -33,6 +33,7 @@ from azure_iot_realtime_data_pipeline_spark.operators import (
     corpus,
     dedup,
     eventtime,
+    graph,
     multimodal,
     ordering,
     relevance,
@@ -2938,6 +2939,20 @@ def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(q, c, k=10, dup_threshold=0.35)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J58 PageRank over the near-dup similarity graph (rows-only BY
+    NECESSITY: float power iteration is not ANSI-expressible — the
+    q_bpe_merges class; numpy-reference + invariant gates in
+    tests/test_operators.py). High-rank nodes are template/boilerplate
+    hubs that near-duplicate many other docs — the triage signal next
+    to duplicate_clusters' components."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.2)
+    return graph.pagerank(
+        graph.undirected_edges(pairs, "doc_a", "doc_b"), iterations=5
+    )
+
+
 # Registration order is a DRIVER-FACING contract: the external
 # correctness harness records exactly the FIRST 50 entries (observed in
 # rounds 1-6 — CORRECTNESS_r*.json truncates at the 50th registered
@@ -3144,4 +3159,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
     "q_bpe_merges": q_bpe_merges,
+    "q_pagerank": q_pagerank,
 }

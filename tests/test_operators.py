@@ -1498,3 +1498,64 @@ def test_ivf_kmeans_dial_response_at_sf01(spark, sf_bench):
     assert det[0] <= det[1] <= det[2], det
     assert all(k >= d for k, d in zip(km, det)), (km, det)
     assert km[2] >= 0.7, km
+
+
+def _ref_pagerank(edge_list, d=0.85, iters=10):
+    """Plain-python reference with the operator's exact semantics:
+    dedup'd edges, dangling mass redistributed uniformly."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        recv = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            recv[t] += r[s] / out[s]
+        dangling = sum(r[v] for v in nodes if v not in out)
+        base = (1.0 - d) / n + d * dangling / n
+        r = {v: base + d * recv[v] for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_with_dangling_node(spark):
+    """J58: the DataFrame power iteration equals the reference formula
+    on a graph with a dangling sink (node 5 has no out-edges) and a
+    duplicate edge row (must collapse)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.graph import pagerank
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5), (1, 2)]
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(e, iterations=10).collect()}
+    want = _ref_pagerank(edge_list, iters=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation
+    # the hub (3) outranks the periphery
+    assert got[3] == max(got.values())
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A directed cycle is vertex-transitive: every node must hold
+    exactly 1/N at every iteration."""
+    from azure_iot_realtime_data_pipeline_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in pagerank(e, iterations=7).collect()}
+    for v, rank in got.items():
+        assert abs(rank - 0.25) < 1e-12, (v, rank)
+
+
+def test_pagerank_dup_graph_query_runs(spark, sf_smoke):
+    """q_pagerank (rows-only surface): runs on the near-dup graph,
+    conserves mass, and symmetrized pairs mean no dangling nodes."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import q_pagerank
+
+    out = q_pagerank(spark, sf_smoke).collect()
+    assert len(out) > 0
+    assert abs(sum(r.rank for r in out) - 1.0) < 1e-6
