@@ -101,6 +101,37 @@ def upsert_devices(batch: DataFrame, devices_dir: str) -> None:
     devices.write.mode("append").parquet(devices_dir)
 
 
+def upsert_devices_merge(batch: DataFrame, devices_table_dir: str) -> dict:
+    """F7 with TRUE MERGE semantics — the Delta `WHEN MATCHED UPDATE`
+    slot tracked as blocked since r3 (delta-spark absent from the
+    image, pip-verified every round): latest-metadata-wins per device
+    onto the manifest-committed table (sources/acid.py), whose atomic
+    manifest rename is the commit protocol and whose footer-stats file
+    skipping makes each micro-batch rewrite only the files its devices
+    live in. Mirrors the reference's keyed upsert into the PK'd Devices
+    table (reference iot-stream-analytics-query.sql:53-61;
+    README.MD:159-165). Idempotent per batch content: re-merging the
+    same rows yields the same table (last-write-wins on the same
+    values), so foreachBatch retries after a crash are safe."""
+    from azure_iot_realtime_data_pipeline_spark.sources.acid import merge_upsert
+
+    devices = (
+        batch.select(
+            "deviceId",
+            F.col("enqueuedTime").alias("lastSeen"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("deviceId").orderBy(F.col("lastSeen").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return merge_upsert(devices, devices_table_dir, key="deviceId")
+
+
 def _write_batch_scoped(batch: DataFrame, batch_id: int, out_dir: str) -> None:
     """Idempotent parquet append: each micro-batch owns a `batch_id=`
     partition and replay OVERWRITES exactly that partition (dynamic

@@ -1,0 +1,153 @@
+"""Manifest-committed parquet table (sources/acid.py): snapshot reads,
+atomic commit, file-granular MERGE, crash orphans, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from azure_iot_realtime_data_pipeline_spark.sources import acid
+
+
+def _mk_table(spark, d, n=100, files=4):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    # range-partitioned write -> files with disjoint key ranges, so the
+    # footer-stats file skipping has something to skip
+    stats = acid.write_table(df.repartitionByRange(files, "k"), str(d))
+    assert stats["files_written"] == files
+    return stats
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    _mk_table(spark, tmp_path / "t", n=50)
+    got = {r.k: r.v for r in acid.read_table(spark, str(tmp_path / "t")).collect()}
+    assert got == {i: i * 10 for i in range(50)}
+
+
+def test_merge_rewrites_only_matched_files_and_wins(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=100, files=4)
+    # updates hit ONLY the lowest range file, plus brand-new keys
+    updates = spark.createDataFrame(
+        [(3, -1), (7, -2), (200, -3), (201, -4)], "k long, v long"
+    )
+    stats = acid.merge_upsert(updates, d, key="k")
+    assert stats["files_rewritten"] == 1, stats
+    assert stats["files_kept"] == 3, stats
+    got = {r.k: r.v for r in acid.read_table(spark, d).collect()}
+    want = {i: i * 10 for i in range(100)}
+    want.update({3: -1, 7: -2, 200: -3, 201: -4})
+    assert got == want
+    # kept files carried over by NAME (no rewrite): their commit-1 paths
+    # are still in the newest manifest
+    _, files = acid._current_manifest(d)
+    assert sum(f.startswith("commit-00000001/") for f in files) == 3
+
+
+def test_merge_into_empty_table(spark, tmp_path):
+    d = str(tmp_path / "t")
+    updates = spark.createDataFrame([(1, 11), (2, 22)], "k long, v long")
+    stats = acid.merge_upsert(updates, d, key="k")
+    assert stats["version"] == 1 and stats["files_rewritten"] == 0
+    got = {r.k: r.v for r in acid.read_table(spark, d).collect()}
+    assert got == {1: 11, 2: 22}
+
+
+def test_empty_updates_are_a_no_op(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=10, files=1)
+    v0, _ = acid._current_manifest(d)
+    empty = spark.createDataFrame([], "k long, v long")
+    stats = acid.merge_upsert(empty, d, key="k")
+    assert stats["version"] == v0 and stats["updates_rows"] == 0
+
+
+def test_crash_before_commit_is_invisible_and_vacuumable(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=20, files=2)
+    before = {r.k: r.v for r in acid.read_table(spark, d).collect()}
+    # simulate a writer dying AFTER data-file write, BEFORE manifest
+    # commit: the orphan commit dir must be invisible to readers
+    doomed = spark.createDataFrame([(0, -999)], "k long, v long")
+    orphans = acid._write_commit_files(doomed, d, 99)
+    assert orphans
+    after = {r.k: r.v for r in acid.read_table(spark, d).collect()}
+    assert after == before
+    deleted = acid.vacuum(d)
+    assert any(f.startswith("commit-00000099/") for f in deleted)
+    assert {r.k: r.v for r in acid.read_table(spark, d).collect()} == before
+
+
+def test_vacuum_retention_drops_replaced_files(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=40, files=4)
+    acid.merge_upsert(
+        spark.createDataFrame([(1, -1)], "k long, v long"), d, key="k"
+    )
+    acid.merge_upsert(
+        spark.createDataFrame([(2, -2)], "k long, v long"), d, key="k"
+    )
+    deleted = acid.vacuum(d, keep_versions=1)
+    assert deleted  # replaced files + old manifests went away
+    got = {r.k: r.v for r in acid.read_table(spark, d).collect()}
+    want = {i: i * 10 for i in range(40)}
+    want.update({1: -1, 2: -2})
+    assert got == want
+    # only the newest manifest remains
+    manifests = [n for n in os.listdir(d) if n.startswith("manifest-")]
+    assert len(manifests) == 1
+
+
+def test_manifest_commit_is_atomic_rename(spark, tmp_path):
+    """The commit file appears fully formed: a reader listing mid-commit
+    sees either no manifest-N or a complete one (json-parsable)."""
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=10, files=1)
+    for name in os.listdir(d):
+        if name.startswith("manifest-"):
+            with open(os.path.join(d, name)) as f:
+                m = json.load(f)
+            assert m["files"] and all(p.endswith(".parquet") for p in m["files"])
+        assert not name.endswith(".tmp")  # no torn commit left behind
+
+
+def test_upsert_devices_merge_latest_wins_across_batches(spark, tmp_path):
+    """F7 MERGE variant: device dev-1's metadata is UPDATED by a later
+    batch (the semantics the first-write-wins anti-join cannot express),
+    dev-2 is inserted; re-merging the same batch is idempotent."""
+    import datetime as dt
+
+    from azure_iot_realtime_data_pipeline_spark.streaming.pipeline import (
+        upsert_devices_merge,
+    )
+
+    d = str(tmp_path / "devices")
+    t0 = dt.datetime(2024, 1, 1)
+    b1 = spark.createDataFrame(
+        [("dev-1", t0), ("dev-1", t0 + dt.timedelta(seconds=5))],
+        "deviceId string, enqueuedTime timestamp",
+    )
+    upsert_devices_merge(b1, d)
+    b2 = spark.createDataFrame(
+        [("dev-1", t0 + dt.timedelta(minutes=1)), ("dev-2", t0)],
+        "deviceId string, enqueuedTime timestamp",
+    )
+    stats = upsert_devices_merge(b2, d)
+    got = {
+        r.deviceId: r.lastSeen for r in acid.read_table(spark, d).collect()
+    }
+    assert got == {
+        "dev-1": t0 + dt.timedelta(minutes=1),
+        "dev-2": t0,
+    }
+    # idempotent retry (foreachBatch redelivery after a crash)
+    upsert_devices_merge(b2, d)
+    got2 = {
+        r.deviceId: r.lastSeen for r in acid.read_table(spark, d).collect()
+    }
+    assert got2 == got
+    assert stats["version"] == 2
