@@ -55,7 +55,17 @@ def pagerank(
     The dangling mass is a one-row aggregate (the sanctioned scalar
     collect pattern). localCheckpoint per iteration bounds lineage.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    # materialize the dedup'd edge list and the degree table ONCE:
+    # every iteration runs TWO jobs (the dangling-mass collect and the
+    # ranks localCheckpoint), each of which would otherwise replay the
+    # edge distinct + degree aggregate from the source (review r7
+    # pass 2 — the docstring's "edges scanned once per iteration"
+    # was 2x off without this)
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
@@ -65,7 +75,9 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    out_deg = (
+        e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint()
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         with_deg = ranks.join(

@@ -793,57 +793,8 @@ ORACLES: dict[str, str] = {
         GROUP BY c_mktsegment
         """
     ),
-    "q_ivf_topk": (
-        """
-        WITH cands AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
-        cents AS (
-          SELECT vec_id AS cent_id, embedding AS cent_vec
-          FROM embeddings ORDER BY vec_id LIMIT 16
-        ),
-        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        assigned AS (
-          SELECT cand_id, cv, cent_id AS cell_id FROM (
-            SELECT cands.cand_id, cands.cv, cents.cent_id,
-              row_number() OVER (PARTITION BY cands.cand_id ORDER BY
-                floor((
-                  list_sum(list_transform(list_zip(cv, cent_vec),
-                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                  / (sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                   * sqrt(list_sum(list_transform(cent_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-                  ) * 10000 + 0.5) / 10000 DESC, cent_id) AS rn
-            FROM cands, cents
-          ) WHERE rn = 1
-        ),
-        probes AS (
-          SELECT query_id, qv, cent_id AS cell_id FROM (
-            SELECT q.query_id, q.qv, cents.cent_id,
-              row_number() OVER (PARTITION BY q.query_id ORDER BY
-                floor((
-                  list_sum(list_transform(list_zip(qv, cent_vec),
-                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                  / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                   * sqrt(list_sum(list_transform(cent_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-                  ) * 10000 + 0.5) / 10000 DESC, cent_id) AS rn
-            FROM q, cents
-          ) WHERE rn <= 4
-        ),
-        pairs AS (
-          SELECT query_id, cand_id,
-            floor((
-              list_sum(list_transform(list_zip(qv, cv),
-                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-              / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-               * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-              ) * 10000 + 0.5) / 10000 AS cosine
-          FROM probes JOIN assigned USING (cell_id)
-          WHERE query_id <> cand_id
-        )
-        SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
-          FROM pairs
-        ) WHERE rn <= 10
-        """
-    ),
+    # q_ivf_topk: assigned at file bottom from _ivf_oracle_sql() — ONE
+    # source of truth shared with q_hard_negatives_ann (review r7 pass 2)
     "q_sessionize": (
         """
         WITH marked AS (
@@ -3980,9 +3931,12 @@ ORACLES["q_market_share"] = """
     FROM agg
     """
 
-# J57b hard negatives, ANN form: the q_ivf_topk oracle with the near-dup
-# exclusion applied to the scored pairs before the rank.
-ORACLES["q_hard_negatives_ann"] = """
+
+# --- IVF oracle: ONE source of truth for q_ivf_topk and its
+# hard-negative variant (review r7 pass 2: the two ~50-line SQL bodies
+# had drifted into verbatim duplication; a one-sided edit to the
+# rounding/tie-break/probe constants could silently diverge the gates).
+_IVF_ORACLE_CORE = """
     WITH cands AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
     cents AS (
       SELECT vec_id AS cent_id, embedding AS cent_vec
@@ -4025,10 +3979,27 @@ ORACLES["q_hard_negatives_ann"] = """
           ) * 10000 + 0.5) / 10000 AS cosine
       FROM probes JOIN assigned USING (cell_id)
       WHERE query_id <> cand_id
-    ),
-    kept AS (SELECT * FROM pairs WHERE cosine < 0.35)
+    ){extra}
     SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
-      FROM kept
+      FROM {rank_src}
     ) WHERE rn <= 10
     """
+
+
+def _ivf_oracle_sql(dup_threshold: float | None = None) -> str:
+    extra = (
+        ",\n    kept AS (SELECT * FROM pairs WHERE cosine < {t})".format(
+            t=dup_threshold
+        )
+        if dup_threshold is not None
+        else ""
+    )
+    return _IVF_ORACLE_CORE.format(
+        extra=extra,
+        rank_src="kept" if dup_threshold is not None else "pairs",
+    )
+
+
+ORACLES["q_ivf_topk"] = _ivf_oracle_sql()
+ORACLES["q_hard_negatives_ann"] = _ivf_oracle_sql(dup_threshold=0.35)

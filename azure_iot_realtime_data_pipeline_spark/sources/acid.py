@@ -50,18 +50,33 @@ def _manifest_version(name: str) -> int | None:
     return None
 
 
-def _current_manifest(table_dir: str) -> tuple[int, list[str]]:
-    """(version, relative data-file paths) of the newest committed
-    manifest; (0, []) for an empty/new table."""
-    best = 0
-    best_files: list[str] = []
+def _read_manifest(table_dir: str) -> dict:
+    """Newest committed manifest as {version, files, stats};
+    {version: 0, files: [], stats: {}} for an empty/new table. `stats`
+    maps file -> {column: [min, max]} captured at commit time, so file
+    skipping is an in-memory decision instead of O(table files) footer
+    reads per merge (Delta stores stats in the log for the same reason
+    — review r7 pass 2)."""
+    best: dict = {"version": 0, "files": [], "stats": {}}
     if os.path.isdir(table_dir):
         for name in os.listdir(table_dir):
             v = _manifest_version(name)
-            if v is not None and v > best:
+            if v is not None and v > best["version"]:
                 with open(os.path.join(table_dir, name)) as f:
-                    best, best_files = v, json.load(f)["files"]
-    return best, best_files
+                    m = json.load(f)
+                best = {
+                    "version": v,
+                    "files": m["files"],
+                    "stats": m.get("stats", {}),
+                }
+    return best
+
+
+def _current_manifest(table_dir: str) -> tuple[int, list[str]]:
+    """(version, relative data-file paths) of the newest committed
+    manifest; (0, []) for an empty/new table."""
+    m = _read_manifest(table_dir)
+    return m["version"], m["files"]
 
 
 def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -72,26 +87,76 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
 
 
-def _commit(table_dir: str, version: int, files: list[str]) -> None:
+def _commit(
+    table_dir: str, version: int, files: list[str], stats: dict | None = None
+) -> None:
     """Atomic commit: write manifest aside, then one os.replace —
     readers observe either the old or the new version, never a torn
-    file list."""
+    file list. `stats` ({file: {column: [min, max]}}) rides in the
+    manifest so later merges skip files without touching footers."""
     tmp = os.path.join(table_dir, f".manifest-{version}.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"version": version, "files": sorted(files)}, f)
+        json.dump(
+            {"version": version, "files": sorted(files), "stats": stats or {}},
+            f,
+        )
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(table_dir, f"manifest-{version}.json"))
 
 
+def _stats_for_files(table_dir: str, files: list[str]) -> dict:
+    """{file: {column: [min, max]}} for every leaf column with
+    JSON-serializable footer stats, read once at commit time (the
+    footers were just written — one local read each, never repeated
+    per merge). Columns with absent/non-serializable stats are simply
+    omitted: merges fall back to the conservative rewrite for them."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        cols: dict = {}
+        for i in range(len(md.schema)):
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            if (
+                ok
+                and lo is not None
+                and isinstance(lo, (bool, int, float, str))
+                and isinstance(hi, (bool, int, float, str))
+            ):
+                cols[md.schema.column(i).path] = [lo, hi]
+        out[rel] = cols
+    return out
+
+
 def _file_key_range(path: str, key: str):
     """[min, max] of `key` across a parquet file's row groups, from
-    footer statistics only. None when stats are absent (forces the
-    conservative rewrite)."""
+    footer statistics only. None when stats are absent or the key is
+    not a leaf column (forces the conservative rewrite).
+
+    The row-group column index is the LEAF index (parquet flattens
+    nested fields), which diverges from the Arrow top-level field index
+    as soon as any struct/list column precedes the key — so the leaf is
+    resolved by its dotted path, never by Arrow field position
+    (review r7 pass 2)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
-    idx = md.schema.to_arrow_schema().get_field_index(key)
+    idx = next(
+        (i for i in range(len(md.schema)) if md.schema.column(i).path == key),
+        None,
+    )
+    if idx is None:
+        return None
     lo = hi = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
@@ -127,7 +192,9 @@ def write_table(df: DataFrame, table_dir: str) -> dict:
     os.makedirs(table_dir, exist_ok=True)
     version, _ = _current_manifest(table_dir)
     new_files = _write_commit_files(df, table_dir, version + 1)
-    _commit(table_dir, version + 1, new_files)
+    _commit(
+        table_dir, version + 1, new_files, _stats_for_files(table_dir, new_files)
+    )
     return {"version": version + 1, "files_written": len(new_files)}
 
 
@@ -141,41 +208,60 @@ def merge_upsert(
     WHEN MATCHED ... UPDATE) and insert otherwise. Only data files whose
     footer [min, max] of `key` contains some update key are rewritten.
 
+    NULL-key update rows are dropped up front — the merge key models
+    the reference's PRIMARY KEY (NOT NULL by DDL, README.MD:159-165),
+    and a NULL matches nothing under SQL key semantics (it previously
+    crashed the key sort — review r7 pass 2).
+
     The update key set is collected to the driver for the file-skipping
     decision — bounded by `max_driver_keys` (a micro-batch's device set
     is small; a bulk backfill past the bound degrades gracefully to
-    "rewrite every stats-overlapping file" using only min/max of the
-    updates, never to an error). Returns
+    "rewrite every stats-overlapping file" using one (min, max,
+    count_distinct) aggregate, never to an error). File ranges come
+    from the manifest's commit-time stats; footer reads happen only
+    for legacy manifests without them. Returns
     {version, files_rewritten, files_kept, updates_rows}.
     """
+    from pyspark.sql import functions as F
+
     spark = updates.sparkSession
     os.makedirs(table_dir, exist_ok=True)
-    version, files = _current_manifest(table_dir)
-    updates = updates.dropDuplicates([key])
+    m = _read_manifest(table_dir)
+    version, files, stats = m["version"], m["files"], m["stats"]
+    updates = updates.filter(F.col(key).isNotNull()).dropDuplicates([key])
 
     key_rows = (
         updates.select(key).distinct().limit(max_driver_keys + 1).collect()
     )
-    n_updates = len(key_rows)
-    if n_updates == 0:
+    if len(key_rows) == 0:
         return {
             "version": version,
             "files_rewritten": 0,
             "files_kept": len(files),
             "updates_rows": 0,
         }
-    exact_keys = n_updates <= max_driver_keys
-    keys_sorted = sorted(r[0] for r in key_rows) if exact_keys else None
-    if not exact_keys:
-        b = updates.agg({key: "min"}).collect()[0][0], updates.agg(
-            {key: "max"}
-        ).collect()[0][0]
+    exact_keys = len(key_rows) <= max_driver_keys
+    if exact_keys:
+        keys_sorted = sorted(r[0] for r in key_rows)
+        n_updates = len(key_rows)
+        b = None
+    else:
+        agg = updates.agg(
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+            F.count_distinct(F.col(key)).alias("n"),
+        ).collect()[0]
+        keys_sorted = None
+        b = (agg["lo"], agg["hi"])
+        n_updates = int(agg["n"])
 
     touched, kept = [], []
     for rel in files:
-        rng = _file_key_range(os.path.join(table_dir, rel), key)
+        rng = stats.get(rel, {}).get(key)
         if rng is None:
-            touched.append(rel)  # no stats: conservative rewrite
+            rng = _file_key_range(os.path.join(table_dir, rel), key)
+        if rng is None:
+            touched.append(rel)  # no stats anywhere: conservative rewrite
         elif exact_keys:
             (touched if _range_hits(keys_sorted, rng[0], rng[1]) else kept).append(rel)
         else:
@@ -189,8 +275,15 @@ def merge_upsert(
         new_content = survivors.unionByName(updates)
     else:
         new_content = updates
+    # hold file granularity steady: the rewrite replaces len(touched)
+    # files with about as many, instead of one part file per shuffle
+    # partition of the anti-join (which would sprawl the table and
+    # erode stats-based skipping within a few merges)
+    new_content = new_content.coalesce(max(1, len(touched)))
     new_files = _write_commit_files(new_content, table_dir, version + 1)
-    _commit(table_dir, version + 1, kept + new_files)
+    new_stats = {rel: stats.get(rel, {}) for rel in kept}
+    new_stats.update(_stats_for_files(table_dir, new_files))
+    _commit(table_dir, version + 1, kept + new_files, new_stats)
     return {
         "version": version + 1,
         "files_rewritten": len(touched),
@@ -199,12 +292,25 @@ def merge_upsert(
     }
 
 
-def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str, keep_versions: int = 1, min_age_seconds: float = 0.0
+) -> list[str]:
     """Delete data files referenced by NO retained manifest (crash
     orphans and files replaced by newer versions) and manifests older
-    than the newest `keep_versions`. Returns deleted paths. Safe by
-    construction: the newest manifest's files are always retained, and
-    commit subdirs namespace uncommitted writes."""
+    than the newest `keep_versions`. Returns deleted paths.
+
+    The newest manifest's files are always retained, so committed state
+    is never harmed. A READER RACE exists exactly as in Delta: a query
+    that resolved an old manifest and is still scanning can lose its
+    files to a concurrent vacuum. Mitigations are the same two dials
+    Delta exposes: `keep_versions` (version retention) and
+    `min_age_seconds` (files younger than this are never deleted —
+    size it above the longest-running reader, as Delta's default 7-day
+    retention does). Single-writer is assumed throughout the module;
+    vacuum belongs to that writer's maintenance cycle."""
+    import time
+
+    now = time.time()
     version, _ = _current_manifest(table_dir)
     if version == 0:
         return []
@@ -232,8 +338,9 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
             elif rel not in live:
                 # inside a commit-* subdir: parquet orphans plus the
                 # _SUCCESS/.crc residue Spark writes next to them
-                os.remove(full)
-                deleted.append(rel)
+                if now - os.path.getmtime(full) >= min_age_seconds:
+                    os.remove(full)
+                    deleted.append(rel)
     # drop empty commit dirs left behind
     for root, dirs, names in list(os.walk(table_dir, topdown=False)):
         if root != table_dir and not dirs and not names:

@@ -151,3 +151,51 @@ def test_upsert_devices_merge_latest_wins_across_batches(spark, tmp_path):
     }
     assert got2 == got
     assert stats["version"] == 2
+
+
+def test_merge_drops_null_key_updates(spark, tmp_path):
+    """NULL merge keys model a PK violation: dropped up front, never a
+    sort/bisect crash (review r7 pass 2)."""
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=10, files=1)
+    updates = spark.createDataFrame(
+        [(None, -1), (3, -3)], "k long, v long"
+    )
+    stats = acid.merge_upsert(updates, d, key="k")
+    assert stats["updates_rows"] == 1
+    got = {r.k: r.v for r in acid.read_table(spark, d).collect()}
+    assert got[3] == -3 and None not in got and len(got) == 10
+
+
+def test_manifest_carries_stats_for_file_skipping(spark, tmp_path):
+    """Commit-time stats ride in the manifest so merges skip files
+    without footer reads; kept files' stats carry forward across
+    versions (review r7 pass 2)."""
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=100, files=4)
+    m = acid._read_manifest(d)
+    assert m["stats"] and all("k" in s for s in m["stats"].values())
+    acid.merge_upsert(
+        spark.createDataFrame([(1, -1)], "k long, v long"), d, key="k"
+    )
+    m2 = acid._read_manifest(d)
+    # every listed file still has key stats (kept: carried; new: computed)
+    assert set(m2["stats"]) == set(m2["files"])
+    assert all("k" in s for s in m2["stats"].values())
+    # and skipping still classifies correctly off the carried stats
+    s3 = acid.merge_upsert(
+        spark.createDataFrame([(99, -99)], "k long, v long"), d, key="k"
+    )
+    assert s3["files_rewritten"] + s3["files_kept"] == len(m2["files"])
+    assert 1 <= s3["files_rewritten"] < len(m2["files"])  # skipping worked
+
+
+def test_vacuum_min_age_spares_young_orphans(spark, tmp_path):
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=10, files=1)
+    doomed = spark.createDataFrame([(0, -9)], "k long, v long")
+    acid._write_commit_files(doomed, d, 99)
+    spared = acid.vacuum(d, min_age_seconds=3600)
+    assert not any(f.startswith("commit-00000099/") for f in spared)
+    gone = acid.vacuum(d, min_age_seconds=0)
+    assert any(f.startswith("commit-00000099/") for f in gone)
