@@ -79,11 +79,41 @@ def _current_manifest(table_dir: str) -> tuple[int, list[str]]:
     return m["version"], m["files"]
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Snapshot read: exactly the newest manifest's files."""
-    _, files = _current_manifest(table_dir)
+def read_table(
+    spark: SparkSession,
+    table_dir: str,
+    key_between: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Snapshot read: exactly the newest manifest's files.
+
+    `key_between=(col, lo, hi)` prunes files by the manifest's
+    commit-time [min, max] stats BEFORE the scan — manifest-level data
+    skipping, the read-side twin of merge's file skipping (files
+    without stats for `col` are conservatively read; the predicate is
+    re-applied row-level so pruning is an optimization, never a
+    semantic)."""
+    m = _read_manifest(table_dir)
+    files = m["files"]
     if not files:
         raise FileNotFoundError(f"no committed manifest in {table_dir}")
+    if key_between is not None:
+        col, lo, hi = key_between
+        files = [
+            f
+            for f in files
+            if (rng := m["stats"].get(f, {}).get(col)) is None
+            or not (rng[1] < lo or rng[0] > hi)
+        ]
+        from pyspark.sql import functions as F
+
+        if not files:
+            empty = spark.read.parquet(
+                os.path.join(table_dir, m["files"][0])
+            ).limit(0)
+            return empty.filter(F.col(col).between(lo, hi))
+        return spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in files]
+        ).filter(F.col(col).between(lo, hi))
     return spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
 
 
@@ -187,9 +217,20 @@ def _write_commit_files(df: DataFrame, table_dir: str, version: int) -> list[str
     ]
 
 
-def write_table(df: DataFrame, table_dir: str) -> dict:
-    """Create/replace the table content in one commit (the CTAS path)."""
+def write_table(
+    df: DataFrame, table_dir: str, cluster_by: str | None = None
+) -> dict:
+    """Create/replace the table content in one commit (the CTAS path).
+    `cluster_by` range-partitions and sorts on that column before the
+    write, so each file covers a tight disjoint key range — the
+    liner-order clustering that makes stats-based skipping (merge and
+    `read_table(key_between=...)`) actually prune."""
     os.makedirs(table_dir, exist_ok=True)
+    if cluster_by is not None:
+        n = df.rdd.getNumPartitions()
+        df = df.repartitionByRange(max(1, n), cluster_by).sortWithinPartitions(
+            cluster_by
+        )
     version, _ = _current_manifest(table_dir)
     new_files = _write_commit_files(df, table_dir, version + 1)
     _commit(

@@ -199,3 +199,32 @@ def test_vacuum_min_age_spares_young_orphans(spark, tmp_path):
     assert not any(f.startswith("commit-00000099/") for f in spared)
     gone = acid.vacuum(d, min_age_seconds=0)
     assert any(f.startswith("commit-00000099/") for f in gone)
+
+
+def test_read_table_prunes_files_by_manifest_stats(spark, tmp_path):
+    """key_between prunes at the FILE level off manifest stats, and the
+    row-level filter keeps semantics exact (pruning is an optimization,
+    never a correctness lever)."""
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=100, files=4)
+    got = {
+        r.k for r in acid.read_table(spark, d, key_between=("k", 30, 44)).collect()
+    }
+    assert got == set(range(30, 45))
+    # out-of-range probe: zero files overlap, empty result, right schema
+    none = acid.read_table(spark, d, key_between=("k", 1000, 2000))
+    assert none.count() == 0 and set(none.columns) == {"k", "v"}
+
+
+def test_write_table_cluster_by_tightens_stats(spark, tmp_path):
+    """cluster_by yields disjoint per-file key ranges in the manifest."""
+    d = str(tmp_path / "t")
+    df = spark.range(100).select(
+        (F.col("id") * 37 % 100).alias("k"), F.col("id").alias("v")
+    ).repartition(4)
+    acid.write_table(df, d, cluster_by="k")
+    m = acid._read_manifest(d)
+    ranges = sorted(tuple(s["k"]) for s in m["stats"].values() if "k" in s)
+    assert len(ranges) >= 2
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo  # disjoint: clustering worked
