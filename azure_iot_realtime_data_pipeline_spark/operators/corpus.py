@@ -1168,3 +1168,122 @@ def temperature_mixture(
             ),
         ).alias("epochs"),
     )
+
+
+def _hashed_ngram_buckets(
+    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) rows — one per unigram/bigram OCCURRENCE, hashed to
+    a fixed bucket space with the engine-portable md5 hash. The hashed
+    bag-of-ngrams featurization of DSIR (Xie et al., NeurIPS'23): the
+    model never sees raw vocabulary, only `n_buckets` counters, so the
+    fit side is bounded regardless of corpus size. Map-side only —
+    explode + hash, no shuffle here."""
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import portable_hash32
+
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    uni = staged.select(id_col, F.explode("_toks").alias("_f"))
+    # sequence(1, 0) would produce the DESCENDING [1, 0] — guard < 2.
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1), "
+            "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = staged.select(id_col, F.explode(bigrams).alias("_f"))
+    return uni.unionByName(bi).select(
+        F.col(id_col), (portable_hash32(F.col("_f")) % n_buckets).alias("_bucket")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """J59 DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al., NeurIPS'23 — public paper): score every raw
+    document by how target-like its hashed n-gram distribution is.
+
+    Model: unigram bag over `n_buckets` hashed unigram+bigram features.
+    With add-one smoothing, p_t[b] = (c_t[b]+1)/(T+B) on the target
+    stream and p_r[b] = (c_r[b]+1)/(R+B) on the raw stream; a document's
+    log importance weight is sum over its feature occurrences of
+    log(p_t[b]/p_r[b]). High-weight docs are the ones importance
+    resampling keeps (pair with weighted_sample_per_group /
+    importance_sample for the draw itself).
+
+    Cross-engine exactness: the per-bucket log-ratio is pinned to
+    integer MICRO-units (floor(x*1e6+0.5), the repo's rounding idiom)
+    BEFORE the per-doc sum, so the aggregate is order-free int64
+    arithmetic any SQL engine reproduces bit-for-bit.
+
+    Plan shape (the 100 TB story): fit = one corpus pass + one target
+    pass, each a map-side explode/hash into a groupBy over at most
+    `n_buckets` keys (bounded shuffle, map-side combine); the two
+    totals are sums over the B-row count tables (driver scalars, same
+    sanctioned pattern as temperature_mixture); score = second corpus
+    pass joined to the BROADCAST B-row lambda table, then one shuffle
+    on `id_col` for the per-doc sum. The corpus is never shuffled by
+    feature. Two corpus passes is DSIR's own structure (fit, then
+    score).
+
+    Docs with zero tokens have no features: n_feats = 0, weight = 0.
+    """
+    b = int(n_buckets)
+    raw_feats = _hashed_ngram_buckets(raw, text_col, id_col, b)
+    tgt_feats = _hashed_ngram_buckets(target, text_col, id_col, b)
+    raw_counts = (
+        raw_feats.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_cr"))
+        .localCheckpoint()
+    )
+    tgt_counts = (
+        tgt_feats.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .localCheckpoint()
+    )
+    r_tot = raw_counts.agg(F.sum("_cr").alias("s")).collect()[0]["s"] or 0
+    t_tot = tgt_counts.agg(F.sum("_ct").alias("s")).collect()[0]["s"] or 0
+    # every bucket a raw doc can score against carries a raw count >= 1
+    # (its own occurrence), so the raw count table is the spine.
+    lam = raw_counts.join(tgt_counts, "_bucket", "left").select(
+        "_bucket",
+        F.floor(
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + 1.0)
+                    / F.lit(float(t_tot + b))
+                )
+                - F.log((F.col("_cr").cast("double") + 1.0) / F.lit(float(r_tot + b)))
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("_lam_micro"),
+    )
+    scored = (
+        raw_feats.join(F.broadcast(lam), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_lam_micro").alias("_w_micro"),
+        )
+    )
+    # doc-sized ⋈ doc-sized: pinned shuffle-hash (broadcast would OOM at
+    # corpus scale; the static fallback is the banned SortMergeJoin)
+    return (
+        raw.select(id_col)
+        .join(scored.hint("shuffle_hash"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_feats"),
+            (
+                F.coalesce(F.col("_w_micro"), F.lit(0)).cast("double") / 1000000.0
+            ).alias("dsir_weight"),
+        )
+    )

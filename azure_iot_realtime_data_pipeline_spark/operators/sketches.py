@@ -125,3 +125,62 @@ def kmv_distinct(
         n_kept.cast("long").alias("n_kept"),
         est.alias(out),
     )
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 16,
+    threshold: int = 1,
+) -> DataFrame:
+    """J61 Count-Min-sketch heavy hitters (Cormode & Muthukrishnan,
+    J.Algorithms'05): (item, est) for every distinct item whose CMS
+    frequency estimate >= threshold.
+
+    The sketch is depth x width int64 counters: row r hashes an item to
+    bucket portable_hash32(r || ':' || item) % width and the estimate is
+    the MIN over rows of the bucket counts — never an underestimate, so
+    heavy hitters have NO false negatives; collisions can only promote
+    light items (one-sided error eps ~ e/width with prob 1-e^-depth).
+    Like kmv_distinct, the portable md5 hash makes the whole sketch a
+    deterministic function any SQL engine reproduces bit-for-bit —
+    Spark's native count_min_sketch() aggregate emits an opaque binary
+    only Spark can read; this is the cross-engine-auditable form.
+
+    Plan shape (the 100 TB story): build = ONE map-side explode of the
+    depth row-hashes per item occurrence into a groupBy over at most
+    depth*width keys — partial aggregation collapses each task's stream
+    to <= depth*width partial rows before the exchange, so the shuffle
+    is sketch-sized, not data-sized (gated). Query = distinct candidate
+    items (the one data-sized shuffle — at 100 TB feed candidates from
+    a per-partition top-k instead) joined to the BROADCAST sketch,
+    min over rows. `threshold` is a caller literal, not a derived
+    scalar — no driver round-trip.
+    """
+    d, w = int(depth), int(width)
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("_r")
+    bucket = (
+        portable_hash32(
+            F.concat_ws(":", F.col("_r").cast("string"), F.col("item"))
+        )
+        % w
+    ).alias("_bucket")
+    stream = items.select(F.col(item_col).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    sketch = (
+        stream.select("item", rows)
+        .select("item", "_r", bucket)
+        .groupBy("_r", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cand = stream.distinct()
+    est = (
+        cand.select("item", rows)
+        .select("item", "_r", bucket)
+        .join(F.broadcast(sketch), ["_r", "_bucket"])
+        .groupBy("item")
+        .agg(F.min("_c").alias("est"))
+    )
+    return est.filter(F.col("est") >= int(threshold))

@@ -4003,3 +4003,134 @@ def _ivf_oracle_sql(dup_threshold: float | None = None) -> str:
 
 ORACLES["q_ivf_topk"] = _ivf_oracle_sql()
 ORACLES["q_hard_negatives_ann"] = _ivf_oracle_sql(dup_threshold=0.35)
+
+# J59 DSIR: per-bucket log ratio pinned to integer micro-units BEFORE
+# the per-doc sum (order-free int64); same ln + add-one-smoothing
+# formula TEXT as the Spark side so libm agreement is exercised at one
+# rounded site only. Bigrams guard len < 2 exactly like the Spark
+# sequence() guard.
+ORACLES["q_dsir_weights"] = """
+    WITH staged AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, unnest(l) AS f FROM staged
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS f
+      FROM staged WHERE len(l) >= 2
+    ),
+    fb AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM feats
+    ),
+    rawc AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY b),
+    tgtc AS (
+      SELECT b, COUNT(*) AS ct FROM fb WHERE doc_id % 20 = 0 GROUP BY b
+    ),
+    rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS r_tot FROM rawc),
+    tt AS (SELECT coalesce(CAST(SUM(ct) AS BIGINT), 0) AS t_tot FROM tgtc),
+    lam AS (
+      SELECT rawc.b,
+             CAST(floor((
+               ln((coalesce(ct, 0) + 1.0) / (t_tot + 1024))
+               - ln((cr + 1.0) / (r_tot + 1024))
+             ) * 1000000.0 + 0.5) AS BIGINT) AS lam_micro
+      FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b, rt, tt
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n, CAST(SUM(lam_micro) AS BIGINT) AS w
+      FROM fb JOIN lam ON fb.b = lam.b GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n, 0) AS n_feats,
+           CAST(coalesce(w, 0) AS DOUBLE) / 1000000.0 AS dsir_weight
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+# J60 triangles: the ordered a<b<c enumeration — same triangle set as
+# the Spark side's degree-oriented form (orientation changes the join
+# shape, never the set). Pair generation mirrors q_pagerank's graph
+# (q_ngram_jaccard CTE at doc_id < 200, rounded jaccard >= 0.2).
+ORACLES["q_triangles"] = """
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM docs WHERE len(toks) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT doc_a AS u, doc_b AS v
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common))
+                  * 10000 + 0.5) / 10000 >= 0.2
+    ),
+    sym AS (SELECT u AS node, v AS peer FROM e
+            UNION ALL SELECT v AS node, u AS peer FROM e),
+    deg AS (SELECT node, COUNT(*) AS degree FROM sym GROUP BY node),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tn AS (SELECT a AS node FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri),
+    tc AS (SELECT node, COUNT(*) AS t FROM tn GROUP BY node)
+    SELECT deg.node AS doc_id,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+           CASE WHEN degree >= 2 THEN
+             floor(2.0 * coalesce(t, 0)
+                   / (CAST(degree AS DOUBLE) * (degree - 1.0))
+                   * 10000 + 0.5) / 10000
+           END AS clustering
+    FROM deg LEFT JOIN tc ON deg.node = tc.node
+    """
+
+# J61 CMS heavy hitters: the sketch arithmetic verbatim — portable
+# row-hash into 4x16 counters, min over rows, literal threshold.
+ORACLES["q_cms_heavy_hitters"] = """
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS item
+      FROM documents
+    ),
+    r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    h AS (
+      SELECT item, r,
+             CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR), ':', item)), 1, 8))
+                  AS BIGINT) % 16 AS bucket
+      FROM t, r
+    ),
+    sk AS (SELECT r, bucket, COUNT(*) AS c FROM h GROUP BY r, bucket),
+    cand AS (SELECT DISTINCT item FROM t),
+    ch AS (
+      SELECT item, r.r AS r,
+             CAST(concat('0x', substr(md5(concat(CAST(r.r AS VARCHAR), ':', item)), 1, 8))
+                  AS BIGINT) % 16 AS bucket
+      FROM cand, r
+    ),
+    est AS (
+      SELECT item, CAST(MIN(c) AS BIGINT) AS est
+      FROM ch JOIN sk ON ch.r = sk.r AND ch.bucket = sk.bucket
+      GROUP BY item
+    )
+    SELECT item, est FROM est WHERE est >= 900
+    """

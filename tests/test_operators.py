@@ -1559,3 +1559,105 @@ def test_pagerank_dup_graph_query_runs(spark, sf_smoke):
     out = q_pagerank(spark, sf_smoke).collect()
     assert len(out) > 0
     assert abs(sum(r.rank for r in out) - 1.0) < 1e-6
+
+
+def test_triangle_stats_on_fixture_graph(spark):
+    """J60: K4 on {1,2,3,4} plus pendant 5: every K4 node sits in 3 of
+    the 4 triangles; node 1 (degree 4) has clustering 2*3/(4*3) = 0.5,
+    nodes 2-4 (degree 3) have 1.0, the pendant (degree 1) has NULL.
+    Input includes a reversed pair, a duplicate, and a self-loop — all
+    must canonicalize away."""
+    from azure_iot_realtime_data_pipeline_spark.operators.graph import triangle_stats
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+            (5, 1),  # pendant, reversed order
+            (2, 1),  # duplicate of (1,2), reversed
+            (3, 3),  # self-loop: dropped
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r for r in triangle_stats(pairs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert (got[1].degree, got[1].triangles, got[1].clustering) == (4, 3, 0.5)
+    for n in (2, 3, 4):
+        assert (got[n].degree, got[n].triangles, got[n].clustering) == (3, 3, 1.0)
+    assert (got[5].degree, got[5].triangles, got[5].clustering) == (1, 0, None)
+
+
+def test_cms_estimate_never_underestimates(spark, sf_smoke):
+    """J61: CMS point estimates are one-sided — est >= true count for
+    EVERY token at a collision-forcing width (16 < the 31-token vocab),
+    so thresholded heavy hitters have no false negatives."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("item"))
+    exact = {
+        r.item: r.n
+        for r in toks.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = {
+        r.item: r.est
+        for r in cms_heavy_hitters(toks, depth=4, width=16, threshold=1).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    # thresholded output: supersets the true heavy set, never misses one
+    hh = {
+        r.item
+        for r in cms_heavy_hitters(toks, depth=4, width=16, threshold=900).collect()
+    }
+    assert {t for t, n in exact.items() if n >= 900} <= hh
+    assert all(est[t] >= 900 for t in hh)
+
+
+def test_cms_exact_when_width_exceeds_vocab(spark, sf_smoke):
+    """J61: with width far above the vocabulary (4096 buckets, 31
+    tokens) the deterministic hash rows are collision-free in at least
+    one row per token and the estimate equals the exact count."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("item"))
+    exact = {
+        r.item: r.n
+        for r in toks.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = {
+        r.item: r.est
+        for r in cms_heavy_hitters(toks, depth=4, width=4096, threshold=1).collect()
+    }
+    assert est == exact
+
+
+def test_dsir_weights_separate_target_domain(spark):
+    """J59: with a target domain lexically disjoint from the rest of
+    the corpus, every in-domain raw doc outweighs every out-of-domain
+    one; n_feats counts unigram+bigram occurrences (2n-1 for an n-token
+    doc); a zero-token doc scores (0, 0.0)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import dsir_weights
+
+    cat = "cat purrs softly on the warm windowsill every afternoon"
+    dog = "stock market rates fell sharply after the quarterly report"
+    raw = spark.createDataFrame(
+        [(i, cat if i < 5 else dog) for i in range(10)] + [(10, "")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "cat purrs on the windowsill"), (101, "warm cat afternoon")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dsir_weights(raw, target, n_buckets=256).collect()}
+    assert set(got) == set(range(11))
+    n = len(cat.split())
+    assert got[0].n_feats == 2 * n - 1
+    assert (got[10].n_feats, got[10].dsir_weight) == (0, 0.0)
+    cat_w = [got[i].dsir_weight for i in range(5)]
+    dog_w = [got[i].dsir_weight for i in range(5, 10)]
+    assert min(cat_w) > max(dog_w)
