@@ -1287,3 +1287,78 @@ def dsir_weights(
             ).alias("dsir_weight"),
         )
     )
+
+
+#: the Gopher rule set's stopword list (Rae et al. 2021, §A1.1): a doc
+#: must contain at least 2 of these to pass the "stop word" rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """J62 Gopher quality rules (Rae et al. 2021, 'Scaling Language
+    Models: ... Gopher', §A1.1 — the published MassiveText filter): the
+    word-level rule subset, each as its own flag plus the AND:
+
+    - ok_word_count:    50 <= n_words <= 100,000
+    - ok_mean_word_len: mean word length in [3, 10] characters
+    - ok_symbol_ratio:  symbol-to-word ratio ('#' / '...' / '…') <= 0.1
+    - ok_alpha_words:   >= 80% of words contain an alphabetic character
+    - ok_stop_hits:     >= 2 distinct GOPHER_STOPWORDS present
+
+    (The line-level rules — bullet-start / ellipsis-end line ratios —
+    are omitted: this corpus is single-line by construction; they slot
+    in as two more integer-lattice flags over split(text, '\\n').)
+
+    Every ratio threshold is compared on the INTEGER LATTICE
+    (3n <= sum_len <= 10n; 10*symbols <= n; 5*alpha >= 4*n) — no float
+    division before a boundary compare, so no cross-engine rounding
+    knife-edge anywhere; mean_word_len is emitted micro-rounded for
+    reporting only. Pure map-side HOF expressions: zero shuffles at any
+    scale.
+    """
+    toks = tokens(F.col(text_col))
+    staged = docs.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks").cast("long")
+    sum_len = F.aggregate(
+        F.transform(F.col("_toks"), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    symbols = F.size(
+        F.filter(
+            F.col("_toks"),
+            lambda t: t.contains("#") | t.contains("...") | t.contains("…"),
+        )
+    ).cast("long")
+    alpha = F.size(
+        F.filter(F.col("_toks"), lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(F.col("_toks"), s),
+        )
+    ).cast("long")
+    flags = staged.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.when(n > 0, round_half_up(sum_len.cast("double") / n.cast("double"), 4))
+        .alias("mean_word_len"),
+        ((n >= 50) & (n <= 100000)).alias("ok_word_count"),
+        ((sum_len >= 3 * n) & (sum_len <= 10 * n) & (n > 0)).alias(
+            "ok_mean_word_len"
+        ),
+        ((10 * symbols) <= n).alias("ok_symbol_ratio"),
+        ((5 * alpha) >= (4 * n)).alias("ok_alpha_words"),
+        stop_hits.alias("stop_hits"),
+    )
+    return flags.withColumn(
+        "passes",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+        & (F.col("stop_hits") >= 2),
+    )

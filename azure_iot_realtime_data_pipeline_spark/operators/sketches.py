@@ -159,28 +159,49 @@ def cms_heavy_hitters(
     scalar — no driver round-trip.
     """
     d, w = int(depth), int(width)
-    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("_r")
-    bucket = (
-        portable_hash32(
-            F.concat_ws(":", F.col("_r").cast("string"), F.col("item"))
-        )
-        % w
-    ).alias("_bucket")
     stream = items.select(F.col(item_col).alias("item")).filter(
         F.col("item").isNotNull()
     )
-    sketch = (
-        stream.select("item", rows)
-        .select("item", "_r", bucket)
-        .groupBy("_r", "_bucket")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+    sketch = cms_sketch(stream, depth=d, width=w)
     cand = stream.distinct()
     est = (
-        cand.select("item", rows)
-        .select("item", "_r", bucket)
+        _cms_bucketed(cand, d, w)
         .join(F.broadcast(sketch), ["_r", "_bucket"])
         .groupBy("item")
         .agg(F.min("_c").alias("est"))
     )
     return est.filter(F.col("est") >= int(threshold))
+
+
+def _cms_bucketed(items: DataFrame, depth: int, width: int) -> DataFrame:
+    """(item, _r, _bucket) — each item row fanned out to its `depth`
+    row-hash buckets. Map-side only; shared by the batch build, the
+    query side, and the streaming twin so the hash can never drift."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("_r")
+    bucket = (
+        portable_hash32(
+            F.concat_ws(":", F.col("_r").cast("string"), F.col("item"))
+        )
+        % int(width)
+    ).alias("_bucket")
+    return items.select("item", rows).select("item", "_r", bucket)
+
+
+def cms_sketch(
+    items: DataFrame, item_col: str = "item", depth: int = 4, width: int = 16
+) -> DataFrame:
+    """The depth x width counter table (_r, _bucket, _c) itself — the
+    mergeable form: sketches of two corpora (or of successive
+    micro-batches) combine by summing counters per (_r, _bucket), which
+    is exactly why the streaming twin can maintain it with Spark's
+    built-in incremental aggregation (windows_stream.cms_sketch_stream).
+    Works on both batch and streaming inputs (pure map-side fan-out +
+    groupBy over <= depth*width keys)."""
+    stream = items.select(F.col(item_col).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    return (
+        _cms_bucketed(stream, int(depth), int(width))
+        .groupBy("_r", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )

@@ -4134,3 +4134,45 @@ ORACLES["q_cms_heavy_hitters"] = """
     )
     SELECT item, est FROM est WHERE est >= 900
     """
+
+# J62 Gopher rules: all five word-level flags on the integer lattice —
+# the only float is the REPORTING mean (micro-rounded). Stopword hits
+# count which members of the fixed list appear (list iterated, corpus
+# list probed) — order-free, duplicate-safe on both engines.
+ORACLES["q_gopher_rules"] = """
+    WITH staged AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n,
+             CAST(coalesce(list_sum(list_transform(l, t -> len(t))), 0) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(l, t ->
+               contains(t, '#') OR contains(t, '...') OR contains(t, '…')
+             )) AS BIGINT) AS symbols,
+             CAST(len(list_filter(l, t -> regexp_matches(t, '[A-Za-z]')))
+                  AS BIGINT) AS alpha,
+             CAST(len(list_filter(
+               ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+               s -> list_contains(l, s)
+             )) AS BIGINT) AS stop_hits
+      FROM staged
+    )
+    SELECT doc_id,
+           n AS n_words,
+           CASE WHEN n > 0 THEN
+             floor(CAST(sum_len AS DOUBLE) / n * 10000 + 0.5) / 10000
+           END AS mean_word_len,
+           (n >= 50 AND n <= 100000) AS ok_word_count,
+           (sum_len >= 3 * n AND sum_len <= 10 * n AND n > 0) AS ok_mean_word_len,
+           (10 * symbols <= n) AS ok_symbol_ratio,
+           (5 * alpha >= 4 * n) AS ok_alpha_words,
+           stop_hits,
+           ((n >= 50 AND n <= 100000)
+            AND (sum_len >= 3 * n AND sum_len <= 10 * n AND n > 0)
+            AND (10 * symbols <= n)
+            AND (5 * alpha >= 4 * n)
+            AND stop_hits >= 2) AS passes
+    FROM m
+    """

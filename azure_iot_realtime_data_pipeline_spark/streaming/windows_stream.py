@@ -2169,3 +2169,27 @@ def state_durations_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_sketch_stream(
+    events: DataFrame,
+    item_col: str = "event_type",
+    depth: int = 4,
+    width: int = 16,
+) -> DataFrame:
+    """Streaming Count-Min sketch build (J61 twin): the batch
+    `sketches.cms_sketch` runs UNCHANGED on a streaming input — CMS is
+    a pure additive groupBy over a key space bounded at depth*width by
+    construction, so Spark's built-in incremental aggregation state IS
+    the sketch (no custom applyInPandasWithState needed, unlike the
+    unbounded-key Misra-Gries twin above). State: <= depth*width
+    counter rows, forever, regardless of stream length or item
+    cardinality — run it in `complete` (tiny result) or `update` mode
+    with no watermark required. Mergeability (counters sum per
+    (_r,_bucket)) is what makes the incremental maintenance exact:
+    the final table equals the batch sketch of the full replay
+    bit-for-bit (gated)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import cms_sketch
+
+    items = events.select(F.col(item_col).cast("string").alias("item"))
+    return cms_sketch(items, depth=depth, width=width)

@@ -1661,3 +1661,36 @@ def test_dsir_weights_separate_target_domain(spark):
     cat_w = [got[i].dsir_weight for i in range(5)]
     dog_w = [got[i].dsir_weight for i in range(5, 10)]
     assert min(cat_w) > max(dog_w)
+
+
+def test_gopher_rules_boundaries(spark):
+    """J62: each rule flips on its own handcrafted doc; boundaries
+    (exactly 50 words, mean word length exactly 3.0) sit on the PASS
+    side — the integer-lattice compare makes them exact, not
+    float-rounded."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import gopher_rules
+
+    # base: 50 words, all length 3, two stopwords present -> passes
+    base = " ".join(["the", "and"] + ["cat"] * 48)
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, " ".join(["the", "and"] + ["cat"] * 47)),      # 49 words
+            (2, " ".join(["the", "and"] + ["ab"] * 48)),       # mean < 3
+            (3, base.replace("cat", "#", 6)),                  # 6/50 symbols
+            (4, " ".join(["the", "and"] + ["999"] * 48)),      # alpha 2/50
+            (5, " ".join(["cat"] * 50)),                       # 0 stopwords
+            (6, ""),                                           # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert got[0].passes and got[0].n_words == 50
+    assert got[0].mean_word_len == 3.0  # exactly on the lattice boundary
+    assert not got[1].ok_word_count and not got[1].passes
+    assert not got[2].ok_mean_word_len and not got[2].passes
+    assert not got[3].ok_symbol_ratio and not got[3].passes
+    assert not got[4].ok_alpha_words and not got[4].passes
+    assert got[5].stop_hits == 0 and not got[5].passes
+    assert got[6].n_words == 0 and got[6].mean_word_len is None
+    assert not got[6].passes

@@ -2325,3 +2325,39 @@ def test_asof_watermarked_matches_batch_under_random_bounded_lateness(
         ).collect()
     }
     assert got == want
+
+
+def test_cms_sketch_stream_equals_batch_sketch(spark, sf_smoke, replay_dir, tmp_path):
+    """J61 twin: the incrementally-maintained CMS counter table over the
+    replayed stream equals the batch sketch of the same events
+    bit-for-bit — additivity makes the built-in streaming aggregation
+    exact, with state bounded at depth*width rows by construction."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import cms_sketch
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        cms_sketch_stream,
+    )
+
+    q = (
+        cms_sketch_stream(replay_events(spark, replay_dir), item_col="user_id")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["_r"], r["_bucket"]): r["_c"]
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    want = {
+        (r["_r"], r["_bucket"]): r["_c"]
+        for r in cms_sketch(
+            load_table(spark, sf_smoke, "events").select(
+                F.col("user_id").cast("string").alias("item")
+            )
+        ).collect()
+    }
+    assert got == want
+    assert len(got) <= 4 * 16  # the state bound IS the sketch size
