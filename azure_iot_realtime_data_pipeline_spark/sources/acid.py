@@ -82,38 +82,51 @@ def _current_manifest(table_dir: str) -> tuple[int, list[str]]:
 def read_table(
     spark: SparkSession,
     table_dir: str,
-    key_between: tuple[str, object, object] | None = None,
+    key_between: tuple[str, object, object]
+    | list[tuple[str, object, object]]
+    | None = None,
 ) -> DataFrame:
     """Snapshot read: exactly the newest manifest's files.
 
-    `key_between=(col, lo, hi)` prunes files by the manifest's
-    commit-time [min, max] stats BEFORE the scan — manifest-level data
-    skipping, the read-side twin of merge's file skipping (files
-    without stats for `col` are conservatively read; the predicate is
-    re-applied row-level so pruning is an optimization, never a
-    semantic)."""
+    `key_between=(col, lo, hi)` — or a LIST of such triples, ANDed —
+    prunes files by the manifest's commit-time [min, max] stats BEFORE
+    the scan: manifest-level data skipping, the read-side twin of
+    merge's file skipping (files without stats for a column are
+    conservatively read; every predicate is re-applied row-level so
+    pruning is an optimization, never a semantic). Multi-constraint
+    pruning is what `write_table(zorder_by=...)` layouts are FOR — a
+    file is skipped if ANY constraint's range provably misses it."""
     m = _read_manifest(table_dir)
     files = m["files"]
     if not files:
         raise FileNotFoundError(f"no committed manifest in {table_dir}")
     if key_between is not None:
-        col, lo, hi = key_between
+        constraints = (
+            [key_between] if isinstance(key_between, tuple) else list(key_between)
+        )
         files = [
             f
             for f in files
-            if (rng := m["stats"].get(f, {}).get(col)) is None
-            or not (rng[1] < lo or rng[0] > hi)
+            if not any(
+                (rng := m["stats"].get(f, {}).get(col)) is not None
+                and (rng[1] < lo or rng[0] > hi)
+                for col, lo, hi in constraints
+            )
         ]
         from pyspark.sql import functions as F
 
+        pred = None
+        for col, lo, hi in constraints:
+            p = F.col(col).between(lo, hi)
+            pred = p if pred is None else (pred & p)
         if not files:
             empty = spark.read.parquet(
                 os.path.join(table_dir, m["files"][0])
             ).limit(0)
-            return empty.filter(F.col(col).between(lo, hi))
+            return empty.filter(pred)
         return spark.read.parquet(
             *[os.path.join(table_dir, f) for f in files]
-        ).filter(F.col(col).between(lo, hi))
+        ).filter(pred)
     return spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
 
 
@@ -217,15 +230,72 @@ def _write_commit_files(df: DataFrame, table_dir: str, version: int) -> list[str
     ]
 
 
+def _zorder_value(df: DataFrame, cols: list[str], bits: int = 8):
+    """Bit-interleaved z-value column over `cols` (numeric): each
+    column is bucketized to 2^bits equi-width cells between its
+    driver-collected min/max (two-row scalar aggregate, the sanctioned
+    pattern), then the cells' bits interleave column-round-robin —
+    Morton order. Equi-width (not equi-depth) keeps the map deliberately
+    stats-free and map-side; heavy skew costs balance, never
+    correctness, and the quantile-bucketed variant is a drop-in swap.
+    NULLs bucketize to cell 0."""
+    from pyspark.sql import functions as F
+
+    lo_hi = df.agg(
+        *[F.min(c).alias(f"_lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"_hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    cells = []
+    n_cells = 1 << bits
+    for i, c in enumerate(cols):
+        lo = float(lo_hi[f"_lo_{i}"] or 0.0)
+        hi = float(lo_hi[f"_hi_{i}"] or 0.0)
+        span = (hi - lo) or 1.0
+        cell = F.least(
+            F.lit(n_cells - 1),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_cells
+            ).cast("long"),
+        )
+        cells.append(F.coalesce(cell, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, cell in enumerate(cells):
+            bit = F.shiftright(cell, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * len(cells) + i)
+    return z
+
+
 def write_table(
-    df: DataFrame, table_dir: str, cluster_by: str | None = None
+    df: DataFrame,
+    table_dir: str,
+    cluster_by: str | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Create/replace the table content in one commit (the CTAS path).
     `cluster_by` range-partitions and sorts on that column before the
     write, so each file covers a tight disjoint key range — the
     liner-order clustering that makes stats-based skipping (merge and
-    `read_table(key_between=...)`) actually prune."""
+    `read_table(key_between=...)`) actually prune.
+
+    `zorder_by=[c1, c2, ...]` is the MULTI-column form: rows sort by
+    the Morton (bit-interleaved) order of the columns, so each file
+    covers a small hyper-rectangle-ish region and manifest-stats
+    pruning bites on EVERY listed column at once — linear clustering
+    can only ever serve its one column. The Delta OPTIMIZE ZORDER BY
+    recipe, built from plain expressions + repartitionByRange.
+    """
+    if cluster_by is not None and zorder_by is not None:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     os.makedirs(table_dir, exist_ok=True)
+    if zorder_by is not None:
+        n = df.rdd.getNumPartitions()
+        df = (
+            df.withColumn("__z", _zorder_value(df, list(zorder_by)))
+            .repartitionByRange(max(1, n), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
     if cluster_by is not None:
         n = df.rdd.getNumPartitions()
         df = df.repartitionByRange(max(1, n), cluster_by).sortWithinPartitions(

@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from azure_iot_realtime_data_pipeline_spark.sources import acid
@@ -228,3 +229,76 @@ def test_write_table_cluster_by_tightens_stats(spark, tmp_path):
     assert len(ranges) >= 2
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi < b_lo  # disjoint: clustering worked
+
+
+def test_zorder_write_prunes_on_both_dims(spark, tmp_path):
+    """zorder_by=[x, y]: a 2-D box read must (a) return exactly the
+    full-scan filter result and (b) SKIP files via manifest stats on
+    the multi-constraint prune — while the same table clustered
+    linearly on x alone prunes nothing for a y-only box. The reason
+    multi-dim layouts exist."""
+    dz = str(tmp_path / "tz")
+    dl = str(tmp_path / "tl")
+    # 2-D grid with independent dims: 64x64 points
+    df = (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        .repartition(16)
+    )
+    acid.write_table(df, dz, zorder_by=["x", "y"])
+    acid.write_table(df, dl, cluster_by="x")
+    mz = acid._read_manifest(dz)
+    assert len(mz["files"]) >= 8  # enough files for pruning to mean anything
+
+    box = [("x", 0, 15), ("y", 0, 15)]
+    got = sorted(
+        (r.x, r.y) for r in acid.read_table(spark, dz, key_between=box).collect()
+    )
+    want = sorted(
+        (r.x, r.y)
+        for r in df.filter((F.col("x") <= 15) & (F.col("y") <= 15)).collect()
+    )
+    assert got == want and len(got) == 256
+
+    def surviving(manifest, constraints):
+        return [
+            f
+            for f in manifest["files"]
+            if not any(
+                (rng := manifest["stats"].get(f, {}).get(c)) is not None
+                and (rng[1] < lo or rng[0] > hi)
+                for c, lo, hi in constraints
+            )
+        ]
+
+    # the 1/16-area box must skip at least half the z-ordered files
+    assert len(surviving(mz, box)) <= len(mz["files"]) // 2
+    # z-order also prunes on EACH single dim; linear-on-x cannot prune y
+    ml = acid._read_manifest(dl)
+    assert len(surviving(mz, [("y", 0, 7)])) < len(mz["files"])
+    assert len(surviving(ml, [("y", 0, 7)])) == len(ml["files"])
+    # and the linear table still answers the box correctly (row filter)
+    got_l = sorted(
+        (r.x, r.y) for r in acid.read_table(spark, dl, key_between=box).collect()
+    )
+    assert got_l == want
+
+
+def test_zorder_rejects_cluster_by_combo_and_handles_nulls(spark, tmp_path):
+    """cluster_by + zorder_by is a contract error; NULL dims bucketize
+    to cell 0 and survive the roundtrip."""
+    d = str(tmp_path / "tn")
+    df = spark.createDataFrame(
+        [(None, 1), (5, None), (3, 4)], "x int, y int"
+    )
+    with pytest.raises(ValueError):
+        acid.write_table(df, d, cluster_by="x", zorder_by=["x", "y"])
+    acid.write_table(df, d, zorder_by=["x", "y"])
+    rows = sorted(
+        ((r.x, r.y) for r in acid.read_table(spark, d).collect()),
+        key=str,
+    )
+    assert len(rows) == 3
