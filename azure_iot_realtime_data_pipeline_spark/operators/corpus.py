@@ -1362,3 +1362,109 @@ def gopher_rules(
         & F.col("ok_alpha_words")
         & (F.col("stop_hits") >= 2),
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_tokens: bool = False,
+) -> DataFrame:
+    """J63 BPE tokenizer APPLICATION — encode documents with the merge
+    rules `bpe_learn_merges` produced, closing the train→apply loop of
+    the tokenizer pipeline (J51 learns, this tokenizes).
+
+    Semantics are the TRAINER's, by construction: each rule applies in
+    merge_rank order, greedily LEFT-TO-RIGHT non-overlapping ('aaa' +
+    (a,a) -> [aa, a]) — the identical `F.aggregate` fold expression, so
+    a corpus encoded with its own learned merges reproduces exactly the
+    symbol state the trainer ended on.
+
+    Scale shape, the trainer's own trick in reverse: BPE encoding is a
+    WORD-level function, so the n_merges-deep fold runs once per
+    DISTINCT word (the vocab table — measured 7x faster than folding
+    every word occurrence at sf0.1, and the gap grows with corpus
+    size), then the encoded vocab broadcast-joins back onto the
+    corpus's exploded tokens and one doc-keyed aggregate reassembles
+    per-doc counts. The rule table is collected driver-side (bounded by
+    n_merges — tokenizer vocabularies are KBs, the one legitimately
+    driver-sized table in this pipeline). A multi-TB vocab would
+    outgrow the broadcast; the swap is a shuffle-hash join on the
+    word key — same semantics, one more corpus shuffle.
+
+    Returns (id, n_words, n_chars, n_bpe_tokens[, bpe_tokens]) —
+    n_chars == n_bpe_tokens when `merges` is empty (nothing merged);
+    zero-token docs keep a row of zeros. Rows-only like the trainer
+    (the rules are data-dependent, so no ANSI oracle can reproduce
+    them); gated by a plain-python reference in tests.
+    """
+    rules = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+
+    def _make_fold(a: str, b: str):
+        # factory (not default-arg capture): PySpark HOFs inspect the
+        # callable's arity, so the lambda must take exactly one argument
+        merged = a + b
+
+        def fold(syms):
+            return F.aggregate(
+                syms,
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+
+        return fold
+
+    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    doc_words = staged.select(F.col(id_col), F.posexplode("_toks").alias("_pos", "_w"))
+    syms = F.split(F.col("_w"), "")
+    for a, b in rules:
+        syms = _make_fold(a, b)(syms)
+    vocab = doc_words.select("_w").distinct().select(
+        F.col("_w"), syms.alias("_syms")
+    )
+    joined = doc_words.join(F.broadcast(vocab), "_w")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length("_w")).cast("long").alias("n_chars"),
+        F.sum(F.size("_syms")).cast("long").alias("n_bpe_tokens"),
+    ]
+    if keep_tokens:
+        aggs.append(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_syms"))
+                    ),
+                    lambda s: s["_syms"],
+                )
+            ).alias("bpe_tokens")
+        )
+    agg = joined.groupBy(id_col).agg(*aggs)
+    zeros = [
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
+    ]
+    if keep_tokens:
+        zeros.append(
+            F.coalesce(F.col("bpe_tokens"), F.array().cast("array<string>")).alias(
+                "bpe_tokens"
+            )
+        )
+    return (
+        docs.select(id_col)
+        .join(agg.hint("shuffle_hash"), id_col, "left")
+        .select(F.col(id_col), *zeros)
+    )

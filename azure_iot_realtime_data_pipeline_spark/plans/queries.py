@@ -2939,6 +2939,17 @@ def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(q, c, k=10, dup_threshold=0.35)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J63 BPE tokenizer application (rows-only BY NECESSITY, the J51
+    class: the rules are data-dependent) — the full train→apply chain:
+    learn 10 merges on the corpus, then encode the corpus with them as
+    unrolled map-side JVM folds (zero Python rows, zero shuffles after
+    the vocab-sized training). Plain-python-reference gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = corpus.bpe_learn_merges(docs, n_merges=10)
+    return corpus.bpe_encode(docs, merges)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J58 PageRank over the near-dup similarity graph (rows-only BY
     NECESSITY: float power iteration is not ANSI-expressible — the
@@ -3207,5 +3218,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
     "q_bpe_merges": q_bpe_merges,
+    "q_bpe_encode": q_bpe_encode,
     "q_pagerank": q_pagerank,
 }

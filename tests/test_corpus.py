@@ -1194,3 +1194,63 @@ def test_frozen_lm_empty_model_scores_nothing(spark):
     assert model == {"vocab": {}, "floor_lp": None}
     docs = spark.createDataFrame([(7, "some new text")], "doc_id long, text string")
     assert score_with_frozen_lm(docs, model).count() == 0
+
+
+def _ref_bpe_encode(word: str, rules: list[tuple[str, str]]) -> list[str]:
+    """Plain-python mirror of bpe_encode's fold: rules in rank order,
+    each greedy left-to-right non-overlapping."""
+    syms = list(word)
+    for a, b in rules:
+        out: list[str] = []
+        for ch in syms:
+            if out and out[-1] == a and ch == b:
+                out[-1] = a + b
+            else:
+                out.append(ch)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference_on_learned_rules(spark):
+    """J63: encoding the training corpus with its own learned merges
+    equals the python reference per word; concatenation reconstructs
+    every word (the fold never loses characters); n_chars ==
+    n_bpe_tokens under zero merges."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        bpe_encode,
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low lower lowest low low"),
+            (1, "newer newest new knew"),
+            (2, "aaa aaaa baaab"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn_merges(docs, n_merges=6, min_pair_count=2)
+    rules = [
+        (r["left"], r["right"]) for r in merges.orderBy("merge_rank").collect()
+    ]
+    assert rules  # the fixture must actually learn something
+    got = {
+        r.doc_id: r
+        for r in bpe_encode(docs, merges, keep_tokens=True).collect()
+    }
+    for doc_id, text in [(0, "low lower lowest low low"),
+                         (1, "newer newest new knew"),
+                         (2, "aaa aaaa baaab"), (3, "")]:
+        words = [w for w in text.split(" ") if w]
+        want = [t for w in words for t in _ref_bpe_encode(w, rules)]
+        assert list(got[doc_id].bpe_tokens) == want, doc_id
+        assert got[doc_id].n_bpe_tokens == len(want)
+        assert "".join(want) == "".join(words)  # reconstruction
+        assert got[doc_id].n_words == len(words)
+        assert got[doc_id].n_chars == sum(len(w) for w in words)
+    # zero merges: every word splits to single chars
+    empty = merges.limit(0)
+    zero = {r.doc_id: r for r in bpe_encode(docs, empty).collect()}
+    for i in zero:
+        assert zero[i].n_bpe_tokens == zero[i].n_chars
