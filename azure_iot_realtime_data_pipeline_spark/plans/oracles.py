@@ -4176,3 +4176,48 @@ ORACLES["q_gopher_rules"] = """
             AND stop_hits >= 2) AS passes
     FROM m
     """
+
+# J64 SQ8 quantized top-k: quantize -> dequantize -> the q_topk_cosine
+# scoring verbatim. Formula TEXT matches the Spark side operation-for-
+# operation (code*(span)/255 association, micro+0.5 floor) so the only
+# cross-engine surface is IEEE arithmetic on identical doubles.
+ORACLES["q_quantized_topk"] = """
+    WITH q0 AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c0 AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id,
+             list_transform(v, x ->
+               lo + (CASE WHEN hi > lo
+                          THEN floor((x - lo) / (hi - lo) * 255 + 0.5)
+                          ELSE 0 END) * (hi - lo) / 255) AS qv
+      FROM (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM q0)
+    ),
+    c AS (
+      SELECT vec_id AS cand_id,
+             list_transform(v, x ->
+               lo + (CASE WHEN hi > lo
+                          THEN floor((x - lo) / (hi - lo) * 255 + 0.5)
+                          ELSE 0 END) * (hi - lo) / 255) AS cv
+      FROM (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM c0)
+    ),
+    pairs AS (
+      SELECT query_id, cand_id,
+        floor((
+          list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+          / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+           * sqrt(list_sum(list_transform(cv, x -> x * x))))
+          ) * 10000 + 0.5) / 10000 AS cosine
+      FROM q, c WHERE query_id <> cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 10
+    """

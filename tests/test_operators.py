@@ -1694,3 +1694,54 @@ def test_gopher_rules_boundaries(spark):
     assert got[5].stop_hits == 0 and not got[5].passes
     assert got[6].n_words == 0 and got[6].mean_word_len is None
     assert not got[6].passes
+
+
+def test_quantized_topk_recall_and_roundtrip(spark, sf_smoke):
+    """J64: SQ8 quantization must (a) reconstruct within the per-vector
+    quantization step (|x' - x| <= span/255/2 per element), and (b)
+    keep recall@10 vs the full-precision top-k >= 0.9 on this corpus —
+    the error budget measured, not assumed."""
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_vec,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q8 = quantize_embeddings(emb)
+    rec = q8.select(
+        "vec_id",
+        dequantize_vec(F.col("codes"), F.col("lo"), F.col("hi")).alias("r"),
+        "lo",
+        "hi",
+    ).join(emb.select("vec_id", "embedding"), "vec_id")
+    bad = rec.filter(
+        F.exists(
+            F.zip_with(
+                F.col("r"),
+                F.col("embedding"),
+                lambda a, b: F.abs(a - b.cast("double"))
+                > (F.col("hi") - F.col("lo")) / 255.0 / 2.0 + 1e-12,
+            ),
+            lambda x: x,
+        )
+    ).count()
+    assert bad == 0
+    exact = cosine_topk(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")),
+        k=10,
+    ).collect()
+    quant = quantized_topk(emb, k=10, n_queries=5).collect()
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.cand_id)
+    got: dict = {}
+    for r in quant:
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    assert hits / total >= 0.9, (hits, total)

@@ -39,6 +39,7 @@ from azure_iot_realtime_data_pipeline_spark.plans.queries import QUERIES
 BNLJ_ALLOWED = {
     "q_topk_cosine",
     "q_hard_negatives",       # same bounded broadcast-queries shape
+    "q_quantized_topk",       # same shape over SQ8-reconstructed vectors
     "q_ivf_topk",
     "q_embed_dedup",
     "q_wire_serve",
