@@ -100,10 +100,12 @@ def read_table(
     files = m["files"]
     if not files:
         raise FileNotFoundError(f"no committed manifest in {table_dir}")
+    constraints = []
     if key_between is not None:
         constraints = (
             [key_between] if isinstance(key_between, tuple) else list(key_between)
         )
+    if constraints:
         files = [
             f
             for f in files
@@ -251,13 +253,20 @@ def _zorder_value(df: DataFrame, cols: list[str], bits: int = 8):
         lo = float(lo_hi[f"_lo_{i}"] or 0.0)
         hi = float(lo_hi[f"_hi_{i}"] or 0.0)
         span = (hi - lo) or 1.0
+        # coalesce INSIDE the least: F.least skips NULL operands, so a
+        # NULL measurement must become cell 0 before least() sees it —
+        # outside, least(255, NULL)=255 would send NULL rows to the max
+        # corner and drag those files' stats ranges with them.
         cell = F.least(
             F.lit(n_cells - 1),
-            F.floor(
-                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_cells
-            ).cast("long"),
+            F.coalesce(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_cells
+                ).cast("long"),
+                F.lit(0),
+            ),
         )
-        cells.append(F.coalesce(cell, F.lit(0)))
+        cells.append(cell)
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, cell in enumerate(cells):

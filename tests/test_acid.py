@@ -302,3 +302,25 @@ def test_zorder_rejects_cluster_by_combo_and_handles_nulls(spark, tmp_path):
         key=str,
     )
     assert len(rows) == 3
+    # the cell-0 contract itself: F.least() SKIPS null operands, so a
+    # NULL dim must be coalesced to 0 before least() — the review-r7
+    # regression had least(255, NULL)=255 sending NULL rows to the max
+    # corner (z=21845 / 65535 instead of the min-corner values below).
+    z = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", acid._zorder_value(df, ["x", "y"]).alias("z")
+        ).collect()
+    }
+    assert z[(None, 1)] == 0  # x NULL -> cell 0; y at its min -> cell 0
+    assert z[(5, None)] == 0b0101010101010101  # x at max (cell 255), y NULL -> 0
+    assert z[(3, 4)] == 0b1010101010101010  # x at min -> 0, y at max -> 255
+
+
+def test_read_table_with_empty_constraint_list_is_plain_read(spark, tmp_path):
+    """key_between=[] (a caller whose optional filters all collapsed)
+    must degrade to the unfiltered read, not crash on filter(None)."""
+    d = str(tmp_path / "te")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    acid.write_table(df, d)
+    assert acid.read_table(spark, d, key_between=[]).count() == 2
