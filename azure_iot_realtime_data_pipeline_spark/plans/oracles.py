@@ -3931,6 +3931,89 @@ ORACLES["q_market_share"] = """
     FROM agg
     """
 
+# M19 Q9 shape: profit by supplier nation and order year for the
+# 'widget' part family; int64 micro-units, year AS INTEGER (Spark int32).
+ORACLES["q_product_profit"] = """
+    SELECT sn.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                    * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY sn.n_name, year(o.o_orderdate)
+    """
+
+# M20 Q12 shape: priority mix per lateness class. date_diff('day') on
+# midnight-aligned timestamps equals Spark's datediff(date-cast) exactly.
+ORACLES["q_late_shipments"] = """
+    WITH j AS (
+      SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 365
+                  THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+             o.o_orderpriority AS pri
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT ship_class,
+           CAST(SUM(CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN pri IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                AS BIGINT) AS low_line_count
+    FROM j GROUP BY ship_class
+    """
+
+# M21 Q16 shape: distinct suppliers per (brand, type, size) with the
+# NOT-IN exclusion; lineitem pairs stand in for partsupp.
+ORACLES["q_part_supplier_counts"] = """
+    WITH offers AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    good AS (
+      SELECT * FROM offers
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT g.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM good g
+    JOIN part p ON g.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      AND p.p_size BETWEEN 1 AND 25
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """
+
+# M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
+# ASIA only; quantities sum as int64 (integral by generation).
+ORACLES["q_dominant_suppliers"] = """
+    WITH qty AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'red%'
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    w AS (
+      SELECT l_suppkey, q,
+             SUM(q) OVER (PARTITION BY l_partkey) AS part_total
+      FROM qty
+    ),
+    dom AS (
+      SELECT DISTINCT l_suppkey FROM w
+      WHERE CAST(q AS DOUBLE) > 0.2 * CAST(part_total AS DOUBLE)
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS supp_nation
+    FROM dom d
+    JOIN supplier s ON d.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    """
+
 
 # --- IVF oracle: ONE source of truth for q_ivf_topk and its
 # hard-negative variant (review r7 pass 2: the two ~50-line SQL bodies

@@ -2925,6 +2925,200 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M19 scale validation (TPC-H Q9 shape): profit by supplier nation
+    and order year for one part family (p_name contains 'widget') —
+    Q9's five-table join tree minus the partsupp leg this schema lacks
+    (profit = discounted revenue; supplycost has no column here). The
+    name-filtered part and the supplier+nation chain BROADCAST into the
+    fact; the orders chain — fact-sized at warehouse scale — is PINNED
+    shuffle-hash on l_orderkey (the M14/M17/M18 rationale: broadcast
+    hints never demote, unhinted statics pick the banned
+    SortMergeJoin). One exchange pair for the join, one map-side-
+    combined (nation, year) aggregate. Revenue in int64 micro-units."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        MICRO,
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    rev = micro_units(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp_n), li["l_suppkey"] == supp_n["s_suppkey"])
+        .join(
+            orders.hint("shuffle_hash"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "o_year")
+        .agg(F.sum(rev).alias("_p"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "supp_nation",
+            "o_year",
+            (F.col("_p").cast("double") / F.lit(MICRO)).alias("profit"),
+            "n_lines",
+        )
+    )
+
+
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M20 scale validation (TPC-H Q12 shape): order-priority mix by
+    shipment lateness class — Q12's CASE-count pivot with the lateness
+    predicate adapted to this schema (no shipmode/commitdate/
+    receiptdate columns: a line is LATE when it shipped more than 365
+    days after its order date; the synthetic ship/order dates are
+    uncorrelated, median delay 35 d). The ship-date range predicate
+    pushes to the fact scan; the orders chain is PINNED shuffle-hash;
+    both priority counters come from ONE map-side-combined aggregate
+    over the 2-row class key — never two scans."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(
+        orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.when(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 365,
+            F.lit("LATE"),
+        )
+        .otherwise(F.lit("ONTIME"))
+        .alias("ship_class"),
+        "o_orderpriority",
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("ship_class").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M21 scale validation (TPC-H Q16 shape): distinct supplier count
+    per (brand, type, size) — Q16 with lineitem's (part, supplier)
+    pairs standing in for the partsupp relation this schema lacks, and
+    negative account balance standing in for the complaint-comment
+    exclusion. The NOT-IN subquery decorrelates to a BROADCAST ANTI
+    join (the excluded list is a filtered dimension — tiny at any
+    scale); the offer distinct is the fact's ONE exchange on
+    (part, supp); part's residual predicates broadcast in; the final
+    COUNT(DISTINCT supp) re-aggregates the already-distinct pairs with
+    map-side combine (Spark plans distinct-agg as the two-phase
+    partial/merge expand — no extra fact scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.select("l_partkey", "l_suppkey").distinct()
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").between(1, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        offers.join(
+            F.broadcast(bad),
+            offers["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M22 scale validation (TPC-H Q20 shape): suppliers who shipped a
+    DOMINANT share of any red part in 1996, restricted to the ASIA
+    region — Q20's nested quantity aggregation with the availqty
+    comparison (no partsupp here) adapted to 'this supplier moved >20%
+    of the part's year volume'. The per-(part, supp) quantity rollup is
+    the fact's ONE exchange; the per-part total comes from a window ON
+    THAT ROLLUP (partitioned by part — never a join-back, never a
+    second fact scan); the qualifying pairs project to distinct
+    suppliers and the supplier+nation+region chain broadcasts in last.
+    Quantities sum in exact int64 (integral by generation)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    qty = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        qty.withColumn("_part_total", F.sum("_qty").over(w))
+        .filter(
+            F.col("_qty").cast("double")
+            > F.lit(0.2) * F.col("_part_total").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+    return dominant.join(
+        F.broadcast(supp), dominant["l_suppkey"] == supp["s_suppkey"]
+    ).select("s_suppkey", "s_name", "supp_nation")
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3023,9 +3217,10 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds 1-6 — CORRECTNESS_r*.json truncates at the 50th registered
 # query). Rotation policy (since r5): stalest driver green first, so
 # every oracled query's evidence stays fresh across rounds. Round-7
-# window: the 7 NEW never-verified queries, the 26 queries whose last
-# green is r3, then 17 of the 48 r4 greens (the remaining 31 r4 greens
-# head the r8 rotation, then the r5 block). Rows-only queries (no oracle -> the driver records `err`) sit
+# window: the NEW never-verified queries (16 by session 5: 12 J/M ops
+# plus the M19-M22 TPC-H completions), the 26 queries whose last green
+# is r3, then the head of the r4 block (the rest of the r4 greens head
+# the r8 rotation, then the r5 block). Rows-only queries (no oracle -> the driver records `err`) sit
 # last; ALL queries stay covered by the local parity suite
 # (tests/test_queries_oracle.py) every run regardless of position.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3041,6 +3236,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_discount_revenue": q_discount_revenue,
     "q_returned_customers": q_returned_customers,
     "q_market_share": q_market_share,
+    "q_product_profit": q_product_profit,
+    "q_late_shipments": q_late_shipments,
+    "q_part_supplier_counts": q_part_supplier_counts,
+    "q_dominant_suppliers": q_dominant_suppliers,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

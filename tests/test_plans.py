@@ -407,3 +407,52 @@ def test_discount_revenue_pushes_all_three_predicates(spark, sf_smoke):
     schema_line = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
     for col in ("l_partkey", "l_suppkey", "l_orderkey", "l_returnflag"):
         assert col not in schema_line, schema_line
+
+
+def test_product_profit_star_shape(spark, sf_smoke):
+    """M19 (Q9): the widget filter reaches the part scan, part and the
+    supplier+nation chain broadcast, the orders chain is PINNED shuffle
+    hash — the fact is never sort-merged or re-scanned."""
+    p = plan_of(spark, sf_smoke, "q_product_profit")
+    assert "ShuffledHashJoin" in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert re.search(r"PushedFilters: \[.*StringContains\(p_name,widget", p), p
+
+
+def test_late_shipments_pushes_dates_single_aggregate(spark, sf_smoke):
+    """M20 (Q12): the ship-date band reaches the fact scan; BOTH
+    priority counters come from the one 2-row-key aggregate (exactly
+    two parquet scans in the whole plan: lineitem and orders — a
+    second fact scan would double the IO at 100 TB)."""
+    p = plan_of(spark, sf_smoke, "q_late_shipments")
+    assert "ShuffledHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", p), p
+    assert p.count("Scan parquet") == 4, p  # 2 scans x (tree + detail)
+
+
+def test_part_supplier_counts_anti_join_broadcasts(spark, sf_smoke):
+    """M21 (Q16): the NOT-IN exclusion decorrelates to a broadcast ANTI
+    join (never a shuffle of the offer table against a 6-row list);
+    part's residual predicates reach its scan."""
+    p = plan_of(spark, sf_smoke, "q_part_supplier_counts")
+    assert "LeftAnti" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert re.search(r"PushedFilters: \[.*Not\(EqualTo\(p_brand,Brand#13", p), p
+    assert re.search(r"PushedFilters: \[.*LessThan\(s_acctbal,0\.0", p), p
+
+
+def test_dominant_suppliers_window_is_partitioned(spark, sf_smoke):
+    """M22 (Q20): the per-part total comes from a window partitioned by
+    l_partkey on the ALREADY-AGGREGATED (part, supp) rollup — never a
+    global window, never a join-back second scan of the fact; the red
+    prefix reaches the part scan."""
+    p = plan_of(spark, sf_smoke, "q_dominant_suppliers")
+    assert "Window" in p, p
+    assert "Exchange SinglePartition" not in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert re.search(r"PushedFilters: \[.*StringStartsWith\(p_name,red", p), p
+    # exactly two parquet scans of lineitem-or-part feed the qty rollup;
+    # the dimension chain adds supplier/nation/region — 5 scans total.
+    assert p.count("Scan parquet") == 10, p  # 5 scans x (tree + detail)
