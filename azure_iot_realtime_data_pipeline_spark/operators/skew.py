@@ -196,3 +196,104 @@ def key_skew_profile(
             "share"
         ),
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """J65 Bloom-prefiltered semi join — the runtime-filter pattern for
+    'keep fact rows whose key appears in a QUALIFYING-keys set too big
+    to broadcast as a hash table' (e.g. lineitems of this year's
+    orders: the orders side is fact-sized, so the plain semi join
+    shuffles the WHOLE fact; Spark's own runtime bloom
+    [spark.sql.optimizer.runtime.bloomFilter] only injects across
+    equi-joins the optimizer already sees, and not through this repo's
+    hinted shapes).
+
+    Build: k xxhash64 bit positions per dim key, OR-folded into
+    m_bits/64 int64 words by ONE bounded aggregate (<= 2048 rows at the
+    default m), collected and inlined as a literal array — 16 KiB in
+    the plan, free on every executor. Probe: k element_at + bit-test
+    expressions, pure whole-stage codegen on the fact scan — rows drop
+    MAP-SIDE before the semi join's exchange. A Bloom filter has NO
+    false negatives, so the exact semi join on the survivors returns
+    exactly the unfiltered semi join's rows (the oracle); false
+    positives only cost shuffle bytes, bounded by the classic
+    (1-e^{-kn/m})^k rate, property-gated in tests.
+
+    At 100 TB: m scales with |dim keys| (1% fpp needs ~10 bits/key); a
+    literal array stays sane to ~2^24 bits — past that, swap the
+    inlined words for a broadcast (word_idx -> word) join on the probe
+    side's word index. The collect here is the sanctioned bounded kind
+    (the m/64-row word table, a build artifact like IVF centroids,
+    never the dim itself)."""
+    keys = dim.select(F.col(dim_key).alias("_k")).distinct()
+    might_match = bloom_might_contain(
+        keys, "_k", F.col(fact_key), m_bits, k_hashes
+    )
+    survivors = fact.filter(F.col(fact_key).isNotNull() & might_match)
+    # exact verify: false positives die here; hinted shuffle-hash (the
+    # dim is fact-sized by premise — broadcast would OOM, unhinted
+    # statics pick the banned SortMergeJoin)
+    return survivors.join(
+        keys.hint("shuffle_hash"),
+        F.col(fact_key) == keys["_k"],
+        "left_semi",
+    )
+
+
+def bloom_might_contain(
+    keys: DataFrame,
+    key_col: str,
+    probe_key: Column,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> Column:
+    """The Bloom probe condition alone (build + inline + k bit tests),
+    factored out so the false-positive rate is testable apart from the
+    exact-verify join that hides it. Deterministic: xxhash64 with fixed
+    seeds on both sides, so a given (keys, m, k) always yields the same
+    bitset and the same probe verdicts."""
+    n_words = m_bits // 64
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("_p")
+    )
+    words = (
+        pos.select(
+            (F.col("_p") / 64).cast("long").alias("_w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("_p") % 64).cast("int")
+            ).alias("_bit"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_bit").alias("_word"))
+        .collect()
+    )
+    table = [0] * n_words
+    for r in words:
+        table[r["_w"]] = r["_word"]
+    lit_words = F.lit(table)
+    tests = []
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(probe_key, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        tests.append(word.bitwiseAND(bit) != 0)
+    might_match = tests[0]
+    for t in tests[1:]:
+        might_match = might_match & t
+    return might_match

@@ -3985,6 +3985,23 @@ ORACLES["q_part_supplier_counts"] = """
     GROUP BY p.p_brand, p.p_type, p.p_size
     """
 
+# J65 Bloom-prefiltered semi join: the Bloom is plan-side only (no
+# false negatives + exact verify), so the oracle is the PLAIN semi join.
+ORACLES["q_bloom_semi"] = """
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                    * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS revenue
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY l.l_returnflag
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

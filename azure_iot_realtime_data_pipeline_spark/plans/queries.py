@@ -3119,6 +3119,41 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "supp_nation")
 
 
+def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J65 Bloom-prefiltered semi join: returned-revenue rollup of
+    lineitems belonging to 1996 orders — the qualifying-keys side is
+    fact-sized (no broadcast), so the plain semi join shuffles the
+    whole fact; the 16 KiB Bloom word table rides the plan instead and
+    drops non-matching fact rows MAP-SIDE before the exchange. Exact
+    verify on the survivors makes the result identical to the plain
+    semi join (the oracle — a Bloom has no false negatives)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        MICRO,
+        micro_units,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_96 = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    filtered = skew.bloom_semi_join(
+        li, orders_96, "l_orderkey", "o_orderkey"
+    )
+    rev = micro_units(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    return (
+        filtered.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.sum(rev).alias("_r"))
+        .select(
+            "l_returnflag",
+            "n_lines",
+            (F.col("_r").cast("double") / F.lit(MICRO)).alias("revenue"),
+        )
+    )
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3240,6 +3275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_late_shipments": q_late_shipments,
     "q_part_supplier_counts": q_part_supplier_counts,
     "q_dominant_suppliers": q_dominant_suppliers,
+    "q_bloom_semi": q_bloom_semi,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

@@ -1745,3 +1745,65 @@ def test_quantized_topk_recall_and_roundtrip(spark, sf_smoke):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     total = sum(len(truth[q]) for q in truth)
     assert hits / total >= 0.9, (hits, total)
+
+
+def test_bloom_semi_join_identical_to_plain_semi(spark):
+    """J65: no false negatives + exact verify => the Bloom-prefiltered
+    semi join returns EXACTLY the plain semi join's rows, including
+    NULL fact keys (dropped — semi-join semantics) and at tiny m where
+    false positives are common (the verify must kill them all)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.skew import (
+        bloom_semi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(500)] + [(None, "rnull")],
+        "k long, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(i * 3,) for i in range(100)], "d long"
+    )  # keys 0,3,...,297: 100 hit, rest miss
+    got = sorted(
+        r.payload
+        for r in bloom_semi_join(fact, dim, "k", "d", m_bits=256, k_hashes=3)
+        .select("payload")
+        .collect()
+    )
+    want = sorted(
+        r.payload
+        for r in fact.join(dim, fact["k"] == dim["d"], "left_semi")
+        .select("payload")
+        .collect()
+    )
+    assert got == want and len(got) == 100
+
+
+def test_bloom_prefilter_false_positive_rate_within_bound(spark):
+    """J65: the prefilter's measured fpp on DISJOINT probe keys stays
+    within 2x the analytic (1-e^{-kn/m})^k bound — the property that
+    makes the map-side drop worth its bits at 100 TB. Deterministic
+    (xxhash64, fixed seeds/data)."""
+    import math
+
+    from azure_iot_realtime_data_pipeline_spark.operators.skew import (
+        bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    m_bits, k = 1 << 10, 5
+    n = 200
+    keys = spark.createDataFrame([(i,) for i in range(n)], "d long")
+    probes = spark.createDataFrame(
+        [(i,) for i in range(100_000, 102_000)], "k long"
+    )
+    cond = bloom_might_contain(keys, "d", F.col("k"), m_bits, k)
+    fp = probes.filter(cond).count()
+    analytic = (1.0 - math.exp(-k * n / m_bits)) ** k
+    assert fp / 2000 <= 2.0 * analytic, (fp, analytic)
+    # and zero false negatives, the load-bearing half:
+    assert (
+        keys.select(F.col("d").alias("k"))
+        .filter(bloom_might_contain(keys, "d", F.col("k"), m_bits, k))
+        .count()
+        == n
+    )

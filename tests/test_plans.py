@@ -456,3 +456,16 @@ def test_dominant_suppliers_window_is_partitioned(spark, sf_smoke):
     # exactly two parquet scans of lineitem-or-part feed the qty rollup;
     # the dimension chain adds supplier/nation/region — 5 scans total.
     assert p.count("Scan parquet") == 10, p  # 5 scans x (tree + detail)
+
+
+def test_bloom_semi_probes_map_side_before_the_exchange(spark, sf_smoke):
+    """J65: the Bloom word table is INLINED in the fact filter (the
+    probe runs map-side on the scan, before the semi join's exchange)
+    and the verify join is the pinned shuffle-hash LeftSemi — never a
+    SortMergeJoin, never a broadcast of the fact-sized key set."""
+    p = plan_of(spark, sf_smoke, "q_bloom_semi")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert "ShuffledHashJoin" in p and "LeftSemi" in p, p
+    # the inlined bitset + probe hashes sit in a Filter condition
+    cond = [ln for ln in p.splitlines() if "Condition" in ln and "xxhash64" in ln]
+    assert cond and "element_at" in cond[0], p
