@@ -809,3 +809,86 @@ def quantized_topk(
         dequantize_vec(F.col("codes"), F.col("lo"), F.col("hi"), bits).alias("cv"),
     )
     return cosine_topk(q, c, k=k)
+
+
+def jl_signs(in_dim: int, out_dim: int) -> list[list[float]]:
+    """J66: the deterministic Rademacher (+-1) projection matrix for
+    Johnson-Lindenstrauss dim reduction, as out_dim sign rows of length
+    in_dim. md5-derived bits: the signs only need DETERMINISM (both the
+    Spark operator and the generated DuckDB oracle inline the literal
+    rows — nothing recomputes the formula at query time), and proper
+    bit mixing matters: a first-cut linear-congruential formula here
+    produced DUPLICATE rows (pairwise row correlation 1.0 — the parity
+    of a linear form factorizes), silently halving the effective
+    out_dim."""
+    import hashlib
+
+    rows = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            b = hashlib.md5(f"jl:{i}:{j}".encode()).digest()[0]
+            row.append(1.0 if b % 2 == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    in_dim: int = 64,
+) -> DataFrame:
+    """J66 Johnson-Lindenstrauss projection: array<float>[in_dim] ->
+    array<double>[out_dim] via a deterministic +-1 matrix — the
+    standard embedding-compression step before ANN at scale (4x fewer
+    dims = 4x less candidate IO; JL bounds the pairwise-distance
+    distortion). Entirely map-side: out_dim sequential f64 folds per
+    row, zero shuffles, whole-stage codegen.
+
+    Each component is pinned to integer micro-units (the repo's
+    order-free domain) so every downstream cosine/distance computes on
+    EXACT integer-valued doubles — products < 2^53 stay exact, sqrt and
+    divide are IEEE-correctly-rounded, hence bit-identical on any
+    engine (the cosine itself needs no rounding allowance beyond the
+    output's usual 4 dp). The 1/sqrt(out_dim) JL scale is dropped:
+    cosine is scale-invariant and the micro pin fixes the magnitude."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        micro_units,
+    )
+
+    signs = jl_signs(in_dim, out_dim)
+    comps = []
+    for j in range(out_dim):
+        s = F.lit(signs[j])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), s, lambda x, sg: x.cast("double") * sg
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(micro_units(dot).cast("double"))
+    return df.select(F.col(id_col), F.array(*comps).alias("jl"))
+
+
+def jl_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 5,
+    out_dim: int = 32,
+    in_dim: int = 64,
+) -> DataFrame:
+    """J66 top-k cosine in JL-projected space: the compressed-search
+    recipe — project once (map-side), then the exact top-k machinery
+    runs over out_dim-wide vectors instead of in_dim. Recall vs
+    full-precision top-k is measured and gated in tests, not assumed."""
+    proj = jl_project(emb, out_dim=out_dim, in_dim=in_dim)
+    q = proj.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("jl").alias("qv")
+    )
+    c = proj.select(
+        F.col("vec_id").alias("cand_id"), F.col("jl").alias("cv")
+    )
+    return cosine_topk(q, c, k=k)

@@ -4002,6 +4002,52 @@ ORACLES["q_bloom_semi"] = """
     GROUP BY l.l_returnflag
     """
 
+# J66 JL-projected top-k: the oracle regenerates the SAME deterministic
+# +-1 matrix (jl_signs — MINSTD double-step, integer-exact on both
+# engines) and inlines it as literal arrays; each projected component
+# is micro-pinned so the cosine runs on exact integer-valued doubles
+# (see operators/similarity.py:jl_project). Skeleton = q_topk_cosine.
+def _jl_oracle() -> str:
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import (
+        jl_signs,
+    )
+
+    comps = []
+    for row in jl_signs(64, 32):
+        lits = ", ".join(str(v) for v in row)
+        comps.append(
+            "CAST(CAST(floor(list_sum(list_transform(list_zip(embedding, "
+            f"[{lits}]), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            " * 1000000 + 0.5) AS BIGINT) AS DOUBLE)"
+        )
+    pv = ",\n        ".join(comps)
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, [
+        {pv}
+      ] AS pv FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, pv AS qv FROM proj WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, pv AS cv FROM proj),
+    pairs AS (
+      SELECT query_id, cand_id,
+        floor((
+          list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+          / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+           * sqrt(list_sum(list_transform(cv, x -> x * x))))
+          ) * 10000 + 0.5) / 10000 AS cosine
+      FROM q, c WHERE query_id <> cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 10
+    """
+
+
+ORACLES["q_jl_topk"] = _jl_oracle()
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

@@ -3154,6 +3154,17 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J66 cosine top-k in Johnson-Lindenstrauss-projected space
+    (64 -> 16 dims via a deterministic +-1 matrix): the
+    embedding-compression recipe for ANN at scale — projection is
+    map-side codegen, the top-k machinery then moves 4x fewer bytes.
+    Components micro-pinned so the oracle's cosine is integer-exact;
+    recall vs full-precision top-k gated in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.jl_topk(emb, k=10, n_queries=5)
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3276,6 +3287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_part_supplier_counts": q_part_supplier_counts,
     "q_dominant_suppliers": q_dominant_suppliers,
     "q_bloom_semi": q_bloom_semi,
+    "q_jl_topk": q_jl_topk,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

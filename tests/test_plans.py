@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "q_topk_cosine",
     "q_hard_negatives",       # same bounded broadcast-queries shape
     "q_quantized_topk",       # same shape over SQ8-reconstructed vectors
+    "q_jl_topk",              # same shape over JL-projected vectors
     "q_ivf_topk",
     "q_embed_dedup",
     "q_wire_serve",
