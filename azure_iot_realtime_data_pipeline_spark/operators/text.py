@@ -104,3 +104,57 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * FINGERPRINT_BASE + x) % FINGERPRINT_MOD,
     )
+
+
+#: fixed alphabet for the character-entropy signal: the 26 lowercase
+#: letters, 10 digits and space; every other character pools into one
+#: OTHER bucket. A closed alphabet keeps the operator a pure map-side
+#: expression (one literal replace per symbol, no explode, no shuffle)
+#: and SQL-expressible for the oracle.
+ENTROPY_ALPHABET = tuple("abcdefghijklmnopqrstuvwxyz0123456789 ")
+
+
+def char_entropy_bits(text: Column) -> Column:
+    """J67 character-level Shannon entropy in bits over the lowercased
+    text — the gibberish/encoded-blob detector (RefinedWeb-class
+    signal): near-uniform char use (base64 blobs, minified code) scores
+    high, repetitive boilerplate scores low, natural English sits
+    ~2.9-4.2.
+
+    Map-side only: per alphabet symbol, count = len - len(replace(s,
+    sym)) (codegen string ops, no explode — an exploded char stream
+    would shuffle |corpus| rows at 100 TB); the remainder pools into
+    OTHER. Cross-engine exactness (the J43 pinned-ln idiom): with
+    integer counts c_i and total n,
+
+        H = ( n * mlog2(n) - sum_i c_i * mlog2(c_i) ) / n / 1e6
+
+    where mlog2(x) = floor(log2(x)*1e6 + 0.5) as int64 — every term
+    integer until the final division, so accumulation order cannot
+    move the value; the only float boundary is the half-up pin of
+    log2 itself. NULL/empty text -> NULL."""
+    s = F.lower(text)
+    n = F.length(s)
+
+    def mlog2(x: Column) -> Column:
+        return F.floor(F.log2(x.cast("double")) * 1_000_000.0 + F.lit(0.5)).cast(
+            "long"
+        )
+
+    counts = [
+        (n - F.length(F.replace(s, F.lit(ch), F.lit("")))).cast("long")
+        for ch in ENTROPY_ALPHABET
+    ]
+    total_known = counts[0]
+    for c in counts[1:]:
+        total_known = total_known + c
+    other = n.cast("long") - total_known
+    acc = F.lit(0).cast("long")
+    for c in counts + [other]:
+        acc = acc + F.when(c > 0, c * mlog2(c)).otherwise(F.lit(0))
+    return F.when(
+        n > 0,
+        (n.cast("long") * mlog2(n.cast("long")) - acc).cast("double")
+        / n.cast("double")
+        / F.lit(1_000_000.0),
+    )

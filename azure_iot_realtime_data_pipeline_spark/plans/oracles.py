@@ -4048,6 +4048,52 @@ def _jl_oracle() -> str:
 
 ORACLES["q_jl_topk"] = _jl_oracle()
 
+# J67 char entropy: the oracle regenerates the same 37-symbol count
+# expressions (one replace per symbol) and the identical integer-
+# lattice pinned-log2 accumulation (see text.py:char_entropy_bits).
+def _char_entropy_oracle() -> str:
+    from azure_iot_realtime_data_pipeline_spark.operators.text import (
+        ENTROPY_ALPHABET,
+    )
+
+    cnts = ",\n        ".join(
+        f"n - CAST(length(replace(t, '{ch}', '')) AS BIGINT)"
+        for ch in ENTROPY_ALPHABET
+    )
+    mlog2 = (
+        "CAST(floor(log2(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lower(text) AS t,
+             CAST(length(lower(text)) AS BIGINT) AS n
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, n, [
+        {cnts}
+      ] AS cnts FROM s
+    ),
+    a AS (
+      SELECT doc_id, n,
+             CAST(list_sum(list_transform(
+               list_append(cnts, n - CAST(list_sum(cnts) AS BIGINT)),
+               c -> CASE WHEN c > 0 THEN c * {mlog2} ELSE 0 END
+             )) AS BIGINT) AS acc
+      FROM k
+    )
+    SELECT doc_id,
+           CASE WHEN n > 0 THEN
+             floor((CAST(n * CAST(floor(log2(CAST(n AS DOUBLE)) * 1000000
+                                        + 0.5) AS BIGINT) - acc AS DOUBLE)
+                    / CAST(n AS DOUBLE) / 1000000.0) * 10000 + 0.5) / 10000
+           ELSE NULL END AS entropy_bits
+    FROM a
+    """
+
+
+ORACLES["q_char_entropy"] = _char_entropy_oracle()
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

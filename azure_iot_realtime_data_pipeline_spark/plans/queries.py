@@ -3165,6 +3165,21 @@ def q_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.jl_topk(emb, k=10, n_queries=5)
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J67 character-entropy quality signal over documents: Shannon
+    bits over a 37-symbol alphabet + OTHER, pure map-side codegen (one
+    literal replace per symbol, no explode — an exploded char stream
+    would shuffle the whole corpus); integer-lattice accumulation with
+    the pinned-log2 idiom so the oracle matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        round_half_up(text.char_entropy_bits(F.col("text"))).alias(
+            "entropy_bits"
+        ),
+    )
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3288,6 +3303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dominant_suppliers": q_dominant_suppliers,
     "q_bloom_semi": q_bloom_semi,
     "q_jl_topk": q_jl_topk,
+    "q_char_entropy": q_char_entropy,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

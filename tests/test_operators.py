@@ -1888,3 +1888,40 @@ def test_jl_topk_recall_on_clustered_data_and_corpus_floor(spark, sf_smoke):
         got2.setdefault(r.query_id, set()).add(r.cand_id)
     hits2 = sum(len(truth2[qid] & got2.get(qid, set())) for qid in truth2)
     assert hits2 / sum(len(v) for v in truth2.values()) >= 0.1, hits2
+
+
+def test_char_entropy_boundaries(spark):
+    """J67: H=0 for a single repeated symbol, log2(k) for k equi-
+    frequent symbols, NULL for empty/NULL text, case-folded, and
+    unknown symbols pool into ONE OTHER bucket (two distinct unknown
+    chars at equal counts still give log2(2) only via the known/other
+    split, not per-char)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.text import (
+        char_entropy_bits,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),          # one symbol -> 0 bits
+            (2, "abcdefgh"),          # 8 equi-frequent -> 3 bits
+            (3, "AbCdEfGh"),          # case-folded -> same 3 bits
+            (4, ""),                  # empty -> NULL
+            (5, None),                # NULL -> NULL
+            (6, "a#a#"),              # a + OTHER equi-frequent -> 1 bit
+            (7, "#$%&"),              # all OTHER (one bucket) -> 0 bits
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", char_entropy_bits(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert abs(got[1]) < 1e-6
+    assert abs(got[2] - 3.0) < 1e-4
+    assert abs(got[3] - 3.0) < 1e-4
+    assert got[4] is None and got[5] is None
+    assert abs(got[6] - 1.0) < 1e-4
+    assert abs(got[7]) < 1e-6
