@@ -4094,6 +4094,37 @@ def _char_entropy_oracle() -> str:
 
 ORACLES["q_char_entropy"] = _char_entropy_oracle()
 
+# K19 trapezoidal integral: lag + running sum over one key sort; the
+# per-step increment pins to micro-units of value*seconds (which is
+# exactly value*microseconds), so the cumulative is int64 until the
+# final divide.
+ORACLES["q_trapezoid_integral"] = """
+    WITH s AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS ep,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    l AS (
+      SELECT user_id, event_id, ts, ep, v,
+             lag(v) OVER w AS pv, lag(ep) OVER w AS pe
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+    ),
+    i AS (
+      SELECT user_id, event_id, ts, ep,
+             CASE WHEN pe IS NOT NULL THEN
+               CAST(floor((v + pv) / 2.0 * CAST(ep - pe AS DOUBLE) + 0.5)
+                    AS BIGINT)
+             ELSE 0 END AS inc
+      FROM l
+    )
+    SELECT user_id, event_id, ts,
+           CAST(SUM(inc) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE)
+             / 1000000.0 AS energy
+    FROM i
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

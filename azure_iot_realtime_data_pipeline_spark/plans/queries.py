@@ -3180,6 +3180,15 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trapezoid_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K19 cumulative trapezoidal integral (energy-from-power) per
+    device: one key-partitioned sort shared by the lag and the running
+    sum; increments micro-pinned so the cumulative is order-free int64
+    until the final divide."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.trapezoid_integral(ev, "user_id", "ts", "value", "event_id")
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3304,6 +3313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bloom_semi": q_bloom_semi,
     "q_jl_topk": q_jl_topk,
     "q_char_entropy": q_char_entropy,
+    "q_trapezoid_integral": q_trapezoid_integral,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

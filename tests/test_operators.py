@@ -1925,3 +1925,39 @@ def test_char_entropy_boundaries(spark):
     assert got[4] is None and got[5] is None
     assert abs(got[6] - 1.0) < 1e-4
     assert abs(got[7]) < 1e-6
+
+
+def test_trapezoid_integral_hand_computed(spark):
+    """K19: ramp 0->10 over 2 s integrates to 10, a 4 s hold at 10 adds
+    40; NULL measurements are excluded and never poison the running
+    sum; first observation starts at 0."""
+    from datetime import datetime
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        trapezoid_integral,
+    )
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return datetime(2026, 1, 1, 0, 0, sec)
+
+    rows = [
+        ("d1", 1, t0, 0.0),
+        ("d1", 2, ts(2), 10.0),   # +(0+10)/2*2 = 10
+        ("d1", 3, ts(3), None),   # excluded
+        ("d1", 4, ts(6), 10.0),   # +(10+10)/2*4 = 40 (dt from t=2)
+        ("d2", 5, t0, 7.0),       # lone obs -> 0
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: r.energy
+        for r in trapezoid_integral(df, "user_id", "ts", "value", "event_id").collect()
+    }
+    assert got[1] == 0.0
+    assert abs(got[2] - 10.0) < 1e-9
+    assert 3 not in got
+    assert abs(got[4] - 50.0) < 1e-9
+    assert got[5] == 0.0
