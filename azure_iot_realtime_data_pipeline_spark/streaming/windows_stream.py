@@ -2193,3 +2193,97 @@ def cms_sketch_stream(
 
     items = events.select(F.col(item_col).cast("string").alias("item"))
     return cms_sketch(items, depth=depth, width=width)
+
+
+TRAPEZOID_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("prev_ep", LongType()),
+        StructField("prev_v", DoubleType()),
+        StructField("cum_micro", LongType()),
+    ]
+)
+
+
+def make_trapezoid_fn(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """applyInPandasWithState body for the K19 streaming twin (picklable
+    closure). Per key the carry cell is (n, prev_ep_us, prev_v,
+    cum_micro): each non-NULL measurement adds
+    floor((v+prev_v)/2*(ep-prev_ep)+0.5) to the int64 micro
+    accumulator — the IDENTICAL one-floor-per-step pin as the batch
+    operator (`sessions.trapezoid_integral`), so the running integral
+    is exact over any processed prefix with no float drift to carry.
+    NULL/NaN measurements skip entirely (they advance neither prev nor
+    the sum — the batch form excludes them before the lag)."""
+    import math
+
+    def fn(key, pdfs, state):
+        n, prev_ep, prev_v, cum = (
+            state.get if state.exists else (0, None, None, 0)
+        )
+        pdf = one_frame(pdfs)
+        if pdf is not None:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            for ts_v, v in zip(pdf[ts_col], pdf[value_col]):
+                if pd.isna(v):
+                    continue
+                v = float(v)
+                ep = int(pd.Timestamp(ts_v).value // 1000)
+                if prev_ep is not None:
+                    cum += int(
+                        math.floor((v + prev_v) / 2.0 * float(ep - prev_ep) + 0.5)
+                    )
+                prev_ep, prev_v = ep, v
+                n += 1
+        state.update((n, prev_ep, prev_v, cum))
+        if n > 0:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "energy": [cum / 1_000_000.0],
+                }
+            )
+
+    return fn
+
+
+def trapezoid_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """K19 streaming twin: running per-key trapezoidal integral with an
+    O(1) four-field carry cell — the production energy-meter path (the
+    batch form re-sorts each key's history). Each micro-batch emits the
+    running (n_events, energy); n_events is monotone, so max(n_events)
+    marks the final row per key, which equals the batch operator's last
+    per-key value over the replayed data (batch-equivalence tested).
+    The int64 micro accumulator makes the carried state drift-free
+    across any number of micro-batches and restarts."""
+    tagged = events.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), F.col(value_col)
+    )
+    out_schema = StructType(
+        [
+            tagged.schema[key_col],
+            StructField("n_events", LongType()),
+            StructField("energy", DoubleType()),
+        ]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_trapezoid_fn(
+            key_col=key_col, ts_col=ts_col, id_col=id_col, value_col=value_col
+        ),
+        outputStructType=out_schema,
+        stateStructType=TRAPEZOID_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

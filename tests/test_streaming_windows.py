@@ -2361,3 +2361,48 @@ def test_cms_sketch_stream_equals_batch_sketch(spark, sf_smoke, replay_dir, tmp_
     }
     assert got == want
     assert len(got) <= 4 * 16  # the state bound IS the sketch size
+
+
+def test_trapezoid_stream_final_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """K19 streaming twin: the int64 micro accumulator, carried across
+    micro-batches in (ts, id) order, lands exactly on the batch
+    operator's final per-key running integral — the pin is applied
+    per step on both paths, so there is no float drift to diverge."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        trapezoid_integral,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        trapezoid_stream,
+    )
+
+    q = (
+        trapezoid_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trapz")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trapz"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        """
+        SELECT user_id, energy FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC
+          ) AS rn FROM trapz
+        ) WHERE rn = 1
+        """
+    )
+    batch = trapezoid_integral(
+        load_table(spark, sf_smoke, "events"), "user_id", "ts", "value", "event_id"
+    )
+    want = spark.sql(
+        "SELECT user_id, energy FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM {b}) WHERE rn = 1",
+        b=batch,
+    )
+    cols = ["user_id", "energy"]
+    assert _as_set(got, cols) == _as_set(want, cols)
+    assert got.count() == want.count() > 0
