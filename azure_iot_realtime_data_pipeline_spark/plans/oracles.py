@@ -4125,6 +4125,50 @@ ORACLES["q_trapezoid_integral"] = """
     FROM i
     """
 
+# J68 containment: the J2 shingle skeleton, one undirected pair
+# aggregate, both directions via UNION ALL; 4 dp rounding BEFORE the
+# threshold so the cut is engine-portable.
+ORACLES["q_containment"] = """
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM docs WHERE len(toks) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT doc_a, doc_b, n_common, sa.n AS na, sb.n AS nb
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    directed AS (
+      SELECT doc_a AS contained, doc_b AS container,
+             floor(CAST(n_common AS DOUBLE) / CAST(na AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS containment
+      FROM j
+      UNION ALL
+      SELECT doc_b AS contained, doc_a AS container,
+             floor(CAST(n_common AS DOUBLE) / CAST(nb AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS containment
+      FROM j
+    )
+    SELECT contained, container, containment
+    FROM directed WHERE containment >= 0.1
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

@@ -3189,6 +3189,17 @@ def q_trapezoid_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.trapezoid_integral(ev, "user_id", "ts", "value", "event_id")
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J68 asymmetric shingle containment (the subset/quote detector
+    symmetric Jaccard misses): J2's sub-quadratic candidate join, one
+    undirected pair aggregate, both directions emitted by a map-side
+    explode. Bounded to doc_id < 200 (the corpus's planted full-subset
+    pairs live there — max containment 1.0 at Jaccard near 0); the plan
+    shape is the 100 TB path."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.containment_pairs(docs, threshold=0.1)
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3314,6 +3325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_jl_topk": q_jl_topk,
     "q_char_entropy": q_char_entropy,
     "q_trapezoid_integral": q_trapezoid_integral,
+    "q_containment": q_containment,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

@@ -1961,3 +1961,28 @@ def test_trapezoid_integral_hand_computed(spark):
     assert 3 not in got
     assert abs(got[4] - 50.0) < 1e-9
     assert got[5] == 0.0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """J68: a short doc fully quoted inside a long one has containment
+    1.0 in the contained->container direction while its Jaccard is far
+    below any dedup threshold — the case the symmetric passes
+    structurally miss. Direction must point FROM the subset."""
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(docs, threshold=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.contained, r.container) == (1, 2)
+    assert r.containment == 1.0
+    jac = ngram_jaccard_pairs(docs).collect()[0].jaccard
+    assert jac < 0.1  # far below any dedup threshold (typical cut 0.7-0.8)
