@@ -2406,3 +2406,70 @@ def test_trapezoid_stream_final_matches_batch(spark, sf_smoke, replay_dir, tmp_p
     cols = ["user_id", "energy"]
     assert _as_set(got, cols) == _as_set(want, cols)
     assert got.count() == want.count() > 0
+
+
+def test_trapezoid_stream_state_survives_restart(spark, sf_smoke, replay_dir, tmp_path):
+    """Crash/restart contract for the K19 carry cell: half the stream,
+    stop, resume from the same checkpoint over the full directory — the
+    carried (n, prev_ep, prev_v, cum_micro) must continue the integral
+    so the final running energy equals the batch operator over ALL
+    events (the int64 accumulator makes this exact, not approximate)."""
+    import os
+    import shutil
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        trapezoid_integral,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        trapezoid_stream,
+    )
+
+    src_buckets = sorted(os.listdir(replay_dir))
+    half_dir = str(tmp_path / "replay_half_trapz")
+    os.makedirs(half_dir)
+    for b in src_buckets[:2]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    ckpt = str(tmp_path / "ckpt_trapz_restart")
+    emissions: list[tuple] = []
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emissions.append((r["user_id"], r["n_events"], r["energy"]))
+
+        q = (
+            trapezoid_stream(replay_events(spark, half_dir))
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first_len = len(emissions)
+    assert first_len > 0
+    for b in src_buckets[2:]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    run_once()
+    assert len(emissions) > first_len
+    final = {}
+    for uid, n, energy in emissions:
+        cur = final.get(uid)
+        if cur is None or n > cur[0]:
+            final[uid] = (n, energy)
+    got = {(u, e) for u, (_n, e) in final.items()}
+    batch = trapezoid_integral(
+        load_table(spark, sf_smoke, "events"), "user_id", "ts", "value", "event_id"
+    )
+    want = {
+        (r["user_id"], r["energy"])
+        for r in spark.sql(
+            "SELECT user_id, energy FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM {b}) WHERE rn = 1",
+            b=batch,
+        ).collect()
+    }
+    assert got == want
