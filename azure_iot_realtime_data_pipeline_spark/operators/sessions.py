@@ -1168,20 +1168,22 @@ def trapezoid_integral(
 
     Scale shape: the lag and the cumulative sum share ONE key-
     partitioned sort (same window spec), so the whole operator is a
-    single exchange on the key; NULL measurements are excluded up
-    front (a NULL would poison every later cumulative value on the
-    key). Products stay < 2^63: |v| < 4.3e3 * dt_us < 2.1e15 us (66
+    single exchange on the key; NULL AND NaN measurements are excluded
+    up front (either would poison every later cumulative value on the
+    key — and matches the streaming twin, whose Arrow path cannot tell
+    the two apart). Products stay < 2^63: |v| < 4.3e3 * dt_us < 2.1e15 us (66
     years) before overflow at this telemetry's value range.
 
     Returns (key, tiebreak, ts, energy) with energy the running
     integral INCLUDING the current observation."""
     ep = F.unix_micros(F.col(ts_col))
-    staged = df.filter(F.col(value_col).isNotNull()).select(
+    v = F.col(value_col).cast("double")
+    staged = df.filter(v.isNotNull() & ~F.isnan(v)).select(
         F.col(key),
         F.col(tiebreak),
         F.col(ts_col),
         ep.alias("_ep"),
-        F.col(value_col).cast("double").alias("_v"),
+        v.alias("_v"),
     )
     w = Window.partitionBy(key).orderBy("_ep", tiebreak)
     pv = F.lag("_v").over(w)

@@ -232,7 +232,11 @@ def bloom_semi_join(
     side's word index. The collect here is the sanctioned bounded kind
     (the m/64-row word table, a build artifact like IVF centroids,
     never the dim itself)."""
-    keys = dim.select(F.col(dim_key).alias("_k")).distinct()
+    # localCheckpoint the distinct ONCE: the build's collect() and the
+    # verify semi join otherwise each re-run the fact-sized dim's full
+    # distinct exchange (review r7 s5) — materializing the key set is
+    # exactly what a runtime-filter implementation does anyway.
+    keys = dim.select(F.col(dim_key).alias("_k")).distinct().localCheckpoint()
     might_match = bloom_might_contain(
         keys, "_k", F.col(fact_key), m_bits, k_hashes
     )
@@ -259,6 +263,8 @@ def bloom_might_contain(
     exact-verify join that hides it. Deterministic: xxhash64 with fixed
     seeds on both sides, so a given (keys, m, k) always yields the same
     bitset and the same probe verdicts."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     n_words = m_bits // 64
     pos = keys.select(
         F.explode(

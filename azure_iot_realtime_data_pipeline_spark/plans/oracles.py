@@ -4002,9 +4002,10 @@ ORACLES["q_bloom_semi"] = """
     GROUP BY l.l_returnflag
     """
 
-# J66 JL-projected top-k: the oracle regenerates the SAME deterministic
-# +-1 matrix (jl_signs — MINSTD double-step, integer-exact on both
-# engines) and inlines it as literal arrays; each projected component
+# J66 JL-projected top-k: the oracle inlines the SAME deterministic
+# +-1 matrix as the Spark side (jl_signs — md5-derived literal rows;
+# NEITHER engine recomputes the formula at query time, so only Python
+# determinism matters); each projected component
 # is micro-pinned so the cosine runs on exact integer-valued doubles
 # (see operators/similarity.py:jl_project). Skeleton = q_topk_cosine.
 def _jl_oracle() -> str:
@@ -4102,7 +4103,7 @@ ORACLES["q_trapezoid_integral"] = """
     WITH s AS (
       SELECT user_id, event_id, ts, epoch_us(ts) AS ep,
              CAST(value AS DOUBLE) AS v
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     ),
     l AS (
       SELECT user_id, event_id, ts, ep, v,

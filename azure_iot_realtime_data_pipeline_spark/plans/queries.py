@@ -3156,9 +3156,11 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J66 cosine top-k in Johnson-Lindenstrauss-projected space
-    (64 -> 16 dims via a deterministic +-1 matrix): the
-    embedding-compression recipe for ANN at scale — projection is
-    map-side codegen, the top-k machinery then moves 4x fewer bytes.
+    (64 -> 32 dims via a deterministic +-1 matrix, matching the
+    oracle's jl_signs(64, 32)): the embedding-compression recipe for
+    ANN at scale — projection is map-side codegen, the top-k machinery
+    then moves 2x fewer bytes (recall at 4x compression is below the
+    useful floor on this weak-margin corpus, BASELINE.md).
     Components micro-pinned so the oracle's cosine is integer-exact;
     recall vs full-precision top-k gated in tests."""
     emb = load_table(spark, sf_dir, "embeddings")

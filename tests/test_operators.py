@@ -1944,10 +1944,13 @@ def test_trapezoid_integral_hand_computed(spark):
 
     rows = [
         ("d1", 1, t0, 0.0),
-        ("d1", 2, ts(2), 10.0),   # +(0+10)/2*2 = 10
-        ("d1", 3, ts(3), None),   # excluded
-        ("d1", 4, ts(6), 10.0),   # +(10+10)/2*4 = 40 (dt from t=2)
-        ("d2", 5, t0, 7.0),       # lone obs -> 0
+        ("d1", 2, ts(2), 10.0),        # +(0+10)/2*2 = 10
+        ("d1", 3, ts(3), None),        # excluded (NULL)
+        ("d1", 4, ts(6), 10.0),        # +(10+10)/2*4 = 40 (dt from t=2)
+        ("d1", 6, ts(7), float("nan")),  # excluded (NaN — review r7 s5:
+        # kept, it would poison every later cumulative AND diverge from
+        # the twin, whose Arrow path cannot tell NaN from NULL)
+        ("d2", 5, t0, 7.0),            # lone obs -> 0
     ]
     df = spark.createDataFrame(
         rows, "user_id string, event_id long, ts timestamp, value double"
@@ -1960,6 +1963,7 @@ def test_trapezoid_integral_hand_computed(spark):
     assert abs(got[2] - 10.0) < 1e-9
     assert 3 not in got
     assert abs(got[4] - 50.0) < 1e-9
+    assert 6 not in got
     assert got[5] == 0.0
 
 
