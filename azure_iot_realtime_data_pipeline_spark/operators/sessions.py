@@ -1208,3 +1208,128 @@ def trapezoid_integral(
             ),
         )
     )
+
+
+def downsample_lttb(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    n_out: int = 20,
+) -> DataFrame:
+    """K23 largest-triangle downsampling to ~n_out points per key — the
+    standard time-series thinning operator (Steinarsson 2013; what
+    Grafana/Timescale ship as `lttb`): per equal-count bucket, keep the
+    point forming the LARGEST triangle with its neighbor-bucket
+    anchors, preserving visual extremes where naive bucket-means
+    flatten them.
+
+    This is the FIXED-ANCHOR variant: anchors are the neighbor buckets'
+    centroids rather than the previously-selected point. Classic LTTB
+    threads the selection sequentially through every bucket (an
+    inherently serial scan per key); fixed anchors make every bucket's
+    argmax independent — embarrassingly parallel across (key, bucket) —
+    at a quality difference the original paper measures as marginal.
+    Boundary buckets anchor on the key's first/last points, which the
+    classic algorithm pins anyway.
+
+    Cross-engine exactness: bucket centroids divide DECIMAL(38,0) /
+    int64-micro sums (order-free) once into double; the triangle
+    cross-product runs in fixed-order double arithmetic on those exact
+    quotients and pins to micro before the argmax; ties break on the
+    tiebreak column. Scale shape: one key-partitioned window pass for
+    (rn, n), one (key, bucket) aggregate for centroids + boundary
+    structs, anchor lag/lead on the TINY bucket table, then one
+    shuffle-hash join back and the per-bucket argmax on the SAME
+    (key, bucket) partitioning — two scans of the input lineage (the
+    DSIR/fit-then-score pattern), never a per-key serial pass."""
+    ep = F.unix_micros(F.col(ts_col))
+    v = F.col(value_col).cast("double")
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        micro_units,
+    )
+
+    wk = Window.partitionBy(key).orderBy("_ep", tiebreak)
+    wn = Window.partitionBy(key)
+    rows = (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(
+            F.col(key),
+            F.col(tiebreak),
+            F.col(ts_col),
+            ep.alias("_ep"),
+            v.alias("_v"),
+        )
+        .withColumn("_rn", F.row_number().over(wk))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            # explicit floor, NOT a bare cast: DuckDB CAST(double AS
+            # BIGINT) rounds half-away while Spark's cast truncates —
+            # floor() is the one spelling both engines agree on
+            "_b",
+            F.floor(
+                (F.col("_rn") - 1).cast("long") * n_out / F.col("_n")
+            ).cast("long"),
+        )
+    )
+    cent = rows.groupBy(key, "_b").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.sum(F.col("_ep").cast("decimal(38,0)")).alias("_sx"),
+        F.sum(micro_units(F.col("_v"))).alias("_sy"),
+        F.min(F.struct("_ep", tiebreak, "_v")).alias("_first"),
+        F.max(F.struct("_ep", tiebreak, "_v")).alias("_last"),
+    )
+    wb = Window.partitionBy(key).orderBy("_b")
+    cx = (F.col("_sx").cast("double") / F.col("_bn").cast("double")).alias("_cx")
+    cy = (
+        F.col("_sy").cast("double") / F.col("_bn").cast("double") / F.lit(1e6)
+    ).alias("_cy")
+    c = cent.select(key, "_b", cx, cy, "_first", "_last")
+    anchors = c.select(
+        key,
+        "_b",
+        # prev anchor: previous bucket's centroid, else the key's FIRST
+        # point (min over the whole key partition of the first structs)
+        F.coalesce(
+            F.lag("_cx").over(wb),
+            F.min("_first").over(wn)["_ep"].cast("double"),
+        ).alias("_ax"),
+        F.coalesce(
+            F.lag("_cy").over(wb), F.min("_first").over(wn)["_v"]
+        ).alias("_ay"),
+        F.coalesce(
+            F.lead("_cx").over(wb),
+            F.max("_last").over(wn)["_ep"].cast("double"),
+        ).alias("_zx"),
+        F.coalesce(
+            F.lead("_cy").over(wb), F.max("_last").over(wn)["_v"]
+        ).alias("_zy"),
+    )
+    j = rows.join(anchors.hint("shuffle_hash"), [key, "_b"])
+    # twice the triangle area, fixed evaluation order. Pinned to WHOLE
+    # units (not micro): the x axis is epoch MICROSECONDS, so areas run
+    # ~1e11-1e16 — a 1e6 micro scale would cross int64/the micro_units
+    # overflow guard and NULL the argmax; sub-unit area differences are
+    # ties at this axis scale by construction.
+    area2 = (
+        (F.col("_ax") - F.col("_zx")) * (F.col("_v") - F.col("_ay"))
+        - (F.col("_ax") - F.col("_ep").cast("double")) * (F.col("_ay") - F.col("_zy"))
+    )
+    scored = j.withColumn(
+        "_a", F.floor(F.abs(area2) + F.lit(0.5)).cast("long")
+    )
+    wr = Window.partitionBy(key, "_b").orderBy(
+        F.col("_a").desc(), F.col(tiebreak).asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col(key),
+            F.col("_b").alias("bucket"),
+            F.col(tiebreak),
+            F.col(ts_col),
+            F.col("_v").alias("value"),
+        )
+    )

@@ -4170,6 +4170,71 @@ ORACLES["q_containment"] = """
     FROM directed WHERE containment >= 0.1
     """
 
+# K23 fixed-anchor LTTB: bucket by floor((rn-1)*20/n) (explicit floor —
+# DuckDB CAST(double AS BIGINT) rounds where Spark truncates), DECIMAL/
+# int64-micro centroid sums divided ONCE to double, fixed-order area
+# cross-product pinned to whole units (the x axis is epoch-us; micro
+# would overflow), argmax by (area DESC, event_id).
+ORACLES["q_lttb"] = """
+    WITH pts AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS ep,
+             CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    rn_t AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id ORDER BY ep, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM pts
+    ),
+    bk AS (
+      SELECT *, CAST(floor(CAST((rn - 1) * 20 AS DOUBLE) / n) AS BIGINT) AS bkt
+      FROM rn_t
+    ),
+    cent AS (
+      SELECT user_id, bkt, COUNT(*) AS bn,
+             SUM(CAST(ep AS DECIMAL(38,0))) AS sx,
+             CAST(SUM(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sy
+      FROM bk GROUP BY user_id, bkt
+    ),
+    c2 AS (
+      SELECT user_id, bkt,
+             CAST(sx AS DOUBLE) / CAST(bn AS DOUBLE) AS cx,
+             CAST(sy AS DOUBLE) / CAST(bn AS DOUBLE) / 1000000.0 AS cy
+      FROM cent
+    ),
+    fst AS (
+      SELECT user_id, CAST(ep AS DOUBLE) AS fx, v AS fy FROM bk WHERE rn = 1
+    ),
+    lst AS (
+      SELECT user_id, CAST(ep AS DOUBLE) AS lx, v AS ly FROM bk WHERE rn = n
+    ),
+    anch AS (
+      SELECT c2.user_id, c2.bkt,
+             coalesce(lag(cx) OVER wb, f.fx) AS ax,
+             coalesce(lag(cy) OVER wb, f.fy) AS ay,
+             coalesce(lead(cx) OVER wb, l.lx) AS zx,
+             coalesce(lead(cy) OVER wb, l.ly) AS zy
+      FROM c2
+      JOIN fst f ON c2.user_id = f.user_id
+      JOIN lst l ON c2.user_id = l.user_id
+      WINDOW wb AS (PARTITION BY c2.user_id ORDER BY c2.bkt)
+    ),
+    scored AS (
+      SELECT b.user_id, b.bkt, b.event_id, b.ts, b.v,
+             CAST(floor(abs(
+               (a.ax - a.zx) * (b.v - a.ay)
+               - (a.ax - CAST(b.ep AS DOUBLE)) * (a.ay - a.zy)
+             ) + 0.5) AS BIGINT) AS area
+      FROM bk b JOIN anch a ON b.user_id = a.user_id AND b.bkt = a.bkt
+    )
+    SELECT user_id, bkt AS bucket, event_id, ts, v AS value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, bkt
+                                   ORDER BY area DESC, event_id) AS r
+      FROM scored
+    ) WHERE r = 1
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

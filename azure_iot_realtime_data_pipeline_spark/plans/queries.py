@@ -3202,6 +3202,18 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(docs, threshold=0.1)
 
 
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K23 largest-triangle downsampling to ~20 points per device
+    (fixed-anchor LTTB): per-bucket argmax of the triangle area against
+    neighbor-bucket centroids — parallel across (key, bucket) where the
+    classic form is serial per key; exact-quotient centroids and a
+    whole-unit area pin keep the argmax engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.downsample_lttb(
+        ev, "user_id", "ts", "value", "event_id", n_out=20
+    )
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3328,6 +3340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_char_entropy": q_char_entropy,
     "q_trapezoid_integral": q_trapezoid_integral,
     "q_containment": q_containment,
+    "q_lttb": q_lttb,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

@@ -1990,3 +1990,34 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert r.containment == 1.0
     jac = ngram_jaccard_pairs(docs).collect()[0].jaccard
     assert jac < 0.1  # far below any dedup threshold (typical cut 0.7-0.8)
+
+
+def test_lttb_keeps_spikes_and_bucket_counts(spark):
+    """K23: exactly one point per non-empty bucket, and the spike a
+    bucket-mean downsample would flatten MUST survive (the whole point
+    of largest-triangle selection); flat buckets fall back to the
+    deterministic tie-break (lowest event_id)."""
+    from datetime import datetime
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        downsample_lttb,
+    )
+
+    rows = []
+    for i in range(40):
+        v = 100.0 if i == 17 else 0.0  # lone spike mid-series
+        rows.append(
+            ("d1", i, datetime(2026, 1, 1, 0, 0, i), v)
+        )
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    got = downsample_lttb(df, "user_id", "ts", "value", "event_id", n_out=4).collect()
+    assert len(got) == 4  # one per bucket
+    assert sorted({r.bucket for r in got}) == [0, 1, 2, 3]
+    kept = {r.event_id for r in got}
+    assert 17 in kept  # the spike survives
+    # bucket 3 is flat AND both its anchors are flat (bucket-2 centroid
+    # y=0, last point y=0) -> every area is 0 -> the deterministic
+    # tie-break picks the lowest event_id
+    assert {r.event_id for r in got if r.bucket == 3} == {30}
