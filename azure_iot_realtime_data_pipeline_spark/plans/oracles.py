@@ -4235,6 +4235,42 @@ ORACLES["q_lttb"] = """
     ) WHERE r = 1
     """
 
+# J69 corpus data card: per-doc metrics pinned to int ten-thousandths
+# before the group means; one-row total for the share.
+ORACLES["q_corpus_report"] = f"""
+    WITH per AS (
+      SELECT source, lang,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS t,
+             CAST(floor((0.5 * (CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^a-z ]', '', 'g'))
+                         AS DOUBLE) / length(text) END)
+                 + 0.5 * (1.0 - CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(toks, t -> t IN {STOP_IN}))
+                         AS DOUBLE) / len(toks) END)) * 10000 + 0.5)
+                  AS BIGINT) AS q4
+      FROM (
+        SELECT source, lang, text,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+      )
+    ),
+    agg AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS total_tokens,
+             CAST(SUM(q4) AS BIGINT) AS sq
+      FROM per GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS alln FROM agg)
+    SELECT source, lang, n_docs, total_tokens,
+           floor(CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE) / 10000.0
+                 * 10000 + 0.5) / 10000 AS mean_quality,
+           floor(CAST(n_docs AS DOUBLE) / alln * 1000000 + 0.5) / 1000000
+             AS doc_share
+    FROM agg, tot
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

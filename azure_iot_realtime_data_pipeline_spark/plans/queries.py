@@ -3214,6 +3214,42 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J69 corpus data card (chain #9): per (source, lang) — doc count,
+    total whitespace tokens, mean quality, corpus doc share. ONE
+    map-side pass computes every per-doc metric (J9 tokens + J10
+    quality pinned to int ten-thousandths), one (source, lang)
+    aggregate, one-row total broadcast for the share — the report a
+    curation run publishes next to its output shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        text.token_count(F.col("text")).alias("_t"),
+        F.floor(text.quality_score(F.col("text")) * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("_q4"),
+    )
+    agg = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").alias("total_tokens"),
+        F.sum("_q4").alias("_sq"),
+    )
+    total = agg.agg(F.sum("n_docs").cast("double").alias("_all"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        round_half_up(
+            F.col("_sq").cast("double") / F.col("n_docs").cast("double") / 1e4
+        ).alias("mean_quality"),
+        round_half_up(
+            F.col("n_docs").cast("double") / F.col("_all"), 6
+        ).alias("doc_share"),
+    )
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3341,6 +3377,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_trapezoid_integral": q_trapezoid_integral,
     "q_containment": q_containment,
     "q_lttb": q_lttb,
+    "q_corpus_report": q_corpus_report,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,
