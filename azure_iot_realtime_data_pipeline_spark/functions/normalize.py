@@ -192,3 +192,64 @@ def powerbi_rows(curated: DataFrame) -> DataFrame:
         format_iso_millis(F.col("enqueuedTime")).alias("enqueuedTime"),
         *[coalesce_double(F.col(c).cast("double")).alias(c) for c in nums],
     )
+
+
+def parse_json_quarantine(
+    df: DataFrame, json_col: str, schema: str
+) -> DataFrame:
+    """A2b malformed-payload quarantine for JSON ingest — the
+    dead-letter split every real telemetry pipeline needs in front of
+    the bronze sink (the reference's ASA job silently drops rows its
+    JSON deserializer rejects; a quarantine keeps them auditable).
+
+    from_json in its default PERMISSIVE mode NEVER yields a NULL struct
+    for malformed input (it fills fields with NULL — indistinguishable
+    from a legitimately-sparse payload), so detection uses the
+    columnNameOfCorruptRecord channel: the parser routes the RAW
+    malformed payload into `_corrupt_record`, and `quarantined` is its
+    non-nullness. NULL input is NOT quarantined (no payload, nothing to
+    audit — the A3 bronze sink keeps it).
+
+    Caveat for oracle writers: from_json with a STRUCT schema also
+    quarantines shape mismatches ('null', '[]') that are valid JSON
+    texts — a json_valid-based twin agrees only on inputs that are
+    objects-or-garbage, which is what a telemetry feed produces.
+
+    Entirely map-side (one parser expression per row, streaming-safe);
+    returns the input plus (quarantined, raw) plus the parsed fields as
+    `parsed_<field>` — prefixed, because a telemetry payload usually
+    ECHOES its envelope's key columns and an unprefixed parse would
+    collide with them (and be NULL exactly on the quarantined rows a
+    caller inspects by that key)."""
+    full_schema = schema + ", _corrupt_record STRING"
+    parsed = F.from_json(
+        F.col(json_col),
+        full_schema,
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    with_p = df.withColumn("_p", parsed)
+    return (
+        with_p.withColumn(
+            "quarantined", F.col("_p._corrupt_record").isNotNull()
+        )
+        .withColumn("raw", F.col(json_col))
+        .select(
+            *df.columns,
+            "quarantined",
+            "raw",
+            *[
+                F.col(f"_p.{f}").alias(f"parsed_{f}")
+                for f in with_p.select("_p.*").columns
+                if f != "_corrupt_record"
+            ],
+        )
+    )
+
+
+def split_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, dead_letter) split of a parse_json_quarantine output —
+    good rows drop the audit columns, the dead-letter side keeps only
+    what a replay needs (the raw payload)."""
+    good = parsed.filter(~F.col("quarantined")).drop("quarantined", "raw")
+    bad = parsed.filter(F.col("quarantined"))
+    return good, bad

@@ -4271,6 +4271,25 @@ ORACLES["q_corpus_report"] = f"""
     FROM agg, tot
     """
 
+# A2b quarantine: the oracle re-judges the IDENTICAL payload text with
+# json_valid — equivalent on this feed's domain (objects or garbage;
+# from_json's struct-shape quarantine of 'null'/'[]' never arises).
+ORACLES["q_json_quarantine"] = """
+    WITH feed AS (
+      SELECT event_id,
+             CASE WHEN event_id % 97 = 0
+                  THEN '{' || CAST(json_object('event_id', event_id,
+                                               'event_type', event_type)
+                              AS VARCHAR)
+                  ELSE CAST(json_object('event_id', event_id,
+                                        'event_type', event_type)
+                       AS VARCHAR)
+             END AS payload
+      FROM events
+    )
+    SELECT event_id, NOT json_valid(payload) AS quarantined FROM feed
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

@@ -3250,6 +3250,34 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2b dead-letter split: parse a JSON feed (synthesized from
+    events — every 97th payload corrupted with a stray brace) through
+    the corrupt-record channel; output every row's quarantine verdict.
+    Map-side, streaming-safe; the oracle re-judges the identical
+    payload text with json_valid."""
+    from azure_iot_realtime_data_pipeline_spark.functions.normalize import (
+        parse_json_quarantine,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.concat(
+                F.lit("{"), F.to_json(F.struct("event_id", "event_type"))
+            ),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "event_type")))
+        .alias("payload"),
+    )
+    parsed = parse_json_quarantine(
+        feed, "payload", "event_id LONG, event_type STRING"
+    )
+    return parsed.select(F.col("event_id"), F.col("quarantined"))
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3378,6 +3406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_containment": q_containment,
     "q_lttb": q_lttb,
     "q_corpus_report": q_corpus_report,
+    "q_json_quarantine": q_json_quarantine,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

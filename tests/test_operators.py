@@ -2021,3 +2021,35 @@ def test_lttb_keeps_spikes_and_bucket_counts(spark):
     # y=0, last point y=0) -> every area is 0 -> the deterministic
     # tie-break picks the lowest event_id
     assert {r.event_id for r in got if r.bucket == 3} == {30}
+
+
+def test_json_quarantine_split_and_edge_payloads(spark):
+    """A2b: malformed payloads route to the dead-letter side with their
+    raw text intact; NULL input is NOT quarantined (nothing to audit);
+    shape mismatches ('null', '[]') ARE quarantined under a struct
+    schema (documented caveat); good rows parse into parsed_* fields."""
+    from azure_iot_realtime_data_pipeline_spark.functions.normalize import (
+        parse_json_quarantine,
+        split_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 5}'),
+            (2, '{"a": }'),
+            (3, None),
+            (4, '{{"a":1}'),
+            (5, "null"),
+            (6, "[]"),
+        ],
+        "id long, js string",
+    )
+    parsed = parse_json_quarantine(df, "js", "a INT")
+    flags = {r.id: r.quarantined for r in parsed.collect()}
+    assert flags == {1: False, 2: True, 3: False, 4: True, 5: True, 6: True}
+    good, bad = split_quarantine(parsed)
+    assert {r.id for r in good.collect()} == {1, 3}
+    assert good.columns == ["id", "js", "parsed_a"]
+    bad_rows = {r.id: r.raw for r in bad.collect()}
+    assert bad_rows[4] == '{{"a":1}'  # raw payload preserved for replay
+    assert {r.parsed_a for r in good.filter("id = 1").collect()} == {5}
