@@ -2473,3 +2473,56 @@ def test_trapezoid_stream_state_survives_restart(spark, sf_smoke, replay_dir, tm
         ).collect()
     }
     assert got == want
+
+
+def test_json_quarantine_runs_on_a_stream(spark, sf_smoke, replay_dir, tmp_path):
+    """A2b is streaming-safe by construction (one parser expression per
+    row, no state): drive it through readStream and check the dead-
+    letter split matches the batch verdicts over the same data."""
+    from azure_iot_realtime_data_pipeline_spark.functions.normalize import (
+        parse_json_quarantine,
+    )
+    from pyspark.sql import functions as F
+
+    def feed(df):
+        return df.select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 97 == 0,
+                F.concat(F.lit("{"), F.to_json(F.struct("event_id", "event_type"))),
+            )
+            .otherwise(F.to_json(F.struct("event_id", "event_type")))
+            .alias("payload"),
+        )
+
+    stream = parse_json_quarantine(
+        feed(replay_events(spark, replay_dir)),
+        "payload",
+        "event_id LONG, event_type STRING",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quarantine_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.event_id, r.quarantined)
+        for r in spark.sql(
+            "SELECT event_id, quarantined FROM quarantine_stream"
+        ).collect()
+    }
+    batch = parse_json_quarantine(
+        feed(load_table(spark, sf_smoke, "events")),
+        "payload",
+        "event_id LONG, event_type STRING",
+    )
+    want = {
+        (r.event_id, r.quarantined)
+        for r in batch.select("event_id", "quarantined").collect()
+    }
+    assert got == want
+    assert any(flag for _eid, flag in got)  # the corrupt rows exist
