@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "q_lorenz",               # one-row totals broadcast onto the curve
     "q_event_lift",           # one-row basket count broadcast
     "q_region_share",         # one-row world total broadcast
+    "q_corpus_report",        # one-row corpus total broadcast
 }
 
 #: the reference's anomaly window has no PARTITION BY
@@ -92,6 +93,7 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_region_share",         # one-row world total onto 25 nation rows
     "q_promo_share",          # one-row conditional aggregate (Q14)
     "q_brand_size_revenue",   # one-row disjunctive aggregate (Q19)
+    "q_corpus_report",        # one-row corpus doc total onto the card
 }
 
 
