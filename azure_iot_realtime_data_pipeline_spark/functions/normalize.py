@@ -206,9 +206,12 @@ def parse_json_quarantine(
     for malformed input (it fills fields with NULL — indistinguishable
     from a legitimately-sparse payload), so detection uses the
     columnNameOfCorruptRecord channel: the parser routes the RAW
-    malformed payload into `_corrupt_record`, and `quarantined` is its
-    non-nullness. NULL input is NOT quarantined (no payload, nothing to
-    audit — the A3 bronze sink keeps it).
+    malformed payload into `_corrupt_record` — PLUS a NULL-struct check,
+    because empty/whitespace-only payloads yield a NULL struct without
+    ever firing the corrupt channel (review r7 s5: they silently passed
+    to the good side where json_valid('') correctly rejects). NULL
+    input is NOT quarantined (no payload, nothing to audit — the A3
+    bronze sink keeps it).
 
     Caveat for oracle writers: from_json with a STRUCT schema also
     quarantines shape mismatches ('null', '[]') that are valid JSON
@@ -221,6 +224,12 @@ def parse_json_quarantine(
     ECHOES its envelope's key columns and an unprefixed parse would
     collide with them (and be NULL exactly on the quarantined rows a
     caller inspects by that key)."""
+    reserved = {"_p", "quarantined", "raw"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input already carries reserved column(s) {sorted(reserved)}; "
+            "rename them before parse_json_quarantine"
+        )
     full_schema = schema + ", _corrupt_record STRING"
     parsed = F.from_json(
         F.col(json_col),
@@ -230,7 +239,12 @@ def parse_json_quarantine(
     with_p = df.withColumn("_p", parsed)
     return (
         with_p.withColumn(
-            "quarantined", F.col("_p._corrupt_record").isNotNull()
+            "quarantined",
+            F.col(json_col).isNotNull()
+            & (
+                F.col("_p").isNull()
+                | F.col("_p._corrupt_record").isNotNull()
+            ),
         )
         .withColumn("raw", F.col(json_col))
         .select(
@@ -249,7 +263,13 @@ def parse_json_quarantine(
 def split_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, dead_letter) split of a parse_json_quarantine output —
     good rows drop the audit columns, the dead-letter side keeps only
-    what a replay needs (the raw payload)."""
+    what a replay needs: the source columns and the raw payload (the
+    parsed_* fields are all-NULL on that side by construction)."""
     good = parsed.filter(~F.col("quarantined")).drop("quarantined", "raw")
-    bad = parsed.filter(F.col("quarantined"))
+    src = [
+        c
+        for c in parsed.columns
+        if c not in ("quarantined", "raw") and not c.startswith("parsed_")
+    ]
+    bad = parsed.filter(F.col("quarantined")).select(*src, "raw")
     return good, bad

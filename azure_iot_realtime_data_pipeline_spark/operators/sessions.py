@@ -1253,7 +1253,11 @@ def downsample_lttb(
     wk = Window.partitionBy(key).orderBy("_ep", tiebreak)
     wn = Window.partitionBy(key)
     rows = (
-        df.filter(v.isNotNull() & ~F.isnan(v))
+        # |v| beyond the micro-unit domain is excluded like NaN: inside
+        # the centroid SUM a micro_units NULL would silently shift the
+        # anchor (the count still includes the row) while the oracle
+        # raises — exclusion keeps both engines on the same rows.
+        df.filter(v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(9.2233720368547e12)))
         .select(
             F.col(key),
             F.col(tiebreak),
@@ -1312,9 +1316,15 @@ def downsample_lttb(
     # ~1e11-1e16 — a 1e6 micro scale would cross int64/the micro_units
     # overflow guard and NULL the argmax; sub-unit area differences are
     # ties at this axis scale by construction.
+    # 2A = (B-A) x (C-A) = (ax-zx)(yb-ay) - (ax-xb)(ZY-AY). Review r7
+    # s5 pass 3 caught the second term SIGN-INVERTED ((ay-zy)) — that
+    # scores distance from a mirror-image of the anchor line, keeping
+    # collinear points and DROPPING spikes on any sloped trend; the
+    # oracle mirrored the same wrong expression so parity could not see
+    # it. The sloped-anchor test now pins the true formula.
     area2 = (
         (F.col("_ax") - F.col("_zx")) * (F.col("_v") - F.col("_ay"))
-        - (F.col("_ax") - F.col("_ep").cast("double")) * (F.col("_ay") - F.col("_zy"))
+        - (F.col("_ax") - F.col("_ep").cast("double")) * (F.col("_zy") - F.col("_ay"))
     )
     scored = j.withColumn(
         "_a", F.floor(F.abs(area2) + F.lit(0.5)).cast("long")

@@ -4180,6 +4180,7 @@ ORACLES["q_lttb"] = """
       SELECT user_id, event_id, ts, epoch_us(ts) AS ep,
              CAST(value AS DOUBLE) AS v
       FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        AND abs(value) < 9.2233720368547e12
     ),
     rn_t AS (
       SELECT *,
@@ -4224,7 +4225,7 @@ ORACLES["q_lttb"] = """
       SELECT b.user_id, b.bkt, b.event_id, b.ts, b.v,
              CAST(floor(abs(
                (a.ax - a.zx) * (b.v - a.ay)
-               - (a.ax - CAST(b.ep AS DOUBLE)) * (a.ay - a.zy)
+               - (a.ax - CAST(b.ep AS DOUBLE)) * (a.zy - a.ay)
              ) + 0.5) AS BIGINT) AS area
       FROM bk b JOIN anch a ON b.user_id = a.user_id AND b.bkt = a.bkt
     )

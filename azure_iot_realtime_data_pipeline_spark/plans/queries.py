@@ -3250,6 +3250,21 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corrupt_json_feed(ev: DataFrame) -> DataFrame:
+    """The A2b fixture feed, shared with the streaming smoke so the two
+    cannot drift: every 97th payload gets a stray leading brace."""
+    payload = F.to_json(F.struct("event_id", "event_type"))
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.when(F.col("event_id") % 97 == 0, F.lit("{")).otherwise(
+                F.lit("")
+            ),
+            payload,
+        ).alias("payload"),
+    )
+
+
 def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2b dead-letter split: parse a JSON feed (synthesized from
     events — every 97th payload corrupted with a stray brace) through
@@ -3261,19 +3276,8 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    feed = ev.select(
-        "event_id",
-        F.when(
-            F.col("event_id") % 97 == 0,
-            F.concat(
-                F.lit("{"), F.to_json(F.struct("event_id", "event_type"))
-            ),
-        )
-        .otherwise(F.to_json(F.struct("event_id", "event_type")))
-        .alias("payload"),
-    )
     parsed = parse_json_quarantine(
-        feed, "payload", "event_id LONG, event_type STRING"
+        corrupt_json_feed(ev), "payload", "event_id LONG, event_type STRING"
     )
     return parsed.select(F.col("event_id"), F.col("quarantined"))
 

@@ -2023,6 +2023,33 @@ def test_lttb_keeps_spikes_and_bucket_counts(spark):
     assert {r.event_id for r in got if r.bucket == 3} == {30}
 
 
+def test_lttb_sloped_anchors_prefer_off_trend_point(spark):
+    """K23 regression (review r7 s5 pass 3): with SLOPED anchors a
+    collinear point has triangle area 0 and an off-trend spike has the
+    largest area — the first-cut cross-product had the second term
+    sign-inverted (scoring against a mirror-image line), kept the
+    collinear point and dropped the spike, and the oracle mirrored the
+    same wrong expression so parity could not see it."""
+    from datetime import datetime
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        downsample_lttb,
+    )
+
+    # one key, 9 points on a perfect rising line except event 4, which
+    # dips hard below the trend. n_out=3: bucket 1 = events 3,4,5.
+    rows = []
+    for i in range(9):
+        v = float(i) if i != 4 else -10.0
+        rows.append(("d1", i, datetime(2026, 1, 1, 0, 0, i), v))
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, value double"
+    )
+    got = downsample_lttb(df, "user_id", "ts", "value", "event_id", n_out=3)
+    mid = {r.event_id for r in got.collect() if r.bucket == 1}
+    assert mid == {4}  # the off-trend dip wins, not a collinear point
+
+
 def test_json_quarantine_split_and_edge_payloads(spark):
     """A2b: malformed payloads route to the dead-letter side with their
     raw text intact; NULL input is NOT quarantined (nothing to audit);
@@ -2041,15 +2068,29 @@ def test_json_quarantine_split_and_edge_payloads(spark):
             (4, '{{"a":1}'),
             (5, "null"),
             (6, "[]"),
+            (7, ""),      # empty: NULL struct, corrupt channel silent
+            (8, "   "),   # whitespace-only: same (review r7 s5)
         ],
         "id long, js string",
     )
     parsed = parse_json_quarantine(df, "js", "a INT")
     flags = {r.id: r.quarantined for r in parsed.collect()}
-    assert flags == {1: False, 2: True, 3: False, 4: True, 5: True, 6: True}
+    assert flags == {
+        1: False, 2: True, 3: False, 4: True,
+        5: True, 6: True, 7: True, 8: True,
+    }
     good, bad = split_quarantine(parsed)
     assert {r.id for r in good.collect()} == {1, 3}
     assert good.columns == ["id", "js", "parsed_a"]
+    # dead-letter side: source columns + raw ONLY (replay shape)
+    assert bad.columns == ["id", "js", "raw"]
     bad_rows = {r.id: r.raw for r in bad.collect()}
     assert bad_rows[4] == '{{"a":1}'  # raw payload preserved for replay
     assert {r.parsed_a for r in good.filter("id = 1").collect()} == {5}
+    # reserved-name guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        parse_json_quarantine(
+            df.withColumn("raw", F.lit("x")), "js", "a INT"
+        )

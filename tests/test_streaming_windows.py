@@ -2482,18 +2482,9 @@ def test_json_quarantine_runs_on_a_stream(spark, sf_smoke, replay_dir, tmp_path)
     from azure_iot_realtime_data_pipeline_spark.functions.normalize import (
         parse_json_quarantine,
     )
-    from pyspark.sql import functions as F
-
-    def feed(df):
-        return df.select(
-            "event_id",
-            F.when(
-                F.col("event_id") % 97 == 0,
-                F.concat(F.lit("{"), F.to_json(F.struct("event_id", "event_type"))),
-            )
-            .otherwise(F.to_json(F.struct("event_id", "event_type")))
-            .alias("payload"),
-        )
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import (
+        corrupt_json_feed as feed,
+    )
 
     stream = parse_json_quarantine(
         feed(replay_events(spark, replay_dir)),
