@@ -1468,3 +1468,57 @@ def bpe_encode(
         .join(agg.hint("shuffle_hash"), id_col, "left")
         .select(F.col(id_col), *zeros)
     )
+
+
+def stratified_split(
+    docs: DataFrame,
+    strata_cols: list[str],
+    id_col: str = "doc_id",
+    weights_ppm: tuple[tuple[str, int], ...] = (
+        ("train", 800_000),
+        ("val", 100_000),
+        ("test", 100_000),
+    ),
+) -> DataFrame:
+    """J70 stratified train/val/test split: EXACT per-stratum
+    proportions — J19's hash split is uniform-in-expectation only, so a
+    small stratum (a rare language) can land entirely in one split;
+    eval sets must preserve the domain mix.
+
+    Per stratum, rows order by (md5 of the id, id) — a deterministic,
+    ENGINE-PORTABLE shuffle that decorrelates the split from id
+    assignment order (xxhash64 would be Spark-only; md5 text is the
+    repo's portable-twin idiom) — and the first floor(n*cum_ppm/1e6)
+    rows take split 1, etc. Weights are INTEGER parts-per-million: a
+    0.8+0.1 float accumulation is NOT the double the oracle's literal
+    0.9 parses to (the classic IEEE trap), so a float API could flip a
+    boundary row between engines; n*cum_ppm is exact int64 and its
+    single division is correctly rounded identically everywhere. One
+    exchange (the stratum window; count rides the same partitioning).
+
+    Weights must sum to 1_000_000 (the last split absorbs the floor
+    remainder). Returns (id, strata..., split)."""
+    total = sum(w for _, w in weights_ppm)
+    if total != 1_000_000:
+        raise ValueError(f"weights_ppm must sum to 1000000, got {total}")
+    sort_key = F.md5(F.concat(F.lit("split:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(sort_key, F.col(id_col))
+    wn = Window.partitionBy(*strata_cols)
+    ranked = docs.select(id_col, *strata_cols).withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(wn))
+    expr = None
+    cum = 0
+    for name, wt in weights_ppm[:-1]:
+        cum += wt
+        bound = F.floor(
+            (F.col("_n") * F.lit(cum)).cast("double") / F.lit(1_000_000.0)
+        )
+        branch = F.col("_rn") <= bound
+        expr = (
+            F.when(branch, F.lit(name))
+            if expr is None
+            else expr.when(branch, F.lit(name))
+        )
+    expr = expr.otherwise(F.lit(weights_ppm[-1][0]))
+    return ranked.select(id_col, *strata_cols, expr.alias("split"))

@@ -1343,3 +1343,31 @@ def downsample_lttb(
             F.col("_v").alias("value"),
         )
     )
+
+
+def throttle_per_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    n_per_window: int,
+    window_seconds: int,
+) -> DataFrame:
+    """K24 per-key rate limiting: keep the FIRST n events per key per
+    epoch-aligned window, drop the rest — the ingest-protection
+    operator in front of a hot sink (a chatty device cannot starve the
+    pipeline; the kept rows are deterministic, not rate-dependent).
+    One exchange: the (key, window) rank's partitioning; deterministic
+    (ts, tiebreak) order. Epoch-aligned integer bucket arithmetic —
+    identical on any engine."""
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(window_seconds * 1_000_000)
+    ).cast("long")
+    w = Window.partitionBy(F.col(key), bucket).orderBy(
+        F.col(ts_col), F.col(tiebreak)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_window)
+        .drop("_rn")
+    )

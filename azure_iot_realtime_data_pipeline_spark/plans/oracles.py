@@ -4291,6 +4291,40 @@ ORACLES["q_json_quarantine"] = """
     SELECT event_id, NOT json_valid(payload) AS quarantined FROM feed
     """
 
+# J70 stratified split: md5-ordered rank per stratum, identical double
+# boundary expressions (floor(cum_w * n)) on both engines.
+ORACLES["q_stratified_split"] = """
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CASE WHEN rn <= floor(CAST(n * 800000 AS DOUBLE) / 1000000.0)
+                  THEN 'train'
+                WHEN rn <= floor(CAST(n * 900000 AS DOUBLE) / 1000000.0)
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """
+
+# K24 throttle: first 3 per (user, aligned 10-min window).
+ORACLES["q_throttle"] = """
+    SELECT event_id, user_id, ts FROM (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id,
+                            CAST(floor(epoch_us(ts) / 600000000) AS BIGINT)
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

@@ -3282,6 +3282,25 @@ def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(F.col("event_id"), F.col("quarantined"))
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J70 stratified train/val/test split over (lang, source) strata:
+    exact per-stratum proportions via an md5-ordered rank (the
+    engine-portable shuffle) — J19's uniform hash split can empty a
+    rare stratum's eval slice; this cannot."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.stratified_split(docs, ["lang", "source"])
+
+
+def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K24 per-key rate limiting: first 3 events per user per aligned
+    10-minute window — deterministic ingest protection; one (key,
+    window) rank exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.throttle_per_key(
+        ev, "user_id", "ts", "event_id", n_per_window=3, window_seconds=600
+    ).select("event_id", "user_id", "ts")
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3411,6 +3430,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lttb": q_lttb,
     "q_corpus_report": q_corpus_report,
     "q_json_quarantine": q_json_quarantine,
+    "q_stratified_split": q_stratified_split,
+    "q_throttle": q_throttle,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

@@ -1254,3 +1254,34 @@ def test_bpe_encode_matches_reference_on_learned_rules(spark):
     zero = {r.doc_id: r for r in bpe_encode(docs, empty).collect()}
     for i in zero:
         assert zero[i].n_bpe_tokens == zero[i].n_chars
+
+
+def test_stratified_split_exact_proportions_per_stratum(spark):
+    """J70: every stratum — including one SMALLER than a split slot —
+    gets exact floor proportions; weights validate; assignment is
+    deterministic across runs."""
+    import pytest
+
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        stratified_split,
+    )
+
+    rows = [(i, "en", "web") for i in range(100)]
+    rows += [(100 + i, "fr", "web") for i in range(10)]
+    rows += [(200, "de", "web")]  # 1-row stratum: all rows -> last split
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = stratified_split(docs, ["lang", "source"]).collect()
+    from collections import Counter
+
+    c = Counter((r.lang, r.split) for r in out)
+    assert c[("en", "train")] == 80 and c[("en", "val")] == 10
+    assert c[("en", "test")] == 10
+    assert c[("fr", "train")] == 8 and c[("fr", "val")] == 1
+    assert c[("fr", "test")] == 1
+    assert c[("de", "test")] == 1  # floor(0.8*1)=0, floor(0.9*1)=0
+    again = stratified_split(docs, ["lang", "source"]).collect()
+    assert {(r.doc_id, r.split) for r in again} == {
+        (r.doc_id, r.split) for r in out
+    }
+    with pytest.raises(ValueError, match="1000000"):
+        stratified_split(docs, ["lang"], weights_ppm=(("a", 1), ("b", 2)))

@@ -1083,3 +1083,26 @@ def test_scd2_enrich_reserved_columns_and_shuffle_path(spark):
             facts.withColumn("version", facts["event_id"]), dim, "user_id", "ts"
         )
 
+
+
+def test_throttle_per_key_caps_each_window(spark):
+    """K24: at most n rows per (key, aligned window), earliest kept,
+    deterministic tie-break; quiet keys pass untouched."""
+    from datetime import datetime
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        throttle_per_key,
+    )
+
+    rows = []
+    for i in range(10):  # chatty: 10 events in one minute
+        rows.append(("hot", i, datetime(2026, 1, 1, 0, 0, i)))
+    rows.append(("hot", 99, datetime(2026, 1, 1, 0, 10, 0)))  # next window
+    rows.append(("quiet", 7, datetime(2026, 1, 1, 0, 0, 30)))
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
+    kept = throttle_per_key(
+        df, "user_id", "ts", "event_id", n_per_window=3, window_seconds=600
+    ).collect()
+    hot = sorted(r.event_id for r in kept if r.user_id == "hot")
+    assert hot == [0, 1, 2, 99]  # first 3 of window 1, the 1 of window 2
+    assert [r.event_id for r in kept if r.user_id == "quiet"] == [7]
