@@ -4312,17 +4312,18 @@ ORACLES["q_stratified_split"] = """
     FROM r
     """
 
-# K24 throttle: first 3 per (user, aligned 10-min window).
+# K24 throttle: first 2 per (user, aligned day) — params that make the
+# cap bite on this feed (~31% dropped).
 ORACLES["q_throttle"] = """
     SELECT event_id, user_id, ts FROM (
       SELECT event_id, user_id, ts,
              row_number() OVER (
                PARTITION BY user_id,
-                            CAST(floor(epoch_us(ts) / 600000000) AS BIGINT)
+                            CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
                ORDER BY ts, event_id
              ) AS rn
       FROM events
-    ) WHERE rn <= 3
+    ) WHERE rn <= 2
     """
 
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,

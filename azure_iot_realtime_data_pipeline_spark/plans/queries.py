@@ -3292,12 +3292,13 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K24 per-key rate limiting: first 3 events per user per aligned
-    10-minute window — deterministic ingest protection; one (key,
-    window) rank exchange."""
+    """K24 per-key rate limiting: first 2 events per user per aligned
+    day — deterministic ingest protection; one (key, window) rank
+    exchange. Parameters chosen so the cap BITES on this feed (drops
+    ~31% — a 10-minute cap kept every row, which proves nothing)."""
     ev = load_table(spark, sf_dir, "events")
     return sessions.throttle_per_key(
-        ev, "user_id", "ts", "event_id", n_per_window=3, window_seconds=600
+        ev, "user_id", "ts", "event_id", n_per_window=2, window_seconds=86400
     ).select("event_id", "user_id", "ts")
 
 
