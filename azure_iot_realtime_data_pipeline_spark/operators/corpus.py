@@ -1522,3 +1522,93 @@ def stratified_split(
         )
     expr = expr.otherwise(F.lit(weights_ppm[-1][0]))
     return ranked.select(id_col, *strata_cols, expr.alias("split"))
+
+
+def ngram_kl(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """J71 domain-shift detector: KL(a || b) over the hashed
+    unigram+bigram bucket distributions (the J59/DSIR featurization —
+    bounded at n_buckets counters regardless of corpus size), add-one
+    smoothed. The drift monitor between a training corpus and an
+    incoming batch: near 0 = same domain; rising = the mixture moved.
+
+    Exactness (the J43/J59 pinned-ln idiom): per bucket, both log
+    probabilities pin to int64 micro-nats BEFORE p_a weights them, and
+    each bucket's contribution pins again — the final one-row sum is
+    order-free int64. Every one of the n_buckets rows joins a FULL
+    bucket spine, so unseen-on-both-sides buckets contribute their
+    (nonzero when totals differ) smoothed term instead of silently
+    dropping. Plan: two bounded bucket aggregates, two one-row totals
+    (the sanctioned scalar collect), one <= n_buckets-row join — the
+    corpora are scanned once each and never shuffled by feature.
+
+    Returns ONE row (kl_nats, n_buckets_obs, a_feats, b_feats)."""
+    fa = (
+        _hashed_ngram_buckets(a, text_col, id_col, n_buckets)
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_ca"))
+    )
+    fb = (
+        _hashed_ngram_buckets(b, text_col, id_col, n_buckets)
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    a_tot = fa.agg(F.sum("_ca").alias("s")).collect()[0]["s"] or 0
+    b_tot = fb.agg(F.sum("_cb").alias("s")).collect()[0]["s"] or 0
+    spine = a.sparkSession.range(n_buckets).select(
+        F.col("id").alias("_bucket")
+    )
+    j = (
+        spine.join(F.broadcast(fa), "_bucket", "left")
+        .join(F.broadcast(fb), "_bucket", "left")
+        .select(
+            "_bucket",
+            F.coalesce(F.col("_ca"), F.lit(0)).alias("_ca"),
+            F.coalesce(F.col("_cb"), F.lit(0)).alias("_cb"),
+        )
+    )
+    pa = (F.col("_ca").cast("double") + 1.0) / F.lit(float(a_tot + n_buckets))
+    mla = F.floor(
+        F.log(
+            (F.col("_ca").cast("double") + 1.0) / F.lit(float(a_tot + n_buckets))
+        )
+        * 1_000_000.0
+        + F.lit(0.5)
+    ).cast("long")
+    mlb = F.floor(
+        F.log(
+            (F.col("_cb").cast("double") + 1.0) / F.lit(float(b_tot + n_buckets))
+        )
+        * 1_000_000.0
+        + F.lit(0.5)
+    ).cast("long")
+    contrib = F.floor(
+        pa * (mla - mlb).cast("double") + F.lit(0.5)
+    ).cast("long")
+    agg = j.select(
+        contrib.alias("_c"),
+        (F.col("_ca") > 0).cast("long").alias("_oa"),
+        (F.col("_cb") > 0).cast("long").alias("_ob"),
+    ).agg(
+        F.sum("_c").alias("_kl_micro"),
+        F.sum(F.when((F.col("_oa") + F.col("_ob")) > 0, 1).otherwise(0)).alias(
+            "n_buckets_obs"
+        ),
+    )
+    from azure_iot_realtime_data_pipeline_spark.functions.rounding import (
+        round_half_up,
+    )
+
+    return agg.select(
+        round_half_up(
+            F.col("_kl_micro").cast("double") / F.lit(1_000_000.0), 6
+        ).alias("kl_nats"),
+        F.col("n_buckets_obs"),
+        F.lit(a_tot).cast("long").alias("a_feats"),
+        F.lit(b_tot).cast("long").alias("b_feats"),
+    )

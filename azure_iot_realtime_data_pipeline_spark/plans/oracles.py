@@ -4326,6 +4326,76 @@ ORACLES["q_throttle"] = """
     ) WHERE rn <= 2
     """
 
+# L41 percentile bands: the L4 rank selection grouped by aligned hour.
+ORACLES["q_percentile_bands"] = """
+    WITH ranked AS (
+      SELECT make_timestamp(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                            * 3600000000) AS hour,
+             value, event_id,
+             row_number() OVER (
+               PARTITION BY CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+               ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+             ) AS n
+      FROM events
+    )
+    SELECT hour, q, value AS p_value
+    FROM ranked CROSS JOIN
+         (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q) qs
+    WHERE rn = CAST(ceil(q * n) AS BIGINT)
+    """
+
+# J71 ngram KL: the J59 bucket featurization on both halves, full
+# 1024-bucket spine (unseen-on-both-sides buckets still contribute
+# their smoothed term), pinned-ln micro-nat lattice.
+ORACLES["q_ngram_kl"] = """
+    WITH staged AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, unnest(l) AS f FROM staged
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS f
+      FROM staged WHERE len(l) >= 2
+    ),
+    fb AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM feats
+    ),
+    ac AS (SELECT b, COUNT(*) AS ca FROM fb WHERE doc_id % 2 = 0 GROUP BY b),
+    bc AS (SELECT b, COUNT(*) AS cb FROM fb WHERE doc_id % 2 = 1 GROUP BY b),
+    at AS (SELECT coalesce(CAST(SUM(ca) AS BIGINT), 0) AS a_tot FROM ac),
+    bt AS (SELECT coalesce(CAST(SUM(cb) AS BIGINT), 0) AS b_tot FROM bc),
+    spine AS (SELECT unnest(range(0, 1024)) AS b),
+    j AS (
+      SELECT s.b, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb, a_tot, b_tot
+      FROM spine s LEFT JOIN ac ON s.b = ac.b LEFT JOIN bc ON s.b = bc.b,
+           at, bt
+    ),
+    terms AS (
+      SELECT (ca > 0 OR cb > 0) AS obs,
+             CAST(floor(
+               ((ca + 1.0) / (a_tot + 1024))
+               * CAST(CAST(floor(ln((ca + 1.0) / (a_tot + 1024))
+                                 * 1000000.0 + 0.5) AS BIGINT)
+                      - CAST(floor(ln((cb + 1.0) / (b_tot + 1024))
+                                   * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+               + 0.5) AS BIGINT) AS c
+      FROM j
+    )
+    SELECT floor(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / 1000000.0
+                 * 1000000 + 0.5) / 1000000 AS kl_nats,
+           CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_obs,
+           (SELECT a_tot FROM at) AS a_feats,
+           (SELECT b_tot FROM bt) AS b_feats
+    FROM terms
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

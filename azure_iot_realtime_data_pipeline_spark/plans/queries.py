@@ -3302,6 +3302,35 @@ def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts")
 
 
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L41 percentile bands over time: exact p50/p95 of the measurement
+    per aligned hour — the dashboard band chart (median line + tail
+    envelope). Pure composition: the L4 rank-selection machinery with a
+    derived time-bucket group; one (hour) exchange, quantile fan-out
+    map-side."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour",
+        F.timestamp_seconds(
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)) * 3600
+        ),
+    )
+    return analytics.exact_percentiles(
+        ev, "hour", "value", "event_id", quantiles=(0.5, 0.95)
+    )
+
+
+def q_ngram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J71 domain-shift KL between the even and odd doc_id halves over
+    hashed unigram+bigram buckets — the drift monitor between a corpus
+    and an incoming batch; pinned-ln micro-nat lattice, one bounded
+    bucket join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.ngram_kl(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3433,6 +3462,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_json_quarantine": q_json_quarantine,
     "q_stratified_split": q_stratified_split,
     "q_throttle": q_throttle,
+    "q_percentile_bands": q_percentile_bands,
+    "q_ngram_kl": q_ngram_kl,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

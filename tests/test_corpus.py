@@ -1285,3 +1285,24 @@ def test_stratified_split_exact_proportions_per_stratum(spark):
     }
     with pytest.raises(ValueError, match="1000000"):
         stratified_split(docs, ["lang"], weights_ppm=(("a", 1), ("b", 2)))
+
+
+def test_ngram_kl_zero_on_identical_and_positive_on_disjoint(spark):
+    """J71: KL(a||a) is ~0 (only smoothing-lattice dust); disjoint
+    vocabularies score far higher; column contract carries both totals."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import ngram_kl
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, "omega psi chi phi") for i in range(20)],
+        "doc_id long, text string",
+    )
+    same = ngram_kl(a, a).collect()[0]
+    assert abs(same.kl_nats) < 1e-3
+    assert same.a_feats == same.b_feats > 0
+    diff = ngram_kl(a, b).collect()[0]
+    assert diff.kl_nats > 0.3  # disjoint vocab (smoothing over 1024
+    # buckets bounds the per-bucket ratio at this tiny feature count)
