@@ -2287,3 +2287,91 @@ def trapezoid_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+THROTTLE_STATE_SCHEMA = StructType(
+    [StructField("bucket", LongType()), StructField("n_in_bucket", LongType())]
+)
+
+
+def make_throttle_fn(
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_per_window: int = 2,
+    window_seconds: int = 86400,
+):
+    """applyInPandasWithState body for the K24 streaming twin (picklable
+    closure). Per key the carry cell is (current_bucket, count): rows
+    process in (ts, id) order; a row in a NEWER bucket resets the
+    count, a row in the current bucket increments it, and a LATE row
+    (older bucket than the carried one) is conservatively DROPPED —
+    counting it against a closed window could only re-admit traffic the
+    batch form already rejected, and rate limiting must fail closed.
+    Under in-order arrival (the replay contract shared by the K13/K18
+    twins) the kept set equals the batch operator's exactly."""
+
+    def fn(key, pdfs, state):
+        bucket, n = state.get if state.exists else (None, 0)
+        pdf = one_frame(pdfs)
+        kept = []
+        if pdf is not None:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            for ts_v, ev_id in zip(pdf[ts_col], pdf[id_col]):
+                if pd.isna(ts_v):
+                    continue
+                ep = int(pd.Timestamp(ts_v).value // 1000)
+                b = ep // (window_seconds * 1_000_000)
+                if bucket is None or b > bucket:
+                    bucket, n = b, 0
+                elif b < bucket:
+                    continue  # late: fail closed
+                if n < n_per_window:
+                    n += 1
+                    kept.append((ev_id, ts_v))
+        state.update((bucket, n))
+        if kept:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(kept),
+                    id_col: [k[0] for k in kept],
+                    ts_col: [k[1] for k in kept],
+                }
+            )
+
+    return fn
+
+
+def throttle_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_per_window: int = 2,
+    window_seconds: int = 86400,
+) -> DataFrame:
+    """K24 streaming twin: per-key rate limiting with an O(1) two-field
+    carry cell — the ingest-protection form that actually runs IN the
+    ingest path (the batch form ranks after the fact). Emits exactly
+    the admitted rows; late rows fail closed (docstring of the fn)."""
+    tagged = events.select(F.col(key_col), F.col(ts_col), F.col(id_col))
+    out_schema = StructType(
+        [
+            tagged.schema[key_col],
+            tagged.schema[id_col],
+            tagged.schema[ts_col],
+        ]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_throttle_fn(
+            key_col=key_col,
+            ts_col=ts_col,
+            id_col=id_col,
+            n_per_window=n_per_window,
+            window_seconds=window_seconds,
+        ),
+        outputStructType=out_schema,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

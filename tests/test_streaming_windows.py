@@ -2517,3 +2517,44 @@ def test_json_quarantine_runs_on_a_stream(spark, sf_smoke, replay_dir, tmp_path)
     }
     assert got == want
     assert any(flag for _eid, flag in got)  # the corrupt rows exist
+
+
+def test_throttle_stream_matches_batch_under_ordered_replay(
+    spark, sf_smoke, replay_dir, tmp_path
+):
+    """K24 streaming twin: under in-order replay the admitted set equals
+    the batch rank-based throttle exactly — the (bucket, count) carry
+    survives micro-batch boundaries mid-window."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sessions import (
+        throttle_per_key,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        throttle_stream,
+    )
+
+    q = (
+        throttle_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("throttle_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_thr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.event_id
+        for r in spark.sql("SELECT event_id FROM throttle_stream").collect()
+    }
+    want = {
+        r.event_id
+        for r in throttle_per_key(
+            load_table(spark, sf_smoke, "events"),
+            "user_id",
+            "ts",
+            "event_id",
+            n_per_window=2,
+            window_seconds=86400,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
