@@ -94,6 +94,7 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_promo_share",          # one-row conditional aggregate (Q14)
     "q_brand_size_revenue",   # one-row disjunctive aggregate (Q19)
     "q_corpus_report",        # one-row corpus doc total onto the card
+    "q_ngram_kl",             # one-row KL sum over the <=1024 bucket spine
 }
 
 
