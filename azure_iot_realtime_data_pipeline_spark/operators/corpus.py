@@ -1520,7 +1520,10 @@ def stratified_split(
             if expr is None
             else expr.when(branch, F.lit(name))
         )
-    expr = expr.otherwise(F.lit(weights_ppm[-1][0]))
+    last = F.lit(weights_ppm[-1][0])
+    # a single-split weights tuple is valid (everything -> that split);
+    # the CASE chain is then empty and `expr` never materialized
+    expr = last if expr is None else expr.otherwise(last)
     return ranked.select(id_col, *strata_cols, expr.alias("split"))
 
 
@@ -1548,15 +1551,21 @@ def ngram_kl(
     corpora are scanned once each and never shuffled by feature.
 
     Returns ONE row (kl_nats, n_buckets_obs, a_feats, b_feats)."""
+    # localCheckpoint the <= n_buckets-row count tables (the J59 idiom):
+    # the scalar-total collect below would otherwise re-run the whole
+    # explode+hash+shuffle lineage when the returned plan executes —
+    # doubling the dominant stage on both corpora.
     fa = (
         _hashed_ngram_buckets(a, text_col, id_col, n_buckets)
         .groupBy("_bucket")
         .agg(F.count(F.lit(1)).alias("_ca"))
+        .localCheckpoint()
     )
     fb = (
         _hashed_ngram_buckets(b, text_col, id_col, n_buckets)
         .groupBy("_bucket")
         .agg(F.count(F.lit(1)).alias("_cb"))
+        .localCheckpoint()
     )
     a_tot = fa.agg(F.sum("_ca").alias("s")).collect()[0]["s"] or 0
     b_tot = fb.agg(F.sum("_cb").alias("s")).collect()[0]["s"] or 0
@@ -1572,21 +1581,13 @@ def ngram_kl(
             F.coalesce(F.col("_cb"), F.lit(0)).alias("_cb"),
         )
     )
+    # ONE smoothed-probability expression per distribution — mla/mlb
+    # log the same bound column, so a smoothing edit cannot skew one
+    # copy silently (review r7 s5 pass 4)
     pa = (F.col("_ca").cast("double") + 1.0) / F.lit(float(a_tot + n_buckets))
-    mla = F.floor(
-        F.log(
-            (F.col("_ca").cast("double") + 1.0) / F.lit(float(a_tot + n_buckets))
-        )
-        * 1_000_000.0
-        + F.lit(0.5)
-    ).cast("long")
-    mlb = F.floor(
-        F.log(
-            (F.col("_cb").cast("double") + 1.0) / F.lit(float(b_tot + n_buckets))
-        )
-        * 1_000_000.0
-        + F.lit(0.5)
-    ).cast("long")
+    pb = (F.col("_cb").cast("double") + 1.0) / F.lit(float(b_tot + n_buckets))
+    mla = F.floor(F.log(pa) * 1_000_000.0 + F.lit(0.5)).cast("long")
+    mlb = F.floor(F.log(pb) * 1_000_000.0 + F.lit(0.5)).cast("long")
     contrib = F.floor(
         pa * (mla - mlb).cast("double") + F.lit(0.5)
     ).cast("long")

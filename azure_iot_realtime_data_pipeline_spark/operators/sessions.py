@@ -1359,7 +1359,11 @@ def throttle_per_key(
     pipeline; the kept rows are deterministic, not rate-dependent).
     One exchange: the (key, window) rank's partitioning; deterministic
     (ts, tiebreak) order. Epoch-aligned integer bucket arithmetic —
-    identical on any engine."""
+    identical on any engine. NULL-timestamp rows are EXCLUDED (review
+    r7 s5 pass 4): an event with no event time cannot be rate-bucketed,
+    and the streaming twin's state machine necessarily drops them — a
+    batch form that admitted n of them per key would break the
+    batch-equivalence contract."""
     bucket = F.floor(
         F.unix_micros(F.col(ts_col)) / F.lit(window_seconds * 1_000_000)
     ).cast("long")
@@ -1367,7 +1371,8 @@ def throttle_per_key(
         F.col(ts_col), F.col(tiebreak)
     )
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_per_window)
         .drop("_rn")
     )

@@ -4322,7 +4322,7 @@ ORACLES["q_throttle"] = """
                             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
                ORDER BY ts, event_id
              ) AS rn
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ) WHERE rn <= 2
     """
 

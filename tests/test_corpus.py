@@ -1285,6 +1285,12 @@ def test_stratified_split_exact_proportions_per_stratum(spark):
     }
     with pytest.raises(ValueError, match="1000000"):
         stratified_split(docs, ["lang"], weights_ppm=(("a", 1), ("b", 2)))
+    # single-split tuple is valid: everything labels as that split
+    # (review r7 s5 pass 4: the empty CASE chain crashed on .otherwise)
+    allrows = stratified_split(
+        docs, ["lang"], weights_ppm=(("all", 1_000_000),)
+    ).collect()
+    assert {r.split for r in allrows} == {"all"} and len(allrows) == 111
 
 
 def test_ngram_kl_zero_on_identical_and_positive_on_disjoint(spark):

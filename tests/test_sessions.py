@@ -1099,10 +1099,12 @@ def test_throttle_per_key_caps_each_window(spark):
         rows.append(("hot", i, datetime(2026, 1, 1, 0, 0, i)))
     rows.append(("hot", 99, datetime(2026, 1, 1, 0, 10, 0)))  # next window
     rows.append(("quiet", 7, datetime(2026, 1, 1, 0, 0, 30)))
+    rows.append(("hot", 55, None))  # no event time: cannot be bucketed
     df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
     kept = throttle_per_key(
         df, "user_id", "ts", "event_id", n_per_window=3, window_seconds=600
     ).collect()
     hot = sorted(r.event_id for r in kept if r.user_id == "hot")
-    assert hot == [0, 1, 2, 99]  # first 3 of window 1, the 1 of window 2
+    assert hot == [0, 1, 2, 99]  # first 3 of window 1, the 1 of window 2;
+    # the NULL-ts row is excluded (matches the streaming twin's contract)
     assert [r.event_id for r in kept if r.user_id == "quiet"] == [7]
