@@ -2558,3 +2558,43 @@ def test_throttle_stream_matches_batch_under_ordered_replay(
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_bloom_prefilter_runs_on_a_stream(spark, sf_smoke, replay_dir, tmp_path):
+    """J65 production deployment shape: the Bloom word table builds
+    ONCE from a static qualifying-key set and its probe condition is a
+    stateless Column — applied to a readStream, survivors must be a
+    superset of the true matches (no false negatives) and the exact
+    stream-static semi join on them equals the batch semi join."""
+    from azure_iot_realtime_data_pipeline_spark.operators.skew import (
+        bloom_might_contain,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    qualifying = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("_k")
+    )
+    keys = qualifying.distinct().localCheckpoint()
+    cond = bloom_might_contain(keys, "_k", F.col("event_id"))
+    survivors = replay_events(spark, replay_dir).filter(cond)
+    exact = survivors.join(keys, F.col("event_id") == F.col("_k"), "left_semi")
+    q = (
+        exact.select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bloom_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.event_id for r in spark.sql("SELECT event_id FROM bloom_stream").collect()
+    }
+    want = {
+        r.event_id
+        for r in ev.join(keys, ev["event_id"] == F.col("_k"), "left_semi")
+        .select("event_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
