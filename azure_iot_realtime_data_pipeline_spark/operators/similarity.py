@@ -853,24 +853,41 @@ def jl_project(
     divide are IEEE-correctly-rounded, hence bit-identical on any
     engine (the cosine itself needs no rounding allowance beyond the
     output's usual 4 dp). The 1/sqrt(out_dim) JL scale is dropped:
-    cosine is scale-invariant and the micro pin fixes the magnitude."""
-    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
-        micro_units,
-    )
+    cosine is scale-invariant and the micro pin fixes the magnitude.
 
+    Arrow mapInPandas, NOT an expression tree (the r4 IVF lesson,
+    re-measured here: 32 zip_with folds over 64-double literal rows
+    cost ~3 s of py4j PLAN-BUILD per construction and defeat codegen;
+    the numpy form is the same arithmetic — multiply then add,
+    SEQUENTIALLY over input dims, vectorized over rows — so every
+    partial sum is the bit-identical IEEE double the fold produced,
+    and the generated oracle still matches hash-for-hash). Input
+    vectors must be non-NULL, in_dim-long, finite (the embeddings
+    contract; the pin skips micro_units' non-finite guard)."""
     signs = jl_signs(in_dim, out_dim)
-    comps = []
-    for j in range(out_dim):
-        s = F.lit(signs[j])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), s, lambda x, sg: x.cast("double") * sg
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        comps.append(micro_units(dot).cast("double"))
-    return df.select(F.col(id_col), F.array(*comps).alias("jl"))
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        sm = np.array(signs, dtype=np.float64)  # out_dim x in_dim
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = v.shape[0]
+            out = np.empty((n, sm.shape[0]), dtype=np.float64)
+            for j in range(sm.shape[0]):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(sm.shape[1]):
+                    acc = acc + v[:, i] * sm[j, i]
+                out[:, j] = np.floor(acc * 1_000_000.0 + 0.5)
+            yield pd.DataFrame({id_col: pdf[id_col], "jl": list(out)})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        project, schema=f"{id_col} {id_type}, jl array<double>"
+    )
 
 
 def jl_topk(
@@ -883,8 +900,16 @@ def jl_topk(
     """J66 top-k cosine in JL-projected space: the compressed-search
     recipe — project once (map-side), then the exact top-k machinery
     runs over out_dim-wide vectors instead of in_dim. Recall vs
-    full-precision top-k is measured and gated in tests, not assumed."""
-    proj = jl_project(emb, out_dim=out_dim, in_dim=in_dim)
+    full-precision top-k is measured and gated in tests, not assumed.
+    ensure_parallelism is load-bearing: the single-file embeddings
+    parquet otherwise runs the out_dim x in_dim projection folds for
+    every candidate in ONE task (measured 4.6 s single-task vs 0.9 s
+    spread at sf0.1 — the q_top_ngrams incident class)."""
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import (
+        ensure_parallelism,
+    )
+
+    proj = jl_project(ensure_parallelism(emb), out_dim=out_dim, in_dim=in_dim)
     q = proj.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("jl").alias("qv")
     )

@@ -3172,8 +3172,12 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits over a 37-symbol alphabet + OTHER, pure map-side codegen (one
     literal replace per symbol, no explode — an exploded char stream
     would shuffle the whole corpus); integer-lattice accumulation with
-    the pinned-log2 idiom so the oracle matches bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
+    the pinned-log2 idiom so the oracle matches bit-for-bit.
+    ensure_parallelism is load-bearing: the single-file documents
+    parquet otherwise runs the ~1 ms/row expression in ONE task
+    (measured 4.5 s single-task at sf0.1 — the q_top_ngrams incident
+    class, caught in the r7 s5 closing bench as the sweep tail)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         round_half_up(text.char_entropy_bits(F.col("text"))).alias(
