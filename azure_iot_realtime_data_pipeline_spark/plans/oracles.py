@@ -4396,6 +4396,41 @@ ORACLES["q_ngram_kl"] = """
     FROM terms
     """
 
+# L42 grid neighbor join: integer tenths coordinates, floor-divided
+# cells (DuckDB // truncates toward zero — floor() is the portable
+# spelling for negatives), 3x3 probe explode, exact integer d2.
+ORACLES["q_spatial_join"] = """
+    WITH pts AS (
+      SELECT event_id AS id,
+             CAST(user_id % 1800 - 900 AS BIGINT) AS lat,
+             CAST(event_id % 3600 - 1800 AS BIGINT) AS lon
+      FROM events
+    ),
+    cells AS (
+      SELECT id, lat, lon,
+             CAST(floor(CAST(lat AS DOUBLE) / 3.0) AS BIGINT) AS cx,
+             CAST(floor(CAST(lon AS DOUBLE) / 3.0) AS BIGINT) AS cy
+      FROM pts
+    ),
+    probe AS (
+      SELECT id AS ida, lat AS lata, lon AS lona,
+             cx + o.dx AS pcx, cy + o.dy AS pcy
+      FROM cells, (
+        SELECT unnest([-1, 0, 1]) AS dx
+      ) ox, (
+        SELECT unnest([-1, 0, 1]) AS dy
+      ) oy,
+      LATERAL (SELECT ox.dx AS dx, oy.dy AS dy) o
+    )
+    SELECT p.ida AS id_a, c.id AS id_b,
+           (p.lata - c.lat) * (p.lata - c.lat)
+           + (p.lona - c.lon) * (p.lona - c.lon) AS d2_tenths
+    FROM probe p
+    JOIN cells c ON p.pcx = c.cx AND p.pcy = c.cy AND p.ida < c.id
+    WHERE (p.lata - c.lat) * (p.lata - c.lat)
+          + (p.lona - c.lon) * (p.lona - c.lon) <= 1
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

@@ -3335,6 +3335,23 @@ def q_ngram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L42 grid-cell neighbor join over deterministic device
+    coordinates (integer tenths of a degree derived from ids — the
+    telemetry's geolocation field at sf-data scale): pairs within 1
+    tenth, candidate generation via the 3x3 cell equi-join — the
+    sub-quadratic spatial shape, never a cross product."""
+    from azure_iot_realtime_data_pipeline_spark.operators import spatial
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.col("user_id") % 1800 - 900).alias("lat_t"),
+        (F.col("event_id") % 3600 - 1800).alias("lon_t"),
+    )
+    return spatial.grid_neighbor_pairs(pts, "event_id", "lat_t", "lon_t")
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3468,6 +3485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_throttle": q_throttle,
     "q_percentile_bands": q_percentile_bands,
     "q_ngram_kl": q_ngram_kl,
+    "q_spatial_join": q_spatial_join,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

@@ -2094,3 +2094,41 @@ def test_json_quarantine_split_and_edge_payloads(spark):
         parse_json_quarantine(
             df.withColumn("raw", F.lit("x")), "js", "a INT"
         )
+
+
+def test_grid_neighbor_pairs_matches_brute_force(spark):
+    """L42: the 3x3 cell cover finds EXACTLY the brute-force pair set —
+    including pairs straddling a cell boundary and negative
+    coordinates (floor-division cells, where a truncating div would
+    misplace points); cell narrower than the radius is a contract
+    error."""
+    import itertools
+
+    import pytest
+
+    from azure_iot_realtime_data_pipeline_spark.operators.spatial import (
+        grid_neighbor_pairs,
+    )
+
+    pts = [
+        (1, 0, 0),
+        (2, 1, 0),     # within 1 of #1
+        (3, 2, 0),     # within 1 of #2 only (d2=4 from #1)
+        (4, 3, 0),     # boundary: cell 1 while #3 is cell 0 (size 3)
+        (5, -1, -1),   # negative coords, within sqrt(2) of #1? d2=2 > 1
+        (6, -1, 0),    # within 1 of #1; negative lat cell = -1 (floor)
+        (7, 500, 500), # isolated
+    ]
+    df = spark.createDataFrame(pts, "id long, lat_t long, lon_t long")
+    got = {
+        (r.id_a, r.id_b, r.d2_tenths)
+        for r in grid_neighbor_pairs(df, "id", "lat_t", "lon_t").collect()
+    }
+    want = set()
+    for (ia, la, lo), (ib, lb, lb2) in itertools.combinations(pts, 2):
+        d2 = (la - lb) ** 2 + (lo - lb2) ** 2
+        if d2 <= 1:
+            want.add((min(ia, ib), max(ia, ib), d2))
+    assert got == want and len(want) >= 3
+    with pytest.raises(ValueError, match="cell_tenths"):
+        grid_neighbor_pairs(df, "id", "lat_t", "lon_t", radius_tenths=5, cell_tenths=3)
