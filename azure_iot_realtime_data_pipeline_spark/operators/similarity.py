@@ -917,3 +917,94 @@ def jl_topk(
         F.col("vec_id").alias("cand_id"), F.col("jl").alias("cv")
     )
     return cosine_topk(q, c, k=k)
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+) -> DataFrame:
+    """J72 exact embedding covariance matrix — the PCA/whitening prep
+    and the drift diagnostic one level above J55's centroids (means
+    move slowly; covariance catches a collapsing or rotating embedding
+    space). Upper triangle of the in_dim x in_dim matrix as
+    (i, j, cov) rows.
+
+    The 100 TB shape is the map-side partial Gram: each Arrow batch
+    computes its own X^T X ONCE in numpy and emits in_dim*(in_dim+1)/2
+    partial rows; one bounded groupBy over (i, j) merges partitions —
+    the classic tree aggregation, never a per-element explode+self-join
+    (that is a 64x row fan-out THROUGH a shuffle). First moments ride
+    the same partials as the j = -1 diagonal-extension rows.
+
+    Exactness: each element PAIR product pins to int64 micro BEFORE any
+    summation (floor(xi*xj*1e6+0.5) — float32 inputs upcast exactly, a
+    single correctly-rounded multiply each), so every partial and the
+    merged total are order-free integer arithmetic; the final
+    cov = (S_ij - S_i*S_j/n)/n runs in fixed-order double on exact
+    integers. The ORACLE (an unnest-pair SQL over every element — the
+    form this operator exists to avoid at scale) reproduces the same
+    lattice bit-for-bit."""
+    n_rows = F.count(F.lit(1))
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            iu, ju = np.triu_indices(x.shape[1])
+            # pinned pair products, THEN the partition sum (int64)
+            prods = np.floor(
+                x[:, iu] * x[:, ju] * 1_000_000.0 + 0.5
+            ).astype(np.int64)
+            s2 = prods.sum(axis=0)
+            firsts = np.floor(x * 1_000_000.0 + 0.5).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(x.shape[1])]),
+                    "j": np.concatenate([ju, np.full(x.shape[1], -1)]),
+                    "s": np.concatenate([s2, firsts]),
+                    "n": np.concatenate(
+                        [
+                            np.full(len(iu), len(pdf), dtype=np.int64),
+                            np.full(x.shape[1], 0, dtype=np.int64),
+                        ]
+                    ),
+                }
+            )
+
+    parts = emb.select(vec_col).mapInPandas(
+        partial_gram, schema="i int, j int, s long, n long"
+    )
+    merged = parts.groupBy("i", "j").agg(
+        F.sum("s").alias("_s"), F.sum("n").alias("_n")
+    )
+    firsts = merged.filter(F.col("j") == -1).select(
+        F.col("i"), F.col("_s").alias("_fs")
+    )
+    second = merged.filter(F.col("j") >= 0)
+    fi = firsts.select(F.col("i"), F.col("_fs").alias("_fi"))
+    fj = firsts.select(F.col("i").alias("j"), F.col("_fs").alias("_fj"))
+    from azure_iot_realtime_data_pipeline_spark.functions.rounding import (
+        round_half_up,
+    )
+
+    # S2 is in micro^1 units of x_i*x_j (one 1e6 pin on the product);
+    # first moments are micro of x. cov = E[xy] - E[x]E[y]:
+    #   E[xy] = S2/n/1e6 ; E[x]E[y] = (Fi/n/1e6)*(Fj/n/1e6)
+    n_d = F.col("_n").cast("double")
+    exy = F.col("_s").cast("double") / n_d / 1e6
+    ex = F.col("_fi").cast("double") / n_d / 1e6
+    ey = F.col("_fj").cast("double") / n_d / 1e6
+    return (
+        second.join(F.broadcast(fi), "i")
+        .join(F.broadcast(fj), "j")
+        .select(
+            F.col("i"),
+            F.col("j"),
+            round_half_up(exy - ex * ey, 6).alias("cov"),
+        )
+    )

@@ -4431,6 +4431,45 @@ ORACLES["q_spatial_join"] = """
           + (p.lona - c.lon) * (p.lona - c.lon) <= 1
     """
 
+# J72 embedding covariance: the unnest-pair form (every element pair
+# through a join) that the partial-Gram operator avoids at scale; the
+# identical pinned lattice (floor(xi*xj*1e6+0.5) per pair, int64 sums,
+# fixed-order final double expression).
+ORACLES["q_embedding_cov"] = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+    el AS (
+      SELECT vec_id, unnest(generate_series(1, 64)) AS idx, embedding
+      FROM e
+    ),
+    ex AS (
+      SELECT vec_id, CAST(idx - 1 AS INTEGER) AS i,
+             CAST(embedding[idx] AS DOUBLE) AS x
+      FROM el
+    ),
+    s2 AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(floor(a.x * b.x * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    fm AS (
+      SELECT i,
+             CAST(SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS fsum
+      FROM ex GROUP BY i
+    )
+    SELECT s2.i, s2.j,
+           floor((CAST(s AS DOUBLE) / n / 1000000.0
+                  - (CAST(fi.fsum AS DOUBLE) / n / 1000000.0)
+                    * (CAST(fj.fsum AS DOUBLE) / n / 1000000.0))
+                 * 1000000 + 0.5) / 1000000 AS cov
+    FROM s2
+    JOIN fm fi ON s2.i = fi.i
+    JOIN fm fj ON s2.j = fj.i, cnt
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

@@ -3352,6 +3352,16 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.grid_neighbor_pairs(pts, "event_id", "lat_t", "lon_t")
 
 
+def q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J72 exact embedding covariance (upper triangle, 2080 rows at
+    64 dims): per-partition numpy partial Grams on the pinned integer
+    lattice, one bounded (i, j) merge — the PCA/whitening prep and the
+    space-collapse drift diagnostic. The oracle is the unnest-pair SQL
+    this shape exists to avoid at scale."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    return similarity.embedding_covariance(emb)
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3486,6 +3496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentile_bands": q_percentile_bands,
     "q_ngram_kl": q_ngram_kl,
     "q_spatial_join": q_spatial_join,
+    "q_embedding_cov": q_embedding_cov,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

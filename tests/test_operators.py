@@ -2132,3 +2132,41 @@ def test_grid_neighbor_pairs_matches_brute_force(spark):
     assert got == want and len(want) >= 3
     with pytest.raises(ValueError, match="cell_tenths"):
         grid_neighbor_pairs(df, "id", "lat_t", "lon_t", radius_tenths=5, cell_tenths=3)
+
+
+def test_embedding_covariance_matches_numpy_reference(spark):
+    """J72: the distributed partial-Gram merge equals a single-node
+    numpy evaluation of the IDENTICAL pinned-lattice formula, across a
+    partition split (the merge is the thing under test); diagonal
+    entries are variances (>= 0 up to lattice dust)."""
+    import math
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = [
+        [math.sin(0.1 * i * (d + 1)) for d in range(4)] for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)  # force a multi-partition merge
+    got = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(df, in_dim=4).collect()
+    }
+    x = np.array(rng, dtype=np.float32).astype(np.float64)
+    n = x.shape[0]
+    want = {}
+    for i in range(4):
+        for j in range(i, 4):
+            s = int(np.floor(x[:, i] * x[:, j] * 1e6 + 0.5).astype(np.int64).sum())
+            fi = int(np.floor(x[:, i] * 1e6 + 0.5).astype(np.int64).sum())
+            fj = int(np.floor(x[:, j] * 1e6 + 0.5).astype(np.int64).sum())
+            cov = s / n / 1e6 - (fi / n / 1e6) * (fj / n / 1e6)
+            want[(i, j)] = math.floor(cov * 1e6 + 0.5) / 1e6
+    assert got == want
+    assert all(got[(d, d)] >= -1e-6 for d in range(4))
