@@ -2053,3 +2053,34 @@ def reconcile_feeds(
         z("matched_b").alias("matched_b"),
         (z("n_b") - z("matched_b")).alias("unmatched_b"),
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """L43 CDC apply — the inverse of `snapshot_diff` (L38): given a
+    snapshot and a change feed in the differ's own (op, keys, old_*,
+    new_*) shape, produce the next snapshot: deletes drop, inserts and
+    updates take their new_* values, untouched keys pass through. The
+    algebra the pair forms is the actual correctness contract and is
+    gated end-to-end: apply(old, diff(old, new)) == new — in the
+    registered query the ORACLE recomputes `new` directly, so the
+    driver hash-checks the round-trip itself.
+
+    Plan: one anti join of the base against the change keys (PINNED
+    shuffle-hash — a change feed is fact-sized in a real CDC stream,
+    and the static fallback is the banned SortMergeJoin) + a map-side
+    projection of the non-delete changes, unioned. Keys must be unique
+    per side (the differ's own PK contract)."""
+    ch_keys = changes.select(*key_cols)
+    survivors = base.select(*key_cols, *compare_cols).join(
+        ch_keys.hint("shuffle_hash"), key_cols, "left_anti"
+    )
+    upserts = changes.filter(F.col("op") != "delete").select(
+        *key_cols,
+        *[F.col(f"new_{c}").alias(c) for c in compare_cols],
+    )
+    return survivors.unionByName(upserts)

@@ -4470,6 +4470,14 @@ ORACLES["q_embedding_cov"] = """
     JOIN fm fj ON s2.j = fj.i, cnt
     """
 
+# L43 CDC apply: the oracle IS the direct "new" snapshot — matching it
+# hash-checks the apply(old, diff(old, new)) == new round trip.
+ORACLES["q_cdc_apply"] = """
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
+    FROM events WHERE event_id % 11 <> 0
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

@@ -3362,6 +3362,28 @@ def q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_covariance(emb)
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L43 CDC round-trip: apply L38's reconstructed change feed back
+    onto the old snapshot — the oracle recomputes the NEW snapshot
+    directly, so the driver hash-checks apply(old, diff(old, new)) ==
+    new, the algebraic contract of the differ/applier pair."""
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.select("event_id", "event_type", "value")
+    new = ev.filter(F.col("event_id") % 11 != 0).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, F.col("value") + F.lit(1.0))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    changes = analytics.snapshot_diff(
+        old, new, ["event_id"], ["event_type", "value"]
+    )
+    return analytics.cdc_apply(
+        old, changes, ["event_id"], ["event_type", "value"]
+    )
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3497,6 +3519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_kl": q_ngram_kl,
     "q_spatial_join": q_spatial_join,
     "q_embedding_cov": q_embedding_cov,
+    "q_cdc_apply": q_cdc_apply,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

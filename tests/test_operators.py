@@ -2170,3 +2170,41 @@ def test_embedding_covariance_matches_numpy_reference(spark):
             want[(i, j)] = math.floor(cov * 1e6 + 0.5) / 1e6
     assert got == want
     assert all(got[(d, d)] >= -1e-6 for d in range(4))
+
+
+def test_cdc_apply_round_trip_with_all_op_kinds(spark):
+    """L43: apply(old, diff(old, new)) == new on a fixture exercising
+    every op kind at once — insert, delete, update, NULL->value and
+    value->NULL transitions, and an untouched passthrough row."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        cdc_apply,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 1.0),     # untouched
+            (2, "b", 2.0),     # deleted
+            (3, "c", 3.0),     # updated value
+            (4, None, 4.0),    # NULL -> value update
+            (5, "e", 5.0),     # value -> NULL update
+        ],
+        "k long, t string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 1.0),
+            (3, "c", 30.0),
+            (4, "d", 4.0),
+            (5, "e", None),
+            (6, "f", 6.0),     # inserted
+        ],
+        "k long, t string, v double",
+    )
+    changes = snapshot_diff(old, new, ["k"], ["t", "v"])
+    got = {
+        (r.k, r.t, r.v)
+        for r in cdc_apply(old, changes, ["k"], ["t", "v"]).collect()
+    }
+    want = {(r.k, r.t, r.v) for r in new.collect()}
+    assert got == want
