@@ -2084,3 +2084,63 @@ def cdc_apply(
         *[F.col(f"new_{c}").alias(c) for c in compare_cols],
     )
     return survivors.unionByName(upserts)
+
+
+def association_rules(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    min_confidence: float = 0.1,
+) -> DataFrame:
+    """L44 association rules — the directed reading of L37's pair
+    counts (Agrawal et al. 1993): rule a -> b with
+    support = n_both/n_baskets and confidence = n_both/n_a, lift
+    shared with the undirected pair. Confidence is what acts on a rule
+    (given a, how often b?) and is ASYMMETRIC — the same pair yields
+    two rules with different confidences, exactly the containment-vs-
+    Jaccard distinction on the dedup side.
+
+    Plan: L37's one-exchange pair/marginal machinery unchanged, then a
+    MAP-SIDE array-explode emits both directions (never a second pass
+    over baskets); the confidence cut applies AFTER 4 dp rounding so
+    the threshold is engine-portable."""
+    from azure_iot_realtime_data_pipeline_spark.functions.rounding import (
+        round_half_up,
+    )
+
+    base = basket_lift(df, basket_cols, item_col)
+    directed = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("n_both"),
+                    F.col("n_a").alias("n_antecedent"),
+                    F.col("n_baskets"),
+                    F.col("lift"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("n_both"),
+                    F.col("n_b").alias("n_antecedent"),
+                    F.col("n_baskets"),
+                    F.col("lift"),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    return directed.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        round_half_up(
+            F.col("n_both").cast("double") / F.col("n_baskets").cast("double")
+        ).alias("support"),
+        round_half_up(
+            F.col("n_both").cast("double")
+            / F.col("n_antecedent").cast("double")
+        ).alias("confidence"),
+        "lift",
+    ).filter(F.col("confidence") >= min_confidence)

@@ -4478,6 +4478,63 @@ ORACLES["q_cdc_apply"] = """
     FROM events WHERE event_id % 11 <> 0
     """
 
+# L44 association rules: the L37 oracle's pair/marginal core, both
+# directions via UNION ALL, 4 dp confidence cut after rounding.
+ORACLES["q_association_rules"] = """
+    WITH b AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                  AS BIGINT) AS day,
+             event_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    pairs AS (
+      SELECT x.event_type AS item_a, y.event_type AS item_b,
+             COUNT(*) AS n_both
+      FROM b x JOIN b y
+        ON x.user_id = y.user_id AND x.day = y.day
+       AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type AS t, COUNT(*) AS n FROM b GROUP BY event_type
+    ),
+    nb AS (
+      SELECT COUNT(*) AS n_baskets
+      FROM (SELECT DISTINCT user_id, day FROM b)
+    ),
+    base AS (
+      SELECT p.item_a, p.item_b, CAST(p.n_both AS BIGINT) AS n_both,
+             CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+             CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+             floor(CAST(p.n_both AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                   / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE))
+                   * 10000 + 0.5) / 10000 AS lift
+      FROM pairs p
+      JOIN totals ta ON p.item_a = ta.t
+      JOIN totals tb ON p.item_b = tb.t
+      CROSS JOIN nb
+    ),
+    directed AS (
+      SELECT item_a AS antecedent, item_b AS consequent, n_both,
+             n_a AS n_antecedent, n_baskets, lift FROM base
+      UNION ALL
+      SELECT item_b AS antecedent, item_a AS consequent, n_both,
+             n_b AS n_antecedent, n_baskets, lift FROM base
+    )
+    SELECT antecedent, consequent, n_both,
+           floor(CAST(n_both AS DOUBLE) / CAST(n_baskets AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS support,
+           floor(CAST(n_both AS DOUBLE) / CAST(n_antecedent AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS confidence,
+           lift
+    FROM directed
+    WHERE floor(CAST(n_both AS DOUBLE) / CAST(n_antecedent AS DOUBLE)
+                * 10000 + 0.5) / 10000 >= 0.1
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

@@ -3384,6 +3384,21 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L44 association rules over (user, day) baskets — the directed
+    confidence reading of L37's pair counts; map-side both-direction
+    emission, 4 dp-rounded confidence cut."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_day",
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
+            "long"
+        ),
+    )
+    return analytics.association_rules(
+        ev, ["user_id", "_day"], "event_type", min_confidence=0.1
+    )
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3520,6 +3535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_spatial_join": q_spatial_join,
     "q_embedding_cov": q_embedding_cov,
     "q_cdc_apply": q_cdc_apply,
+    "q_association_rules": q_association_rules,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

@@ -2208,3 +2208,28 @@ def test_cdc_apply_round_trip_with_all_op_kinds(spark):
     }
     want = {(r.k, r.t, r.v) for r in new.collect()}
     assert got == want
+
+
+def test_association_rules_confidence_is_asymmetric(spark):
+    """L44: a consequent present in every basket gives rules with the
+    SAME pair counts but different confidences per direction — the
+    asymmetry that makes confidence a rule metric, not a pair metric."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        association_rules,
+    )
+
+    rows = []
+    # 10 baskets all contain 'milk'; 3 of them also contain 'caviar'
+    for b in range(10):
+        rows.append((b, "milk"))
+        if b < 3:
+            rows.append((b, "caviar"))
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r.antecedent, r.consequent): (r.support, r.confidence)
+        for r in association_rules(
+            df, ["basket"], "item", min_confidence=0.0
+        ).collect()
+    }
+    assert got[("caviar", "milk")] == (0.3, 1.0)   # caviar implies milk
+    assert got[("milk", "caviar")] == (0.3, 0.3)   # milk barely implies caviar
