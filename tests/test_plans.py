@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     "q_ab_test",              # one-row arm B broadcast onto arm A
     "q_lorenz",               # one-row totals broadcast onto the curve
     "q_event_lift",           # one-row basket count broadcast
+    "q_association_rules",    # same machinery, directed emission
     "q_region_share",         # one-row world total broadcast
     "q_corpus_report",        # one-row corpus total broadcast
 }
@@ -90,6 +91,7 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_ab_test",              # two one-row arm summaries crossed
     "q_lorenz",               # one-row grand totals onto the curve
     "q_event_lift",           # one-row basket count onto the pair table
+    "q_association_rules",    # same machinery, directed emission
     "q_region_share",         # one-row world total onto 25 nation rows
     "q_promo_share",          # one-row conditional aggregate (Q14)
     "q_brand_size_revenue",   # one-row disjunctive aggregate (Q19)
