@@ -2073,11 +2073,22 @@ def cdc_apply(
     Plan: one anti join of the base against the change keys (PINNED
     shuffle-hash — a change feed is fact-sized in a real CDC stream,
     and the static fallback is the banned SortMergeJoin) + a map-side
-    projection of the non-delete changes, unioned. Keys must be unique
-    per side (the differ's own PK contract)."""
-    ch_keys = changes.select(*key_cols)
+    projection of the non-delete changes, unioned. The change feed is
+    lazily localCheckpointed: BOTH branches consume it, and without the
+    materialization the differ's full-outer join would execute twice
+    per action. Keys must be unique per side (the differ's own PK
+    contract) and the anti join matches them NULL-SAFELY — the differ
+    explicitly supports NULL keys, and a plain-equality anti join would
+    keep a NULL-keyed base row its delete was meant to remove (review
+    r7 s5 pass 5)."""
+    changes = changes.localCheckpoint(eager=False)
+    ch = changes.select(*[F.col(k).alias(f"_ck_{k}") for k in key_cols])
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"_ck_{k}"))
+        cond = c if cond is None else (cond & c)
     survivors = base.select(*key_cols, *compare_cols).join(
-        ch_keys.hint("shuffle_hash"), key_cols, "left_anti"
+        ch.hint("shuffle_hash"), cond, "left_anti"
     )
     upserts = changes.filter(F.col("op") != "delete").select(
         *key_cols,
@@ -2104,10 +2115,6 @@ def association_rules(
     MAP-SIDE array-explode emits both directions (never a second pass
     over baskets); the confidence cut applies AFTER 4 dp rounding so
     the threshold is engine-portable."""
-    from azure_iot_realtime_data_pipeline_spark.functions.rounding import (
-        round_half_up,
-    )
-
     base = basket_lift(df, basket_cols, item_col)
     directed = base.select(
         F.explode(

@@ -944,8 +944,9 @@ def embedding_covariance(
     cov = (S_ij - S_i*S_j/n)/n runs in fixed-order double on exact
     integers. The ORACLE (an unnest-pair SQL over every element — the
     form this operator exists to avoid at scale) reproduces the same
-    lattice bit-for-bit."""
-    n_rows = F.count(F.lit(1))
+    lattice bit-for-bit. in_dim is a validated CONTRACT (a mismatched
+    batch fails loudly instead of silently producing a differently
+    shaped matrix)."""
 
     def partial_gram(batches):
         import numpy as np
@@ -955,6 +956,10 @@ def embedding_covariance(
             if len(pdf) == 0:
                 continue
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if x.shape[1] != in_dim:
+                raise ValueError(
+                    f"expected {in_dim}-dim vectors, got {x.shape[1]}"
+                )
             iu, ju = np.triu_indices(x.shape[1])
             # pinned pair products, THEN the partition sum (int64)
             prods = np.floor(
@@ -988,10 +993,6 @@ def embedding_covariance(
     second = merged.filter(F.col("j") >= 0)
     fi = firsts.select(F.col("i"), F.col("_fs").alias("_fi"))
     fj = firsts.select(F.col("i").alias("j"), F.col("_fs").alias("_fj"))
-    from azure_iot_realtime_data_pipeline_spark.functions.rounding import (
-        round_half_up,
-    )
-
     # S2 is in micro^1 units of x_i*x_j (one 1e6 pin on the product);
     # first moments are micro of x. cov = E[xy] - E[x]E[y]:
     #   E[xy] = S2/n/1e6 ; E[x]E[y] = (Fi/n/1e6)*(Fj/n/1e6)

@@ -2188,6 +2188,9 @@ def test_cdc_apply_round_trip_with_all_op_kinds(spark):
             (3, "c", 3.0),     # updated value
             (4, None, 4.0),    # NULL -> value update
             (5, "e", 5.0),     # value -> NULL update
+            (None, "x", 9.0),  # NULL KEY, updated (review r7 s5 pass 5:
+            # a plain-equality anti join kept this row next to its
+            # replacement — the differ supports NULL keys, so must apply)
         ],
         "k long, t string, v double",
     )
@@ -2198,6 +2201,7 @@ def test_cdc_apply_round_trip_with_all_op_kinds(spark):
             (4, "d", 4.0),
             (5, "e", None),
             (6, "f", 6.0),     # inserted
+            (None, "y", 9.0),
         ],
         "k long, t string, v double",
     )
