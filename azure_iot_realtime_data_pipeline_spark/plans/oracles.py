@@ -4535,6 +4535,64 @@ ORACLES["q_association_rules"] = """
                 * 10000 + 0.5) / 10000 >= 0.1
     """
 
+# J73 split leakage: the J2 jaccard core + the J70 split assignment,
+# least/greatest pair normalization.
+ORACLES["q_split_leakage"] = """
+    WITH docs AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM docs WHERE len(toks) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common))
+                  * 10000 + 0.5) / 10000 >= 0.05
+    ),
+    r AS (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n
+      FROM docs
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN rn <= floor(CAST(n * 800000 AS DOUBLE) / 1000000.0)
+                    THEN 'train'
+                  WHEN rn <= floor(CAST(n * 900000 AS DOUBLE) / 1000000.0)
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r
+    )
+    SELECT least(x.split, y.split) AS split_a,
+           greatest(x.split, y.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN sp x ON p.doc_a = x.doc_id
+    JOIN sp y ON p.doc_b = y.doc_id
+    GROUP BY 1, 2
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

@@ -3399,6 +3399,16 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J73 cross-split leakage audit (chain #10: J2 pairs x J70
+    splits): near-dup pairs straddling the stratified train/val/test
+    assignment — the contamination dedup-before-split exists to
+    prevent; off-diagonal rows are the leakage."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    splits = corpus.stratified_split(docs, ["lang", "source"])
+    return dedup.split_leakage(docs, splits, threshold=0.05)
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3536,6 +3546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_cov": q_embedding_cov,
     "q_cdc_apply": q_cdc_apply,
     "q_association_rules": q_association_rules,
+    "q_split_leakage": q_split_leakage,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,

@@ -2237,3 +2237,32 @@ def test_association_rules_confidence_is_asymmetric(spark):
     }
     assert got[("caviar", "milk")] == (0.3, 1.0)   # caviar implies milk
     assert got[("milk", "caviar")] == (0.3, 0.3)   # milk barely implies caviar
+
+
+def test_split_leakage_separates_diagonal_from_straddling(spark):
+    """J73: identical docs assigned to different splits report as
+    off-diagonal leakage; identical docs in the same split stay on the
+    diagonal; unrelated docs don't pair at all."""
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        split_leakage,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, text),
+            (2, text),                      # dup of 1
+            (3, text),                      # dup of 1 and 2
+            (4, "completely different words " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "val")],
+        "doc_id long, split string",
+    )
+    got = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in split_leakage(docs, splits, threshold=0.5).collect()
+    }
+    assert got == {("test", "train"): 2, ("train", "train"): 1}
