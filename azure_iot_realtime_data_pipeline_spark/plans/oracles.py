@@ -4593,6 +4593,25 @@ ORACLES["q_split_leakage"] = """
     GROUP BY 1, 2
     """
 
+# L45 freshness: per-device last-seen lag behind the fleet watermark;
+# integer microsecond arithmetic, truncating minute division both
+# sides (CAST AS BIGINT after a nonneg double division == Spark's
+# cast-truncate; values are nonnegative so floor == trunc).
+ORACLES["q_freshness"] = """
+    WITH per AS (
+      SELECT user_id, MAX(ts) AS last_seen,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(epoch_us(ts)) AS last_us
+      FROM events GROUP BY user_id
+    ),
+    wm AS (SELECT MAX(epoch_us(ts)) AS w FROM events)
+    SELECT user_id, last_seen, n_events,
+           CAST(floor(CAST(w - last_us AS DOUBLE) / 60000000.0) AS BIGINT)
+             AS lag_minutes,
+           (w - last_us) > 3600000000 AS stale
+    FROM per, wm
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

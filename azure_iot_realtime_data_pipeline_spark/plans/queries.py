@@ -3409,6 +3409,34 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.split_leakage(docs, splits, threshold=0.05)
 
 
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L45 fleet freshness report — the first ops query any telemetry
+    fleet runs: per device, its last-seen timestamp, the lag behind
+    the fleet's watermark (max event time — the deterministic 'now' a
+    batch query can use), and a stale flag at 1 hour. One per-key
+    max aggregate + the sanctioned one-row watermark broadcast;
+    integer microsecond lag arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wm = ev.agg(F.max(F.unix_micros(F.col("ts"))).alias("_wm"))
+    return per.crossJoin(F.broadcast(wm)).select(
+        "user_id",
+        "last_seen",
+        "n_events",
+        (
+            (F.col("_wm") - F.unix_micros(F.col("last_seen")))
+            / F.lit(60_000_000)
+        ).cast("long").alias("lag_minutes"),
+        (
+            F.col("_wm") - F.unix_micros(F.col("last_seen"))
+            > F.lit(3_600_000_000)
+        ).alias("stale"),
+    )
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3547,6 +3575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cdc_apply": q_cdc_apply,
     "q_association_rules": q_association_rules,
     "q_split_leakage": q_split_leakage,
+    "q_freshness": q_freshness,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,
