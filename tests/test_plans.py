@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "q_association_rules",    # same machinery, directed emission
     "q_region_share",         # one-row world total broadcast
     "q_corpus_report",        # one-row corpus total broadcast
+    "q_freshness",            # one-row fleet watermark broadcast
 }
 
 #: the reference's anomaly window has no PARTITION BY
@@ -97,6 +98,7 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_brand_size_revenue",   # one-row disjunctive aggregate (Q19)
     "q_corpus_report",        # one-row corpus doc total onto the card
     "q_ngram_kl",             # one-row KL sum over the <=1024 bucket spine
+    "q_freshness",            # one-row fleet watermark onto device rows
 }
 
 
