@@ -4612,6 +4612,40 @@ ORACLES["q_freshness"] = """
     FROM per, wm
     """
 
+# L46 volume anomaly: daily counts through the L14 z lattice.
+ORACLES["q_volume_anomaly"] = """
+    WITH daily AS (
+      SELECT user_id,
+             CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                  AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(CAST(n_events AS DECIMAL(18,2))) AS s,
+             SUM(CAST(n_events AS DECIMAL(18,2))
+                 * CAST(n_events AS DECIMAL(18,2))) AS ss
+      FROM daily GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT user_id,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             CASE WHEN CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                  THEN sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             END AS sd
+      FROM stats
+    )
+    SELECT d.day AS _day, d.user_id, d.n_events,
+           floor((d.n_events - c.m) / c.sd * 10000 + 0.5) / 10000 AS zscore
+    FROM daily d JOIN cuts c USING (user_id)
+    """
+
 # M22 Q20 shape: suppliers moving >20% of any red part's 1996 volume,
 # ASIA only; quantities sum as int64 (integral by generation).
 ORACLES["q_dominant_suppliers"] = """

@@ -3437,6 +3437,27 @@ def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L46 fleet volume-anomaly screen: each device's DAILY event count
+    z-scored against that device's own history — died-or-went-chatty
+    detection, the companion to L45's freshness (which only sees
+    silence). Composition: one (device, day) count aggregate feeding
+    L14's exact-moment z-machinery (counts are integers — the decimal
+    lattice is exact by construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn(
+            "_day",
+            F.floor(
+                F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)
+            ).cast("long"),
+        )
+        .groupBy("user_id", "_day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return analytics.zscore_normalize(daily, "user_id", "n_events", "_day")
+
+
 def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J57b hard-negative mining, ANN form — the documented 100 TB
     recipe realized: IVF candidate generation (deterministic centroids,
@@ -3576,6 +3597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_association_rules": q_association_rules,
     "q_split_leakage": q_split_leakage,
     "q_freshness": q_freshness,
+    "q_volume_anomaly": q_volume_anomaly,
     "q_hard_negatives_ann": q_hard_negatives_ann,
     # -- last driver green: r3 ------------------------------------------
     "q_normalize_text": q_normalize_text,
