@@ -2266,3 +2266,80 @@ def test_split_leakage_separates_diagonal_from_straddling(spark):
         for r in split_leakage(docs, splits, threshold=0.5).collect()
     }
     assert got == {("test", "train"): 2, ("train", "train"): 1}
+
+
+def test_split_leakage_reports_unassigned_docs(spark):
+    """J73 pass-6 regression: a near-dup pair whose doc lacks a split
+    row must surface in an 'unassigned' bucket, not silently vanish
+    (the audit would otherwise under-report contamination when the
+    split predates an ingest)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        split_leakage,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    splits = spark.createDataFrame([(1, "train")], "doc_id long, split string")
+    got = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in split_leakage(docs, splits, threshold=0.5).collect()
+    }
+    assert got == {("train", "unassigned"): 1}
+
+
+def test_freshness_and_volume_anomaly_semantics(spark, tmp_path):
+    """L45/L46 semantic fixtures (the mirrored-formula lesson: parity
+    cannot catch a constant mistyped into BOTH engines): a device last
+    seen 59 min before the watermark is fresh, 61 min is stale, lag
+    minutes truncate; a flat-then-spike daily series z-scores the
+    spike day positive and the flat days negative."""
+    from datetime import datetime, timedelta
+
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import (
+        q_freshness,
+        q_volume_anomaly,
+    )
+
+    wm = datetime(2026, 1, 10, 12, 0, 0)
+    rows = []
+    eid = 0
+    # d_fresh: 59 min old; d_stale: 61 min; d_wm defines the watermark
+    for dev, mins in (("d_fresh", 59), ("d_stale", 61), ("d_wm", 0)):
+        rows.append((eid, dev, "t", wm - timedelta(minutes=mins), 1.0, "{}"))
+        eid += 1
+    # volume series for d_vol: 1 event/day for 4 days then 6 on day 5
+    for day in range(4):
+        rows.append((eid, "d_vol", "t", datetime(2026, 1, 1 + day, 0, 0, 0), 1.0, "{}"))
+        eid += 1
+    for k in range(6):
+        rows.append((eid, "d_vol", "t", datetime(2026, 1, 5, k, 0, 0), 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id string, event_type string, ts timestamp,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "events_fix")
+    df.repartition(2).write.parquet(d)
+    # drive through the real loaders: stage as a sf-dir shaped directory
+    import os, shutil
+    sfdir = str(tmp_path / "sf_fix")
+    os.makedirs(sfdir, exist_ok=True)
+    shutil.move(d, os.path.join(sfdir, "events.parquet"))
+    fresh = {
+        r.user_id: (r.lag_minutes, r.stale)
+        for r in q_freshness(spark, sfdir).collect()
+    }
+    assert fresh["d_fresh"] == (59, False)
+    assert fresh["d_stale"] == (61, True)
+    assert fresh["d_wm"] == (0, False)
+    vol = {
+        (r.user_id, r._day): r.zscore
+        for r in q_volume_anomaly(spark, sfdir).collect()
+    }
+    dvol = {day: z for (u, day), z in vol.items() if u == "d_vol"}
+    days = sorted(dvol)
+    assert dvol[days[-1]] == 2.0  # the spike day: (6-2)/2 exactly
+    assert all(dvol[d2] == -0.5 for d2 in days[:-1])  # flat days: (1-2)/2
