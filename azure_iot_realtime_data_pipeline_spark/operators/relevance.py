@@ -474,15 +474,22 @@ def ccnet_assign(
     split arbitrates ties by doc_id instead, so assignment can differ
     from a batch re-rank exactly on boundary-score ties, documented and
     gated. Languages absent from the thresholds get NULL bucket (a new
-    language has no frozen boundaries — route to the batch path)."""
+    language has no frozen boundaries — route to the batch path). A
+    language whose batch split produced NO middle rows (stratum of 1-2
+    docs) has NULL middle_min; it is coalesced to head_min so middle
+    collapses consistently into head/tail rather than the NULL
+    comparison silently routing every sub-head score to tail (r7
+    ADVICE — a batch re-rank of the same doc could have said middle,
+    and the coalesce makes the divergence the documented tie class)."""
     t = F.broadcast(thresholds)
     j = scored.join(t, scored[lang_col] == thresholds["lang"], "left").drop(
         thresholds["lang"]
     )
+    mid_min = F.coalesce(F.col("middle_min"), F.col("head_min"))
     return j.withColumn(
         "bucket",
         F.when(F.col("head_min").isNull(), F.lit(None).cast("string"))
         .when(F.col("logprob_mean") >= F.col("head_min"), F.lit("head"))
-        .when(F.col("logprob_mean") >= F.col("middle_min"), F.lit("middle"))
+        .when(F.col("logprob_mean") >= mid_min, F.lit("middle"))
         .otherwise(F.lit("tail")),
     ).drop("head_min", "middle_min")

@@ -323,10 +323,20 @@ def merge_upsert(
     table_dir: str,
     key: str,
     max_driver_keys: int = 1_000_000,
+    order_by: str | None = None,
 ) -> dict:
-    """MERGE: rows of `updates` replace same-key rows (last-write-wins
-    WHEN MATCHED ... UPDATE) and insert otherwise. Only data files whose
-    footer [min, max] of `key` contains some update key are rewritten.
+    """MERGE: rows of `updates` replace same-key rows (WHEN MATCHED ...
+    UPDATE) and insert otherwise. Only data files whose footer
+    [min, max] of `key` contains some update key are rewritten.
+
+    Intra-batch duplicate keys: when `order_by` is given, the row with
+    the LARGEST `order_by` value per key wins (deterministic
+    last-write-wins, NULLs last so a timestamped row beats an
+    untimestamped one); without it, one arbitrary row per key is kept
+    (`dropDuplicates`) — callers that need a deterministic winner must
+    either pre-dedup (as :func:`upsert_devices_merge` does) or pass
+    `order_by` (r7 ADVICE: the bare dropDuplicates made the merged
+    value nondeterministic for multi-row-per-key batches).
 
     NULL-key update rows are dropped up front — the merge key models
     the reference's PRIMARY KEY (NOT NULL by DDL, README.MD:159-165),
@@ -348,7 +358,24 @@ def merge_upsert(
     os.makedirs(table_dir, exist_ok=True)
     m = _read_manifest(table_dir)
     version, files, stats = m["version"], m["files"], m["stats"]
-    updates = updates.filter(F.col(key).isNotNull()).dropDuplicates([key])
+    updates = updates.filter(F.col(key).isNotNull())
+    if order_by is not None:
+        from pyspark.sql import Window
+
+        updates = (
+            updates.withColumn(
+                "__mu_rn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(
+                        F.col(order_by).desc_nulls_last(), F.lit(1)
+                    )
+                ),
+            )
+            .filter(F.col("__mu_rn") == 1)
+            .drop("__mu_rn")
+        )
+    else:
+        updates = updates.dropDuplicates([key])
 
     key_rows = (
         updates.select(key).distinct().limit(max_driver_keys + 1).collect()

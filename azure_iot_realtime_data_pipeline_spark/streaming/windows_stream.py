@@ -2219,7 +2219,11 @@ def make_trapezoid_fn(
     operator (`sessions.trapezoid_integral`), so the running integral
     is exact over any processed prefix with no float drift to carry.
     NULL/NaN measurements skip entirely (they advance neither prev nor
-    the sum — the batch form excludes them before the lag)."""
+    the sum — the batch form excludes them before the lag). NULL
+    timestamps skip the same way (r7 ADVICE: pd.Timestamp(NaT).value
+    is INT64_MIN, which would poison ep-prev_ep and the carried
+    integral permanently, where the batch form's NULL-_ep rows
+    contribute inc=0 — matching make_throttle_fn's guard)."""
     import math
 
     def fn(key, pdfs, state):
@@ -2230,7 +2234,7 @@ def make_trapezoid_fn(
         if pdf is not None:
             pdf = pdf.sort_values([ts_col, id_col], kind="stable")
             for ts_v, v in zip(pdf[ts_col], pdf[value_col]):
-                if pd.isna(v):
+                if pd.isna(v) or pd.isna(ts_v):
                     continue
                 v = float(v)
                 ep = int(pd.Timestamp(ts_v).value // 1000)

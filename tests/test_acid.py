@@ -168,6 +168,28 @@ def test_merge_drops_null_key_updates(spark, tmp_path):
     assert got[3] == -3 and None not in got and len(got) == 10
 
 
+def test_merge_order_by_resolves_intra_batch_duplicates(spark, tmp_path):
+    """ADVICE r7: bare dropDuplicates([key]) picks an ARBITRARY row when
+    an updates batch carries several rows per key. With order_by the
+    largest ordering value must win deterministically, NULL ordering
+    values losing to timestamped rows."""
+    d = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i * 10, 0) for i in range(5)], "k long, v long, seq long"
+    )
+    acid.write_table(base.coalesce(1), d)
+    updates = spark.createDataFrame(
+        [(3, -30, 10), (3, -99, 20), (3, -7, None), (4, -40, 1)],
+        "k long, v long, seq long",
+    )
+    stats = acid.merge_upsert(updates, d, key="k", order_by="seq")
+    assert stats["updates_rows"] == 2
+    got = {r.k: r.v for r in acid.read_table(spark, d).select("k", "v").collect()}
+    assert got[3] == -99  # seq=20 wins over seq=10 and seq=NULL
+    assert got[4] == -40
+    assert len(got) == 5
+
+
 def test_manifest_carries_stats_for_file_skipping(spark, tmp_path):
     """Commit-time stats ride in the manifest so merges skip files
     without footer reads; kept files' stats carry forward across

@@ -1080,6 +1080,32 @@ def test_frozen_lm_scoring_is_bit_identical_to_batch(spark, sf_smoke):
     assert len(got) > 0
 
 
+def test_ccnet_assign_null_middle_min_collapses_to_head_tail(spark):
+    """ADVICE r7: a language whose batch split produced no 'middle'
+    rows (1-2 doc stratum) has NULL middle_min; assignment must
+    collapse middle into head/tail deterministically (NULL only for
+    UNSEEN languages), never let the NULL comparison route rows
+    through an undefined branch."""
+    from azure_iot_realtime_data_pipeline_spark.operators.relevance import (
+        ccnet_assign,
+    )
+
+    thresholds = spark.createDataFrame(
+        [("xx", -5.0, None)], "lang string, head_min double, middle_min double"
+    )
+    scored = spark.createDataFrame(
+        [
+            (1, "xx", -4.0),   # >= head_min -> head
+            (2, "xx", -5.0),   # boundary tie -> higher bucket (head)
+            (3, "xx", -9.0),   # below head_min, no middle stratum -> tail
+            (4, "yy", -1.0),   # unseen language -> NULL
+        ],
+        "doc_id long, lang string, logprob_mean double",
+    )
+    got = {r.doc_id: r.bucket for r in ccnet_assign(scored, thresholds).collect()}
+    assert got == {1: "head", 2: "head", 3: "tail", 4: None}
+
+
 def test_ccnet_assign_matches_batch_buckets_off_boundary(spark, sf_smoke):
     """Threshold assignment of the SAME corpus agrees with the batch
     rank split everywhere except exact boundary-score ties (where the

@@ -2475,6 +2475,48 @@ def test_trapezoid_stream_state_survives_restart(spark, sf_smoke, replay_dir, tm
     assert got == want
 
 
+def test_trapezoid_fn_skips_nat_timestamps():
+    """ADVICE r7: make_trapezoid_fn guarded NULL values but not NULL
+    timestamps — pd.Timestamp(NaT).value is INT64_MIN, which poisons
+    ep-prev_ep and the carried integral PERMANENTLY (every later row
+    inherits the poisoned prev_ep), where the batch operator's NULL-_ep
+    rows contribute inc=0. A NaT-ts row must advance nothing."""
+    import pandas as pd
+
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        make_trapezoid_fn,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    fn = make_trapezoid_fn()
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", None, "2024-01-01 00:00:10"]
+            ),
+            "event_id": [1, 2, 3],
+            "value": [2.0, 1000.0, 4.0],
+        }
+    )
+    st = FakeState()
+    out = list(fn((1,), iter([pdf]), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    # only the two timestamped rows integrate: (2+4)/2 * 10 s = 30.0
+    assert row["n_events"] == 2
+    assert row["energy"] == 30.0
+    # carried state holds the LAST VALID (ep, v), not the NaT poison
+    n, prev_ep, prev_v, cum = st.value
+    assert prev_ep == pd.Timestamp("2024-01-01 00:00:10").value // 1000
+    assert prev_v == 4.0 and cum == 30_000_000
+
+
 def test_json_quarantine_runs_on_a_stream(spark, sf_smoke, replay_dir, tmp_path):
     """A2b is streaming-safe by construction (one parser expression per
     row, no state): drive it through readStream and check the dead-
