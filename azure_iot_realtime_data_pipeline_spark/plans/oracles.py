@@ -4965,3 +4965,136 @@ ORACLES["q_quantized_topk"] = """
       FROM pairs
     ) WHERE rn <= 10
     """
+
+
+def _hll_distinct_oracle(p: int = 8) -> str:
+    """Mirror of sketches.hll_distinct at p=8: md5-derived 32-bit hash,
+    register index = top p bits, rho = 1 + leading zeros of the
+    (32-p)-bit suffix via DECIMAL bit-length (DuckDB bin(); Spark
+    conv(.,10,2) — integer-exact, no float log2), per-register MAX,
+    then the Flajolet estimator with the harmonic denominator on the
+    2^(33-p)-scaled int64 lattice so the raw branch is ONE f64 division
+    of an exactly-representable numerator. Constants (alpha numerator,
+    2.5m threshold) render from the SAME Python floats the Spark side
+    uses — drift is structurally impossible."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        _hll_alpha,
+    )
+
+    m = 1 << p
+    sb = 32 - p
+    numerator = repr(_hll_alpha(m) * float(m * m * (1 << (sb + 1))))
+    mask = (1 << sb) - 1
+    empty_term = 1 << (sb + 1)
+    raw = f"{numerator} / d"
+    linear = f"{float(m)} * ln({float(m)} / zeros)"
+    return f"""
+        WITH h AS (
+          SELECT event_type,
+                 CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) AS hv
+          FROM events WHERE event_id IS NOT NULL
+        ),
+        r AS (
+          SELECT event_type, hv // {mask + 1} AS j,
+                 CASE WHEN hv % {mask + 1} = 0 THEN {sb + 1}
+                      ELSE {sb + 1} - length(bin(hv % {mask + 1})) END AS rho
+          FROM h
+        ),
+        regs AS (
+          SELECT event_type, j, MAX(rho) AS mj FROM r GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_regs,
+                 SUM(CAST(1 AS BIGINT) << ({sb + 1} - mj)) AS d_obs
+          FROM regs GROUP BY 1
+        ),
+        e AS (
+          SELECT event_type, n_regs,
+                 {m} - n_regs AS zeros,
+                 CAST(d_obs + ({m} - n_regs) * {empty_term} AS DOUBLE) AS d
+          FROM agg
+        )
+        SELECT event_type, n_regs,
+               CASE WHEN ({raw}) <= {2.5 * m} AND zeros > 0
+                    THEN {sql_round_half_up(linear)}
+                    ELSE {sql_round_half_up(raw)} END AS distinct_est
+        FROM e
+        """
+
+
+ORACLES["q_hll_distinct"] = _hll_distinct_oracle()
+
+
+def _kmv_overlap_oracle(k: int = 64) -> str:
+    """Mirror of sketches.kmv_overlap: per-type kept sets (the
+    kmv_distinct synopsis), per-pair union top-k V via a rank window,
+    rho = |V ∩ A ∩ B| / |V| with the intersection realized as two
+    equi-joins back onto the kept table (kept rows are distinct per
+    (type, hv), so the joins cannot duplicate), and the same
+    CASE-on-|V|<k exact/estimator split with both f64 divisions rounded
+    half-up — relational where Spark uses array ops, identical values."""
+    union_raw = f"{float(k - 1)} * {float(2**32)} / tau"
+    # zero-intersection pairs miss from `inter` (LEFT JOIN) — coalesce
+    # to 0 so rho is 0.0 like Spark's empty array_intersect, not NULL
+    rho_raw = "CAST(COALESCE(n_inter, 0) AS DOUBLE) / nv"
+    u_expr = f"CASE WHEN nv < {k} THEN CAST(nv AS DOUBLE) ELSE {union_raw} END"
+    return f"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) AS hv
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        kept AS (
+          SELECT event_type, hv FROM (
+            SELECT event_type, hv,
+                   row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                     AS rn
+            FROM h
+          ) WHERE rn <= {k}
+        ),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM (SELECT DISTINCT event_type FROM kept) a
+          JOIN (SELECT DISTINCT event_type FROM kept) b
+            ON a.event_type < b.event_type
+        ),
+        u AS (
+          SELECT type_a, type_b, hv,
+                 row_number() OVER (PARTITION BY type_a, type_b
+                                    ORDER BY hv) AS rn
+          FROM (
+            SELECT DISTINCT p.type_a, p.type_b, kk.hv
+            FROM pairs p
+            JOIN kept kk
+              ON kk.event_type = p.type_a OR kk.event_type = p.type_b
+          )
+        ),
+        v AS (SELECT * FROM u WHERE rn <= {k}),
+        stats AS (
+          SELECT type_a, type_b,
+                 CAST(COUNT(*) AS BIGINT) AS nv,
+                 MAX(hv) AS tau
+          FROM v GROUP BY 1, 2
+        ),
+        inter AS (
+          SELECT v.type_a, v.type_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM v
+          JOIN kept ka ON ka.event_type = v.type_a AND ka.hv = v.hv
+          JOIN kept kb ON kb.event_type = v.type_b AND kb.hv = v.hv
+          GROUP BY 1, 2
+        )
+        SELECT s.type_a, s.type_b, s.nv AS n_union_kept,
+               {sql_round_half_up(rho_raw)} AS jaccard_est,
+               CASE WHEN nv < {k} THEN CAST(nv AS DOUBLE)
+                    ELSE {sql_round_half_up(union_raw)} END AS union_est,
+               {sql_round_half_up(f"({rho_raw}) * ({u_expr})")}
+                 AS intersect_est
+        FROM stats s
+        LEFT JOIN inter i ON i.type_a = s.type_a AND i.type_b = s.type_b
+        """
+
+
+ORACLES["q_kmv_overlap"] = _kmv_overlap_oracle()

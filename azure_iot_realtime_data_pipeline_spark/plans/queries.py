@@ -3551,6 +3551,31 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(emb, k=10, n_queries=5)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J74: HyperLogLog distinct-count sketch — distinct event ids per
+    event type from 256 one-byte-scale registers (p=8). The fixed-state
+    member of the cardinality pair beside J30's KMV: registers never
+    grow with cardinality, merge by per-register MAX, and the estimator
+    is deterministic md5 register math a SQL oracle reproduces
+    bit-for-bit (unlike approx_count_distinct's opaque HLL++ sketch).
+    At sf0.01+ the per-type cardinality (2000+) drives the raw
+    harmonic-mean branch; sf0.001 (200/type) lands in the
+    linear-counting branch — the parity sweep exercises both."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.hll_distinct(ev, "event_type", "event_id", p=8)
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J75: sketch-side audience overlap — pairwise Jaccard / union /
+    intersection estimates between event-type user sets from their KMV
+    synopses alone (Beyer et al., SIGMOD'07), never re-scanning the
+    corpus per pair. The approximate twin of L21's exact
+    `q_audience_overlap`; pairs whose merged synopsis stays under k
+    report exact values."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.kmv_overlap(ev, "event_type", "user_id", k=64)
+
+
 # Registration order is a DRIVER-FACING contract: the external
 # correctness harness records exactly the FIRST 50 entries (observed in
 # rounds 1-7 — CORRECTNESS_r*.json truncates at the 50th registered
@@ -3563,6 +3588,9 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ALL queries stay covered by the local parity suite
 # (tests/test_queries_oracle.py) every run regardless of position.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- never driver-verified (r8 additions) ---------------------------
+    "q_hll_distinct": q_hll_distinct,
+    "q_kmv_overlap": q_kmv_overlap,
     # -- last driver green: r3 ------------------------------------------
     "q_embed_dedup": q_embed_dedup,
     "q_trailing_window": q_trailing_window,

@@ -2195,6 +2195,28 @@ def cms_sketch_stream(
     return cms_sketch(items, depth=depth, width=width)
 
 
+def hll_sketch_stream(
+    events: DataFrame,
+    group: str = "event_type",
+    id_col: str = "event_id",
+    p: int = 8,
+) -> DataFrame:
+    """Streaming HyperLogLog register build (J74 twin): the batch
+    `sketches.hll_sketch` runs UNCHANGED on a streaming input — the
+    register table is a MAX-aggregate over a key space bounded at
+    groups x 2^p by construction, and max is order-free and idempotent,
+    so Spark's built-in incremental aggregation state IS the sketch
+    (the same no-custom-state argument as cms_sketch_stream, with max
+    as the merge instead of sum). State: <= groups x 2^p register rows
+    forever, regardless of stream length or id cardinality; run in
+    `complete`/`update` mode, no watermark required. The final register
+    table equals the batch sketch of the full replay bit-for-bit
+    (gated), so `sketches.hll_estimate` over it IS the batch estimate."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import hll_sketch
+
+    return hll_sketch(events, group, id_col, p=p)
+
+
 TRAPEZOID_STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),

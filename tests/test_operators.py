@@ -2343,3 +2343,118 @@ def test_freshness_and_volume_anomaly_semantics(spark, tmp_path):
     days = sorted(dvol)
     assert dvol[days[-1]] == 2.0  # the spike day: (6-2)/2 exactly
     assert all(dvol[d2] == -0.5 for d2 in days[:-1])  # flat days: (1-2)/2
+
+
+def test_hll_distinct_tracks_exact_counts(spark, sf_smoke, sf_oracle):
+    """J74 quality floor: the p=8 (m=256) estimate lands within ~3
+    sigma (20%) of the exact distinct count on BOTH estimator branches
+    — sf0.01 event_ids (2000/type) drive the raw harmonic-mean branch,
+    sf0.001 (200/type) the linear-counting branch — and n_regs never
+    exceeds m."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    for sf in (sf_smoke, sf_oracle):
+        ev = load_table(spark, sf, "events")
+        est = {
+            r["event_type"]: (r["n_regs"], r["distinct_est"])
+            for r in hll_distinct(ev, "event_type", "event_id", p=8).collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("event_id").alias("n"))
+            .collect()
+        }
+        assert est.keys() == exact.keys()
+        for t, n in exact.items():
+            n_regs, e = est[t]
+            assert n_regs <= 256
+            assert abs(e - n) / n < 0.20, (sf, t, e, n)
+
+
+def test_hll_merge_of_halves_equals_whole(spark, sf_smoke):
+    """J74 mergeability: sketch(A) merged with sketch(B) equals
+    sketch(A UNION B) register-for-register (max is associative and
+    idempotent), so the rolled-up estimate is the whole-corpus
+    estimate EXACTLY — per-day registers compose to per-month with no
+    approximation-on-approximation."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    a = hll_sketch(ev.filter(F.col("event_id") % 2 == 0), "event_type", "event_id")
+    b = hll_sketch(ev.filter(F.col("event_id") % 2 == 1), "event_type", "event_id")
+    merged = hll_merge(a, b, "event_type")
+    whole = hll_sketch(ev, "event_type", "event_id")
+    m_rows = {(r["event_type"], r["_j"]): r["_mj"] for r in merged.collect()}
+    w_rows = {(r["event_type"], r["_j"]): r["_mj"] for r in whole.collect()}
+    assert m_rows == w_rows
+    est_m = {
+        r["event_type"]: r["distinct_est"]
+        for r in hll_estimate(merged, "event_type").collect()
+    }
+    est_w = {
+        r["event_type"]: r["distinct_est"]
+        for r in hll_distinct(ev, "event_type", "event_id").collect()
+    }
+    assert est_m == est_w
+
+
+def test_hll_ignores_null_ids_and_caps_rho(spark):
+    """J74 contracts: NULL ids are not countable entities (filtered,
+    same as kmv_distinct — an all-NULL group disappears); a suffix of
+    w=0 takes the capped rho = 33-p rather than a NULL/garbage
+    bit-length."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_sketch,
+    )
+
+    rows = [("a", 1), ("a", 2), ("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, id int")
+    got = {r["g"]: r["n_regs"] for r in hll_distinct(df, "g", "id").collect()}
+    assert got == {"a": 2}
+    # rho cap: every register value stays within [1, 33-p]
+    regs = hll_sketch(df, "g", "id", p=8).collect()
+    assert all(1 <= r["_mj"] <= 25 for r in regs)
+
+
+def test_kmv_overlap_tracks_exact_overlap(spark, sf_oracle):
+    """J75 quality floor: pairwise KMV overlap estimates land within
+    the sketch's error envelope of L21's EXACT audience overlap — the
+    Jaccard estimate within ±0.15 absolute (k=64 synopsis), the
+    intersection estimate within 40% relative (~3 sigma of 1/sqrt(k-2))
+    — and pairs whose merged synopsis stays under k report exact
+    values."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    ev = load_table(spark, sf_oracle, "events")
+    est = {
+        (r["type_a"], r["type_b"]): r
+        for r in kmv_overlap(ev, "event_type", "user_id", k=64).collect()
+    }
+    exact = {
+        (r["type_a"], r["type_b"]): r
+        for r in analytics.audience_overlap(ev, "user_id", "event_type").collect()
+    }
+    assert est.keys() == exact.keys()
+    for pair, e in est.items():
+        x = exact[pair]
+        n_inter_true = x["n_both"]
+        n_union_true = x["n_a"] + x["n_b"] - x["n_both"]
+        assert abs(e["jaccard_est"] - x["jaccard"]) < 0.15, (pair, e, x)
+        assert abs(e["union_est"] - n_union_true) / n_union_true < 0.40
+        if n_inter_true:
+            assert abs(e["intersect_est"] - n_inter_true) / n_inter_true < 0.40
+        if e["n_union_kept"] < 64:
+            # exhaustive-synopsis pairs are exact, not estimates
+            assert e["union_est"] == float(n_union_true)
+            assert e["intersect_est"] == float(n_inter_true)

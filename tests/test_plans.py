@@ -99,6 +99,8 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_corpus_report",        # one-row corpus doc total onto the card
     "q_ngram_kl",             # one-row KL sum over the <=1024 bucket spine
     "q_freshness",            # one-row fleet watermark onto device rows
+    "q_kmv_overlap",          # one row of groups x k synopses (bounded
+                              # by construction) fanning out pair math
 }
 
 

@@ -2640,3 +2640,54 @@ def test_bloom_prefilter_runs_on_a_stream(spark, sf_smoke, replay_dir, tmp_path)
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_hll_sketch_stream_equals_batch_sketch(spark, sf_smoke, replay_dir, tmp_path):
+    """J74 twin: the incrementally-maintained HLL register table over
+    the replayed stream equals the batch sketch of the same events
+    bit-for-bit — per-register MAX is order-free and idempotent, so the
+    built-in streaming aggregation is exact with state bounded at
+    groups x 2^p rows by construction; the batch estimator over the
+    final registers IS the batch estimate."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_sketch,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        hll_sketch_stream,
+    )
+
+    q = (
+        hll_sketch_stream(replay_events(spark, replay_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["event_type"], r["_j"]): r["_mj"]
+        for r in spark.sql("SELECT * FROM hll_stream").collect()
+    }
+    batch = load_table(spark, sf_smoke, "events")
+    want = {
+        (r["event_type"], r["_j"]): r["_mj"]
+        for r in hll_sketch(batch, "event_type", "event_id").collect()
+    }
+    assert got == want
+    n_groups = batch.select("event_type").distinct().count()
+    assert len(got) <= n_groups * 256  # the state bound IS the sketch size
+    est_stream = {
+        r["event_type"]: r["distinct_est"]
+        for r in hll_estimate(
+            spark.sql("SELECT * FROM hll_stream"), "event_type"
+        ).collect()
+    }
+    est_batch = {
+        r["event_type"]: r["distinct_est"]
+        for r in hll_distinct(batch, "event_type", "event_id").collect()
+    }
+    assert est_stream == est_batch
