@@ -1613,3 +1613,59 @@ def ngram_kl(
         F.lit(a_tot).cast("long").alias("a_feats"),
         F.lit(b_tot).cast("long").alias("b_feats"),
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> DataFrame:
+    """J76: deterministic training-shard layout — the last mile of
+    corpus prep, where a curated corpus becomes the N fixed files a
+    training loader streams. Returns (doc_id, shard, pos, n_tokens,
+    cum_tokens): shard = a salted portable hash of the id mod N (order-
+    free, uniform, decorrelated from any id-ordered corpus property —
+    the same argument as hash_split over rand()/id%N), pos = the doc's
+    1-based position within its shard under a SECOND independent hash
+    (a reproducible global shuffle: training wants documents in random
+    order, and re-running the job must produce the identical order),
+    cum_tokens = the running whitespace-token total through each doc —
+    the seek index a loader uses to resume mid-shard or to pack fixed
+    token budgets per step.
+
+    Shape: one shuffle, keyed on the shard (uniform by construction —
+    no salting needed), with ONE window giving both the position and
+    the running sum. At 100 TB the writer form is
+    `repartition(n_shards, shard).sortWithinPartitions(order_key)` +
+    per-shard files: identical semantics, and the window disappears
+    into the sort-on-write. The two hashes are salted differently
+    ('shard:' / 'ord:' prefixes) so shard membership and within-shard
+    order are independent — a single hash would sort each shard by the
+    same key that chose it, leaving the low hash range systematically
+    at the front of every shard.
+
+    NULL ids are excluded (a corpus with NULL ids should be repaired
+    upstream, not sharded — hash_split's contract).
+    """
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        portable_hash32,
+    )
+
+    idc = F.col(id_col).cast("string")
+    staged = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        (portable_hash32(F.concat(F.lit("shard:"), idc)) % n_shards)
+        .cast("int")
+        .alias("shard"),
+        portable_hash32(F.concat(F.lit("ord:"), idc)).alias("_ord"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_ord"), F.col(id_col))
+    return staged.select(
+        F.col(id_col),
+        F.col("shard"),
+        F.row_number().over(w).alias("pos"),
+        F.col("n_tokens"),
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+    )

@@ -1434,11 +1434,17 @@ _HEX = "0123456789abcdef"
 
 
 def _minhash_portable_oracle(
-    num_hashes: int = 16, bands: int = 4, k: int = 3, threshold: float = 0.5
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    source: str = "documents",
 ) -> str:
     """Mirror of dedup.minhash_lsh_candidates_portable: md5-derived
     31-bit shingle hash, affine permutations, banded self-join on the
-    comma-joined lane strings, estimated Jaccard >= threshold."""
+    comma-joined lane strings, estimated Jaccard >= threshold.
+    `source` lets a wrapping oracle (q_lsh_eval) point the construction
+    at a sampled CTE instead of the full table."""
     rows = num_hashes // bands
     shingle = " || ' ' || ".join(
         "tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(k)
@@ -1462,7 +1468,7 @@ def _minhash_portable_oracle(
     return f"""
         WITH toks AS (
           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-          FROM documents
+          FROM {source}
         ),
         idx AS (
           SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {k - 1})) AS i
@@ -1480,7 +1486,7 @@ def _minhash_portable_oracle(
         sig AS (
           SELECT d.doc_id,
                  {lanes}
-          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+          FROM {source} d LEFT JOIN m ON d.doc_id = m.doc_id
         ),
         banded AS (
           {banded}
@@ -5098,3 +5104,107 @@ def _kmv_overlap_oracle(k: int = 64) -> str:
 
 
 ORACLES["q_kmv_overlap"] = _kmv_overlap_oracle()
+
+
+# J76 deterministic shard layout: salted 'shard:'/'ord:' md5 hashes
+# (membership and order independent), row_number + running token sum in
+# ONE window — mirror of corpus.shard_assign
+ORACLES["q_shard_assign"] = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8 AS INTEGER) AS shard,
+             CAST('0x' || substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS ord_h,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER w AS INTEGER) AS pos,
+           n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens
+    FROM t
+    WINDOW w AS (PARTITION BY shard ORDER BY ord_h, doc_id
+                 ROWS UNBOUNDED PRECEDING)
+    """
+
+
+def _lsh_eval_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    truth_threshold: float = 0.5,
+    sample_mod: int = 4,
+) -> str:
+    """Mirror of dedup.lsh_candidate_eval: the portable banded candidate
+    set at est_threshold=0.0 (every banded collision), the exact
+    shared-shingle Jaccard ground truth at `truth_threshold`, combined
+    by FULL OUTER JOIN (both pair sets are distinct a<b) into the
+    one-row precision/recall summary, all over the deterministic
+    1/sample_mod 'eval:'-salted hash-sample. Spark realizes the same
+    labeling as a tagged union + per-pair max; the counted sets are
+    identical."""
+    inner = _minhash_portable_oracle(num_hashes, bands, k, 0.0, "eval_docs")
+    shingle = " || ' ' || ".join(
+        "tk3[i]" if j == 0 else f"tk3[i+{j}]" for j in range(k)
+    )
+    return f"""
+        WITH eval_docs AS (
+          SELECT * FROM documents
+          WHERE CAST('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)),
+                     1, 8) AS BIGINT) % {sample_mod} = 0
+        ),
+        candidates AS (
+          SELECT DISTINCT doc_a, doc_b FROM ({inner})
+        ),
+        toks3 AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS tk3
+          FROM eval_docs
+        ),
+        idx3 AS (
+          SELECT doc_id, tk3,
+                 unnest(generate_series(1, len(tk3) - {k - 1})) AS i
+          FROM toks3 WHERE len(tk3) >= {k}
+        ),
+        sh3 AS (SELECT DISTINCT doc_id, {shingle} AS s FROM idx3),
+        sizes3 AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id),
+        inter3 AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT doc_a, doc_b
+          FROM inter3
+          JOIN sizes3 sa ON sa.doc_id = doc_a
+          JOIN sizes3 sb ON sb.doc_id = doc_b
+          WHERE floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common))
+                      * 10000 + 0.5) / 10000 >= {truth_threshold}
+        ),
+        lab AS (
+          SELECT CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS c,
+                 CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS t
+          FROM candidates c
+          FULL OUTER JOIN truth t
+            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+        ),
+        agg AS (
+          SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_truth,
+                 CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_candidates,
+                 CAST(COALESCE(SUM(c * t), 0) AS BIGINT) AS n_hits
+          FROM lab
+        )
+        SELECT n_truth, n_candidates, n_hits,
+               CASE WHEN n_candidates > 0 THEN
+                 {sql_round_half_up("CAST(n_hits AS DOUBLE) / n_candidates")}
+               END AS precision,
+               CASE WHEN n_truth > 0 THEN
+                 {sql_round_half_up("CAST(n_hits AS DOUBLE) / n_truth")}
+               END AS recall
+        FROM agg
+        """
+
+
+ORACLES["q_lsh_eval"] = _lsh_eval_oracle()

@@ -3576,6 +3576,29 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_overlap(ev, "event_type", "user_id", k=64)
 
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J76: deterministic training-shard layout — salted-hash shard
+    membership, an independent-hash reproducible shuffle order within
+    each shard, and the running-token seek index a training loader
+    resumes from. One shuffle on the uniform shard key; the writer form
+    is repartition(shard) + sort-on-write."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.shard_assign(docs, n_shards=8)
+
+
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J77: the dedup pipeline's quality instrument — one row scoring
+    the banded MinHash candidate set against the exact shingle-Jaccard
+    ground truth (precision/recall at truth >= 0.5). Ground truth is
+    bounded by shared-shingle pairs, never O(n^2); fully oracled via
+    the portable signature path. Runs on the deterministic 1/4
+    hash-sample — the instrument's intended use: the exact truth pass
+    is its real cost and a sample answers the tuning question at 1/16
+    of the pair work (13 of 256 truth pairs survive at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_eval(docs, sample_mod=4)
+
+
 # Registration order is a DRIVER-FACING contract: the external
 # correctness harness records exactly the FIRST 50 entries (observed in
 # rounds 1-7 — CORRECTNESS_r*.json truncates at the 50th registered
@@ -3591,6 +3614,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-verified (r8 additions) ---------------------------
     "q_hll_distinct": q_hll_distinct,
     "q_kmv_overlap": q_kmv_overlap,
+    "q_shard_assign": q_shard_assign,
+    "q_lsh_eval": q_lsh_eval,
     # -- last driver green: r3 ------------------------------------------
     "q_embed_dedup": q_embed_dedup,
     "q_trailing_window": q_trailing_window,

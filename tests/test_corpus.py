@@ -1338,3 +1338,36 @@ def test_ngram_kl_zero_on_identical_and_positive_on_disjoint(spark):
     diff = ngram_kl(a, b).collect()[0]
     assert diff.kl_nats > 0.3  # disjoint vocab (smoothing over 1024
     # buckets bounds the per-bucket ratio at this tiny feature count)
+
+
+def test_shard_assign_layout_contracts(spark, sf_smoke):
+    """J76: every doc lands in exactly one of n_shards roughly-equal
+    shards; within a shard, pos is 1..size with cum_tokens the exact
+    running token sum; the layout is deterministic across runs; and
+    within-shard order is NOT id order (the reproducible-shuffle
+    property a training loader needs)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import shard_assign
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = shard_assign(docs, n_shards=8).collect()
+    assert len(out) == docs.filter(F.col("doc_id").isNotNull()).count()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(8))
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > 0 and max(sizes) / min(sizes) < 2.5, sizes
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+        cum = 0
+        for r in rows:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+    # reproducible shuffle: same layout on a second run, but not id order
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in
+             shard_assign(docs, n_shards=8).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in out}
+    some_shard = max(by_shard.values(), key=len)
+    ids_by_pos = [r["doc_id"] for r in sorted(some_shard, key=lambda r: r["pos"])]
+    assert ids_by_pos != sorted(ids_by_pos)

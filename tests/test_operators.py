@@ -2458,3 +2458,30 @@ def test_kmv_overlap_tracks_exact_overlap(spark, sf_oracle):
             # exhaustive-synopsis pairs are exact, not estimates
             assert e["union_est"] == float(n_union_true)
             assert e["intersect_est"] == float(n_inter_true)
+
+
+def test_lsh_eval_scores_candidates_against_exact_truth(spark):
+    """J77: on a corpus with one known near-dup pair and unrelated
+    docs, the instrument reports the pair in both truth and candidates
+    (recall 1.0), counts every banded collision as a candidate, and
+    never reports more hits than either set; sample_mod=1 keeps every
+    doc (the full-eval degenerate case of the sampling dial)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_eval,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tail"),  # near-dup of 1
+        (3, "completely unrelated content about distributed query engines"),
+        (4, "another unrelated document mentioning parquet files only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lsh_candidate_eval(docs, truth_threshold=0.5, sample_mod=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_truth"] >= 1
+    assert r["recall"] == 1.0
+    assert r["n_hits"] <= r["n_candidates"]
+    assert r["n_hits"] <= r["n_truth"] or r["recall"] < 1.0

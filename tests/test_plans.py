@@ -101,6 +101,8 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
     "q_freshness",            # one-row fleet watermark onto device rows
     "q_kmv_overlap",          # one row of groups x k synopses (bounded
                               # by construction) fanning out pair math
+    "q_lsh_eval",             # one-row precision/recall summary over
+                              # the labeled pair union
 }
 
 
