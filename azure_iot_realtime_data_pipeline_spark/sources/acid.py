@@ -50,13 +50,30 @@ def _manifest_version(name: str) -> int | None:
     return None
 
 
-def _read_manifest(table_dir: str) -> dict:
-    """Newest committed manifest as {version, files, stats};
+def _read_manifest(table_dir: str, version: int | None = None) -> dict:
+    """Committed manifest as {version, files, stats} — the newest by
+    default, or exactly `version` (time travel; raises if that manifest
+    was never committed or has been vacuumed past). Returns
     {version: 0, files: [], stats: {}} for an empty/new table. `stats`
     maps file -> {column: [min, max]} captured at commit time, so file
     skipping is an in-memory decision instead of O(table files) footer
     reads per merge (Delta stores stats in the log for the same reason
     — review r7 pass 2)."""
+    if version is not None:
+        path = os.path.join(table_dir, f"manifest-{int(version)}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no manifest for version {version} in {table_dir} — "
+                "never committed, or vacuumed past keep_versions "
+                "(see table_history for retained versions)"
+            )
+        with open(path) as f:
+            m = json.load(f)
+        return {
+            "version": int(version),
+            "files": m["files"],
+            "stats": m.get("stats", {}),
+        }
     best: dict = {"version": 0, "files": [], "stats": {}}
     if os.path.isdir(table_dir):
         for name in os.listdir(table_dir):
@@ -85,8 +102,16 @@ def read_table(
     key_between: tuple[str, object, object]
     | list[tuple[str, object, object]]
     | None = None,
+    version: int | None = None,
 ) -> DataFrame:
-    """Snapshot read: exactly the newest manifest's files.
+    """Snapshot read: exactly the newest manifest's files — or, with
+    `version=N`, exactly version N's files (time travel). Because data
+    files are immutable and a commit never deletes a listed file, every
+    retained manifest IS a complete consistent snapshot: reading an old
+    version costs nothing beyond resolving its manifest. Retention is
+    vacuum's `keep_versions` dial — reading past it raises with the
+    retained range (the Delta/Iceberg contract: history is as deep as
+    you retain, not forever).
 
     `key_between=(col, lo, hi)` — or a LIST of such triples, ANDed —
     prunes files by the manifest's commit-time [min, max] stats BEFORE
@@ -96,7 +121,7 @@ def read_table(
     pruning is an optimization, never a semantic). Multi-constraint
     pruning is what `write_table(zorder_by=...)` layouts are FOR — a
     file is skipped if ANY constraint's range provably misses it."""
-    m = _read_manifest(table_dir)
+    m = _read_manifest(table_dir, version)
     files = m["files"]
     if not files:
         raise FileNotFoundError(f"no committed manifest in {table_dir}")
@@ -130,6 +155,31 @@ def read_table(
             *[os.path.join(table_dir, f) for f in files]
         ).filter(pred)
     return spark.read.parquet(*[os.path.join(table_dir, f) for f in files])
+
+
+def table_history(table_dir: str) -> list[dict]:
+    """Retained snapshot history, newest first: one row per committed
+    manifest still on disk — {version, n_files, committed_at (the
+    manifest's mtime, epoch seconds)}. The audit view `read_table
+    (version=...)` travels over; vacuum's keep_versions bounds its
+    depth. Driver-side metadata only — no data files are touched."""
+    out = []
+    if os.path.isdir(table_dir):
+        for name in os.listdir(table_dir):
+            v = _manifest_version(name)
+            if v is None:
+                continue
+            path = os.path.join(table_dir, name)
+            with open(path) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": v,
+                    "n_files": len(m["files"]),
+                    "committed_at": os.path.getmtime(path),
+                }
+            )
+    return sorted(out, key=lambda r: -r["version"])
 
 
 def _commit(

@@ -346,3 +346,53 @@ def test_read_table_with_empty_constraint_list_is_plain_read(spark, tmp_path):
     df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
     acid.write_table(df, d)
     assert acid.read_table(spark, d, key_between=[]).count() == 2
+
+
+def test_time_travel_reads_each_retained_version(spark, tmp_path):
+    """read_table(version=N) returns exactly version N's snapshot:
+    immutable data files + per-version manifests make every retained
+    version a complete consistent table; merges on top never disturb
+    older snapshots; table_history lists them newest-first."""
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=20, files=2)  # version 1
+    acid.merge_upsert(
+        spark.createDataFrame([(3, -1)], "k long, v long"), d, key="k"
+    )  # version 2
+    acid.merge_upsert(
+        spark.createDataFrame([(3, -2), (100, 5)], "k long, v long"), d, key="k"
+    )  # version 3
+    v1 = {r.k: r.v for r in acid.read_table(spark, d, version=1).collect()}
+    v2 = {r.k: r.v for r in acid.read_table(spark, d, version=2).collect()}
+    v3 = {r.k: r.v for r in acid.read_table(spark, d).collect()}
+    base = {i: i * 10 for i in range(20)}
+    assert v1 == base
+    assert v2 == {**base, 3: -1}
+    assert v3 == {**base, 3: -2, 100: 5}
+    hist = acid.table_history(d)
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert all(h["n_files"] >= 1 for h in hist)
+    # version constraints compose with stats pruning
+    got = {
+        r.k: r.v
+        for r in acid.read_table(
+            spark, d, key_between=("k", 0, 5), version=2
+        ).collect()
+    }
+    assert got == {0: 0, 1: 10, 2: 20, 3: -1, 4: 40, 5: 50}
+
+
+def test_time_travel_past_retention_raises(spark, tmp_path):
+    """Vacuum's keep_versions bounds history depth: a vacuumed-past
+    version's manifest is gone and read_table(version=...) says so
+    instead of resurrecting a torn file list."""
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=10, files=1)
+    acid.merge_upsert(
+        spark.createDataFrame([(1, -1)], "k long, v long"), d, key="k"
+    )
+    acid.vacuum(d, keep_versions=1)
+    with pytest.raises(FileNotFoundError, match="version 1"):
+        acid.read_table(spark, d, version=1)
+    assert [h["version"] for h in acid.table_history(d)] == [2]
+    with pytest.raises(FileNotFoundError, match="version 9"):
+        acid.read_table(spark, d, version=9)
