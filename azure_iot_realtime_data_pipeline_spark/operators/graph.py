@@ -231,3 +231,118 @@ def triangle_stats(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Data
             ).alias("clustering"),
         )
     )
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round (Kiveris et al., SoCC'14
+    "Connected Components in MapReduce and Beyond"). `edges` is a
+    DISTINCT canonical pair table (a > b, no self loops); returns the
+    next canonical pair table.
+
+    Large-star: every node u connects each STRICTLY LARGER neighbor to
+    m = min(N(u) ∪ {u}) — hubs hand their big neighbors down to their
+    smallest one. Small-star: orienting edges high→low, every node u
+    connects its smaller neighbors AND ITSELF to the minimum — chains
+    collapse toward the component minimum. Both halves are one groupBy
+    (the per-node min) + one equi-join fan-out: all-shuffle-on-key,
+    no driver data, per-round cost O(|E|)."""
+    # large star over the symmetric view
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+    # node-min tables are node-sized — broadcastable on a smoke graph
+    # but fact-sized on a web-scale dup graph, where the static fallback
+    # is the repo-banned SortMergeJoin: pin shuffle-hash (the repo-wide
+    # pinned-join policy for fact-x-fact edges)
+    ls = (
+        sym.join(mins.hint("shuffle_hash"), "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.greatest("v", "m").alias("a"), F.least("v", "m").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # small star over the high->low orientation of the large-star output
+    mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
+    ss = (
+        ls.join(mins2.hint("shuffle_hash"), "a")
+        .select(F.col("b").alias("v"), F.col("m"))
+        .unionByName(
+            mins2.select(F.col("a").alias("v"), F.col("m"))
+        )
+        .filter(F.col("v") != F.col("m"))
+        .select(F.greatest("v", "m").alias("a"), F.least("v", "m").alias("b"))
+        .distinct()
+    )
+    return ss
+
+
+def connected_components_bigstar(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """J78: connected components by large-star/small-star alternation —
+    the O(log n)-round form of dedup.duplicate_clusters' min-label
+    propagation, same contract: (doc_id, cluster_id) for every node in
+    a pair, cluster_id = MIN id of the component.
+
+    Min-label propagation converges in O(component diameter) rounds —
+    the right tool for LSH dup graphs, whose components are near-
+    cliques (measured 2-3 rounds). At web scale the dup graph grows
+    long chains (A~B~C... via borderline near-dup links) and diameter
+    stops being small; the star alternation contracts ANY component in
+    O(log n) rounds w.h.p. regardless of diameter (Kiveris et al.,
+    SoCC'14), each round one groupBy + one join on the shrinking edge
+    set. Measured here on a 48-node path graph (diameter 47): 4 rounds
+    vs 47 — the test pins it. Same per-round checkpoint discipline as
+    the min-label loop (lineage truncation); convergence = the
+    canonical edge set reaching a fixpoint, detected with two bounded
+    count jobs per round.
+
+    At fixpoint the edge set IS the component map (stars centered on
+    minima); nodes absent from it (singleton inputs, if the pair
+    source ever emits a==b) label themselves.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+            F.least(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nxt = _star_round(edges).localCheckpoint(eager=True)
+        n_old, n_new = edges.count(), nxt.count()
+        if n_old == n_new:
+            n_union = edges.unionByName(nxt).distinct().count()
+            if n_union == n_old:
+                edges = nxt
+                break
+        edges = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components_bigstar did not converge in {max_iter} "
+            "rounds — raise max_iter (O(log n) expected; this is a "
+            "backstop, not a tuning dial)"
+        )
+    stars = edges.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    return (
+        nodes.join(stars.hint("shuffle_hash"), "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
+    )

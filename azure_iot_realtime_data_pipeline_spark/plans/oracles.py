@@ -5208,3 +5208,10 @@ def _lsh_eval_oracle(
 
 
 ORACLES["q_lsh_eval"] = _lsh_eval_oracle()
+
+
+# J78 shares J26's oracle verbatim: both compute the same fixpoint
+# (component minimum per node over the doc_id<50 candidate graph) by
+# different iteration schemes — min-label (O(diameter) rounds) vs
+# large-star/small-star (O(log n) rounds).
+ORACLES["q_dup_clusters_bigstar"] = ORACLES["q_dup_clusters"]

@@ -3599,6 +3599,19 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_eval(docs, sample_mod=4)
 
 
+def q_dup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J78: connected components by large-star/small-star alternation
+    (Kiveris et al., SoCC'14) over the same candidate graph as J26 —
+    identical (doc_id, cluster_id=component min) contract, O(log n)
+    rounds regardless of component diameter where min-label needs
+    O(diameter). The web-scale form for dup graphs with long
+    borderline-link chains; shares J26's oracle because the result is
+    the same fixpoint."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return graph.connected_components_bigstar(pairs)
+
+
 # Registration order is a DRIVER-FACING contract: the external
 # correctness harness records exactly the FIRST 50 entries (observed in
 # rounds 1-7 — CORRECTNESS_r*.json truncates at the 50th registered
@@ -3616,6 +3629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmv_overlap": q_kmv_overlap,
     "q_shard_assign": q_shard_assign,
     "q_lsh_eval": q_lsh_eval,
+    "q_dup_clusters_bigstar": q_dup_clusters_bigstar,
     # -- last driver green: r3 ------------------------------------------
     "q_embed_dedup": q_embed_dedup,
     "q_trailing_window": q_trailing_window,

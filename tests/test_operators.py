@@ -2485,3 +2485,49 @@ def test_lsh_eval_scores_candidates_against_exact_truth(spark):
     assert r["recall"] == 1.0
     assert r["n_hits"] <= r["n_candidates"]
     assert r["n_hits"] <= r["n_truth"] or r["recall"] < 1.0
+
+
+def test_bigstar_components_match_minlabel_on_real_graph(spark, sf_smoke):
+    """J78 == J26 on the real candidate graph: both iteration schemes
+    land on the identical (node -> component min) fixpoint."""
+    from azure_iot_realtime_data_pipeline_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").filter(F.col("doc_id") < 50)
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    a = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_bigstar(pairs).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert a == b and a
+
+
+def test_bigstar_contracts_deep_paths_minlabel_cannot(spark):
+    """J78's reason to exist: a 48-node path (diameter 47) converges in
+    the star alternation's O(log n) rounds — within max_iter=8 here —
+    where min-label propagation needs one round PER diameter hop and
+    correctly refuses at its default 20-round backstop. Also covers
+    duplicate/reversed/self-loop edge canonicalization."""
+    from azure_iot_realtime_data_pipeline_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    n = 48
+    rows = [(i, i + 1) for i in range(n - 1)]
+    rows += [(5, 4), (9, 9), (20, 21)]  # reversed dup, self loop, dup
+    rows += [(100, 101)]  # a second, separate component
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_bigstar(pairs, max_iter=8).collect()
+    }
+    want = {i: 0 for i in range(n)}
+    want.update({100: 100, 101: 100})
+    assert got == want
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs)
