@@ -5215,3 +5215,54 @@ ORACLES["q_lsh_eval"] = _lsh_eval_oracle()
 # different iteration schemes — min-label (O(diameter) rounds) vs
 # large-star/small-star (O(log n) rounds).
 ORACLES["q_dup_clusters_bigstar"] = ORACLES["q_dup_clusters"]
+
+
+# J79 per-source lexical diversity: token TTR + distinct-trigram ratio,
+# zero-token/zero-trigram sources report NULL ratios and 0 counts —
+# mirror of corpus.ngram_diversity
+ORACLES["q_ngram_diversity"] = """
+    WITH t AS (
+      SELECT source, doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    ),
+    tok AS (
+      SELECT source, CAST(COUNT(DISTINCT tk) AS BIGINT) AS n_distinct_tokens
+      FROM (SELECT source, unnest(toks) AS tk FROM t)
+      GROUP BY source
+    ),
+    idx AS (
+      SELECT source, doc_id, toks,
+             unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM t WHERE len(toks) >= 3
+    ),
+    tri AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct_trigrams
+      FROM (SELECT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+            FROM idx)
+      GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.n_tokens,
+           CAST(COALESCE(tok.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+           CASE WHEN b.n_tokens > 0 THEN
+             floor((CAST(tok.n_distinct_tokens AS DOUBLE) / b.n_tokens)
+                   * 10000 + 0.5) / 10000
+           END AS ttr,
+           CAST(COALESCE(tri.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(tri.n_distinct_trigrams, 0) AS BIGINT)
+             AS n_distinct_trigrams,
+           CASE WHEN tri.n_trigrams > 0 THEN
+             floor((CAST(tri.n_distinct_trigrams AS DOUBLE) / tri.n_trigrams)
+                   * 10000 + 0.5) / 10000
+           END AS trigram_ttr
+    FROM base b
+    LEFT JOIN tok ON tok.source = b.source
+    LEFT JOIN tri ON tri.source = b.source
+    """

@@ -3612,6 +3612,16 @@ def q_dup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components_bigstar(pairs)
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J79: per-source lexical diversity (type-token ratio + distinct
+    trigram ratio) — the across-docs repetitiveness monitor template
+    farms and scraped mirrors collapse on, complementing J22's
+    within-doc repetition score. Vocab-bounded shuffles; the unbounded-
+    domain swap is the J74 HLL register table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.ngram_diversity(docs)
+
+
 # Registration order is a DRIVER-FACING contract: the external
 # correctness harness records exactly the FIRST 50 entries (observed in
 # rounds 1-7 — CORRECTNESS_r*.json truncates at the 50th registered
@@ -3630,6 +3640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_shard_assign": q_shard_assign,
     "q_lsh_eval": q_lsh_eval,
     "q_dup_clusters_bigstar": q_dup_clusters_bigstar,
+    "q_ngram_diversity": q_ngram_diversity,
     # -- last driver green: r3 ------------------------------------------
     "q_embed_dedup": q_embed_dedup,
     "q_trailing_window": q_trailing_window,

@@ -1371,3 +1371,30 @@ def test_shard_assign_layout_contracts(spark, sf_smoke):
     some_shard = max(by_shard.values(), key=len)
     ids_by_pos = [r["doc_id"] for r in sorted(some_shard, key=lambda r: r["pos"])]
     assert ids_by_pos != sorted(ids_by_pos)
+
+
+def test_ngram_diversity_separates_template_farm_from_diverse_source(spark):
+    """J79 boundaries: a source of near-identical template docs scores
+    far lower distinct-trigram ratio than a diverse source; a source
+    whose docs all have < k tokens reports 0 trigrams and NULL
+    trigram_ttr (never a division error); an empty-text source reports
+    NULL ttr."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        ngram_diversity,
+    )
+
+    template = "click here to claim your free prize now"
+    rows = [(i, template, "farm") for i in range(20)]
+    rows += [
+        (100 + i, f"unique document number {i} discussing topic {i * 7} deeply", "varied")
+        for i in range(20)
+    ]
+    rows += [(200, "too short", "tiny"), (201, "", "empty")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in ngram_diversity(docs).collect()}
+    assert out["farm"]["trigram_ttr"] < 0.1
+    assert out["varied"]["trigram_ttr"] > 0.5
+    assert out["farm"]["ttr"] < out["varied"]["ttr"]
+    assert out["tiny"]["n_trigrams"] == 0 and out["tiny"]["trigram_ttr"] is None
+    assert out["empty"]["n_tokens"] == 0 and out["empty"]["ttr"] is None
+    assert out["empty"]["n_distinct_tokens"] == 0
