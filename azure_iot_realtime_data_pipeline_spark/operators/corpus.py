@@ -1652,6 +1652,8 @@ def shard_assign(
         portable_hash32,
     )
 
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     idc = F.col(id_col).cast("string")
     staged = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
@@ -1725,9 +1727,14 @@ def ngram_diversity(
             F.countDistinct("_s").cast("long").alias("n_distinct_trigrams"),
         )
     )
-    out = base.join(F.broadcast(tok), "source", "left").join(
-        F.broadcast(tri), "source", "left"
-    )
+    # null-safe joins: a NULL source is a real group on both engines'
+    # GROUP BY, but a plain equi-join would strand its distinct counts
+    # (NULL != NULL) and report NULL ratios for a source that has tokens
+    tok = tok.withColumnRenamed("source", "_src_t")
+    tri = tri.withColumnRenamed("source", "_src_3")
+    out = base.join(
+        F.broadcast(tok), F.col("source").eqNullSafe(F.col("_src_t")), "left"
+    ).join(F.broadcast(tri), F.col("source").eqNullSafe(F.col("_src_3")), "left")
     ttr = F.when(
         F.col("n_tokens") > 0,
         round_half_up(

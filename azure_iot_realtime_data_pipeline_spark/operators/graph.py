@@ -308,18 +308,22 @@ def connected_components_bigstar(
     minima); nodes absent from it (singleton inputs, if the pair
     source ever emits a==b) label themselves.
     """
+    canon = pairs.select(
+        F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+        F.least(F.col(id_a), F.col(id_b)).alias("b"),
+    )
     edges = (
-        pairs.select(
-            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
-            F.least(F.col(id_a), F.col(id_b)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
+        canon.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # node universe from the RAW pairs: a node appearing only in a
+    # self-loop still labels itself, matching duplicate_clusters (and
+    # the shared recursive-CTE oracle), instead of silently vanishing
+    # with the dropped loop edge
     nodes = (
-        edges.select(F.col("a").alias("node"))
-        .unionByName(edges.select(F.col("b").alias("node")))
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -276,18 +276,31 @@ def hll_sketch(
         F.call_function("shiftright", F.col("_h"), F.lit(sb)).cast("int").alias("_j"),
         rho.alias("_rho"),
     )
-    return regs.groupBy(group, "_j").agg(F.max("_rho").alias("_mj"))
+    # _p rides in the schema so hll_estimate can verify it was built
+    # with the SAME precision — a wrong-p estimate would silently
+    # mis-shift every term (value ranges alone cannot reveal the
+    # mismatch: a p=8 table is numerically plausible under p=12)
+    return (
+        regs.groupBy(group, "_j")
+        .agg(F.max("_rho").alias("_mj"))
+        .withColumn("_p", F.lit(p).cast("int"))
+    )
 
 
 def hll_merge(a: DataFrame, b: DataFrame, group: str) -> DataFrame:
     """Merge two HLL register tables (same p): per-register MAX — the
     sketch of a union IS the merge of the sketches (max is associative,
     commutative, idempotent), so per-day registers roll up to per-month
-    exactly, not approximately-on-approximate."""
+    exactly, not approximately-on-approximate. `_p` carries through
+    min/max-split so a mixed-p merge cannot masquerade as clean:
+    hll_estimate raises unless every row's precision matches."""
     return (
         a.unionByName(b)
         .groupBy(group, "_j")
-        .agg(F.max("_mj").alias("_mj"))
+        .agg(
+            F.max("_mj").alias("_mj"),
+            F.min("_p").alias("_p"),
+        )
     )
 
 
@@ -315,6 +328,12 @@ def hll_estimate(
     m = 1 << p
     sb = 32 - p
     numerator = _hll_alpha(m) * float(m * m * (1 << (sb + 1)))
+    # guard: estimating a sketch built with a DIFFERENT p would
+    # mis-shift every harmonic term (Java masks shifts to 6 bits, so
+    # the wrong answer would be silent, and value ranges alone cannot
+    # reveal the mismatch) — the sketch carries its precision in `_p`
+    # and the estimator fails loudly on any row that disagrees; the
+    # check rides the aggregate, no extra pass over the input
     agg = regs.groupBy(group).agg(
         F.count(F.lit(1)).cast("long").alias("n_regs"),
         F.sum(
@@ -324,6 +343,18 @@ def hll_estimate(
                 F.lit(sb + 1) - F.col("_mj"),
             )
         ).alias("_dobs"),
+        F.min("_p").alias("_pmn"),
+        F.max("_p").alias("_pmx"),
+    )
+    bad = (F.col("_pmn") != p) | (F.col("_pmx") != p)
+    guard = F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                f"hll_estimate: sketch carries a different p than {p} "
+                "(built or merged at another precision)"
+            )
+        ).cast("double"),
     )
     zeros = F.lit(m) - F.col("n_regs")
     d = (F.col("_dobs") + zeros * F.lit(1 << (sb + 1))).cast("double")
@@ -332,6 +363,7 @@ def hll_estimate(
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0), round_half_up(linear)
     ).otherwise(round_half_up(raw))
+    est = F.coalesce(guard, est)
     return agg.select(F.col(group), F.col("n_regs"), est.alias(out))
 
 
@@ -391,7 +423,10 @@ def kmv_overlap(
     the (group, hv) kept table on hv, per-pair union top-k via a
     co-grouped merge — same estimator, no single-row funnel.
     """
-    kept = kmv_kept(df, group, id_col, k)
+    # a NULL segment is not a comparable audience (same contract as
+    # L21's exact audience_overlap) — and the oracle's type_a < type_b
+    # pairing could never see it anyway (SQL NULL comparisons)
+    kept = kmv_kept(df.filter(F.col(group).isNotNull()), group, id_col, k)
     one = kept.agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(group).alias("_g"), F.col("_ks")))

@@ -5263,6 +5263,6 @@ ORACLES["q_ngram_diversity"] = """
                    * 10000 + 0.5) / 10000
            END AS trigram_ttr
     FROM base b
-    LEFT JOIN tok ON tok.source = b.source
-    LEFT JOIN tri ON tri.source = b.source
+    LEFT JOIN tok ON tok.source IS NOT DISTINCT FROM b.source
+    LEFT JOIN tri ON tri.source IS NOT DISTINCT FROM b.source
     """

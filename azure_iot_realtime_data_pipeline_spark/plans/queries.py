@@ -3687,14 +3687,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_image_meta": q_image_meta,
     "q_adjust_clamp": q_adjust_clamp,
     "q_drop_late": q_drop_late,
+    # ==== driver window cutoff (first 50 above: the 6 new r8 queries
+    #      + 44 stalest greens; the 6 r4 greens displaced by the new
+    #      head lead the r9 rotation) — entries below are covered by
+    #      the local parity suite every run ===========================
     "q_latest_value": q_latest_value,
     "q_groupby_device": q_groupby_device,
     "q_dedup_devices": q_dedup_devices,
     "q_join_devices": q_join_devices,
     "q_wire_serve": q_wire_serve,
     "q_repeated_spans": q_repeated_spans,
-    # ==== driver window cutoff (first 50 above) — entries below are
-    #      covered by the local parity suite every run ================
     "q_repeat_regions": q_repeat_regions,
     "q_domain_mixture": q_domain_mixture,
     "q_pricing_summary": q_pricing_summary,

@@ -1390,8 +1390,10 @@ def test_ngram_diversity_separates_template_farm_from_diverse_source(spark):
         for i in range(20)
     ]
     rows += [(200, "too short", "tiny"), (201, "", "empty")]
+    rows += [(202, "null source still gets its real ratios computed", None)]
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = {r["source"]: r for r in ngram_diversity(docs).collect()}
+    assert out[None]["n_tokens"] == 8 and out[None]["ttr"] == 1.0
     assert out["farm"]["trigram_ttr"] < 0.1
     assert out["varied"]["trigram_ttr"] > 0.5
     assert out["farm"]["ttr"] < out["varied"]["ttr"]

@@ -2521,13 +2521,50 @@ def test_bigstar_contracts_deep_paths_minlabel_cannot(spark):
     rows = [(i, i + 1) for i in range(n - 1)]
     rows += [(5, 4), (9, 9), (20, 21)]  # reversed dup, self loop, dup
     rows += [(100, 101)]  # a second, separate component
+    rows += [(300, 300)]  # an ISOLATED self-loop node: labels itself
     pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
     got = {
         r["doc_id"]: r["cluster_id"]
         for r in connected_components_bigstar(pairs, max_iter=8).collect()
     }
     want = {i: 0 for i in range(n)}
-    want.update({100: 100, 101: 100})
+    want.update({100: 100, 101: 100, 300: 300})
     assert got == want
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.duplicate_clusters(pairs)
+
+
+def test_hll_estimate_rejects_mismatched_p(spark):
+    """J74 guard: estimating with a different p than the sketch was
+    built with would feed Java's masked shift a wrong amount and return
+    a silently-wrong number — it must raise instead."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(2000)], "g string, id int"
+    )
+    regs = hll_sketch(df, "g", "id", p=8)
+    with pytest.raises(SparkRuntimeException, match="different p"):
+        hll_estimate(regs, "g", p=12).collect()
+    with pytest.raises(SparkRuntimeException, match="different p"):
+        hll_estimate(regs, "g", p=6).collect()
+
+
+def test_kmv_overlap_ignores_null_segments(spark):
+    """J75 contract (same as L21): a NULL segment is not a comparable
+    audience — pairs only form between non-NULL groups."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    rows = [("x", 1), ("x", 2), ("y", 2), ("y", 3), (None, 1), (None, 9)]
+    df = spark.createDataFrame(rows, "g string, id int")
+    out = kmv_overlap(df, "g", "id", k=8).collect()
+    assert [(r["type_a"], r["type_b"]) for r in out] == [("x", "y")]
+    r = out[0]
+    # exhaustive synopses: exact values — |x ∪ y| = 3, |x ∩ y| = 1
+    assert r["union_est"] == 3.0 and r["intersect_est"] == 1.0
