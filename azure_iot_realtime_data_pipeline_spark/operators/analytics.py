@@ -2151,3 +2151,74 @@ def association_rules(
         ).alias("confidence"),
         "lift",
     ).filter(F.col("confidence") >= min_confidence)
+
+
+def window_funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    window_seconds: int,
+) -> DataFrame:
+    """L47 sliding-window funnel (ClickHouse windowFunnel semantics):
+    how many users completed each stage prefix IN ORDER with the whole
+    chain inside `window_seconds` of its FIRST-stage anchor event. The
+    missing constraint in L11's unconstrained funnel — "viewed then
+    bought" is a different product question from "viewed then bought
+    within two days", and the unconstrained count only ever
+    overstates.
+
+    Every first-stage event is a candidate ANCHOR (a user's earliest
+    chain may overrun the window while a later one completes, so
+    anchoring only the first occurrence — the tempting shortcut —
+    undercounts). Per anchor the chain is built greedily: stage k's
+    event is the EARLIEST of its type strictly after stage k-1's and
+    within the anchor window; greedy is optimal for a fixed anchor
+    because an earlier stage-k timestamp only widens stage k+1's
+    feasible interval. A user counts at level k if ANY anchor chain
+    reaches it.
+
+    Plan shape: L11's discipline — every per-stage aggregate and join
+    keys on the user (anchor rides as a second group key), so all
+    |stages| steps share one hash partitioning; per-user fan-out is
+    bounded by that user's first-stage event count. Chain timestamps
+    compare in integer epoch micros on both engines. The |stages|
+    one-row level counts are the sanctioned global-summary tail, same
+    as q_funnel.
+    """
+    ev = df.select(
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col)).alias("_ep"),
+        F.col(type_col),
+    ).filter(F.col(ts_col).isNotNull())
+    w_us = int(window_seconds) * 1_000_000
+    anchors = ev.filter(F.col(type_col) == stages[0]).select(
+        F.col(user_col), F.col("_ep").alias("_a")
+    )
+    reached = anchors.withColumn("_t", F.col("_a"))
+    frames = [reached]
+    for s in stages[1:]:
+        reached = (
+            ev.filter(F.col(type_col) == s)
+            .join(reached.select(user_col, "_a", "_t"), user_col)
+            .filter(
+                (F.col("_ep") > F.col("_t"))
+                & (F.col("_ep") <= F.col("_a") + F.lit(w_us))
+            )
+            .groupBy(user_col, "_a")
+            .agg(F.min("_ep").alias("_t"))
+        )
+        frames.append(reached)
+    parts = [
+        f.agg(F.countDistinct(user_col).cast("long").alias("n_users")).select(
+            F.lit(i + 1).alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            "n_users",
+        )
+        for i, (s, f) in enumerate(zip(stages, frames))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -5266,3 +5266,39 @@ ORACLES["q_ngram_diversity"] = """
     LEFT JOIN tok ON tok.source IS NOT DISTINCT FROM b.source
     LEFT JOIN tri ON tri.source IS NOT DISTINCT FROM b.source
     """
+
+
+def _window_funnel_oracle(
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    window_seconds: int = 48 * 3600,
+) -> str:
+    """Mirror of analytics.window_funnel: every first-stage event is an
+    anchor, each later stage takes the earliest event of its type
+    strictly after the previous stage and within the anchor window
+    (integer epoch-micro comparisons on both engines), a user counts at
+    a level if any anchor chain reaches it."""
+    w_us = int(window_seconds) * 1_000_000
+    ctes = [
+        "ev AS (SELECT user_id, epoch_us(ts) AS ep, event_type"
+        " FROM events WHERE ts IS NOT NULL)",
+        f"s1 AS (SELECT user_id, ep AS a0, ep AS t FROM ev"
+        f" WHERE event_type = '{stages[0]}')",
+    ]
+    for i, s in enumerate(stages[1:], start=2):
+        ctes.append(
+            f"s{i} AS ("
+            f" SELECT p.user_id, p.a0, MIN(e.ep) AS t"
+            f" FROM s{i - 1} p JOIN ev e ON e.user_id = p.user_id"
+            f" AND e.event_type = '{s}' AND e.ep > p.t"
+            f" AND e.ep <= p.a0 + {w_us}"
+            f" GROUP BY p.user_id, p.a0)"
+        )
+    selects = [
+        f"SELECT {i + 1} AS stage_idx, '{s}' AS stage,"
+        f" CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM s{i + 1}"
+        for i, s in enumerate(stages)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLES["q_window_funnel"] = _window_funnel_oracle()

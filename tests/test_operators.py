@@ -2568,3 +2568,37 @@ def test_kmv_overlap_ignores_null_segments(spark):
     r = out[0]
     # exhaustive synopses: exact values — |x ∪ y| = 3, |x ∩ y| = 1
     assert r["union_est"] == 3.0 and r["intersect_est"] == 1.0
+
+
+def test_window_funnel_anchor_and_window_semantics(spark):
+    """L47 fixture pins the three semantic points: (a) a user whose
+    FIRST anchor overruns the window but a LATER anchor completes still
+    counts (anchoring only the first occurrence would undercount him),
+    (b) an ordered chain wider than the window does not count,
+    (c) same-timestamp events do not advance the funnel (strict >)."""
+    from datetime import datetime, timedelta
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        window_funnel,
+    )
+
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1: anchor@0 -> click@90 overruns 60-min window, but
+        # anchor@80 -> click@90 -> buy@100 completes
+        (1, t(0), "view"), (1, t(80), "view"), (1, t(90), "click"),
+        (1, t(100), "purchase"),
+        # user 2: ordered but 70 min anchor->purchase: level 2 only
+        (2, t(0), "view"), (2, t(30), "click"), (2, t(70), "purchase"),
+        # user 3: click at the SAME timestamp as the view: never level 2
+        (3, t(10), "view"), (3, t(10), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["stage_idx"]: r["n_users"]
+        for r in window_funnel(
+            ev, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], window_seconds=3600,
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}

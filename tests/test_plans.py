@@ -103,6 +103,8 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
                               # by construction) fanning out pair math
     "q_lsh_eval",             # one-row precision/recall summary over
                               # the labeled pair union
+    "q_window_funnel",        # |stages| one-row level counts (the
+                              # q_funnel class)
 }
 
 
