@@ -2602,3 +2602,117 @@ def test_window_funnel_anchor_and_window_semantics(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 2, 3: 1}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bigstar_equals_minlabel_on_random_graphs(spark, edges):
+    """J78 property gate: on ANY random multigraph (duplicates,
+    reversals, self loops included) the star alternation and min-label
+    propagation land on the identical component map — and both match a
+    plain-python union-find reference."""
+    from azure_iot_realtime_data_pipeline_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_bigstar(pairs, max_iter=12).collect()
+    }
+    # python union-find reference
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(ns) for ns in comp.values() for n in ns}
+    assert got == want
+    big_enough = dedup.duplicate_clusters(pairs, max_iter=60)
+    got_ml = {r["doc_id"]: r["cluster_id"] for r in big_enough.collect()}
+    assert got_ml == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),          # user
+            st.integers(0, 120),        # minute offset
+            st.sampled_from(["view", "click", "purchase", "noise"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_window_funnel_matches_python_reference(spark, events):
+    """L47 property gate: for ANY random event soup the operator's
+    per-level distinct-user counts match a plain-python reference that
+    enumerates every anchor chain greedily — same-timestamp ties,
+    overlapping anchors, missing stages and all."""
+    from datetime import datetime, timedelta
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        window_funnel,
+    )
+
+    stages = ["view", "click", "purchase"]
+    window_min = 45
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, base + timedelta(minutes=m), t) for u, m, t in events
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["stage_idx"]: r["n_users"]
+        for r in window_funnel(
+            ev, "user_id", "ts", "event_type", stages,
+            window_seconds=window_min * 60,
+        ).collect()
+    }
+    # python reference: per user, per anchor, greedy earliest-next chain
+    by_user: dict = {}
+    for u, m, t in events:
+        by_user.setdefault(u, []).append((m, t))
+    levels = {i: set() for i in range(1, len(stages) + 1)}
+    for u, evs in by_user.items():
+        evs.sort()
+        for am, at in evs:
+            if at != stages[0]:
+                continue
+            levels[1].add(u)
+            prev = am
+            for idx, s in enumerate(stages[1:], start=2):
+                nxt = min(
+                    (m for m, t in evs if t == s and m > prev
+                     and m <= am + window_min),
+                    default=None,
+                )
+                if nxt is None:
+                    break
+                levels[idx].add(u)
+                prev = nxt
+    want = {i: len(us) for i, us in levels.items()}
+    assert got == want
