@@ -1759,3 +1759,88 @@ def ngram_diversity(
         F.coalesce("n_distinct_trigrams", F.lit(0)).alias("n_distinct_trigrams"),
         tri_ttr.alias("trigram_ttr"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """J80: PMI collocation mining — (w1, w2, n_ab, n_a, n_b, pmi) for
+    every adjacent bigram with n_ab >= min_count, pmi = ln of the
+    observed-over-independent ratio. The classic phrase detector
+    (Church & Hanks'90; word2phrase uses the same statistic with a
+    discount): high PMI marks "new york"-style units worth fusing
+    before tokenizer training, and a corpus whose TOP collocations are
+    boilerplate fragments is template spam J79's ratios corroborate.
+
+    Plan shape: J54's in-array bigram build (zip the token array with
+    its own tail, map-side; no row window) -> ONE shuffle to the
+    (w1, w2) count table; unigram counts are a second vocab-sized
+    aggregate; both are localCheckpointed so the scalar totals (the
+    sanctioned one-row collect, the J71 idiom) don't replay the corpus
+    explode, and the final join attaches BROADCAST unigram counts to
+    the vocab-sized pair table. Nothing after the two exploded
+    aggregates is corpus-sized.
+
+    `min_count` bounds the hapax tail BEFORE the join (PMI is maximal
+    for pairs seen once — pure noise) and keeps the output honest.
+    Exactness: the PMI argument is an exact integer ratio evaluated in
+    ONE mirrored f64 expression (products left-associated identically
+    in the oracle), then the single libm ln, rounded half-up — the
+    accepted knife-edge class.
+    """
+    toks = tokens(F.col(text_col))
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    staged = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    bi = (
+        staged.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
+    uni = (
+        staged.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint(eager=True)
+    )
+    n_uni = uni.agg(F.sum("n_w")).collect()[0][0] or 0
+    n_bi = bi.agg(F.sum("n_ab")).collect()[0][0] or 0
+    if n_bi == 0:
+        return bi.select(
+            "w1", "w2", "n_ab",
+            F.lit(None).cast("long").alias("n_a"),
+            F.lit(None).cast("long").alias("n_b"),
+            F.lit(None).cast("double").alias("pmi"),
+        )
+    ua = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    joined = (
+        bi.filter(F.col("n_ab") >= int(min_count))
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+    )
+    ratio = (
+        F.col("n_ab").cast("double")
+        * F.lit(float(n_uni))
+        * F.lit(float(n_uni))
+        / (
+            F.lit(float(n_bi))
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+        )
+    )
+    return joined.select(
+        "w1", "w2", "n_ab", "n_a", "n_b",
+        round_half_up(F.log(ratio)).alias("pmi"),
+    )

@@ -5302,3 +5302,43 @@ def _window_funnel_oracle(
 
 
 ORACLES["q_window_funnel"] = _window_funnel_oracle()
+
+
+# J80 PMI collocations: in-text adjacent bigrams, min_count-pruned,
+# pmi = ln(n_ab * N_uni^2 / (N_bi * n_a * n_b)) with products
+# left-associated exactly as the Spark expression — mirror of
+# corpus.collocations
+ORACLES["q_collocations"] = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM t WHERE len(toks) >= 2
+    ),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM idx GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(n_w) AS DOUBLE) FROM uni) AS n_uni,
+             (SELECT CAST(SUM(n_ab) AS DOUBLE) FROM bi) AS n_bi
+    )
+    SELECT b.w1, b.w2, b.n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+           floor(ln(CAST(b.n_ab AS DOUBLE) * t.n_uni * t.n_uni
+                    / (t.n_bi * CAST(ua.n_w AS DOUBLE)
+                       * CAST(ub.n_w AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS pmi
+    FROM bi b
+    CROSS JOIN tot t
+    JOIN uni ua ON ua.w = b.w1
+    JOIN uni ub ON ub.w = b.w2
+    WHERE b.n_ab >= 5
+    """

@@ -1400,3 +1400,28 @@ def test_ngram_diversity_separates_template_farm_from_diverse_source(spark):
     assert out["tiny"]["n_trigrams"] == 0 and out["tiny"]["trigram_ttr"] is None
     assert out["empty"]["n_tokens"] == 0 and out["empty"]["ttr"] is None
     assert out["empty"]["n_distinct_tokens"] == 0
+
+
+def test_collocations_rank_real_phrases_above_independents(spark):
+    """J80 semantics: a corpus where 'new york' always co-occurs scores
+    that bigram's PMI far above a bigram of two frequent-but-independent
+    words; hapax bigrams are pruned by min_count; empty corpora return
+    an empty frame instead of dividing by zero."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        collocations,
+    )
+
+    phrase_doc = "visited new york today and yesterday"
+    rows = [(i, phrase_doc, "s") for i in range(10)]
+    # 'and'/'today' both frequent but adjacent only here:
+    rows += [(100 + i, "today and tomorrow maybe", "s") for i in range(10)]
+    rows += [(200, "rare hapax pairing", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["w1"], r["w2"]): r for r in collocations(docs, min_count=5).collect()}
+    assert ("new", "york") in out
+    assert ("rare", "hapax") not in out  # hapax pruned
+    indep = out[("today", "and")]
+    assert out[("new", "york")]["pmi"] > indep["pmi"]
+    # empty corpus: empty result, no division error
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert collocations(empty).count() == 0
