@@ -489,6 +489,58 @@ def merge_upsert(
     }
 
 
+def optimize(
+    spark: SparkSession,
+    table_dir: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact small data files into ~target-size ones in ONE commit —
+    the Delta OPTIMIZE analog for the streaming-sink failure mode: a
+    foreachBatch MERGE every trigger accretes one small file per
+    micro-batch until open-file count, footer reads and scan task
+    overhead dominate (the classic small-file problem).
+
+    Only files under `small_file_bytes` are rewritten (driver-side
+    os.stat — metadata only, no data scan to decide); everything else
+    carries over BY NAME with its manifest stats, so optimize cost
+    scales with the small fraction, not the table. The rewrite is a
+    plain read + coalesce to ceil(total/target) files — snapshot
+    isolation holds exactly as for merge: readers on the old manifest
+    keep their immutable files, `read_table(version=...)` still serves
+    the pre-optimize snapshot, and vacuum reclaims the replaced small
+    files once retention passes. Needs >= 2 small files to act (a lone
+    small file gains nothing; returns a no-op without bumping the
+    version — an empty commit would just churn retention).
+    """
+    m = _read_manifest(table_dir)
+    version, files = m["version"], m["files"]
+    if version == 0:
+        raise FileNotFoundError(f"no committed manifest in {table_dir}")
+    sizes = {
+        rel: os.path.getsize(os.path.join(table_dir, rel)) for rel in files
+    }
+    small = [rel for rel in files if sizes[rel] < small_file_bytes]
+    if len(small) < 2:
+        return {"version": version, "files_compacted": 0, "files_written": 0}
+    kept = [rel for rel in files if rel not in set(small)]
+    total = sum(sizes[rel] for rel in small)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(
+        *[os.path.join(table_dir, rel) for rel in small]
+    ).coalesce(int(n_out))
+    new_files = _write_commit_files(df, table_dir, version + 1)
+    new_stats = {rel: m["stats"].get(rel, {}) for rel in kept}
+    new_stats.update(_stats_for_files(table_dir, new_files))
+    _commit(table_dir, version + 1, kept + new_files, new_stats)
+    return {
+        "version": version + 1,
+        "files_compacted": len(small),
+        "files_written": len(new_files),
+        "files_kept": len(kept),
+    }
+
+
 def vacuum(
     table_dir: str, keep_versions: int = 1, min_age_seconds: float = 0.0
 ) -> list[str]:

@@ -396,3 +396,47 @@ def test_time_travel_past_retention_raises(spark, tmp_path):
     assert [h["version"] for h in acid.table_history(d)] == [2]
     with pytest.raises(FileNotFoundError, match="version 9"):
         acid.read_table(spark, d, version=9)
+
+
+def test_optimize_compacts_small_files_preserving_content(spark, tmp_path):
+    """OPTIMIZE analog: many small files collapse into few in one
+    commit; content identical; big files carry over by name with their
+    stats (key pruning still works); the pre-optimize snapshot stays
+    readable via time travel; a second optimize is a version-stable
+    no-op."""
+    d = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    acid.write_table(df.repartition(8), d)  # 8 small files
+    v1_files = set(acid._current_manifest(d)[1])
+    assert len(v1_files) == 8
+    stats = acid.optimize(spark, d, small_file_bytes=1 << 20)
+    assert stats["version"] == 2
+    assert stats["files_compacted"] == 8 and stats["files_written"] == 1
+    got = {r.k: r.v for r in acid.read_table(spark, d).collect()}
+    assert got == {i: i * 2 for i in range(200)}
+    # pre-optimize snapshot intact
+    old = {r.k: r.v for r in acid.read_table(spark, d, version=1).collect()}
+    assert old == got
+    # stats present for the new file: key pruning still prunes
+    m = acid._read_manifest(d)
+    assert all("k" in m["stats"][f] for f in m["files"])
+    # second optimize: single file left, nothing to do, version stable
+    stats2 = acid.optimize(spark, d, small_file_bytes=1 << 20)
+    assert stats2 == {
+        "version": 2, "files_compacted": 0, "files_written": 0,
+    }
+
+
+def test_optimize_leaves_big_files_alone(spark, tmp_path):
+    """Files at/above the small threshold carry over by name — optimize
+    cost scales with the small fraction, not the table."""
+    d = str(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    acid.write_table(df.repartition(4), d)
+    before = acid._current_manifest(d)[1]
+    # threshold of 0 bytes: nothing is "small", no-op
+    stats = acid.optimize(spark, d, small_file_bytes=0)
+    assert stats["files_compacted"] == 0
+    assert acid._current_manifest(d)[1] == before
