@@ -2222,3 +2222,94 @@ def window_funnel(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """L48 mutual information between two categorical columns — ONE row
+    (n, n_cells, mi_nats, h_a, h_b, nmi): MI = sum over cells of
+    p_ab * ln(p_ab / (p_a p_b)), the information-theoretic sibling of
+    L23's chi-square on the identical contingency machinery. Chi-square
+    answers "is the association statistically surprising"; MI answers
+    "how many nats does knowing one column buy about the other", and
+    NMI = MI / sqrt(H(A) H(B)) makes it comparable across column pairs
+    — the feature-redundancy screen (a near-1 NMI column pair is one
+    column stored twice).
+
+    Plan shape: L23's — one corpus shuffle to the |A|x|B| cell table,
+    row/column/grand totals as tiny aggregates OF that table broadcast
+    back on. Exactness is the J71 pinned-ln idiom: each cell's ln ratio
+    pins to int64 micro-nats, the p-weighted contribution pins again,
+    and the one-row sums are order-free int64; the final NMI is one
+    mirrored sqrt+division over the exact micro sums, rounded 4 dp.
+    NULL categories are dropped (L23's contract); a degenerate marginal
+    (single category => zero entropy) reports NULL nmi rather than a
+    division blow-up. Empty input returns the SQL aggregate's one
+    all-NULL row on both engines.
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .localCheckpoint(eager=True)
+    )
+    rt = cells.groupBy(col_a).agg(F.sum("observed").alias("_r"))
+    ct = cells.groupBy(col_b).agg(F.sum("observed").alias("_c"))
+    g = cells.agg(F.sum("observed").alias("_n"))
+
+    def _pinned_plogp(tot: Column, n: Column) -> Column:
+        p = tot.cast("double") / n.cast("double")
+        lm = F.floor(F.log(p) * 1_000_000.0 + F.lit(0.5)).cast("long")
+        return F.floor(p * lm.cast("double") + F.lit(0.5)).cast("long")
+
+    joined = (
+        cells.join(F.broadcast(rt), col_a)
+        .join(F.broadcast(ct), col_b)
+        .crossJoin(F.broadcast(g))
+    )
+    o = F.col("observed").cast("double")
+    ratio = (
+        o
+        * F.col("_n").cast("double")
+        / (F.col("_r").cast("double") * F.col("_c").cast("double"))
+    )
+    lnr = F.floor(F.log(ratio) * 1_000_000.0 + F.lit(0.5)).cast("long")
+    contrib = F.floor(
+        (o / F.col("_n").cast("double")) * lnr.cast("double") + F.lit(0.5)
+    ).cast("long")
+    mi_row = joined.select(
+        contrib.alias("_mi"), F.col("_n")
+    ).agg(
+        F.sum("_mi").alias("_mi_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("_n").cast("long").alias("n"),
+    )
+    ha_row = (
+        rt.crossJoin(F.broadcast(g))
+        .select(_pinned_plogp(F.col("_r"), F.col("_n")).alias("_e"))
+        .agg((-F.sum("_e")).alias("_ha_micro"))
+    )
+    hb_row = (
+        ct.crossJoin(F.broadcast(g))
+        .select(_pinned_plogp(F.col("_c"), F.col("_n")).alias("_e"))
+        .agg((-F.sum("_e")).alias("_hb_micro"))
+    )
+    out = mi_row.crossJoin(F.broadcast(ha_row)).crossJoin(F.broadcast(hb_row))
+    mi = F.col("_mi_micro").cast("double") / F.lit(1_000_000.0)
+    ha = F.col("_ha_micro").cast("double") / F.lit(1_000_000.0)
+    hb = F.col("_hb_micro").cast("double") / F.lit(1_000_000.0)
+    nmi = F.when(
+        (F.col("_ha_micro") > 0) & (F.col("_hb_micro") > 0),
+        round_half_up(mi / F.sqrt(ha * hb)),
+    )
+    return out.select(
+        "n",
+        "n_cells",
+        round_half_up(mi, 6).alias("mi_nats"),
+        round_half_up(ha, 6).alias("h_a"),
+        round_half_up(hb, 6).alias("h_b"),
+        nmi.alias("nmi"),
+    )

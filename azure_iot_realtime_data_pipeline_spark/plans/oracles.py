@@ -5342,3 +5342,65 @@ ORACLES["q_collocations"] = """
     JOIN uni ub ON ub.w = b.w2
     WHERE b.n_ab >= 5
     """
+
+
+# L48 mutual information source x lang: the J71 pinned micro-nat lattice
+# (cell ln-ratio pinned, p-weighted contribution pinned again, order-free
+# int64 sums), NMI = mi/sqrt(ha*hb) over the exact micro sums — mirror of
+# analytics.mutual_information
+ORACLES["q_mutual_info"] = """
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, SUM(observed) AS r FROM cells GROUP BY source),
+    ct AS (SELECT lang, SUM(observed) AS c FROM cells GROUP BY lang),
+    g AS (SELECT SUM(observed) AS n FROM cells),
+    mi AS (
+      SELECT
+        CAST(SUM(CAST(floor(
+          (CAST(observed AS DOUBLE) / CAST(n AS DOUBLE))
+          * CAST(CAST(floor(ln(CAST(observed AS DOUBLE) * CAST(n AS DOUBLE)
+                / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+                * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT))
+          AS BIGINT) AS mi_micro,
+        CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST(MAX(n) AS BIGINT) AS n
+      FROM cells
+      JOIN rt USING (source)
+      JOIN ct USING (lang)
+      CROSS JOIN g
+    ),
+    ha AS (
+      SELECT CAST(-SUM(CAST(floor(
+        (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        * CAST(CAST(floor(ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+              * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT))
+        AS BIGINT) AS ha_micro
+      FROM rt CROSS JOIN g
+    ),
+    hb AS (
+      SELECT CAST(-SUM(CAST(floor(
+        (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        * CAST(CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT))
+        AS BIGINT) AS hb_micro
+      FROM ct CROSS JOIN g
+    )
+    SELECT mi.n, mi.n_cells,
+           floor((CAST(mi_micro AS DOUBLE) / 1000000.0) * 1000000 + 0.5)
+             / 1000000 AS mi_nats,
+           floor((CAST(ha_micro AS DOUBLE) / 1000000.0) * 1000000 + 0.5)
+             / 1000000 AS h_a,
+           floor((CAST(hb_micro AS DOUBLE) / 1000000.0) * 1000000 + 0.5)
+             / 1000000 AS h_b,
+           CASE WHEN ha_micro > 0 AND hb_micro > 0 THEN
+             floor((CAST(mi_micro AS DOUBLE) / 1000000.0)
+                   / sqrt((CAST(ha_micro AS DOUBLE) / 1000000.0)
+                          * (CAST(hb_micro AS DOUBLE) / 1000000.0))
+                   * 10000 + 0.5) / 10000
+           END AS nmi
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """

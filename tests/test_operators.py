@@ -2716,3 +2716,37 @@ def test_window_funnel_matches_python_reference(spark, events):
                 prev = nxt
     want = {i: len(us) for i, us in levels.items()}
     assert got == want
+
+
+def test_mutual_information_boundaries(spark):
+    """L48 semantics: a perfectly dependent pair scores NMI ~1, an
+    independent pair ~0, a degenerate single-category marginal reports
+    NULL nmi (zero entropy), and NULL categories are dropped."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        mutual_information,
+    )
+
+    dep = [(f"a{i % 4}", f"b{i % 4}") for i in range(64)]
+    r = mutual_information(
+        spark.createDataFrame(dep, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r["nmi"] is not None and r["nmi"] > 0.99
+    indep = [(f"a{i % 2}", f"b{(i // 2) % 2}") for i in range(64)]
+    r2 = mutual_information(
+        spark.createDataFrame(indep, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert abs(r2["nmi"]) < 0.01
+    degen = [("only", f"b{i % 3}", None) for i in range(9)]
+    r3 = mutual_information(
+        spark.createDataFrame(degen, "x string, y string, z string"), "x", "y"
+    ).collect()[0]
+    assert r3["nmi"] is None and r3["n"] == 9
+    # NULL categories dropped
+    r4 = mutual_information(
+        spark.createDataFrame(
+            [("a", "b"), (None, "b"), ("a", None)], "x string, y string"
+        ),
+        "x",
+        "y",
+    ).collect()[0]
+    assert r4["n"] == 1

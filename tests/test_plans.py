@@ -56,6 +56,7 @@ BNLJ_ALLOWED = {
     "q_region_share",         # one-row world total broadcast
     "q_corpus_report",        # one-row corpus total broadcast
     "q_freshness",            # one-row fleet watermark broadcast
+    "q_mutual_info",          # one-row MI/entropy frames crossed
 }
 
 #: the reference's anomaly window has no PARTITION BY
@@ -105,6 +106,7 @@ GLOBAL_AGG_SINGLE_PART_ALLOWED = {
                               # the labeled pair union
     "q_window_funnel",        # |stages| one-row level counts (the
                               # q_funnel class)
+    "q_mutual_info",          # one-row MI + two one-row entropy sums
 }
 
 
