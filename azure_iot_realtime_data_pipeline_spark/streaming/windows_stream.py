@@ -2401,3 +2401,118 @@ def throttle_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("max_level", LongType()),
+        StructField("anchor_eps", ArrayType(LongType())),
+        StructField("levels", ArrayType(LongType())),
+        StructField("last_eps", ArrayType(LongType())),
+    ]
+)
+
+
+def make_window_funnel_fn(
+    stages: tuple[str, ...],
+    window_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+):
+    """applyInPandasWithState body for the L47 streaming twin (picklable
+    closure). Per user the state is the ACTIVE anchor list — each
+    first-stage event opens (anchor_ep, level, last_ep) — plus the
+    max level any chain ever reached. Events process in (ts, id) order;
+    a stage-k event advances every level-(k-1) anchor with
+    last_ep < ep <= anchor_ep + window, which IS the batch greedy
+    (events arrive ascending, so the first qualifying event per anchor
+    is the earliest one). Anchors are pruned once the event time passes
+    their window (no future event can advance them) or once they
+    complete — state is bounded by the user's first-stage rate x the
+    window, the interval-twin bound class. NULL timestamps skip (the
+    batch form excludes them via unix_micros going NULL); late rows
+    (below an anchor's last_ep) cannot advance it, matching batch
+    strict-> semantics under the in-order replay contract shared by
+    the K13/K18/K24 twins."""
+    n_stages = len(stages)
+    w_us = int(window_seconds) * 1_000_000
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            max_level, anchor_eps, levels, last_eps = state.get
+            anchors = list(zip(anchor_eps, levels, last_eps))
+        else:
+            max_level, anchors = 0, []
+        pdf = one_frame(pdfs)
+        if pdf is not None:
+            pdf = pdf.sort_values([ts_col, id_col], kind="stable")
+            for ts_v, t in zip(pdf[ts_col], pdf[type_col]):
+                if pd.isna(ts_v):
+                    continue
+                ep = int(pd.Timestamp(ts_v).value // 1000)
+                # expire anchors whose window closed before this event
+                anchors = [a for a in anchors if a[0] + w_us >= ep]
+                if t == stages[0]:
+                    anchors.append((ep, 1, ep))
+                    max_level = max(max_level, 1)
+                for i, (a_ep, lvl, l_ep) in enumerate(anchors):
+                    if (
+                        lvl < n_stages
+                        and t == stages[lvl]
+                        and l_ep < ep <= a_ep + w_us
+                    ):
+                        anchors[i] = (a_ep, lvl + 1, ep)
+                        max_level = max(max_level, lvl + 1)
+                # completed chains carry no further information
+                anchors = [a for a in anchors if a[1] < n_stages]
+        state.update(
+            (
+                max_level,
+                [a[0] for a in anchors],
+                [a[1] for a in anchors],
+                [a[2] for a in anchors],
+            )
+        )
+        yield pd.DataFrame(
+            {key_col: [key[0]], "max_level": [max_level],
+             "n_active_anchors": [len(anchors)]}
+        )
+
+    return fn
+
+
+def window_funnel_stream(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    window_seconds: int = 48 * 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """L47 streaming twin: per-user max funnel level maintained
+    incrementally (update mode — the newest row per user is current).
+    Distinct-user level counts over the final rows equal the batch
+    `analytics.window_funnel` on the same replay (gated); anchors in
+    state are bounded by window x first-stage rate."""
+    tagged = events.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), F.col(type_col)
+    )
+    out_schema = StructType(
+        [
+            tagged.schema[key_col],
+            StructField("max_level", LongType()),
+            StructField("n_active_anchors", LongType()),
+        ]
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        make_window_funnel_fn(
+            tuple(stages), window_seconds, key_col, ts_col, id_col, type_col
+        ),
+        outputStructType=out_schema,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

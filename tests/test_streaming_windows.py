@@ -2691,3 +2691,51 @@ def test_hll_sketch_stream_equals_batch_sketch(spark, sf_smoke, replay_dir, tmp_
         for r in hll_distinct(batch, "event_type", "event_id").collect()
     }
     assert est_stream == est_batch
+
+
+def test_window_funnel_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_path):
+    """L47 twin: per-user max funnel level maintained in bounded anchor
+    state across micro-batches — distinct-user level counts over the
+    final rows equal batch window_funnel on the same events, and the
+    carried anchor list stays bounded."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        window_funnel,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        window_funnel_stream,
+    )
+
+    stages = ("view", "click", "purchase")
+    w = 48 * 3600
+    q = (
+        window_funnel_stream(replay_events(spark, replay_dir), stages, w)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wfunnel")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = spark.sql(
+        """
+        SELECT user_id, max_level, n_active_anchors FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY max_level DESC
+          ) AS rn FROM wfunnel
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {
+        k: sum(1 for r in final if r["max_level"] >= k)
+        for k in (1, 2, 3)
+    }
+    batch = {
+        r["stage_idx"]: r["n_users"]
+        for r in window_funnel(
+            load_table(spark, sf_smoke, "events"),
+            "user_id", "ts", "event_type", list(stages), window_seconds=w,
+        ).collect()
+    }
+    assert got == batch
+    assert all(r["n_active_anchors"] <= 200 for r in final)
