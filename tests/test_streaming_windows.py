@@ -2739,3 +2739,67 @@ def test_window_funnel_stream_matches_batch(spark, sf_smoke, replay_dir, tmp_pat
     }
     assert got == batch
     assert all(r["n_active_anchors"] <= 200 for r in final)
+
+
+def test_window_funnel_stream_state_survives_restart(
+    spark, sf_smoke, replay_dir, tmp_path
+):
+    """Crash/restart contract for the L47 anchor state: half the
+    stream, stop, resume from the same checkpoint over the full
+    directory — the carried anchor list (eps/levels/last_eps arrays)
+    must continue mid-chain so the final per-user levels equal batch
+    window_funnel over ALL events."""
+    import os
+    import shutil
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        window_funnel,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        window_funnel_stream,
+    )
+
+    stages = ("view", "click", "purchase")
+    w = 48 * 3600
+    src_buckets = sorted(os.listdir(replay_dir))
+    half_dir = str(tmp_path / "replay_half_wf")
+    os.makedirs(half_dir)
+    for b in src_buckets[:2]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    ckpt = str(tmp_path / "ckpt_wf_restart")
+    emissions: list[tuple] = []
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emissions.append((r["user_id"], r["max_level"]))
+
+        q = (
+            window_funnel_stream(replay_events(spark, half_dir), stages, w)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    first_len = len(emissions)
+    assert first_len > 0
+    for b in src_buckets[2:]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    run_once()
+    assert len(emissions) > first_len
+    final: dict = {}
+    for uid, lvl in emissions:
+        final[uid] = max(final.get(uid, 0), lvl)
+    got = {k: sum(1 for v in final.values() if v >= k) for k in (1, 2, 3)}
+    want = {
+        r["stage_idx"]: r["n_users"]
+        for r in window_funnel(
+            load_table(spark, sf_smoke, "events"),
+            "user_id", "ts", "event_type", list(stages), window_seconds=w,
+        ).collect()
+    }
+    assert got == want
