@@ -2313,3 +2313,84 @@ def mutual_information(
         round_half_up(hb, 6).alias("h_b"),
         nmi.alias("nmi"),
     )
+
+
+_CHECK_OPS = ("<=", ">=", "==", "<", ">")
+
+
+def quality_checks(
+    df: DataFrame,
+    checks: list[tuple[str, str, str, float]],
+    distinct_cols: tuple[str, ...] = (),
+    numeric_cols: tuple[str, ...] = (),
+    ts_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """L49 data-quality expectations — the Deequ `Check`/dbt-test
+    analog that turns J48's descriptive profile into a GATE: each check
+    (col_name, metric, op, threshold) evaluates against the profiled
+    value and the suite returns (col_name, metric, op, threshold,
+    value, passed) — the table a pipeline asserts all-green on before
+    publishing a drop.
+
+    Metrics: any profile metric ('rows', 'nulls', 'distinct', 'min',
+    'max') plus the derived ratios every real suite wants —
+    'null_fraction' (nulls/rows) and 'uniqueness' (distinct/rows),
+    both 6 dp-rounded. FAIL-CLOSED contract: a check whose metric the
+    profile did not compute (misspelled column, distinct on an
+    undeclared column, ratio on an empty table) reports value NULL and
+    passed FALSE — a data gate that silently passes on a missing
+    measurement is worse than no gate.
+
+    Plan shape: ONE profile pass over the table (J48's single
+    aggregate, localCheckpointed so the derived-ratio fan-out and the
+    checks join replay a ~dozen-row table, not the scan), then literal
+    joins — the checks table is driver-literal by construction.
+    """
+    for _c, _m, op, _t in checks:
+        if op not in _CHECK_OPS:
+            raise ValueError(f"unsupported op {op!r}; use one of {_CHECK_OPS}")
+    prof = data_profile(
+        df, distinct_cols, numeric_cols, ts_cols
+    ).localCheckpoint(eager=True)
+    rows_row = prof.filter(
+        (F.col("col_name") == "rows") & (F.col("metric") == "rows")
+    ).select(F.col("value").alias("_rows"))
+    derived = []
+    for src, name in (("nulls", "null_fraction"), ("distinct", "uniqueness")):
+        derived.append(
+            prof.filter(F.col("metric") == src)
+            .crossJoin(F.broadcast(rows_row))
+            .select(
+                "col_name",
+                F.lit(name).alias("metric"),
+                F.when(
+                    F.col("_rows") > 0,
+                    round_half_up(F.col("value") / F.col("_rows"), 6),
+                ).alias("value"),
+            )
+        )
+    ext = prof
+    for d in derived:
+        ext = ext.unionByName(d)
+    spark = df.sparkSession
+    checks_df = spark.createDataFrame(
+        [(c, m, op, float(t)) for c, m, op, t in checks],
+        "col_name string, metric string, op string, threshold double",
+    )
+    j = checks_df.join(F.broadcast(ext), ["col_name", "metric"], "left")
+    v, t = F.col("value"), F.col("threshold")
+    cmp = (
+        F.when(F.col("op") == "<=", v <= t)
+        .when(F.col("op") == ">=", v >= t)
+        .when(F.col("op") == "==", v == t)
+        .when(F.col("op") == "<", v < t)
+        .otherwise(v > t)
+    )
+    return j.select(
+        "col_name",
+        "metric",
+        "op",
+        "threshold",
+        "value",
+        F.coalesce(cmp, F.lit(False)).alias("passed"),
+    )

@@ -5404,3 +5404,50 @@ ORACLES["q_mutual_info"] = """
            END AS nmi
     FROM mi CROSS JOIN ha CROSS JOIN hb
     """
+
+
+# L49 quality expectations: the J48 profile as a CTE + the literal check
+# suite joined on (col_name, metric), derived null_fraction/uniqueness
+# ratios 6dp, fail-closed on uncomputed metrics — mirror of
+# analytics.quality_checks
+ORACLES["q_quality_checks"] = f"""
+    WITH prof AS ({ORACLES["q_data_profile"]}),
+    rows_row AS (
+      SELECT value AS n_rows FROM prof
+      WHERE col_name = 'rows' AND metric = 'rows'
+    ),
+    ext AS (
+      SELECT col_name, metric, value FROM prof
+      UNION ALL
+      SELECT col_name, 'null_fraction',
+             CASE WHEN n_rows > 0
+                  THEN floor(value / n_rows * 1000000 + 0.5) / 1000000 END
+      FROM prof CROSS JOIN rows_row WHERE metric = 'nulls'
+      UNION ALL
+      SELECT col_name, 'uniqueness',
+             CASE WHEN n_rows > 0
+                  THEN floor(value / n_rows * 1000000 + 0.5) / 1000000 END
+      FROM prof CROSS JOIN rows_row WHERE metric = 'distinct'
+    ),
+    checks(col_name, metric, op, threshold) AS (VALUES
+      ('event_id', 'nulls', '==', 0.0),
+      ('ts', 'null_fraction', '<=', 0.001),
+      ('event_type', 'distinct', '<=', 10.0),
+      ('user_id', 'uniqueness', '<', 0.5),
+      ('value', 'min', '>=', -1000000.0),
+      ('rows', 'rows', '>=', 100.0),
+      ('user_id', 'distinct', '>=', 1000000.0),
+      ('props', 'distinct', '>', 0.0)
+    )
+    SELECT c.col_name, c.metric, c.op,
+           CAST(c.threshold AS DOUBLE) AS threshold, e.value,
+           COALESCE(CASE c.op
+                      WHEN '<=' THEN e.value <= c.threshold
+                      WHEN '>=' THEN e.value >= c.threshold
+                      WHEN '==' THEN e.value = c.threshold
+                      WHEN '<'  THEN e.value < c.threshold
+                      ELSE e.value > c.threshold
+                    END, FALSE) AS passed
+    FROM checks c
+    LEFT JOIN ext e ON e.col_name = c.col_name AND e.metric = c.metric
+    """

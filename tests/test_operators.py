@@ -2750,3 +2750,46 @@ def test_mutual_information_boundaries(spark):
         "y",
     ).collect()[0]
     assert r4["n"] == 1
+
+
+def test_quality_checks_gate_semantics(spark):
+    """L49: op coverage, derived ratios, fail-closed on uncomputed
+    metrics and empty tables, and op validation."""
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        quality_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None)], "id long, cat string"
+    )
+    out = {
+        (r["col_name"], r["metric"], r["op"]): (r["value"], r["passed"])
+        for r in quality_checks(
+            df,
+            checks=[
+                ("cat", "nulls", "<=", 1.0),
+                ("cat", "null_fraction", ">", 0.5),       # 1/3 -> fail
+                ("id", "uniqueness", "==", 1.0),
+                ("rows", "rows", ">=", 3.0),
+                ("nope", "distinct", ">", 0.0),           # fail-closed
+            ],
+            distinct_cols=("id",),
+        ).collect()
+    }
+    assert out[("cat", "nulls", "<=")] == (1.0, True)
+    assert out[("cat", "null_fraction", ">")][1] is False
+    assert out[("id", "uniqueness", "==")] == (1.0, True)
+    assert out[("rows", "rows", ">=")][1] is True
+    assert out[("nope", "distinct", ">")] == (None, False)
+    with pytest.raises(ValueError, match="unsupported op"):
+        quality_checks(df, checks=[("id", "nulls", "!=", 0.0)])
+    # empty table: ratios fail closed, rows check fails honestly
+    empty = spark.createDataFrame([], "id long, cat string")
+    out2 = {
+        r["metric"]: r["passed"]
+        for r in quality_checks(
+            empty,
+            checks=[("id", "null_fraction", "<=", 0.5), ("rows", "rows", ">", 0.0)],
+        ).collect()
+    }
+    assert out2 == {"null_fraction": False, "rows": False}

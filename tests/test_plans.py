@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "q_corpus_report",        # one-row corpus total broadcast
     "q_freshness",            # one-row fleet watermark broadcast
     "q_mutual_info",          # one-row MI/entropy frames crossed
+    "q_quality_checks",       # dozen-row profile/ratio frames crossed
 }
 
 #: the reference's anomaly window has no PARTITION BY
