@@ -327,15 +327,20 @@ def connected_components_bigstar(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # carry the count across rounds: each edge set is counted ONCE, so
+    # a round costs (checkpoint + 1 count) with the union-distinct
+    # fixpoint check only on count equality — iterative jobs at
+    # micro-scale are dominated by this fixed per-round job overhead
+    n_old = edges.count()
     for _ in range(max_iter):
         nxt = _star_round(edges).localCheckpoint(eager=True)
-        n_old, n_new = edges.count(), nxt.count()
+        n_new = nxt.count()
         if n_old == n_new:
             n_union = edges.unionByName(nxt).distinct().count()
             if n_union == n_old:
                 edges = nxt
                 break
-        edges = nxt
+        edges, n_old = nxt, n_new
     else:
         raise RuntimeError(
             f"connected_components_bigstar did not converge in {max_iter} "

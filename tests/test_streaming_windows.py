@@ -2803,3 +2803,79 @@ def test_window_funnel_stream_state_survives_restart(
         ).collect()
     }
     assert got == want
+
+
+def test_hll_sketch_stream_state_survives_restart(
+    spark, sf_smoke, replay_dir, tmp_path
+):
+    """Crash/restart contract for the J74 register state: half the
+    stream, stop, resume from the same checkpoint over the full
+    directory — the carried (group, _j) -> _mj maxes must continue so
+    the final register table (and therefore the estimate) equals the
+    batch sketch over ALL events. Max is idempotent, so replayed rows
+    at the resume boundary cannot corrupt state."""
+    import os
+    import shutil
+
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        hll_sketch_stream,
+    )
+
+    src_buckets = sorted(os.listdir(replay_dir))
+    half_dir = str(tmp_path / "replay_half_hll")
+    os.makedirs(half_dir)
+    for b in src_buckets[:2]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    ckpt = str(tmp_path / "ckpt_hll_restart")
+    latest: dict = {}
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                latest[(r["event_type"], r["_j"])] = (r["_mj"], r["_p"])
+
+        q = (
+            hll_sketch_stream(replay_events(spark, half_dir))
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    assert latest
+    for b in src_buckets[2:]:
+        shutil.copytree(os.path.join(replay_dir, b), os.path.join(half_dir, b))
+    run_once()
+    got = {k: v[0] for k, v in latest.items()}
+    batch = load_table(spark, sf_smoke, "events")
+    want = {
+        (r["event_type"], r["_j"]): r["_mj"]
+        for r in hll_sketch(batch, "event_type", "event_id").collect()
+    }
+    assert got == want
+    # and the estimate over the restart-built registers equals batch
+    rows = [
+        (k[0], k[1], v, p)
+        for k, (v, p) in latest.items()
+    ]
+    regs = spark.createDataFrame(
+        rows, "event_type string, _j int, _mj int, _p int"
+    )
+    est_stream = {
+        r["event_type"]: r["distinct_est"]
+        for r in hll_estimate(regs, "event_type").collect()
+    }
+    est_batch = {
+        r["event_type"]: r["distinct_est"]
+        for r in hll_estimate(
+            hll_sketch(batch, "event_type", "event_id"), "event_type"
+        ).collect()
+    }
+    assert est_stream == est_batch
