@@ -2793,3 +2793,25 @@ def test_quality_checks_gate_semantics(spark):
         ).collect()
     }
     assert out2 == {"null_fraction": False, "rows": False}
+
+
+def test_hll_accuracy_across_magnitudes(spark):
+    """J74 statistical floor across three orders of magnitude and both
+    estimator branches: the p=8 estimate lands within 4 sigma (26%) of
+    the true cardinality at n = 50 (deep linear counting), 500
+    (branch boundary region), 5_000 and 50_000 (raw harmonic branch).
+    Deterministic md5 hashes -> fixed numbers, no flake margin needed."""
+    from azure_iot_realtime_data_pipeline_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    rows = [(f"n{n}", f"{n}:{i}") for n in (50, 500, 5_000, 50_000)
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, id string")
+    est = {
+        r["g"]: r["distinct_est"]
+        for r in hll_distinct(df, "g", "id", p=8).collect()
+    }
+    for n in (50, 500, 5_000, 50_000):
+        e = est[f"n{n}"]
+        assert abs(e - n) / n < 0.26, (n, e)
