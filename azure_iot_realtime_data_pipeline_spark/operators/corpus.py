@@ -868,6 +868,36 @@ def remove_frequent_lines(
     )
 
 
+def bigram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(w1, w2, n): the corpus bigram count table — the shared core of
+    J54's conditional LM and J80's PMI collocations, and (because a
+    count table is ADDITIVE) directly maintainable on a stream by
+    Spark's built-in incremental aggregation (windows_stream.
+    bigram_counts_stream), the CMS/HLL twin argument with sum as the
+    merge. Pairs build INSIDE each document's token array (zip with its
+    own tail, map-side — no row window) and explode once; ONE shuffle
+    to the vocab-bounded count table."""
+    toks = tokens(F.col(text_col))
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    exploded = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    return exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+
+
 def bigram_lm(
     docs: DataFrame,
     text_col: str = "text",
@@ -895,21 +925,7 @@ def bigram_lm(
 
     Returns (w1, w2, n, prob) with prob rounded 4dp.
     """
-    toks = tokens(F.col(text_col))
-    pairs = F.filter(
-        F.zip_with(
-            toks,
-            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-        lambda p: p["w2"].isNotNull(),
-    )
-    exploded = (
-        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
-        .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    )
-    counts = exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    counts = bigram_counts(docs, text_col, id_col)
     tot = Window.partitionBy("w1")
     return (
         counts.withColumn(
@@ -1791,25 +1807,14 @@ def collocations(
     in the oracle), then the single libm ln, rounded half-up — the
     accepted knife-edge class.
     """
-    toks = tokens(F.col(text_col))
-    pairs = F.filter(
-        F.zip_with(
-            toks,
-            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-        lambda p: p["w2"].isNotNull(),
-    )
-    staged = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     bi = (
-        staged.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        bigram_counts(docs, text_col, id_col)
+        .withColumnRenamed("n", "n_ab")
         .localCheckpoint(eager=True)
     )
+    staged = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     uni = (
-        staged.select(F.explode(toks).alias("w"))
+        staged.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
         .localCheckpoint(eager=True)

@@ -78,6 +78,12 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     speedup. Call it on a narrow projection (id + payload) so the
     shuffle moves the minimum bytes.
     """
+    # streaming plans: inputFiles()/rdd are unavailable, and micro-batch
+    # parallelism is the source's maxFilesPerTrigger concern, not this
+    # guard's — pass through so batch operators built on this helper
+    # (bigram_counts, shingle consumers) run unchanged on streams
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     # `inputFiles()` probes the analyzed plan only (cheap) and settles

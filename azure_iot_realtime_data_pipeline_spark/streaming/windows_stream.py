@@ -2516,3 +2516,24 @@ def window_funnel_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bigram_counts_stream(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """J54/J80 twin: the corpus bigram count table maintained
+    incrementally — the batch `corpus.bigram_counts` runs UNCHANGED on
+    a streaming input because counts are additive (sum is the merge),
+    the same no-custom-state argument as the CMS (sum) and HLL (max)
+    twins. State is the observed-bigram key space: vocabulary-bounded,
+    NOT stream-length-bounded (document corpora converge to a stable
+    vocab; a truly unbounded token domain should maintain the J61 CMS
+    instead — same report, fixed state). The final table equals the
+    batch counts of the full replay bit-for-bit (gated), so J54's
+    conditional probabilities and J80's PMI compute from it offline
+    exactly as from a batch build."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        bigram_counts,
+    )
+
+    return bigram_counts(docs, text_col, id_col)

