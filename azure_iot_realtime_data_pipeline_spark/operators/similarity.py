@@ -339,7 +339,12 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    if centroids == "kmeans":
+    if isinstance(centroids, list):
+        # pre-fit centroid literals [(cent_id, [dims...]), ...] — the
+        # persisted-index path (save_ivf_index/ivf_topk_from_index):
+        # fit once, search many; everything downstream is identical
+        cent_lits = centroids
+    elif centroids == "kmeans":
         # production centroid path (see _kmeans_centroids); everything
         # downstream of the literal table is identical
         cent_lits = _kmeans_centroids(
@@ -349,7 +354,8 @@ def ivf_topk(
         cent_lits = deterministic_centroids(candidates, cand_id, cand_vec, n_cells)
     else:
         raise ValueError(
-            f"centroids must be 'deterministic' or 'kmeans', got {centroids!r}"
+            "centroids must be 'deterministic', 'kmeans', or a pre-fit "
+            f"[(cent_id, vec), ...] list, got {centroids!r}"
         )
     if not cent_lits:
         return (
@@ -1009,3 +1015,182 @@ def embedding_covariance(
             round_half_up(exy - ex * ey, 6).alias("cov"),
         )
     )
+
+
+def save_ivf_index(
+    candidates: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    centroids: str = "deterministic",
+    cand_id: str = "cand_id",
+    cand_vec: str = "cv",
+    kmeans_seed: int = 7,
+    kmeans_sample_fraction: float = 1.0,
+    n_files: int | None = None,
+) -> dict:
+    """Persist an IVF index as two manifest-committed lake tables — the
+    production ANN flow: FIT ONCE (the expensive pass over the corpus),
+    SEARCH MANY (each query run reads centroids + only its probed
+    cells). `{index_dir}/centroids` holds the n_cells (cent_id, vec)
+    rows; `{index_dir}/cells` holds every candidate with its assigned
+    cell, written `cluster_by="cell"` so each data file covers a tight
+    cell range and `read_table(key_between=("cell", c, c))` PRUNES to
+    the probed cells' files from manifest stats alone — the inverted
+    lists realized as data-skipping file layout, exactly how
+    Delta/Iceberg-backed vector stores shard IVF lists.
+
+    Centroid fit is the same dial as `ivf_topk` (deterministic = the
+    parity path, kmeans = the production path); assignment is the same
+    map-side numpy argmin. Snapshot semantics come free from the
+    manifest layer: re-fitting commits new versions, old readers keep
+    their snapshot, vacuum reclaims.
+    """
+    from azure_iot_realtime_data_pipeline_spark.sources import acid
+
+    if centroids == "kmeans":
+        cent_lits = _kmeans_centroids(
+            candidates, cand_vec, n_cells, kmeans_seed, kmeans_sample_fraction
+        )
+    elif centroids == "deterministic":
+        cent_lits = deterministic_centroids(candidates, cand_id, cand_vec, n_cells)
+    else:
+        raise ValueError(
+            f"centroids must be 'deterministic' or 'kmeans', got {centroids!r}"
+        )
+    import os
+
+    spark = candidates.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cent_lits],
+        "cent_id int, vec array<double>",
+    )
+    acid.write_table(cent_df, os.path.join(index_dir, "centroids"))
+    assigned = assign_to_centroids(candidates, cent_lits, cand_id, cand_vec)
+    # pruning needs files whose cell ranges are NARROWER than the cell
+    # domain: pre-size the file count (default ~one file per two cells;
+    # a one-file table has nothing to skip). write_table's cluster_by
+    # then range-sorts so each file covers a tight contiguous cell span.
+    n_out = int(n_files) if n_files else max(2, n_cells // 2)
+    stats = acid.write_table(
+        assigned.repartition(n_out),
+        os.path.join(index_dir, "cells"),
+        cluster_by="cell_id",
+    )
+    return {"n_cells": len(cent_lits), **stats}
+
+
+def load_ivf_centroids(spark, index_dir: str) -> list:
+    """The index's centroid literals, [(cent_id, [dims...]), ...] —
+    a bounded n_cells-row read off the centroids table's snapshot."""
+    import os
+
+    from azure_iot_realtime_data_pipeline_spark.sources import acid
+
+    rows = acid.read_table(
+        spark, os.path.join(index_dir, "centroids")
+    ).collect()
+    return sorted(
+        ((int(r["cent_id"]), list(r["vec"])) for r in rows),
+        key=lambda t: t[0],
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    cand_id: str = "cand_id",
+    cand_vec: str = "cv",
+    dup_threshold: float | None = None,
+) -> DataFrame:
+    """Search a persisted IVF index: load the bounded centroid table,
+    compute each query's n_probe nearest cells, read ONLY those cells'
+    rows from the cluster_by-cell lake table (manifest-stats file
+    pruning — the corpus files outside the probed cells are never
+    opened), then run the standard scoring with the SAME pre-fit
+    centroids — output identical to `ivf_topk` over the full candidate
+    table at the same dials (gated), at probed-cells IO instead of
+    corpus IO.
+
+    The probed-cell set is computed driver-side from the collected
+    query vectors — queries are the operator's tiny broadcast side by
+    contract (ivf_topk already ships them to every task), and the
+    arithmetic is the probe fn's exact sequential fold, so the loaded
+    candidate set equals the one the in-memory search would score.
+    """
+    import os
+
+    from azure_iot_realtime_data_pipeline_spark.sources import acid
+
+    cent_lits = load_ivf_centroids(spark, index_dir)
+    qrows = [
+        r[query_vec]
+        for r in queries.select(query_vec).collect()
+        if r[query_vec] is not None
+    ]
+    probed = _probe_cells_driver(qrows, cent_lits, n_probe)
+    cells_dir = os.path.join(index_dir, "cells")
+    parts = [
+        acid.read_table(spark, cells_dir, key_between=("cell_id", c, c))
+        for c in probed
+    ]
+    if not parts:
+        loaded = acid.read_table(spark, cells_dir).limit(0)
+    else:
+        loaded = parts[0]
+        for p in parts[1:]:
+            loaded = loaded.unionByName(p)
+    cands = loaded.select(F.col(cand_id), F.col(cand_vec))
+    return ivf_topk(
+        queries,
+        cands,
+        n_cells=len(cent_lits),
+        n_probe=n_probe,
+        k=k,
+        query_id=query_id,
+        cand_id=cand_id,
+        query_vec=query_vec,
+        cand_vec=cand_vec,
+        centroids=cent_lits,
+        dup_threshold=dup_threshold,
+    )
+
+
+def _probe_cells_driver(
+    qvecs: list, cent_lits: list, n_probe: int
+) -> list:
+    """Union of every query's n_probe nearest cells, computed in plain
+    python with the probe fn's EXACT arithmetic (sequential f64 fold in
+    ascending dim order, floor-rounded cosine, ties (cos DESC, cid ASC))
+    so the persisted search reads precisely the cells the in-memory
+    search would score. Bounded by n_cells regardless of query count."""
+    import math
+
+    cents = []
+    for cid, cvec in cent_lits:
+        acc = 0.0
+        for x in cvec:
+            acc += x * x
+        cents.append((cid, cvec, math.sqrt(acc)))
+    probed: set = set()
+    for vec in qvecs:
+        nrm_acc = 0.0
+        for x in vec:
+            nrm_acc += x * x
+        nrm = math.sqrt(nrm_acc)
+        if nrm <= 0.0:
+            continue
+        scored = []
+        for cid, c, cn in cents:
+            acc = 0.0
+            for vk, ck in zip(vec, c):
+                acc += vk * ck
+            cos = math.floor((acc / (nrm * cn)) * 10000.0 + 0.5) / 10000.0
+            scored.append((cid, cos))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        probed.update(cid for cid, _ in scored[:n_probe])
+    return sorted(probed)

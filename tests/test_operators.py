@@ -2815,3 +2815,54 @@ def test_hll_accuracy_across_magnitudes(spark):
     for n in (50, 500, 5_000, 50_000):
         e = est[f"n{n}"]
         assert abs(e - n) / n < 0.26, (n, e)
+
+
+def test_persisted_ivf_index_matches_in_memory_search(spark, sf_smoke, tmp_path):
+    """Production ANN flow: fit once -> lake tables -> search many.
+    The persisted search must return EXACTLY the in-memory ivf_topk
+    rows at the same dials (same centroids, probed cells loaded via
+    manifest-stats pruning), the cluster_by-cell layout must actually
+    make cells prunable (per-file cell ranges are narrow), and a refit
+    commits a new version without disturbing the old snapshot."""
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        load_ivf_centroids,
+        save_ivf_index,
+    )
+    from azure_iot_realtime_data_pipeline_spark.sources import acid
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    idx = str(tmp_path / "ivf")
+    stats = save_ivf_index(c, idx, n_cells=16, centroids="deterministic")
+    assert stats["n_cells"] == 16
+    got = {
+        (r["query_id"], r["cand_id"], r["cosine"], r["rank"])
+        for r in ivf_topk_from_index(spark, idx, q, n_probe=4, k=10).collect()
+    }
+    want = {
+        (r["query_id"], r["cand_id"], r["cosine"], r["rank"])
+        for r in ivf_topk(
+            q, c, n_cells=16, n_probe=4, k=10, centroids="deterministic"
+        ).collect()
+    }
+    assert got == want and got
+    # layout: every cells file carries cell_id stats, and at least one
+    # file's range EXCLUDES some cell — pruning has something to skip
+    m = acid._read_manifest(str(tmp_path / "ivf" / "cells"))
+    ranges = [m["stats"][f]["cell_id"] for f in m["files"]]
+    assert all(r is not None for r in ranges)
+    assert any(r[0] > 0 or r[1] < 15 for r in ranges), ranges
+    # refit: a new version, old snapshot intact
+    save_ivf_index(c, idx, n_cells=8, centroids="deterministic")
+    assert len(load_ivf_centroids(spark, idx)) == 8
+    v1 = acid.read_table(
+        spark, str(tmp_path / "ivf" / "centroids"), version=1
+    ).count()
+    assert v1 == 16
