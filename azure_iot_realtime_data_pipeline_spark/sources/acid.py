@@ -27,9 +27,17 @@ with a minimal own implementation of the same storage contract:
   fraction, not the table — the property that matters when the
   dimension is TBs and the batch touches one device partition.
 
-Single-writer by design (the streaming ``foreachBatch`` sink is one
-writer); multi-writer would need a lock or a conditional rename, the
-same escalation Delta's LogStore makes per filesystem.
+Concurrency is Delta-style OPTIMISTIC: the manifest commit is
+put-if-absent (``os.link`` of a private tmp onto the final name — an
+atomic create-exclusive on POSIX), so two writers racing to commit the
+same version cannot silently clobber each other; the loser gets
+:class:`CommitConflict`. :func:`merge_upsert` and :func:`optimize`
+catch the conflict, re-resolve the newest manifest and re-derive their
+commit against it (bounded retries) — exactly the read-check-rewrite
+loop Delta's OptimisticTransaction runs. Data files of a failed attempt
+are unreferenced orphans swept by :func:`vacuum`. (r8 ADVICE: the
+previous ``os.replace`` commit let a concurrent OPTIMIZE overwrite a
+merge's manifest of the same version — a lost update.)
 """
 
 from __future__ import annotations
@@ -39,6 +47,11 @@ import os
 from bisect import bisect_left
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer committed this manifest version first. Re-read the
+    newest manifest and re-derive the commit (optimistic concurrency)."""
 
 
 def _manifest_version(name: str) -> int | None:
@@ -73,18 +86,23 @@ def _read_manifest(table_dir: str, version: int | None = None) -> dict:
             "version": int(version),
             "files": m["files"],
             "stats": m.get("stats", {}),
+            "layout": m.get("layout", {}),
         }
-    best: dict = {"version": 0, "files": [], "stats": {}}
+    best: dict = {"version": 0, "files": [], "stats": {}, "layout": {}}
     if os.path.isdir(table_dir):
         for name in os.listdir(table_dir):
             v = _manifest_version(name)
             if v is not None and v > best["version"]:
-                with open(os.path.join(table_dir, name)) as f:
-                    m = json.load(f)
+                try:
+                    with open(os.path.join(table_dir, name)) as f:
+                        m = json.load(f)
+                except FileNotFoundError:
+                    continue  # vacuumed between listdir and open (TOCTOU)
                 best = {
                     "version": v,
                     "files": m["files"],
                     "stats": m.get("stats", {}),
+                    "layout": m.get("layout", {}),
                 }
     return best
 
@@ -170,34 +188,69 @@ def table_history(table_dir: str) -> list[dict]:
             if v is None:
                 continue
             path = os.path.join(table_dir, name)
-            with open(path) as f:
-                m = json.load(f)
+            try:
+                with open(path) as f:
+                    m = json.load(f)
+                committed_at = os.path.getmtime(path)
+            except FileNotFoundError:
+                continue  # vacuumed between listdir and open/stat (TOCTOU)
             out.append(
                 {
                     "version": v,
                     "n_files": len(m["files"]),
-                    "committed_at": os.path.getmtime(path),
+                    "committed_at": committed_at,
                 }
             )
     return sorted(out, key=lambda r: -r["version"])
 
 
 def _commit(
-    table_dir: str, version: int, files: list[str], stats: dict | None = None
+    table_dir: str,
+    version: int,
+    files: list[str],
+    stats: dict | None = None,
+    layout: dict | None = None,
 ) -> None:
-    """Atomic commit: write manifest aside, then one os.replace —
-    readers observe either the old or the new version, never a torn
-    file list. `stats` ({file: {column: [min, max]}}) rides in the
-    manifest so later merges skip files without touching footers."""
-    tmp = os.path.join(table_dir, f".manifest-{version}.json.tmp")
+    """Atomic PUT-IF-ABSENT commit: write the manifest to a
+    writer-private tmp, fsync, then `os.link` it onto the final name.
+    link(2) fails with EEXIST if the target exists, so two writers
+    racing to commit the same version can never overwrite each other —
+    the loser gets :class:`CommitConflict` and must re-derive against
+    the newest manifest (the previous os.replace commit silently
+    clobbered the earlier winner — r8 ADVICE lost-update finding).
+    Readers still observe either the old or the new version, never a
+    torn file list. `stats` ({file: {column: [min, max]}}) rides in the
+    manifest so later merges skip files without touching footers;
+    `layout` records the clustering the content was written with so
+    maintenance (optimize) can preserve it."""
+    tmp = os.path.join(
+        table_dir, f".manifest-{version}.{os.getpid()}.json.tmp"
+    )
     with open(tmp, "w") as f:
         json.dump(
-            {"version": version, "files": sorted(files), "stats": stats or {}},
+            {
+                "version": version,
+                "files": sorted(files),
+                "stats": stats or {},
+                "layout": layout or {},
+            },
             f,
         )
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(table_dir, f"manifest-{version}.json"))
+    final = os.path.join(table_dir, f"manifest-{version}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} of {table_dir} was committed by a "
+            "concurrent writer — re-read the newest manifest and retry"
+        ) from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _stats_for_files(table_dir: str, files: list[str]) -> dict:
@@ -271,8 +324,20 @@ def _write_commit_files(df: DataFrame, table_dir: str, version: int) -> list[str
     """Write df as the new commit's data files under commit-<version>/
     and return their table-relative paths. The subdir namespaces each
     commit so uncommitted (crashed) writes can never collide with or
-    shadow committed files."""
+    shadow committed files. If the base subdir already exists (a
+    concurrent writer racing to the same version, or a crashed earlier
+    attempt), an attempt suffix picks a fresh one — an overwrite into a
+    shared dir would delete the other writer's data files, losing rows
+    even though the manifest commit itself is conflict-safe."""
     sub = f"commit-{version:08d}"
+    for attempt in range(1000):
+        cand = sub if attempt == 0 else f"{sub}-r{attempt}"
+        try:
+            os.makedirs(os.path.join(table_dir, cand))
+        except FileExistsError:
+            continue
+        sub = cand
+        break
     out = os.path.join(table_dir, sub)
     df.write.mode("overwrite").parquet(out)
     return [
@@ -347,25 +412,46 @@ def write_table(
     if cluster_by is not None and zorder_by is not None:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     os.makedirs(table_dir, exist_ok=True)
-    if zorder_by is not None:
-        n = df.rdd.getNumPartitions()
-        df = (
-            df.withColumn("__z", _zorder_value(df, list(zorder_by)))
-            .repartitionByRange(max(1, n), "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
+    df = _apply_layout(df, cluster_by, zorder_by)
+    layout: dict = {}
     if cluster_by is not None:
-        n = df.rdd.getNumPartitions()
-        df = df.repartitionByRange(max(1, n), cluster_by).sortWithinPartitions(
-            cluster_by
-        )
+        layout["cluster_by"] = cluster_by
+    if zorder_by is not None:
+        layout["zorder_by"] = list(zorder_by)
     version, _ = _current_manifest(table_dir)
     new_files = _write_commit_files(df, table_dir, version + 1)
     _commit(
-        table_dir, version + 1, new_files, _stats_for_files(table_dir, new_files)
+        table_dir,
+        version + 1,
+        new_files,
+        _stats_for_files(table_dir, new_files),
+        layout=layout,
     )
     return {"version": version + 1, "files_written": len(new_files)}
+
+
+def _apply_layout(
+    df: DataFrame,
+    cluster_by: str | None,
+    zorder_by: list[str] | None,
+    n_files: int | None = None,
+) -> DataFrame:
+    """Range-cluster `df` on one column or Morton-order it on several,
+    into `n_files` output partitions (default: the input's count) —
+    the shared layout step of write_table and optimize, so compaction
+    preserves the clustering that makes manifest-stats pruning bite."""
+    if cluster_by is None and zorder_by is None:
+        return df if n_files is None else df.coalesce(int(n_files))
+    n = int(n_files) if n_files is not None else df.rdd.getNumPartitions()
+    n = max(1, n)
+    if zorder_by is not None:
+        return (
+            df.withColumn("__z", _zorder_value(df, list(zorder_by)))
+            .repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    return df.repartitionByRange(n, cluster_by).sortWithinPartitions(cluster_by)
 
 
 def merge_upsert(
@@ -401,13 +487,19 @@ def merge_upsert(
     from the manifest's commit-time stats; footer reads happen only
     for legacy manifests without them. Returns
     {version, files_rewritten, files_kept, updates_rows}.
+
+    Optimistic concurrency: on :class:`CommitConflict` (a concurrent
+    merge/optimize won the version race) the file-skipping decision and
+    rewrite are re-derived against the NEW newest manifest and the
+    commit retried (bounded); the failed attempt's data files are
+    vacuumable orphans. The table's recorded layout carries forward
+    unchanged (merge rewrites are key-local; a full re-cluster is
+    optimize's job).
     """
     from pyspark.sql import functions as F
 
     spark = updates.sparkSession
     os.makedirs(table_dir, exist_ok=True)
-    m = _read_manifest(table_dir)
-    version, files, stats = m["version"], m["files"], m["stats"]
     updates = updates.filter(F.col(key).isNotNull())
     if order_by is not None:
         from pyspark.sql import Window
@@ -431,10 +523,11 @@ def merge_upsert(
         updates.select(key).distinct().limit(max_driver_keys + 1).collect()
     )
     if len(key_rows) == 0:
+        m = _read_manifest(table_dir)
         return {
-            "version": version,
+            "version": m["version"],
             "files_rewritten": 0,
-            "files_kept": len(files),
+            "files_kept": len(m["files"]),
             "updates_rows": 0,
         }
     exact_keys = len(key_rows) <= max_driver_keys
@@ -452,41 +545,58 @@ def merge_upsert(
         b = (agg["lo"], agg["hi"])
         n_updates = int(agg["n"])
 
-    touched, kept = [], []
-    for rel in files:
-        rng = stats.get(rel, {}).get(key)
-        if rng is None:
-            rng = _file_key_range(os.path.join(table_dir, rel), key)
-        if rng is None:
-            touched.append(rel)  # no stats anywhere: conservative rewrite
-        elif exact_keys:
-            (touched if _range_hits(keys_sorted, rng[0], rng[1]) else kept).append(rel)
-        else:
-            lo, hi = rng
-            (touched if not (hi < b[0] or lo > b[1]) else kept).append(rel)
+    last_conflict: CommitConflict | None = None
+    for _attempt in range(5):
+        m = _read_manifest(table_dir)
+        version, files, stats = m["version"], m["files"], m["stats"]
+        touched, kept = [], []
+        for rel in files:
+            rng = stats.get(rel, {}).get(key)
+            if rng is None:
+                rng = _file_key_range(os.path.join(table_dir, rel), key)
+            if rng is None:
+                touched.append(rel)  # no stats anywhere: conservative rewrite
+            elif exact_keys:
+                (
+                    touched if _range_hits(keys_sorted, rng[0], rng[1]) else kept
+                ).append(rel)
+            else:
+                lo, hi = rng
+                (touched if not (hi < b[0] or lo > b[1]) else kept).append(rel)
 
-    if touched:
-        survivors = spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in touched]
-        ).join(updates.select(key), key, "left_anti")
-        new_content = survivors.unionByName(updates)
-    else:
-        new_content = updates
-    # hold file granularity steady: the rewrite replaces len(touched)
-    # files with about as many, instead of one part file per shuffle
-    # partition of the anti-join (which would sprawl the table and
-    # erode stats-based skipping within a few merges)
-    new_content = new_content.coalesce(max(1, len(touched)))
-    new_files = _write_commit_files(new_content, table_dir, version + 1)
-    new_stats = {rel: stats.get(rel, {}) for rel in kept}
-    new_stats.update(_stats_for_files(table_dir, new_files))
-    _commit(table_dir, version + 1, kept + new_files, new_stats)
-    return {
-        "version": version + 1,
-        "files_rewritten": len(touched),
-        "files_kept": len(kept),
-        "updates_rows": n_updates,
-    }
+        if touched:
+            survivors = spark.read.parquet(
+                *[os.path.join(table_dir, f) for f in touched]
+            ).join(updates.select(key), key, "left_anti")
+            new_content = survivors.unionByName(updates)
+        else:
+            new_content = updates
+        # hold file granularity steady: the rewrite replaces len(touched)
+        # files with about as many, instead of one part file per shuffle
+        # partition of the anti-join (which would sprawl the table and
+        # erode stats-based skipping within a few merges)
+        new_content = new_content.coalesce(max(1, len(touched)))
+        new_files = _write_commit_files(new_content, table_dir, version + 1)
+        new_stats = {rel: stats.get(rel, {}) for rel in kept}
+        new_stats.update(_stats_for_files(table_dir, new_files))
+        try:
+            _commit(
+                table_dir,
+                version + 1,
+                kept + new_files,
+                new_stats,
+                layout=m["layout"],
+            )
+        except CommitConflict as e:
+            last_conflict = e  # lost the race: re-derive against newest
+            continue
+        return {
+            "version": version + 1,
+            "files_rewritten": len(touched),
+            "files_kept": len(kept),
+            "updates_rows": n_updates,
+        }
+    raise last_conflict  # pragma: no cover - needs 5 straight races
 
 
 def optimize(
