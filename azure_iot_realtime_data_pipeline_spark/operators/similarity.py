@@ -1033,8 +1033,8 @@ def save_ivf_index(
     SEARCH MANY (each query run reads centroids + only its probed
     cells). `{index_dir}/centroids` holds the n_cells (cent_id, vec)
     rows; `{index_dir}/cells` holds every candidate with its assigned
-    cell, written `cluster_by="cell"` so each data file covers a tight
-    cell range and `read_table(key_between=("cell", c, c))` PRUNES to
+    cell, written `cluster_by="cell_id"` so each data file covers a tight
+    cell range and `read_table(key_between=("cell_id", c, c))` PRUNES to
     the probed cells' files from manifest stats alone — the inverted
     lists realized as data-skipping file layout, exactly how
     Delta/Iceberg-backed vector stores shard IVF lists.

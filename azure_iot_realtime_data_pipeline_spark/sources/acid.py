@@ -88,23 +88,37 @@ def _read_manifest(table_dir: str, version: int | None = None) -> dict:
             "stats": m.get("stats", {}),
             "layout": m.get("layout", {}),
         }
-    best: dict = {"version": 0, "files": [], "stats": {}, "layout": {}}
-    if os.path.isdir(table_dir):
-        for name in os.listdir(table_dir):
-            v = _manifest_version(name)
-            if v is not None and v > best["version"]:
-                try:
-                    with open(os.path.join(table_dir, name)) as f:
-                        m = json.load(f)
-                except FileNotFoundError:
-                    continue  # vacuumed between listdir and open (TOCTOU)
-                best = {
-                    "version": v,
-                    "files": m["files"],
-                    "stats": m.get("stats", {}),
-                    "layout": m.get("layout", {}),
-                }
-    return best
+    empty: dict = {"version": 0, "files": [], "stats": {}, "layout": {}}
+    if not os.path.isdir(table_dir):
+        return empty
+    # If the HIGHEST manifest vanishes between listdir and open (a racing
+    # vacuum), RESCAN rather than silently settling for an older version —
+    # a writer resolving stale state here could commit a low version whose
+    # manifest slot was already vacuumed, a silent lost update (r9 ADVICE).
+    for _scan in range(8):
+        cands = sorted(
+            (v, name)
+            for name in os.listdir(table_dir)
+            if (v := _manifest_version(name)) is not None
+        )
+        if not cands:
+            return empty
+        v, name = cands[-1]
+        try:
+            with open(os.path.join(table_dir, name)) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            continue  # highest vacuumed between listdir and open: rescan
+        return {
+            "version": v,
+            "files": m["files"],
+            "stats": m.get("stats", {}),
+            "layout": m.get("layout", {}),
+        }
+    raise FileNotFoundError(  # pragma: no cover - needs 8 straight races
+        f"manifest churn in {table_dir}: the newest manifest vanished on "
+        "8 consecutive scans — a vacuum loop is racing this reader"
+    )
 
 
 def _current_manifest(table_dir: str) -> tuple[int, list[str]]:
@@ -408,6 +422,12 @@ def write_table(
     pruning bites on EVERY listed column at once — linear clustering
     can only ever serve its one column. The Delta OPTIMIZE ZORDER BY
     recipe, built from plain expressions + repartitionByRange.
+
+    Concurrency: CTAS replaces the whole table, so losing a version
+    race needs no re-derivation — the already-written data files are
+    simply re-committed at the new head version (bounded retries; the
+    data files' commit-dir name keeps its original version number,
+    which is only a namespace, never an authority).
     """
     if cluster_by is not None and zorder_by is not None:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
@@ -420,14 +440,17 @@ def write_table(
         layout["zorder_by"] = list(zorder_by)
     version, _ = _current_manifest(table_dir)
     new_files = _write_commit_files(df, table_dir, version + 1)
-    _commit(
-        table_dir,
-        version + 1,
-        new_files,
-        _stats_for_files(table_dir, new_files),
-        layout=layout,
-    )
-    return {"version": version + 1, "files_written": len(new_files)}
+    new_stats = _stats_for_files(table_dir, new_files)
+    last_conflict: CommitConflict | None = None
+    for _attempt in range(5):
+        try:
+            _commit(table_dir, version + 1, new_files, new_stats, layout=layout)
+        except CommitConflict as e:
+            last_conflict = e  # lost the race: content replaces everything
+            version, _ = _current_manifest(table_dir)  # so just re-version
+            continue
+        return {"version": version + 1, "files_written": len(new_files)}
+    raise last_conflict  # pragma: no cover - needs 5 straight races
 
 
 def _apply_layout(
@@ -614,59 +637,97 @@ def optimize(
     Only files under `small_file_bytes` are rewritten (driver-side
     os.stat — metadata only, no data scan to decide); everything else
     carries over BY NAME with its manifest stats, so optimize cost
-    scales with the small fraction, not the table. The rewrite is a
-    plain read + coalesce to ceil(total/target) files — snapshot
+    scales with the small fraction, not the table. The compacted rows
+    are re-laid-out through :func:`_apply_layout` with the table's
+    RECORDED layout (`cluster_by`/`zorder_by` from the manifest), and
+    the layout record itself carries into the new manifest — so
+    compaction PRESERVES the clustering that makes manifest-stats
+    pruning bite, instead of smearing every output file across the full
+    key domain (r9 ADVICE: a bare coalesce silently destroyed both the
+    clustering and the metadata that said it existed). Snapshot
     isolation holds exactly as for merge: readers on the old manifest
     keep their immutable files, `read_table(version=...)` still serves
     the pre-optimize snapshot, and vacuum reclaims the replaced small
     files once retention passes. Needs >= 2 small files to act (a lone
     small file gains nothing; returns a no-op without bumping the
     version — an empty commit would just churn retention).
+
+    Optimistic concurrency: on :class:`CommitConflict` (a concurrent
+    merge/CTAS won the version race) the small-file decision, read and
+    rewrite are re-derived against the NEW newest manifest and the
+    commit retried (bounded) — the same loop as :func:`merge_upsert`;
+    the failed attempt's data files are vacuumable orphans.
     """
-    m = _read_manifest(table_dir)
-    version, files = m["version"], m["files"]
-    if version == 0:
-        raise FileNotFoundError(f"no committed manifest in {table_dir}")
-    sizes = {
-        rel: os.path.getsize(os.path.join(table_dir, rel)) for rel in files
-    }
-    small = [rel for rel in files if sizes[rel] < small_file_bytes]
-    if len(small) < 2:
-        return {"version": version, "files_compacted": 0, "files_written": 0}
-    kept = [rel for rel in files if rel not in set(small)]
-    total = sum(sizes[rel] for rel in small)
-    n_out = max(1, -(-total // target_file_bytes))
-    df = spark.read.parquet(
-        *[os.path.join(table_dir, rel) for rel in small]
-    ).coalesce(int(n_out))
-    new_files = _write_commit_files(df, table_dir, version + 1)
-    new_stats = {rel: m["stats"].get(rel, {}) for rel in kept}
-    new_stats.update(_stats_for_files(table_dir, new_files))
-    _commit(table_dir, version + 1, kept + new_files, new_stats)
-    return {
-        "version": version + 1,
-        "files_compacted": len(small),
-        "files_written": len(new_files),
-        "files_kept": len(kept),
-    }
+    last_conflict: CommitConflict | None = None
+    for _attempt in range(5):
+        m = _read_manifest(table_dir)
+        version, files = m["version"], m["files"]
+        if version == 0:
+            raise FileNotFoundError(f"no committed manifest in {table_dir}")
+        sizes = {
+            rel: os.path.getsize(os.path.join(table_dir, rel)) for rel in files
+        }
+        small = [rel for rel in files if sizes[rel] < small_file_bytes]
+        if len(small) < 2:
+            return {
+                "version": version,
+                "files_compacted": 0,
+                "files_written": 0,
+            }
+        kept = [rel for rel in files if rel not in set(small)]
+        total = sum(sizes[rel] for rel in small)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = _apply_layout(
+            spark.read.parquet(*[os.path.join(table_dir, rel) for rel in small]),
+            m["layout"].get("cluster_by"),
+            m["layout"].get("zorder_by"),
+            n_files=int(n_out),
+        )
+        new_files = _write_commit_files(df, table_dir, version + 1)
+        new_stats = {rel: m["stats"].get(rel, {}) for rel in kept}
+        new_stats.update(_stats_for_files(table_dir, new_files))
+        try:
+            _commit(
+                table_dir,
+                version + 1,
+                kept + new_files,
+                new_stats,
+                layout=m["layout"],
+            )
+        except CommitConflict as e:
+            last_conflict = e  # lost the race: re-derive against newest
+            continue
+        return {
+            "version": version + 1,
+            "files_compacted": len(small),
+            "files_written": len(new_files),
+            "files_kept": len(kept),
+        }
+    raise last_conflict  # pragma: no cover - needs 5 straight races
 
 
 def vacuum(
-    table_dir: str, keep_versions: int = 1, min_age_seconds: float = 0.0
+    table_dir: str, keep_versions: int = 1, min_age_seconds: float = 3600.0
 ) -> list[str]:
     """Delete data files referenced by NO retained manifest (crash
     orphans and files replaced by newer versions) and manifests older
     than the newest `keep_versions`. Returns deleted paths.
 
     The newest manifest's files are always retained, so committed state
-    is never harmed. A READER RACE exists exactly as in Delta: a query
-    that resolved an old manifest and is still scanning can lose its
-    files to a concurrent vacuum. Mitigations are the same two dials
-    Delta exposes: `keep_versions` (version retention) and
-    `min_age_seconds` (files younger than this are never deleted —
-    size it above the longest-running reader, as Delta's default 7-day
-    retention does). Single-writer is assumed throughout the module;
-    vacuum belongs to that writer's maintenance cycle."""
+    is never harmed. Two races exist exactly as in Delta, and
+    `min_age_seconds` is the dial for both — files younger than it are
+    NEVER deleted:
+
+    - READER race: a query that resolved an old manifest and is still
+      scanning can lose its files. Size min_age above the
+      longest-running reader (Delta's default is 7 days).
+    - WRITER race: under the module's optimistic multi-writer model, a
+      concurrent writer's just-written but not-yet-committed data files
+      appear in no manifest — with min_age=0 vacuum would delete them
+      and the writer's subsequent commit would reference dead files
+      (silent data loss — r9 ADVICE). The default 1 h exceeds any sane
+      write-to-commit latency; pass 0 ONLY from a single-writer
+      maintenance cycle that knows no write is in flight."""
     import time
 
     now = time.time()

@@ -3,9 +3,11 @@
 Reference semantics reproduced here:
 - F3 event-time policy — `withWatermark(60s)` stands in for ASA's
   30 s reorder buffer + 60 s late tolerance
-  (reference terraform/main-example.tf:133-136). Divergence, documented:
-  ASA's `Adjust` policy clamps late timestamps; Spark drops rows later
-  than the watermark (SURVEY.md §7 hard part 4).
+  (reference terraform/main-example.tf:133-136). Spark's built-in
+  watermark DROPS rows later than it; ASA's `Adjust` policy CLAMPS
+  their timestamps instead — that gap is closed by
+  `streaming/windows_stream.py::adjust_clamp_stream` (stateful clamp,
+  batch-equivalent to `operators/eventtime.py::adjust_clamp`).
 - F4 multi-sink fan-out — ONE input stream feeds three sinks (bronze
   raw archive, Devices dimension, curated Telemetry) exactly like the
   three `SELECT ... INTO` of the ASA job

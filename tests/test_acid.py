@@ -78,7 +78,7 @@ def test_crash_before_commit_is_invisible_and_vacuumable(spark, tmp_path):
     assert orphans
     after = {r.k: r.v for r in acid.read_table(spark, d).collect()}
     assert after == before
-    deleted = acid.vacuum(d)
+    deleted = acid.vacuum(d, min_age_seconds=0)  # single-writer test: no in-flight write
     assert any(f.startswith("commit-00000099/") for f in deleted)
     assert {r.k: r.v for r in acid.read_table(spark, d).collect()} == before
 
@@ -92,7 +92,7 @@ def test_vacuum_retention_drops_replaced_files(spark, tmp_path):
     acid.merge_upsert(
         spark.createDataFrame([(2, -2)], "k long, v long"), d, key="k"
     )
-    deleted = acid.vacuum(d, keep_versions=1)
+    deleted = acid.vacuum(d, keep_versions=1, min_age_seconds=0)
     assert deleted  # replaced files + old manifests went away
     got = {r.k: r.v for r in acid.read_table(spark, d).collect()}
     want = {i: i * 10 for i in range(40)}
@@ -440,3 +440,167 @@ def test_optimize_leaves_big_files_alone(spark, tmp_path):
     stats = acid.optimize(spark, d, small_file_bytes=0)
     assert stats["files_compacted"] == 0
     assert acid._current_manifest(d)[1] == before
+
+
+def test_commit_conflict_put_if_absent(spark, tmp_path):
+    """Two writers racing to the same version: the second _commit of
+    version N raises CommitConflict instead of silently clobbering the
+    winner (the r8 lost-update scenario)."""
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=10, files=1)
+    v, files = acid._current_manifest(d)
+    acid._commit(d, v + 1, files)  # winner takes v+1
+    with pytest.raises(acid.CommitConflict, match=f"version {v + 1}"):
+        acid._commit(d, v + 1, files)  # loser must NOT overwrite
+    # the winner's manifest is intact and parsable
+    with open(os.path.join(d, f"manifest-{v + 1}.json")) as f:
+        assert json.load(f)["version"] == v + 1
+
+
+def test_merge_retries_past_conflicting_commit(spark, tmp_path):
+    """A manifest committed between merge's read and its commit (the
+    interleaved-writer race) makes merge re-derive against the NEW
+    newest manifest and land on the version after it — with the
+    conflicting commit's rows preserved, not lost."""
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=20, files=2)
+
+    orig_read = acid._read_manifest
+    fired = {"n": 0}
+
+    def race_once(table_dir, version=None):
+        m = orig_read(table_dir, version)
+        # after merge resolves v1, a concurrent writer lands v2 adding
+        # key 500 — exactly once, on the first (pre-derive) read
+        if fired["n"] == 0 and version is None and table_dir == d:
+            fired["n"] = 1
+            other = spark.createDataFrame([(500, -500)], "k long, v long")
+            new = acid._write_commit_files(other, d, m["version"] + 1)
+            acid._commit(
+                d, m["version"] + 1, m["files"] + new,
+                {**m["stats"], **acid._stats_for_files(d, new)},
+                layout=m["layout"],
+            )
+        return m
+
+    acid._read_manifest = race_once
+    try:
+        stats = acid.merge_upsert(
+            spark.createDataFrame([(1, -1)], "k long, v long"), d, key="k"
+        )
+    finally:
+        acid._read_manifest = orig_read
+    assert stats["version"] == 3  # v2 was taken by the racer; merge retried
+    got = {r.k: r.v for r in acid.read_table(spark, d).collect()}
+    want = {i: i * 10 for i in range(20)}
+    want.update({1: -1, 500: -500})  # BOTH writers' rows survive
+    assert got == want
+
+
+def test_optimize_retries_past_conflicting_commit(spark, tmp_path):
+    """optimize() uses the same bounded CommitConflict retry as merge:
+    a concurrent commit between its read and its commit makes it
+    re-derive (re-deciding which files are small) and land after the
+    racer, with the racer's rows intact."""
+    d = str(tmp_path / "t")
+    df = spark.range(50).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    acid.write_table(df.repartition(4), d)
+
+    orig_read = acid._read_manifest
+    fired = {"n": 0}
+
+    def race_once(table_dir, version=None):
+        m = orig_read(table_dir, version)
+        if fired["n"] == 0 and version is None and table_dir == d:
+            fired["n"] = 1
+            other = spark.createDataFrame([(900, -900)], "k long, v long")
+            new = acid._write_commit_files(other, d, m["version"] + 1)
+            acid._commit(
+                d, m["version"] + 1, m["files"] + new,
+                {**m["stats"], **acid._stats_for_files(d, new)},
+                layout=m["layout"],
+            )
+        return m
+
+    acid._read_manifest = race_once
+    try:
+        stats = acid.optimize(spark, d, small_file_bytes=1 << 20)
+    finally:
+        acid._read_manifest = orig_read
+    assert stats["version"] == 3 and stats["files_compacted"] >= 4
+    got = {r.k: r.v for r in acid.read_table(spark, d).collect()}
+    want = {i: i for i in range(50)}
+    want[900] = -900  # the racer's row survived the compaction retry
+    assert got == want
+
+
+def test_write_table_retries_past_conflicting_commit(spark, tmp_path):
+    """CTAS losing the version race re-commits its already-written
+    files at the new head — no rewrite, no CommitConflict escape."""
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=10, files=1)
+    v, files = acid._current_manifest(d)
+    acid._commit(d, v + 1, files)  # steal the next version slot
+    df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    stats = acid.write_table(df.coalesce(1), d)
+    assert stats["version"] == v + 2
+    assert {r.k for r in acid.read_table(spark, d).collect()} == set(range(5))
+
+
+def test_optimize_preserves_cluster_layout_and_pruning(spark, tmp_path):
+    """Compacting a cluster_by table must re-cluster the compacted
+    content and carry the layout record forward — key_between pruning
+    still skips files after OPTIMIZE (r9 ADVICE: a bare coalesce
+    smeared every output file across the whole key domain)."""
+    d = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    acid.write_table(df.repartition(8), d, cluster_by="k")
+    # tiny target so the compaction yields SEVERAL output files — the
+    # pruning assertion below is meaningless with one file
+    stats = acid.optimize(
+        spark, d, small_file_bytes=1 << 20, target_file_bytes=8 * 1024
+    )
+    assert stats["files_compacted"] == 8 and stats["files_written"] >= 3
+    m = acid._read_manifest(d)
+    assert m["layout"] == {"cluster_by": "k"}  # record carried forward
+    # each post-optimize file covers a tight disjoint range: a narrow
+    # key_between must prune most files
+    ranges = [m["stats"][f]["k"] for f in m["files"]]
+    hits = [r for r in ranges if not (r[1] < 0 or r[0] > 50)]
+    assert len(hits) == 1, ranges
+    got = sorted(
+        r.k for r in acid.read_table(spark, d, key_between=("k", 0, 50)).collect()
+    )
+    assert got == list(range(51))
+
+
+def test_optimize_preserves_zorder_layout(spark, tmp_path):
+    """Same for the multi-column Morton layout: the layout record and
+    two-dimensional pruning survive a compaction."""
+    d = str(tmp_path / "t")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    acid.write_table(df.repartition(8), d, zorder_by=["x", "y"])
+    stats = acid.optimize(
+        spark, d, small_file_bytes=1 << 20, target_file_bytes=2 * 1024
+    )
+    assert stats["files_compacted"] == 8 and stats["files_written"] >= 4
+    m = acid._read_manifest(d)
+    assert m["layout"] == {"zorder_by": ["x", "y"]}
+    box = [("x", 0, 7), ("y", 0, 7)]
+    pruned = [
+        f for f in m["files"]
+        if not any(
+            m["stats"][f][c][1] < lo or m["stats"][f][c][0] > hi
+            for c, lo, hi in box
+        )
+    ]
+    assert len(pruned) < len(m["files"])  # the box does NOT touch all files
+    got = {
+        (r.x, r.y)
+        for r in acid.read_table(spark, d, key_between=box).collect()
+    }
+    assert got == {(x, y) for x in range(8) for y in range(8)}
