@@ -3691,63 +3691,18 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ALL queries stay covered by the local parity suite
 # (tests/test_queries_oracle.py) every run regardless of position.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-verified (r8 additions) ---------------------------
-    "q_hll_distinct": q_hll_distinct,
-    "q_kmv_overlap": q_kmv_overlap,
-    "q_shard_assign": q_shard_assign,
-    "q_lsh_eval": q_lsh_eval,
-    "q_dup_clusters_bigstar": q_dup_clusters_bigstar,
-    "q_ngram_diversity": q_ngram_diversity,
-    "q_window_funnel": q_window_funnel,
-    "q_collocations": q_collocations,
-    "q_mutual_info": q_mutual_info,
-    "q_quality_checks": q_quality_checks,
-    # -- last driver green: r3 ------------------------------------------
-    "q_embed_dedup": q_embed_dedup,
-    "q_trailing_window": q_trailing_window,
-    "q_spike_dip": q_spike_dip,
-    "q_orderby": q_orderby,
-    "q_trailing_window_global": q_trailing_window_global,
-    "q_identity": q_identity,
-    "q_incremental_tail": q_incremental_tail,
-    "q_salted_agg": q_salted_agg,
-    "q_salted_join": q_salted_join,
-    "q_dedup_exact": q_dedup_exact,
-    "q_ngram_jaccard": q_ngram_jaccard,
-    # -- last driver green: r4 ------------------------------------------
-    "q_quantile_sketch": q_quantile_sketch,
-    "q_kmv_distinct": q_kmv_distinct,
-    "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
-    "q_compact_bursts": q_compact_bursts,
-    "q_scan_events": q_scan_events,
-    "q_from_json": q_from_json,
-    "q_offset_fetch": q_offset_fetch,
-    "q_cte": q_cte,
-    "q_select_star": q_select_star,
-    "q_project": q_project,
-    "q_nested_access": q_nested_access,
-    "q_filter_notnull": q_filter_notnull,
-    "q_cast": q_cast,
-    "q_magnitude": q_magnitude,
-    "q_case_when": q_case_when,
-    "q_anomaly_flag": q_anomaly_flag,
-    "q_normalize": q_normalize,
-    "q_array_transform": q_array_transform,
-    "q_map_from_entries": q_map_from_entries,
-    "q_count": q_count,
-    "q_max_ts": q_max_ts,
-    "q_date_format": q_date_format,
-    "q_coalesce": q_coalesce,
-    "q_to_json": q_to_json,
-    "q_token_count": q_token_count,
-    "q_quality_score": q_quality_score,
-    "q_lang_id": q_lang_id,
-    "q_fingerprint": q_fingerprint,
-    "q_bpe_token_count": q_bpe_token_count,
-    # ==== driver window cutoff (first 50 above: the 10 new r8 queries
-    #      + 40 stalest greens; the 10 r4 greens displaced by the new
-    #      head lead the r9 rotation) — entries below are covered by
-    #      the local parity suite every run ===========================
+    # Registry order IS the driver correctness window: the harness
+    # verifies the FIRST ~50 entries each round, so entries sort by
+    # how stale their last driver-green is (stalest first; never-
+    # sampled rows-only queries lead). Rotate each round.
+    # -- never driver-sampled (rows-only) ----------------------------
+    "q_bpe_merges": q_bpe_merges,
+    "q_bpe_encode": q_bpe_encode,
+    "q_pagerank": q_pagerank,
+    # -- last driver green: r2 ---------------------------------------
+    "q_minhash_lsh": q_minhash_lsh,
+    "q_simhash": q_simhash,
+    # -- last driver green: r4 ---------------------------------------
     "q_multimodal_meta": q_multimodal_meta,
     "q_image_meta": q_image_meta,
     "q_adjust_clamp": q_adjust_clamp,
@@ -3767,7 +3722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_clusters": q_dup_clusters,
     "q_canonical_docs": q_canonical_docs,
     "q_minhash_lsh_portable": q_minhash_lsh_portable,
-    # -- last driver green: r5 ------------------------------------------
+    # -- last driver green: r5 ---------------------------------------
     "q_eventtime_policy": q_eventtime_policy,
     "q_salted_join_selective": q_salted_join_selective,
     "q_top_ngrams": q_top_ngrams,
@@ -3817,7 +3772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gini": q_gini,
     "q_holt": q_holt,
     "q_seasonal_baseline": q_seasonal_baseline,
-    # -- last driver green: r6 ------------------------------------------
+    # -- last driver green: r6 ---------------------------------------
     "q_day_over_day": q_day_over_day,
     "q_bigram_lm": q_bigram_lm,
     "q_vocab_coverage": q_vocab_coverage,
@@ -3868,7 +3823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_median_value": q_median_value,
     "q_hash_split": q_hash_split,
     "q_decontaminate": q_decontaminate,
-    # -- last driver green: r7 ------------------------------------------
+    # -- last driver green: r7 ---------------------------------------
     "q_dsir_weights": q_dsir_weights,
     "q_gopher_rules": q_gopher_rules,
     "q_quantized_topk": q_quantized_topk,
@@ -3919,11 +3874,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cube_agg": q_cube_agg,
     "q_chunk_documents": q_chunk_documents,
     "q_frame_sample": q_frame_sample,
-    # -- rows-only (no oracle) — keep last ----------------------------
-    "q_minhash_lsh": q_minhash_lsh,
-    "q_simhash": q_simhash,
-    "q_bpe_merges": q_bpe_merges,
-    "q_bpe_encode": q_bpe_encode,
-    "q_pagerank": q_pagerank,
+    # -- last driver green: r9 ---------------------------------------
+    "q_hll_distinct": q_hll_distinct,
+    "q_kmv_overlap": q_kmv_overlap,
+    "q_shard_assign": q_shard_assign,
+    "q_lsh_eval": q_lsh_eval,
+    "q_dup_clusters_bigstar": q_dup_clusters_bigstar,
+    "q_ngram_diversity": q_ngram_diversity,
+    "q_window_funnel": q_window_funnel,
+    "q_collocations": q_collocations,
+    "q_mutual_info": q_mutual_info,
+    "q_quality_checks": q_quality_checks,
+    "q_embed_dedup": q_embed_dedup,
+    "q_trailing_window": q_trailing_window,
+    "q_spike_dip": q_spike_dip,
+    "q_orderby": q_orderby,
+    "q_trailing_window_global": q_trailing_window_global,
+    "q_identity": q_identity,
+    "q_incremental_tail": q_incremental_tail,
+    "q_salted_agg": q_salted_agg,
+    "q_salted_join": q_salted_join,
+    "q_dedup_exact": q_dedup_exact,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_quantile_sketch": q_quantile_sketch,
+    "q_kmv_distinct": q_kmv_distinct,
+    "q_lsh_topk_multiprobe": q_lsh_topk_multiprobe,
+    "q_compact_bursts": q_compact_bursts,
+    "q_scan_events": q_scan_events,
+    "q_from_json": q_from_json,
+    "q_offset_fetch": q_offset_fetch,
+    "q_cte": q_cte,
+    "q_select_star": q_select_star,
+    "q_project": q_project,
+    "q_nested_access": q_nested_access,
+    "q_filter_notnull": q_filter_notnull,
+    "q_cast": q_cast,
+    "q_magnitude": q_magnitude,
+    "q_case_when": q_case_when,
+    "q_anomaly_flag": q_anomaly_flag,
+    "q_normalize": q_normalize,
+    "q_array_transform": q_array_transform,
+    "q_map_from_entries": q_map_from_entries,
+    "q_count": q_count,
+    "q_max_ts": q_max_ts,
+    "q_date_format": q_date_format,
+    "q_coalesce": q_coalesce,
+    "q_to_json": q_to_json,
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_bpe_token_count": q_bpe_token_count,
 }
 
