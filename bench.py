@@ -29,6 +29,20 @@ twice (r4: q_trailing_window_global "1.5x", q_latest_value "1.4x").
 Disable the full sweep with SPARK_GRAFT_BENCH_ALL=0 (or
 `--headline-only`) when iterating.
 
+STEAL-PROOFING (round 10): hypervisor CPU steal on this shared host has
+inflated identical-code records by 15-30% (r5 measured 24.9-42.9 s
+spreads at zero local load; r9's official record ran at 1.03% steal).
+The headline suite now measures steal OVER ITS OWN TIMED WINDOW and, if
+it exceeds $SPARK_GRAFT_BENCH_STEAL_PCT (default 1.0), re-runs the
+whole suite up to $SPARK_GRAFT_BENCH_STEAL_RETRIES (default 2) more
+times, emitting the LOWEST-STEAL attempt; every attempt is recorded in
+bench_full.json (`headline_attempts`). If even the best attempt is over
+the threshold the record self-labels `"degraded": true` instead of
+passing off an inflated number as the engine's. The full sweep never
+budget-skips queries while ITS window's steal is above threshold — a
+high-steal overrun doubles the budget (hard cap 2x) rather than
+silently truncating coverage on a slow-host run.
+
 Each query materializes fully via the `noop` sink (distributed write,
 no driver collect, no disk) — measures plan execution, not driver IO.
 """
@@ -111,6 +125,21 @@ def _cpu_jiffies() -> tuple[int, int] | None:
         return None
 
 
+def _steal_between(
+    a: tuple[int, int] | None, b: tuple[int, int] | None
+) -> float | None:
+    """Steal %% across a (start, end) jiffies window, None off-Linux."""
+    if a and b and b[1] > a[1]:
+        return round(100.0 * (b[0] - a[0]) / (b[1] - a[1]), 2)
+    return None
+
+
+def _median(samples: list[float]) -> float:
+    s = sorted(samples)
+    n = len(s)
+    return s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -146,26 +175,20 @@ def main() -> None:
         f"# warmup {round(time.perf_counter() - t_warm, 1)}s", file=sys.stderr
     )
 
-    # headline first (comparable round-over-round), then the remainder.
-    # A wall-clock budget bounds the FULL sweep so one anomalous stall
-    # (machine contention, a pathological plan) can never eat the whole
-    # harness window and lose the JSON line: once over budget, remaining
-    # NON-headline queries are skipped and named in `skipped_all` — an
-    # explicit truncation record, never a silent one. Headline always
-    # runs to completion.
+    # Headline first (comparable round-over-round), steal-gated: the
+    # suite re-runs wholesale while the steal fraction measured over
+    # ITS OWN window exceeds the threshold, and the LOWEST-STEAL attempt
+    # becomes the official record — a high-steal sample is a property of
+    # the host, not the engine, and r5-r9 showed it moves identical code
+    # 15-30%. All attempts land in bench_full.json.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    jiffies_start = _cpu_jiffies()
-    t_start = time.perf_counter()
-    medians: dict[str, float] = {}
-    mins: dict[str, float] = {}
-    timings_all: dict[str, float] = {}
-    skipped: list[str] = []
-    for name in HEADLINE + [n for n in to_run if n not in HEADLINE]:
-        if name not in HEADLINE and time.perf_counter() - t_start > budget:
-            skipped.append(name)
-            continue
-        n_reps = reps if name in HEADLINE else 1
+    steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_PCT", "1.0"))
+    steal_retries = max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "2"))
+    )
+
+    def _time_query(name: str, n_reps: int) -> list[float]:
         samples: list[float] = []
         for _ in range(n_reps):
             t0 = time.perf_counter()
@@ -174,15 +197,80 @@ def main() -> None:
             # drop persisted intermediates (LSH signature tables etc.) so
             # earlier queries' cache doesn't GC-pressure later ones
             spark.catalog.clearCache()
-        samples.sort()
-        med = samples[len(samples) // 2] if n_reps % 2 else round(
-            (samples[n_reps // 2 - 1] + samples[n_reps // 2]) / 2, 3
+        return samples
+
+    attempts: list[dict] = []
+    for attempt in range(1 + steal_retries):
+        j0 = _cpu_jiffies()
+        t0 = time.perf_counter()
+        a_med: dict[str, float] = {}
+        a_min: dict[str, float] = {}
+        for name in HEADLINE:
+            samples = _time_query(name, reps)
+            a_med[name] = _median(samples)
+            a_min[name] = min(samples)
+            print(
+                f"# {name} med={a_med[name]}s min={a_min[name]}s n={reps}",
+                file=sys.stderr,
+            )
+        steal = _steal_between(j0, _cpu_jiffies())
+        attempts.append(
+            {
+                "attempt": attempt,
+                "steal_pct": steal,
+                "wall_sec": round(time.perf_counter() - t0, 1),
+                "value": round(sum(a_med.values()), 3),
+                "queries": a_med,
+                "queries_min": a_min,
+            }
         )
-        if name in HEADLINE:
-            medians[name] = med
-            mins[name] = samples[0]
-        timings_all[name] = med
-        print(f"# {name} med={med}s min={samples[0]}s n={n_reps}", file=sys.stderr)
+        if steal is None or steal <= steal_max:
+            break
+        print(
+            f"# headline attempt {attempt}: steal {steal}% > {steal_max}%"
+            + (" — retrying" if attempt < steal_retries else " — giving up"),
+            file=sys.stderr,
+        )
+    best = min(
+        attempts,
+        key=lambda a: (
+            a["steal_pct"] if a["steal_pct"] is not None else -1.0,
+            a["value"],
+        ),
+    )
+    medians: dict[str, float] = best["queries"]
+    mins: dict[str, float] = best["queries_min"]
+    degraded = (
+        best["steal_pct"] is not None and best["steal_pct"] > steal_max
+    )
+
+    # Full sweep: every remaining registered query, single rep. A
+    # wall-clock budget bounds it so one anomalous stall can never eat
+    # the whole harness window and lose the JSON line — but an overrun
+    # while the SWEEP's own steal is above threshold gets the budget
+    # doubled (hard cap 2x) instead of a skip: truncating coverage
+    # because the host was slow reads as "covered everything" when it
+    # didn't. Skipped queries are named in `skipped_all` — an explicit
+    # truncation record, never a silent one.
+    timings_all: dict[str, float] = dict(medians)
+    skipped: list[str] = []
+    j_sweep = _cpu_jiffies()
+    t_start = time.perf_counter()
+    for name in [n for n in to_run if n not in HEADLINE]:
+        elapsed = time.perf_counter() - t_start
+        if elapsed > budget:
+            sweep_steal = _steal_between(j_sweep, _cpu_jiffies())
+            if (
+                elapsed > 2 * budget
+                or sweep_steal is None
+                or sweep_steal <= steal_max
+            ):
+                skipped.append(name)
+                continue
+        samples = _time_query(name, 1)
+        timings_all[name] = _median(samples)
+        print(f"# {name} med={timings_all[name]}s n=1", file=sys.stderr)
+    sweep_steal = _steal_between(j_sweep, _cpu_jiffies())
 
     # Median-of-reps for the slowest non-headline sweep queries: a
     # single-shot timing at the top of the cost table is the least
@@ -211,20 +299,12 @@ def main() -> None:
         for name in slowest:
             if time.perf_counter() - t_slow > slow_budget:
                 break
-            samples = [timings_all[name]]
-            for _ in range(reps - 1):
-                t0 = time.perf_counter()
-                materialize(QUERIES[name](spark, sf_dir))
-                samples.append(round(time.perf_counter() - t0, 3))
-                spark.catalog.clearCache()
-            samples.sort()
-            med = samples[len(samples) // 2] if len(samples) % 2 else round(
-                (samples[len(samples) // 2 - 1] + samples[len(samples) // 2]) / 2, 3
-            )
+            samples = [timings_all[name]] + _time_query(name, reps - 1)
+            med = _median(samples)
             slow_medians[name] = med
             timings_all[name] = med
             print(
-                f"# slow-requery {name} med={med}s min={samples[0]}s n={len(samples)}",
+                f"# slow-requery {name} med={med}s min={min(samples)}s n={len(samples)}",
                 file=sys.stderr,
             )
 
@@ -234,20 +314,26 @@ def main() -> None:
     # `value` and `cpu_steal_pct` from the official record.
     out = {
         "metric": "headline_suite_wall_sec",
-        "value": round(sum(medians.values()), 3),
+        "value": best["value"],
         "unit": "sec",
         "queries": medians,
         "reps": reps,
         "sf": sf_dir,
         "detail": "bench_full.json",
     }
-    jiffies_end = _cpu_jiffies()
-    if jiffies_start and jiffies_end and jiffies_end[1] > jiffies_start[1]:
-        steal = jiffies_end[0] - jiffies_start[0]
-        total = jiffies_end[1] - jiffies_start[1]
-        out["cpu_steal_pct"] = round(100.0 * steal / total, 2)
+    if best["steal_pct"] is not None:
+        out["cpu_steal_pct"] = best["steal_pct"]  # over the EMITTED window
+    if len(attempts) > 1:
+        out["steal_retries"] = len(attempts) - 1
+    if degraded:
+        # even the best of 1+retries attempts ran over the steal
+        # threshold: the number is the host's, not the engine's
+        out["degraded"] = True
     full = dict(out)
     full["queries_min"] = mins
+    full["headline_attempts"] = attempts
+    if sweep_steal is not None:
+        full["sweep_steal_pct"] = sweep_steal
     if run_all:
         out["value_all"] = round(sum(timings_all.values()), 3)
         out["n_all"] = len(timings_all)
