@@ -2186,6 +2186,13 @@ def window_funnel(
     compare in integer epoch micros on both engines. The |stages|
     one-row level counts are the sanctioned global-summary tail, same
     as q_funnel.
+
+    Each stage frame is localCheckpoint'ed (the L27/L48 discipline):
+    stage k's join reads stage k-1's MATERIALIZED survivors and each
+    level count aggregates its own checkpoint, so the chain executes
+    once — uncheckpointed, every one of the |stages| counts re-executed
+    the whole join chain from the scan, O(stages^2) stage work
+    (r8 ADVICE).
     """
     ev = df.select(
         F.col(user_col),
@@ -2196,7 +2203,9 @@ def window_funnel(
     anchors = ev.filter(F.col(type_col) == stages[0]).select(
         F.col(user_col), F.col("_ep").alias("_a")
     )
-    reached = anchors.withColumn("_t", F.col("_a"))
+    reached = anchors.withColumn("_t", F.col("_a")).localCheckpoint(
+        eager=True
+    )
     frames = [reached]
     for s in stages[1:]:
         reached = (
@@ -2208,6 +2217,7 @@ def window_funnel(
             )
             .groupBy(user_col, "_a")
             .agg(F.min("_ep").alias("_t"))
+            .localCheckpoint(eager=True)
         )
         frames.append(reached)
     parts = [

@@ -2604,6 +2604,30 @@ def test_window_funnel_anchor_and_window_semantics(spark):
     assert got == {1: 3, 2: 2, 3: 1}
 
 
+def test_window_funnel_chain_executes_once(spark):
+    """The per-level counts aggregate CHECKPOINTED stage frames: the
+    result plan holds one materialized-RDD scan per stage and ZERO
+    joins — uncheckpointed, each of the |stages| counts re-executed the
+    whole join chain from the scan, O(stages^2) stage work (r8
+    ADVICE)."""
+    from datetime import datetime, timedelta
+
+    from azure_iot_realtime_data_pipeline_spark.operators.analytics import (
+        window_funnel,
+    )
+
+    t = lambda m: datetime(2024, 1, 1) + timedelta(minutes=m)  # noqa: E731
+    rows = [(1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase")]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = window_funnel(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], window_seconds=3600,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 3, plan
+    assert "Join" not in plan, plan
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(
