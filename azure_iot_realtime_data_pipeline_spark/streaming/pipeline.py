@@ -149,7 +149,10 @@ def _write_batch_scoped(batch: DataFrame, batch_id: int, out_dir: str) -> None:
 
 
 def multi_sink_batch_writer(
-    bronze_dir: str, devices_dir: str, telemetry_dir: str
+    bronze_dir: str,
+    devices_dir: str,
+    telemetry_dir: str,
+    devices_mode: str = "anti_join",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: persist once, write three sinks (F4).
 
@@ -157,21 +160,38 @@ def multi_sink_batch_writer(
     re-runs a batch after a crash between sink writes, so each sink must
     absorb the same (batch_id, rows) twice. Bronze/telemetry do it by
     batch-id-scoped dynamic partition overwrite; the Devices upsert is
-    naturally idempotent (first-write-wins anti-join — replayed keys are
-    already stored and anti-join away). On a transactional store the
-    equivalent is Delta `MERGE` / txn-log `txnAppId+txnVersion`.
+    idempotent in both modes. On a transactional store the equivalent
+    is Delta `MERGE` / txn-log `txnAppId+txnVersion`.
+
+    `devices_mode` selects the A4/F7 dimension sink:
+
+    - ``"anti_join"`` (default, reference-faithful): first-write-wins
+      append to a plain parquet dir — replayed keys are already stored
+      and anti-join away. Read with ``spark.read.parquet``.
+    - ``"merge"``: TRUE keyed MERGE (WHEN MATCHED UPDATE lastSeen,
+      insert new) onto the manifest-committed ACID table
+      (:func:`upsert_devices_merge` over ``sources/acid.py``) — the
+      Delta-MERGE semantics the reference's PK'd SQL table gets from
+      its upsert, with optimistic-concurrency commits and file-skipping
+      rewrites. Read with ``acid.read_table``; idempotent under replay
+      because re-merging identical rows lands identical values.
 
     Layout migration note: sinks written by the pre-batch-id layout
     (loose part files at the root) cannot be mixed with the partitioned
     layout — point new streams at fresh sink directories (or move old
     files under a `batch_id=-1/` subdir) before upgrading.
     """
+    if devices_mode not in ("anti_join", "merge"):
+        raise ValueError(f"unknown devices_mode: {devices_mode!r}")
 
     def write(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
             _write_batch_scoped(batch, batch_id, bronze_dir)  # A3 bronze raw
-            upsert_devices(batch, devices_dir)  # A4/F7 dimension
+            if devices_mode == "merge":
+                upsert_devices_merge(batch, devices_dir)  # A4/F7 dimension
+            else:
+                upsert_devices(batch, devices_dir)
             _write_batch_scoped(batch.drop("value"), batch_id, telemetry_dir)  # A5 fact
         finally:
             batch.unpersist()
@@ -187,9 +207,12 @@ def run_multi_sink(
     checkpoint_dir: str,
     available_now: bool = False,
     trigger_interval: str = TRIGGER_INTERVAL,
+    devices_mode: str = "anti_join",
 ) -> StreamingQuery:
     writer = curated.writeStream.foreachBatch(
-        multi_sink_batch_writer(bronze_dir, devices_dir, telemetry_dir)
+        multi_sink_batch_writer(
+            bronze_dir, devices_dir, telemetry_dir, devices_mode=devices_mode
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

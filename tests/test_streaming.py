@@ -20,6 +20,7 @@ from azure_iot_realtime_data_pipeline_spark.streaming import http_sink
 from azure_iot_realtime_data_pipeline_spark.streaming.anomaly import spike_dip_stream
 from azure_iot_realtime_data_pipeline_spark.streaming.pipeline import (
     curated_stream,
+    multi_sink_batch_writer,
     run_multi_sink,
 )
 from azure_iot_realtime_data_pipeline_spark.streaming.source import (
@@ -245,6 +246,46 @@ def test_multi_sink_restart_soak(spark, sf_oracle, tmp_path):
         expected.groupBy("deviceId").agg(F.min("enqueuedTime").alias("firstSeen")),
         ["deviceId", "firstSeen"],
     )
+
+
+def test_multi_sink_merge_mode_latest_wins_and_replays_clean(
+    spark, replay_dir, tmp_path
+):
+    """devices_mode="merge": the fan-out's dimension sink is the keyed
+    MERGE onto the manifest-committed ACID table — one row per deviceId
+    with the LATEST lastSeen (WHEN MATCHED UPDATE, the Delta semantics
+    the reference's PK'd table gets from its upsert), and a full replay
+    against the existing dimension is idempotent."""
+    from azure_iot_realtime_data_pipeline_spark.sources import acid
+
+    bronze = str(tmp_path / "bm")
+    devices = str(tmp_path / "dm")
+    telemetry = str(tmp_path / "tm")
+    for i in range(2):  # fresh checkpoint -> full replay, same dimension
+        q = run_multi_sink(
+            curated_stream(replay_events(spark, replay_dir)),
+            bronze,
+            devices,
+            telemetry,
+            str(tmp_path / f"ckptm{i}"),
+            available_now=True,
+            devices_mode="merge",
+        )
+        q.awaitTermination(300)
+    d = acid.read_table(spark, devices)
+    assert set(d.columns) == {"deviceId", "lastSeen"}
+    assert d.groupBy("deviceId").count().filter(F.col("count") > 1).count() == 0
+    b = spark.read.parquet(bronze)
+    want = {
+        (r["deviceId"], r["mx"])
+        for r in b.groupBy("deviceId")
+        .agg(F.max("enqueuedTime").alias("mx"))
+        .collect()
+    }
+    got = {(r["deviceId"], r["lastSeen"]) for r in d.collect()}
+    assert got == want  # LATEST enqueuedTime won, across batches AND replays
+    with pytest.raises(ValueError, match="devices_mode"):
+        multi_sink_batch_writer(bronze, devices, telemetry, devices_mode="bogus")
 
 
 def test_devices_upsert_is_first_write_wins(spark, replay_dir, tmp_path):
