@@ -999,6 +999,61 @@ def vocab_coverage(
     )
 
 
+def _bpe_word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(syms: array<string>, n: bigint) word-frequency table — BPE's
+    one corpus pass; every training iteration runs on this vocab-sized
+    frame."""
+    return (
+        ensure_parallelism(docs.select(F.col(text_col)))
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split(F.col("w"), "").alias("syms"), F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(l, r, cnt): adjacent-symbol pair counts weighted by word
+    frequency — the per-iteration aggregate of `bpe_learn_merges`,
+    shared with the oracle-able :func:`bpe_pair_counts`."""
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        F.col("syms"),
+                        F.slice(
+                            F.col("syms"),
+                            2,
+                            F.greatest(F.size("syms") - 1, F.lit(0)),
+                        ),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    ),
+                    lambda p: p["r"].isNotNull(),
+                )
+            ).alias("p"),
+            F.col("n"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The FIRST BPE training round's pair statistics — (l, r, cnt)
+    over single-character symbols — as a standalone SQL-oracle-able
+    operator: `bpe_learn_merges`' per-iteration aggregate is a plain
+    explode + weighted GROUP BY (this function, shared code path); only
+    the greedy ITERATION (argmax -> fold -> recount) is beyond ANSI
+    SQL, so this companion puts the trainer's hot operator under the
+    value-hash gate while the fixpoint keeps its python-reference
+    property tests. Round 1 symbols are characters, so the DuckDB twin
+    is substr arithmetic over the same word-frequency table."""
+    return _bpe_pair_counts(_bpe_word_table(docs, text_col))
+
+
 def bpe_learn_merges(
     docs: DataFrame,
     text_col: str = "text",
@@ -1032,41 +1087,11 @@ def bpe_learn_merges(
     Returns (merge_rank, left, right, pair_count) with merge_rank
     starting at 1 in learning order.
     """
-    words = (
-        ensure_parallelism(docs.select(F.col(text_col)))
-        .select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.split(F.col("w"), "").alias("syms"), F.col("n"))
-        .localCheckpoint(eager=True)
-    )
+    words = _bpe_word_table(docs, text_col)
     spark = docs.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, int(n_merges) + 1):
-        pairs = (
-            words.filter(F.size("syms") >= 2)
-            .select(
-                F.explode(
-                    F.filter(
-                        F.zip_with(
-                            F.col("syms"),
-                            F.slice(
-                                F.col("syms"),
-                                2,
-                                F.greatest(F.size("syms") - 1, F.lit(0)),
-                            ),
-                            lambda a, b: F.struct(
-                                a.alias("l"), b.alias("r")
-                            ),
-                        ),
-                        lambda p: p["r"].isNotNull(),
-                    )
-                ).alias("p"),
-                F.col("n"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("n").alias("cnt"))
-        )
+        pairs = _bpe_pair_counts(words)
         best = (
             pairs.orderBy(
                 F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()

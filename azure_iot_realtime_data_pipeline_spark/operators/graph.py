@@ -115,6 +115,82 @@ def pagerank(
     return ranks
 
 
+def pagerank_step_pinned(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """ONE power-iteration step of :func:`pagerank` from the uniform
+    start, on the int64 lattice — the SQL-oracle-able companion of the
+    rows-only fixpoint (the per-iteration operator IS a join + two
+    aggregates; only the float ITERATION is beyond ANSI SQL). Returns
+    (node, rank_pinned) where rank_pinned is the post-step rank in
+    `scale` units (scale=1e12 => picoranks).
+
+    Exact integer semantics, mirrored verbatim in the DuckDB twin so
+    the value hash matches bit-for-bit with zero float drift:
+
+    - ``r0 = scale div N`` (uniform start),
+    - each non-dangling node sends ``r0 div out_degree`` along every
+      out-edge (BIGINT division),
+    - dangling mass ``D = r0 * n_dangling`` redistributes as
+      ``D div N`` to every node,
+    - ``rank_pinned = ((100 - d) * scale) div (100 * N)
+      + (d * (received + D div N)) div 100`` with d = damping_pct.
+
+    Same plan shape as one `pagerank` iteration: degree join keyed on
+    src, receive aggregate shuffled once on dst, two one-number driver
+    scalars (N, n_dangling — the sanctioned pattern). Max intermediate
+    ``100 * scale`` = 1e14, well inside int64.
+    """
+    d_pct = int(damping_pct)
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_pinned", F.lit(0).cast("long"))
+    r0 = int(scale) // n
+    out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    n_dangling = nodes.join(
+        out_deg, nodes["node"] == out_deg["_s"], "left_anti"
+    ).count()
+    share = (r0 * n_dangling) // n
+    base = ((100 - d_pct) * int(scale)) // (100 * n)
+    # shuffle_hash hints: the degree side is node-sized (AQE upgrades
+    # to broadcast when it fits) and the receive side shares the node
+    # key — never a sort-merge at this surface (the repo plan gate)
+    recv = (
+        e.join(out_deg.hint("shuffle_hash"), "_s")
+        .select(
+            F.col("_d").alias("node"),
+            F.expr(f"CAST({r0} AS BIGINT) div _deg").alias("_c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("_c").alias("_recv"))
+    )
+    return nodes.join(recv.hint("shuffle_hash"), "node", "left").select(
+        "node",
+        (
+            F.lit(base)
+            + F.expr(
+                f"({d_pct} * (coalesce(_recv, CAST(0 AS BIGINT))"
+                f" + CAST({share} AS BIGINT))) div 100"
+            )
+        ).alias("rank_pinned"),
+    )
+
+
 def undirected_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
     """Symmetrize a pair table into a directed edge list (both
     directions), the adapter from dedup pair generators (doc_a < doc_b

@@ -5451,3 +5451,79 @@ ORACLES["q_quality_checks"] = f"""
     FROM checks c
     LEFT JOIN ext e ON e.col_name = c.col_name AND e.metric = c.metric
     """
+
+# J51b: round-1 BPE pair statistics — the trainer's per-iteration
+# aggregate. Round-1 symbols are single characters, so the twin is
+# substr arithmetic over the identical word-frequency table.
+ORACLES["q_bpe_pair_counts"] = """
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    pos AS (
+      SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r,
+           CAST(SUM(n) AS BIGINT) AS cnt
+    FROM pos GROUP BY 1, 2
+    """
+
+# J58b: one pinned power-iteration step over the DIRECTED near-dup
+# pair graph (doc_id < 200, jaccard >= 0.2 — the q_triangles CTE).
+# Integer semantics mirror graph.pagerank_step_pinned verbatim:
+# r0 = scale // N, per-edge send r0 // deg, dangling share
+# (r0 * n_dangling) // N, rank = 15*scale // (100*N)
+# + 85*(recv + share) // 100 — all BIGINT, zero float drift.
+ORACLES["q_pagerank_step"] = """
+    WITH docs AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    idx AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM docs WHERE len(toks) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT DISTINCT doc_a AS s, doc_b AS d
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE floor((CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common))
+                  * 10000 + 0.5) / 10000 >= 0.2
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT CAST(1000000000000 // n AS BIGINT) AS r FROM nn),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY s),
+    dang AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM nodes
+      WHERE node NOT IN (SELECT s FROM deg)
+    ),
+    share AS (
+      SELECT CAST((r0.r * dang.nd) // nn.n AS BIGINT) AS sh
+      FROM r0, dang, nn
+    ),
+    recv AS (
+      SELECT e.d AS node, CAST(SUM(r0.r // deg.dg) AS BIGINT) AS rc
+      FROM e JOIN deg ON e.s = deg.s, r0
+      GROUP BY e.d
+    )
+    SELECT nodes.node,
+           CAST((15 * 1000000000000) // (100 * nn.n)
+                + (85 * (COALESCE(recv.rc, 0) + share.sh)) // 100
+                AS BIGINT) AS rank_pinned
+    FROM nodes LEFT JOIN recv ON nodes.node = recv.node, nn, share
+    """

@@ -1957,6 +1957,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bpe_learn_merges(docs, "text", n_merges=10)
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J51b the trainer's per-iteration operator under the value-hash
+    gate: round-1 adjacent-symbol pair counts (characters, weighted by
+    word frequency) via the SAME shared aggregate `bpe_learn_merges`
+    loops on — only the greedy iteration stays rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.bpe_pair_counts(docs, "text")
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K20 SCD Type-2 history of each user's event_type attribute:
     change detection and interval close-out share one key-partitioned
@@ -3497,6 +3506,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J58b ONE power-iteration step on the int64 lattice, fully
+    oracled — the per-iteration join/agg machinery of q_pagerank
+    (degree join, receive aggregate, dangling redistribution) under the
+    value-hash gate; only the float fixpoint stays rows-only. DIRECTED
+    doc_a -> doc_b edges so the dangling-mass term is actually
+    exercised (sink-only docs exist)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.2)
+    return graph.pagerank_step_pinned(pairs, src="doc_a", dst="doc_b")
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J59 DSIR importance weights (Xie et al., NeurIPS'23): hashed
     unigram+bigram bag models fit on a target slice (the benchmark
@@ -3699,6 +3720,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_encode": q_bpe_encode,
     "q_pagerank": q_pagerank,
+    "q_bpe_pair_counts": q_bpe_pair_counts,
+    "q_pagerank_step": q_pagerank_step,
     # -- last driver green: r2 ---------------------------------------
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,

@@ -1538,6 +1538,39 @@ def test_pagerank_matches_reference_with_dangling_node(spark):
     assert got[3] == max(got.values())
 
 
+def test_pagerank_step_pinned_matches_integer_reference(spark):
+    """J58b: the one-step lattice operator equals a plain-python
+    integer evaluation of its documented semantics on a graph with a
+    dangling sink and a duplicate edge — and uses the same graph
+    normalization (edge collapse, endpoint node set) as pagerank."""
+    from azure_iot_realtime_data_pipeline_spark.operators.graph import (
+        pagerank_step_pinned,
+    )
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5), (1, 2)]
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.node: r.rank_pinned for r in pagerank_step_pinned(e).collect()
+    }
+    edges = sorted(set(edge_list))
+    nodes = sorted({u for p in edges for u in p})
+    n = len(nodes)
+    scale = 10**12
+    r0 = scale // n
+    deg = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+    recv = {u: 0 for u in nodes}
+    for s, d in edges:
+        recv[d] += r0 // deg[s]
+    share = (r0 * sum(1 for u in nodes if deg[u] == 0)) // n
+    want = {
+        u: (15 * scale) // (100 * n) + (85 * (recv[u] + share)) // 100
+        for u in nodes
+    }
+    assert got == want
+    # one step from uniform already ranks the hub (3) on top
+    assert max(got, key=got.get) == 3
+
+
 def test_pagerank_uniform_on_cycle(spark):
     """A directed cycle is vertex-transitive: every node must hold
     exactly 1/N at every iteration."""
