@@ -1079,6 +1079,42 @@ def save_ivf_index(
     return {"n_cells": len(cent_lits), **stats}
 
 
+def append_to_ivf_index(
+    new_candidates: DataFrame,
+    index_dir: str,
+    cand_id: str = "cand_id",
+    cand_vec: str = "cv",
+    n_files: int | None = None,
+) -> dict:
+    """Incremental IVF ingest — the daily-crawl shape: assign ONLY the
+    new batch to the index's EXISTING centroids (bounded centroid read
+    + the same map-side numpy argmin the fit used — |batch| assignment
+    work, zero shuffles) and append the assigned rows to the cells
+    table in one layout-preserving commit (`acid.append_table`: every
+    existing cell file carries over BY NAME, the batch lands
+    cell-clustered so manifest-stats pruning keeps biting). The corpus
+    is never re-read, re-assigned, or re-clustered; a periodic
+    `acid.optimize` re-tightens cell file ranges across batches, and
+    `ivf_topk_from_index` search over the appended index equals the
+    in-memory search over the union at the same dials (gated).
+
+    Centroids deliberately do NOT move (the standard production IVF
+    contract — FAISS `add` after `train`): drift is handled by a
+    re-fit, which the manifest layer versions atomically.
+    """
+    import os
+
+    from azure_iot_realtime_data_pipeline_spark.sources import acid
+
+    spark = new_candidates.sparkSession
+    cent_lits = load_ivf_centroids(spark, index_dir)
+    assigned = assign_to_centroids(new_candidates, cent_lits, cand_id, cand_vec)
+    stats = acid.append_table(
+        assigned, os.path.join(index_dir, "cells"), n_files=n_files
+    )
+    return {"n_cells": len(cent_lits), **stats}
+
+
 def load_ivf_centroids(spark, index_dir: str) -> list:
     """The index's centroid literals, [(cent_id, [dims...]), ...] —
     a bounded n_cells-row read off the centroids table's snapshot."""

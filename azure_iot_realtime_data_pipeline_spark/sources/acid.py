@@ -477,6 +477,66 @@ def _apply_layout(
     return df.repartitionByRange(n, cluster_by).sortWithinPartitions(cluster_by)
 
 
+def append_table(
+    df: DataFrame,
+    table_dir: str,
+    n_files: int | None = None,
+) -> dict:
+    """Append-only commit: the batch lands as NEW data files laid out
+    per the table's RECORDED layout (`cluster_by`/`zorder_by` applied to
+    the batch alone), and every existing file carries over BY NAME with
+    its manifest stats — cost scales with the batch, never the table.
+    The incremental-ingest primitive (IVF cell appends, fact
+    micro-batches): per-file stats stay tight within each batch, so
+    `read_table(key_between=...)` pruning keeps biting; a periodic
+    :func:`optimize` re-clusters across batches.
+
+    `n_files` sizes the batch's output files (default: the batch's
+    partition count). Raises FileNotFoundError on a table with no
+    committed manifest — an append needs a table (use
+    :func:`write_table` to create one).
+
+    Optimistic concurrency: appends touch no existing file, so losing a
+    version race needs no content re-derivation — the retry re-resolves
+    the newest manifest and re-commits the already-written batch files
+    on top of ITS file list (bounded retries).
+    """
+    m = _read_manifest(table_dir)
+    if m["version"] == 0:
+        raise FileNotFoundError(f"no committed manifest in {table_dir}")
+    df = _apply_layout(
+        df,
+        m["layout"].get("cluster_by"),
+        m["layout"].get("zorder_by"),
+        n_files=n_files,
+    )
+    new_files = _write_commit_files(df, table_dir, m["version"] + 1)
+    new_file_stats = _stats_for_files(table_dir, new_files)
+    last_conflict: CommitConflict | None = None
+    for _attempt in range(5):
+        kept, stats = m["files"], m["stats"]
+        all_stats = {rel: stats.get(rel, {}) for rel in kept}
+        all_stats.update(new_file_stats)
+        try:
+            _commit(
+                table_dir,
+                m["version"] + 1,
+                kept + new_files,
+                all_stats,
+                layout=m["layout"],
+            )
+        except CommitConflict as e:
+            last_conflict = e  # re-commit the same batch on the new head
+            m = _read_manifest(table_dir)
+            continue
+        return {
+            "version": m["version"] + 1,
+            "files_written": len(new_files),
+            "files_kept": len(kept),
+        }
+    raise last_conflict  # pragma: no cover - needs 5 straight races
+
+
 def merge_upsert(
     updates: DataFrame,
     table_dir: str,

@@ -2923,3 +2923,60 @@ def test_persisted_ivf_index_matches_in_memory_search(spark, sf_smoke, tmp_path)
         spark, str(tmp_path / "ivf" / "centroids"), version=1
     ).count()
     assert v1 == 16
+
+
+def test_ivf_index_append_equals_union_search(spark, sf_smoke, tmp_path):
+    """Incremental IVF ingest (the daily-crawl shape): fit on corpus A,
+    append batch B against the FROZEN centroids — search over the
+    appended index must equal the in-memory search over A ∪ B at the
+    same dials, the append must carry every pre-existing cell file over
+    by name (batch-sized cost, corpus untouched), and the appended
+    files must land cell-clustered with stats so pruning keeps biting."""
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+        load_ivf_centroids,
+        save_ivf_index,
+    )
+    from azure_iot_realtime_data_pipeline_spark.sources import acid
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    full = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    base = full.filter(F.col("cand_id") % 2 == 0)
+    batch = full.filter(F.col("cand_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_inc")
+    save_ivf_index(base, idx, n_cells=16, centroids="deterministic")
+    cells_dir = str(tmp_path / "ivf_inc" / "cells")
+    files_before = set(acid._read_manifest(cells_dir)["files"])
+
+    stats = append_to_ivf_index(batch, idx, n_files=4)
+    assert stats["n_cells"] == 16
+    assert stats["files_kept"] == len(files_before)
+    m = acid._read_manifest(cells_dir)
+    assert files_before < set(m["files"])  # carried over BY NAME
+    new_files = set(m["files"]) - files_before
+    assert len(new_files) == stats["files_written"] == 4
+    # the batch landed cell-clustered: every new file has cell_id stats
+    # and at least one new file's range excludes some cell
+    ranges = [m["stats"][f]["cell_id"] for f in new_files]
+    assert all(r is not None for r in ranges)
+    assert any(r[0] > 0 or r[1] < 15 for r in ranges), ranges
+
+    cent_lits = load_ivf_centroids(spark, idx)  # frozen: fitted on A only
+    got = {
+        (r["query_id"], r["cand_id"], r["cosine"], r["rank"])
+        for r in ivf_topk_from_index(spark, idx, q, n_probe=4, k=10).collect()
+    }
+    want = {
+        (r["query_id"], r["cand_id"], r["cosine"], r["rank"])
+        for r in ivf_topk(
+            q, full, n_cells=16, n_probe=4, k=10, centroids=cent_lits
+        ).collect()
+    }
+    assert got == want and got
