@@ -18,6 +18,10 @@ with a minimal own implementation of the same storage contract:
   rename leaves the previous version fully intact; data files written
   for the failed commit are unreferenced orphans, never read, and
   swept by :func:`vacuum`.
+- APPEND (:func:`append_table`) commits a batch as new data files laid
+  out per the table's recorded clustering while every existing file
+  carries over by name — batch-sized cost, the incremental-ingest
+  primitive.
 - MERGE (:func:`merge_upsert`: update matched keys, insert new ones)
   rewrites ONLY the data files whose footer key statistics
   ([min, max] per file, read driver-side from parquet metadata — no
