@@ -195,3 +195,152 @@ def stage_replay_dir_delayed_builds(
             df = df.unionByName(p)
         _write_replay_file(df, out_dir, i)
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# A1 production bindings: Kafka / Event Hubs (Kafka surface)
+# ---------------------------------------------------------------------------
+
+#: explicit wire schema of one event payload — streaming sources never
+#: infer (SURVEY.md §1.3), and the parser below must agree with the
+#: replay source's parquet schema so every downstream plan is
+#: source-agnostic (FIXTURES.md `events`).
+EVENTS_WIRE_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+#: producer/consumer-agreed timestamp wire format: MICROSECOND
+#: precision (Spark's to_json default is milliseconds, which silently
+#: truncates event time — a 1000x loss of ordering resolution the
+#: round-trip gate below would catch). Producers with a different
+#: format pass their own `json_options`.
+EVENTS_WIRE_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def parse_event_payloads(
+    raw: DataFrame,
+    value_col: str = "value",
+    include_meta: bool = False,
+    json_options: dict | None = None,
+) -> DataFrame:
+    """Broker rows -> typed event rows: cast the payload bytes to
+    string, `from_json` against the EXPLICIT wire schema, unwrap. Rows
+    whose payload fails the schema surface as all-NULL structs — route
+    them through `functions/normalize.py`'s quarantine split (A2b)
+    rather than dropping silently. `include_meta=True` keeps the
+    broker's (topic, partition, offset, timestamp) columns for
+    provenance auditing.
+
+    Shared by the Kafka and Event Hubs bindings and testable WITHOUT a
+    broker: the transformation is identical on a batch frame with a
+    binary/string `value` column (gated in tests/test_streaming_ingest).
+    """
+    parsed = raw.withColumn(
+        "_ev",
+        F.from_json(
+            F.col(value_col).cast("string"),
+            EVENTS_WIRE_SCHEMA,
+            json_options or {"timestampFormat": EVENTS_WIRE_TS_FORMAT},
+        ),
+    )
+    cols = [F.col("_ev." + c).alias(c) for c in (
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )]
+    if include_meta:
+        cols += [
+            F.col(c)
+            for c in ("topic", "partition", "offset", "timestamp")
+            if c in raw.columns
+        ]
+    return parsed.select(*cols)
+
+
+def kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    extra_options: dict | None = None,
+    include_meta: bool = False,
+    json_options: dict | None = None,
+) -> DataFrame:
+    """A1 production binding: `readStream.format("kafka")` -> the same
+    typed event frame the file-replay source yields, so the entire
+    downstream topology (curated_stream, multi-sink fan-out, anomaly
+    twins) is source-agnostic — swap THIS call for `replay_events` and
+    nothing else changes (reference consumes a 4-partition hub,
+    terraform/main-example.tf:108-118).
+
+    `maxOffsetsPerTrigger` is the production backpressure dial (the
+    replay source's `maxFilesPerTrigger` analog). Requires the
+    spark-sql-kafka connector on the JVM classpath
+    (`--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>`);
+    absent from this sandbox, so construction raises a RuntimeError
+    naming the package — the binding itself is real and gated, not a
+    stub (tests pin the failure mode and the parser semantics).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(int(max_offsets_per_trigger))
+        )
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, v)
+    try:
+        raw = reader.load()
+    except Exception as e:  # noqa: BLE001 - connector absence is env-specific
+        raise RuntimeError(
+            "kafka streaming source unavailable: the spark-sql-kafka "
+            "connector jar is not on the JVM classpath (add "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13 via spark.jars."
+            "packages). The downstream plan is source-agnostic — use "
+            "replay_events for a broker-less run."
+        ) from e
+    return parse_event_payloads(
+        raw, include_meta=include_meta, json_options=json_options
+    )
+
+
+def eventhubs_events_stream(
+    spark: SparkSession,
+    namespace: str,
+    event_hub: str,
+    connection_string: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    include_meta: bool = False,
+) -> DataFrame:
+    """A1 with the reference's actual broker: Azure Event Hubs exposes
+    a public Kafka-protocol endpoint (`<namespace>.servicebus.windows.
+    net:9093`, SASL_SSL/PLAIN with username `$ConnectionString` — the
+    documented Kafka-surface contract), so the binding is the Kafka
+    one plus auth options; the hub name is the topic
+    (reference terraform/main-example.tf:108-118 provisions hub
+    `iot-telemetry`, 4 partitions). Same sandbox gate as
+    `kafka_events_stream`.
+    """
+    jaas = (
+        "org.apache.kafka.common.security.plain.PlainLoginModule required "
+        f'username="$ConnectionString" password="{connection_string}";'
+    )
+    return kafka_events_stream(
+        spark,
+        bootstrap_servers=f"{namespace}.servicebus.windows.net:9093",
+        topic=event_hub,
+        starting_offsets=starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+        extra_options={
+            "kafka.security.protocol": "SASL_SSL",
+            "kafka.sasl.mechanism": "PLAIN",
+            "kafka.sasl.jaas.config": jaas,
+        },
+        include_meta=include_meta,
+    )

@@ -79,3 +79,71 @@ def test_streaming_ingest_drops_null_device(spark, tmp_path):
     q.awaitTermination(300)
     assert len(rows) == 1
     assert rows[0]["deviceId"] == DEVICE_ID
+
+
+def test_event_payload_parser_roundtrips_and_quarantines(spark, sf_smoke):
+    """A1 broker binding, parser half (broker-less by design): events
+    serialized exactly as the wire carries them (JSON bytes in a
+    `value` column, broker meta alongside) parse back to the replay
+    source's typed schema BIT-EQUAL, malformed payloads surface as
+    all-NULL rows (the A2b quarantine contract), and include_meta keeps
+    broker provenance columns."""
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+    from azure_iot_realtime_data_pipeline_spark.streaming.source import (
+        parse_event_payloads,
+    )
+
+    from azure_iot_realtime_data_pipeline_spark.streaming.source import (
+        EVENTS_WIRE_TS_FORMAT,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").limit(200)
+    wire = ev.select(
+        F.to_json(
+            F.struct(*ev.columns),
+            {"timestampFormat": EVENTS_WIRE_TS_FORMAT},
+        ).cast("binary").alias("value"),
+        F.lit("iot-telemetry").alias("topic"),
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    back = parse_event_payloads(wire)
+    assert back.columns == ev.columns
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in ev.schema.fields
+    ]
+    want = {tuple(r) for r in ev.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == want
+    # provenance columns ride along when asked
+    meta = parse_event_payloads(wire, include_meta=True)
+    assert {"topic", "partition", "offset", "timestamp"} <= set(meta.columns)
+    # malformed payload -> all-NULL event columns (quarantine-able), not a crash
+    junk = spark.createDataFrame(
+        [("{not json",), ("42",)], "value string"
+    )
+    rows = parse_event_payloads(junk).collect()
+    assert len(rows) == 2
+    assert all(all(v is None for v in r) for r in rows)
+
+
+def test_kafka_binding_raises_actionable_error_without_connector(spark):
+    """A1 broker binding, gate half: this sandbox has no
+    spark-sql-kafka jar, so construction must fail with the package
+    name and the broker-less alternative — never a bare py4j trace.
+    (With the jar present the same call returns the typed stream; the
+    parser half above pins those semantics.)"""
+    import pytest
+
+    from azure_iot_realtime_data_pipeline_spark.streaming.source import (
+        eventhubs_events_stream,
+        kafka_events_stream,
+    )
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_events_stream(spark, "broker:9092", "iot-telemetry")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        eventhubs_events_stream(
+            spark, "ns", "iot-telemetry", "Endpoint=sb://..."
+        )
