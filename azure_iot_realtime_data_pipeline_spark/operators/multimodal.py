@@ -8,13 +8,17 @@ Arrow moves the bytes columnar-batch-wise, Python touches each batch
 once, and the plan stays a single narrow map stage (no shuffle, no
 driver collect), which is the only shape that survives 100 TB of blobs.
 
-The decode step is STUBBED: this container ships no image/audio codecs
-(no PIL/cv2/ffmpeg), so `decode_image` raises NotImplementedError
-unless a codec is importable, and `fake_decode_meta` provides a
-deterministic stand-in (dimensions derived from payload bytes) so the
-Spark-side plumbing — schema, batch iteration, partitioning, UDF
-signatures — is fully real and fully tested. Swapping the stub for a
-real codec changes no plan shape.
+Decode: REAL in pure numpy for uncompressed public containers since
+r10 — netpbm P5/P6 and 24-bit BMP decode to actual pixels
+(`decode_image_array`), feeding real measured metadata
+(`image_meta_decoded`), nearest-neighbor resize (`resize_images`) and
+a true perceptual aHash (`image_ahash_decoded`, container-invariant —
+gated). Only COMPRESSED codecs (JPEG/PNG/video) remain behind the PIL
+swap point: this container ships none (no PIL/cv2/ffmpeg), so
+`decode_image` raises NotImplementedError for them, and
+`fake_decode_meta` keeps a deterministic stand-in so the registered
+queries run on the text-payload test corpus. Swapping in a codec
+changes no plan shape.
 """
 
 from __future__ import annotations
@@ -237,3 +241,196 @@ def image_ahash_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode for uncompressed public formats (pure numpy — no codec lib)
+# ---------------------------------------------------------------------------
+#
+# The container ships no PIL/cv2/ffmpeg, but netpbm (P5/P6) and
+# uncompressed 24-bit BMP are trivial PUBLIC specs decodable in plain
+# numpy — so since r10 the decode step is REAL for those containers;
+# only compressed codecs (JPEG/PNG/video) remain behind the PIL swap
+# point in `decode_image`. Every operator below keeps the production
+# plan shape: narrow Arrow map, zero shuffle.
+
+
+def _decode_netpbm(payload: bytes):
+    """P5 (grayscale) / P6 (RGB) binary netpbm -> (H, W, C) uint8
+    ndarray. Header tokens may be separated by any whitespace and `#`
+    comments (the published spec); maxval must fit a byte."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    # tokenize header: magic, width, height, maxval — skipping comments
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # exactly one whitespace after maxval, per spec
+    w, h, maxval = (int(t) for t in tokens)
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported netpbm maxval {maxval}")
+    c = 3 if magic == b"P6" else 1
+    n = w * h * c
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    return arr.reshape(h, w, c)
+
+
+def _decode_bmp24(payload: bytes):
+    """Uncompressed 24-bit BITMAPINFOHEADER BMP -> (H, W, 3) uint8 RGB
+    ndarray: rows 4-byte padded, stored bottom-up (top-down when height
+    is negative), pixels BGR on disk — all per the published format."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes codec-free "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_image_array(payload: bytes):
+    """(H, W, C) uint8 ndarray from an image payload. Uncompressed
+    containers (netpbm P5/P6, 24-bit BMP) decode HERE in pure numpy —
+    real decode, no codec library; compressed codecs fall through to
+    `decode_image`'s PIL swap point and raise NotImplementedError in
+    this container."""
+    magic = bytes(payload[:2])
+    if magic in (b"P5", b"P6"):
+        return _decode_netpbm(bytes(payload))
+    if magic == b"BM":
+        return _decode_bmp24(bytes(payload))
+    import numpy as np
+
+    img = decode_image(bytes(payload))  # PIL swap point (compressed codecs)
+    arr = np.asarray(img)
+    return arr[:, :, None] if arr.ndim == 2 else arr
+
+
+def resize_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resize, pure numpy index map — the cheap
+    production resize for thumbnail/feature grids (deterministic,
+    no interpolation dependency)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return arr[rows][:, cols]
+
+
+def image_meta_decoded(media: DataFrame) -> DataFrame:
+    """`image_meta` with the REAL decoder: (doc_id, width, height,
+    channels) measured from actual pixels for codec-free containers.
+    Same production plan: narrow Arrow map, zero shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(
+                lambda b: decode_image_array(b).shape
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": dims.map(lambda s: s[1]).astype("int32"),
+                    "height": dims.map(lambda s: s[0]).astype("int32"),
+                    "channels": dims.map(lambda s: s[2]).astype("int32"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(extract, IMAGE_META_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id BIGINT, width INT, height INT, channels INT, pixels BINARY"
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> raw pixel bytes (row-major
+    H x W x C uint8): the thumbnail/feature-grid stage of an image
+    training pipeline, REAL for codec-free containers. Fan-in on bytes
+    (each row shrinks to width*height*C), still one narrow map stage."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w, out_h, out_c, out_px = [], [], [], []
+            for b in pdf["payload"]:
+                arr = resize_nearest(decode_image_array(b), width, height)
+                out_h.append(arr.shape[0])
+                out_w.append(arr.shape[1])
+                out_c.append(arr.shape[2])
+                out_px.append(arr.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(out_w, dtype="int32"),
+                    "height": pd.Series(out_h, dtype="int32"),
+                    "channels": pd.Series(out_c, dtype="int32"),
+                    "pixels": pd.Series(out_px, dtype="object"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(extract, RESIZED_SCHEMA)
+
+
+def image_ahash_decoded(media: DataFrame) -> DataFrame:
+    """J44's aHash over REAL pixels: decode, luma-average into the 8x8
+    grid (nearest-neighbor block means), threshold at the grid mean —
+    the actual perceptual fingerprint, robust to re-encode/resize of
+    codec-free containers. Signature format identical to `image_ahash`
+    (16-char hex), so `image_ahash_pairs` banding works unchanged on
+    either signature table."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(b: bytes) -> str:
+            arr = decode_image_array(b).astype(np.float64)
+            luma = arr.mean(axis=2)
+            grid = resize_nearest(luma[:, :, None], 8, 8)[:, :, 0]
+            bits = 0
+            mean = float(grid.mean())
+            flat = grid.reshape(-1)
+            for i in range(64):
+                if flat[i] > mean:
+                    bits |= 1 << (63 - i)
+            return format(bits, "016x")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash_hex": pdf["payload"].map(one)}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(extract, AHASH_SCHEMA)

@@ -150,3 +150,121 @@ def test_image_ahash_bit_convention(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     got = multimodal.image_ahash(multimodal.attach_payload(docs)).collect()[0]
     assert got.ahash_hex == want
+
+
+def _ppm_bytes(w, h, pixel_fn):
+    """Spec-built binary P6: header + raw RGB, with a comment to
+    exercise the tokenizer."""
+    body = bytes(
+        v for y in range(h) for x in range(w) for v in pixel_fn(x, y)
+    )
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + body
+
+
+def _pgm_bytes(w, h, pixel_fn):
+    body = bytes(pixel_fn(x, y)[0] for y in range(h) for x in range(w))
+    return b"P5 %d %d 255\n" % (w, h) + body
+
+
+def _bmp24_bytes(w, h, pixel_fn):
+    """Spec-built uncompressed 24-bit BMP: BITMAPINFOHEADER, rows
+    4-byte padded, bottom-up, BGR."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = b"".join(
+            bytes(pixel_fn(x, y)[::-1]) for x in range(w)  # BGR
+        )
+        rows += row + b"\x00" * (stride - len(row))
+    pixel_off = 14 + 40
+    header = b"BM" + struct.pack(
+        "<IHHI", pixel_off + len(rows), 0, 0, pixel_off
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + dib + rows
+
+
+def _gradient(x, y):
+    return ((x * 37) % 256, (y * 53) % 256, (x + y) % 256)
+
+
+def test_real_decode_netpbm_and_bmp_agree(spark):
+    """J14 decode is REAL for codec-free containers: the same pixel
+    function serialized as P6, P5 and 24-bit BMP decodes back to the
+    exact pixels (numpy decoders following the published specs — BMP's
+    padding/bottom-up/BGR all exercised by a non-multiple-of-4 width)."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_image_array,
+    )
+
+    w, h = 13, 9  # w*3=39: forces BMP row padding
+    want = np.array(
+        [[_gradient(x, y) for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    ppm = decode_image_array(_ppm_bytes(w, h, _gradient))
+    bmp = decode_image_array(_bmp24_bytes(w, h, _gradient))
+    assert ppm.shape == bmp.shape == (h, w, 3)
+    assert (ppm == want).all() and (bmp == want).all()
+    pgm = decode_image_array(_pgm_bytes(w, h, _gradient))
+    assert pgm.shape == (h, w, 1)
+    assert (pgm[:, :, 0] == want[:, :, 0]).all()
+
+
+def test_image_meta_decoded_and_resize_real_pixels(spark):
+    """The decoded-meta and resize operators run the REAL decode inside
+    the Arrow map: measured dimensions come from actual pixels, resize
+    emits exact nearest-neighbor bytes, and re-encoding the same image
+    in a different container (PPM vs BMP) yields the IDENTICAL aHash —
+    the perceptual-fingerprint property the fake decode cannot have."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        image_ahash_decoded,
+        image_meta_decoded,
+        resize_images,
+        resize_nearest,
+    )
+
+    w, h = 16, 12
+    rows = [
+        (1, bytearray(_ppm_bytes(w, h, _gradient))),
+        (2, bytearray(_bmp24_bytes(w, h, _gradient))),
+        (3, bytearray(_pgm_bytes(w, h, _gradient))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    meta = {r.doc_id: (r.width, r.height, r.channels)
+            for r in image_meta_decoded(media).collect()}
+    assert meta == {1: (w, h, 3), 2: (w, h, 3), 3: (w, h, 1)}
+
+    want = np.array(
+        [[_gradient(x, y) for x in range(w)] for y in range(h)],
+        dtype=np.uint8,
+    )
+    rz = {r.doc_id: r for r in resize_images(media, 8, 8).collect()}
+    assert (rz[1].width, rz[1].height, rz[1].channels) == (8, 8, 3)
+    assert bytes(rz[1].pixels) == resize_nearest(want, 8, 8).tobytes()
+    assert bytes(rz[2].pixels) == bytes(rz[1].pixels)  # container-invariant
+
+    sig = {r.doc_id: r.ahash_hex for r in image_ahash_decoded(media).collect()}
+    assert sig[1] == sig[2]  # same pixels, different container
+    assert len(sig[1]) == 16 and int(sig[1], 16) >= 0
+
+
+def test_decode_compressed_still_gated():
+    """Compressed codecs stay behind the PIL swap point: a PNG magic
+    payload raises the documented NotImplementedError in this
+    container."""
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_image_array,
+    )
+
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image_array(png_magic)
