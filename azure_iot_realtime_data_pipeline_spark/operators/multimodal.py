@@ -560,3 +560,79 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         extract, AUDIO_FEATURE_SCHEMA
     )
+
+
+def split_jpeg_frames(payload: bytes) -> list[bytes]:
+    """REAL MJPEG container walk: split a concatenated-JPEG stream into
+    its frames WITHOUT decoding — the published JFIF segment grammar in
+    plain python. Metadata segments advance by their big-endian length;
+    entropy-coded data (after SOS) scans for the next true marker,
+    correctly skipping byte-stuffed FF00 and restart markers FFD0-D7;
+    EOI (FFD9) closes a frame. Truncated trailing bytes are dropped
+    (a torn last frame — the standard MJPEG salvage rule)."""
+    b = bytes(payload)
+    frames: list[bytes] = []
+    i = 0
+    n = len(b)
+    while i + 1 < n:
+        if b[i] != 0xFF or b[i + 1] != 0xD8:  # hunt for SOI
+            i += 1
+            continue
+        start = i
+        j = i + 2
+        closed = False
+        while j + 1 < n:
+            if b[j] != 0xFF:
+                j += 1
+                continue
+            m = b[j + 1]
+            if m == 0xD9:  # EOI
+                frames.append(b[start : j + 2])
+                i = j + 2
+                closed = True
+                break
+            if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7 or m == 0x00:
+                j += 2  # SOI-in-scan junk / TEM / RSTn / stuffed FF00
+                continue
+            if m == 0xDA:  # SOS: length-prefixed header, then scan data
+                if j + 3 >= n:
+                    break
+                j += 2 + int.from_bytes(b[j + 2 : j + 4], "big")
+                while j + 1 < n:
+                    if b[j] == 0xFF and b[j + 1] not in (0x00, *range(0xD0, 0xD8)):
+                        break  # a real marker ends the scan
+                    j += 1
+                continue
+            if j + 3 >= n:
+                break
+            j += 2 + int.from_bytes(b[j + 2 : j + 4], "big")  # sized segment
+        if not closed:
+            break  # torn trailing frame: drop
+    return frames
+
+
+def sample_frames_mjpeg(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """`sample_frames` with REAL frame boundaries: walk each payload's
+    JPEG segment structure (`split_jpeg_frames` — container parsing,
+    no codec), emit every n-th frame as its own payload row. Same
+    fan-out-inside-one-narrow-map shape; decoding the sampled frames
+    remains behind the image codec swap point."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = split_jpeg_frames(payload)
+                for i in range(0, len(frames), every_n):
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_frames.append(frames[i])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_payload": pd.Series(out_frames, dtype="object"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)

@@ -349,3 +349,51 @@ def test_wav_compressed_still_gated():
     payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     with pytest.raises(NotImplementedError, match="PCM"):
         decode_wav(payload)
+
+
+def _fake_jpeg(seed: int) -> bytes:
+    """Spec-shaped JPEG: SOI, an APP0 segment, SOS whose entropy data
+    contains FFD9-lookalikes ONLY in byte-stuffed (FF00) and restart
+    (FFD0-D7) escaped positions, then EOI — exercises every branch of
+    the segment walk."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JF" + bytes([seed % 251] * 12)
+    sos_hdr = b"\xff\xda" + struct.pack(">H", 8) + bytes([seed % 7] * 6)
+    scan = (
+        bytes([(seed * 31 + k) % 255 for k in range(40)])
+        .replace(b"\xff", b"\xfe")  # no accidental markers...
+        + b"\xff\x00"               # ...then deliberate stuffed FF00
+        + b"\xff\xd0"               # and a restart marker
+        + bytes([(seed * 17 + k) % 250 for k in range(20)])
+    )
+    return b"\xff\xd8" + app0 + sos_hdr + scan + b"\xff\xd9"
+
+
+def test_mjpeg_frame_split_and_sampling(spark):
+    """Video frame-sampling is REAL at the container level: a
+    concatenated-JPEG stream splits on true frame boundaries (stuffed
+    FF00s and RSTn markers inside scan data do NOT end a frame), a torn
+    trailing frame is dropped, and the Spark operator emits every n-th
+    frame byte-exact."""
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        sample_frames_mjpeg,
+        split_jpeg_frames,
+    )
+
+    frames = [_fake_jpeg(s) for s in range(10)]
+    stream = b"".join(frames)
+    got = split_jpeg_frames(stream)
+    assert got == frames
+    # torn last frame: drop it, keep the closed ones
+    assert split_jpeg_frames(stream + frames[0][:-2]) == frames
+
+    media = spark.createDataFrame(
+        [(7, bytearray(stream))], "doc_id long, payload binary"
+    )
+    out = sorted(
+        (r.frame_idx, bytes(r.frame_payload))
+        for r in sample_frames_mjpeg(media, every_n=4).collect()
+    )
+    assert [i for i, _ in out] == [0, 4, 8]
+    assert all(p == frames[i] for i, p in out)
