@@ -636,3 +636,45 @@ def sample_frames_mjpeg(media: DataFrame, every_n: int = 4) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+def synth_wav_from_text(
+    docs: DataFrame, text_col: str = "text", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic REAL-WAV synthesis from a text column: each
+    character's codepoint (mod 256) becomes one 8-bit PCM sample, so a
+    corpus without binary fixtures still exercises the true RIFF
+    encoder/decoder pair — `q_audio_features` routes documents through
+    synth -> `decode_wav` -> `audio_features` and value-hash-matches a
+    DuckDB oracle computing the same features from the characters
+    directly, putting the ENTIRE encode->decode->feature chain under
+    the correctness gate (not just a plumbing rows-run)."""
+    import struct
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        align = 1  # mono 8-bit
+        fmt = struct.pack(
+            "<HHIIHH", 1, 1, sample_rate, sample_rate * align, align, 8
+        )
+        head = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+
+        def one(text: str) -> bytes:
+            data = bytes(ord(c) % 256 for c in (text or ""))
+            chunks = head + b"data" + struct.pack("<I", len(data)) + data
+            if len(data) & 1:
+                chunks += b"\x00"
+            return (
+                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf[text_col].map(one),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        synth, "doc_id BIGINT, payload BINARY"
+    )

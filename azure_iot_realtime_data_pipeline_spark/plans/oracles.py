@@ -5527,3 +5527,49 @@ ORACLES["q_pagerank_step"] = """
                 AS BIGINT) AS rank_pinned
     FROM nodes LEFT JOIN recv ON nodes.node = recv.node, nn, share
     """
+
+# J14b: the audio encode->decode->feature chain, mirrored from the
+# characters directly — one sample per codepoint (mod 256, centered at
+# 128). rms = floor-sqrt of the integer mean square (exact for this
+# value range), zero crossings count sign flips of the nonzero samples
+# in character order.
+ORACLES["q_audio_features"] = """
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(text))) AS i
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, i,
+             (ascii(substr(d.text, i, 1)) % 256) - 128 AS s
+      FROM chars JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS ssq,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(abs(s)) AS INT) AS peak
+      FROM v GROUP BY doc_id
+    ),
+    nz AS (
+      SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE -1 END AS sgn
+      FROM v WHERE s <> 0
+    ),
+    zc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS zero_crossings
+      FROM (
+        SELECT doc_id, sgn,
+               lag(sgn) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM nz
+      ) WHERE prev IS NOT NULL AND sgn <> prev
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(floor(sqrt(CAST(agg.ssq // agg.n AS DOUBLE))), 0)
+                AS BIGINT) AS rms,
+           CAST(COALESCE(agg.peak, 0) AS INT) AS peak,
+           CAST(COALESCE(zc.zero_crossings, 0) AS BIGINT) AS zero_crossings
+    FROM documents d
+    LEFT JOIN agg ON d.doc_id = agg.doc_id
+    LEFT JOIN zc ON d.doc_id = zc.doc_id
+    """

@@ -719,6 +719,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features(multimodal.attach_payload(docs))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14b the REAL audio codec under the value-hash gate: documents
+    synthesize deterministic 8-bit PCM WAVs (one sample per character
+    codepoint), the true RIFF decoder reads them back, and the
+    integer-lattice features (rms/peak/zero-crossings) must hash-match
+    a DuckDB oracle computing the same features from the characters
+    directly — the entire encode->decode->feature chain gated, not a
+    plumbing rows-run."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(multimodal.synth_wav_from_text(docs))
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode stub: deterministic fake image dimensions via
     mapInPandas (the decode swap point is the only non-real part; plan
@@ -3722,6 +3734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_pagerank_step": q_pagerank_step,
+    "q_audio_features": q_audio_features,
     # -- last driver green: r2 ---------------------------------------
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
