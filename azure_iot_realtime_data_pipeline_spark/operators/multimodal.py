@@ -678,3 +678,72 @@ def synth_wav_from_text(
     return docs.select("doc_id", text_col).mapInPandas(
         synth, "doc_id BIGINT, payload BINARY"
     )
+
+
+IMAGE_STATS_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, channels INT, "
+    "pix_sum BIGINT, pix_max INT"
+)
+
+
+def synth_pgm_from_text(
+    docs: DataFrame, text_col: str = "text", width: int = 16
+) -> DataFrame:
+    """Deterministic REAL-PGM synthesis from text: one grayscale pixel
+    per character codepoint (mod 256), rows of `width`, zero-padded to
+    the last row — the image twin of `synth_wav_from_text`, feeding the
+    true netpbm decoder so `q_image_decode_stats` value-hash-gates the
+    image encode->decode->measure chain against a character-level
+    DuckDB oracle."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(text: str) -> bytes:
+            px = bytes(ord(c) % 256 for c in (text or ""))
+            h = max(1, (len(px) + width - 1) // width)
+            px = px + b"\x00" * (h * width - len(px))
+            return b"P5\n%d %d\n255\n" % (width, h) + px
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf[text_col].map(one)}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        synth, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Decode-and-measure with REAL pixels: dimensions plus the integer
+    pixel sum and max — the all-int64 measurement that hash-matches
+    across engines (the image analog of `audio_features`)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_image_array(payload)
+                flat = arr.astype(np.int64).reshape(-1)
+                rows.append(
+                    (
+                        doc_id,
+                        arr.shape[1],
+                        arr.shape[0],
+                        arr.shape[2],
+                        int(flat.sum()),
+                        int(flat.max()) if len(flat) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "pix_sum", "pix_max",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, IMAGE_STATS_SCHEMA
+    )

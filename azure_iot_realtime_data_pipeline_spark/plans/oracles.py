@@ -5573,3 +5573,30 @@ ORACLES["q_audio_features"] = """
     LEFT JOIN agg ON d.doc_id = agg.doc_id
     LEFT JOIN zc ON d.doc_id = zc.doc_id
     """
+
+# J14: the image encode->decode->measure chain, mirrored from the
+# characters — 16-wide grayscale rows, zero padding contributes 0 to
+# the sum and never raises the max (codepoints % 256 >= 0).
+ORACLES["q_image_decode_stats"] = """
+    WITH v AS (
+      SELECT doc_id,
+             ascii(substr(d.text, i, 1)) % 256 AS s
+      FROM (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+      ) JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(s) AS BIGINT) AS pix_sum,
+             CAST(MAX(s) AS INT) AS pix_max
+      FROM v GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(greatest(1, (length(d.text) + 15) // 16) AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(COALESCE(agg.pix_sum, 0) AS BIGINT) AS pix_sum,
+           CAST(COALESCE(agg.pix_max, 0) AS INT) AS pix_max
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """

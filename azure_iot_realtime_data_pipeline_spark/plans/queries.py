@@ -731,6 +731,17 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(multimodal.synth_wav_from_text(docs))
 
 
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 the REAL image codec under the value-hash gate (the audio
+    q_audio_features twin): documents synthesize deterministic PGMs
+    (one grayscale pixel per codepoint, 16-wide rows, zero-padded), the
+    true netpbm decoder reads them back, and the integer measurements
+    (dims, pixel sum, pixel max) must hash-match a DuckDB oracle
+    computed from the characters directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_stats(multimodal.synth_pgm_from_text(docs))
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode stub: deterministic fake image dimensions via
     mapInPandas (the decode swap point is the only non-real part; plan
@@ -3735,6 +3746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe_pair_counts": q_bpe_pair_counts,
     "q_pagerank_step": q_pagerank_step,
     "q_audio_features": q_audio_features,
+    "q_image_decode_stats": q_image_decode_stats,
     # -- last driver green: r2 ---------------------------------------
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
