@@ -281,6 +281,8 @@ def _decode_netpbm(payload: bytes):
         i = j
     i += 1  # exactly one whitespace after maxval, per spec
     w, h, maxval = (int(t) for t in tokens)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid netpbm dimensions {w}x{h}")
     if not 0 < maxval < 256:
         raise ValueError(f"unsupported netpbm maxval {maxval}")
     c = 3 if magic == b"P6" else 1
@@ -311,6 +313,8 @@ def _decode_bmp24(payload: bytes):
             f"only uncompressed 24-bit BMP decodes codec-free "
             f"(got bpp={bpp}, compression={compression})"
         )
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
     bottom_up = h > 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3
@@ -405,13 +409,31 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
     return media.select("doc_id", "payload").mapInPandas(extract, RESIZED_SCHEMA)
 
 
+def _block_mean_grid(luma, rows: int = 8, cols: int = 8):
+    """TRUE block means: partition the image into a rows x cols grid of
+    (nearly) equal rectangular blocks and average EVERY pixel of each
+    block (np.add.reduceat over both axes) — point-sampling one pixel
+    per cell is what makes an aHash fragile to off-by-one resizes."""
+    import numpy as np
+
+    h, w = luma.shape
+    rb = np.minimum((np.arange(rows) * h) // rows, h - 1)
+    cb = np.minimum((np.arange(cols) * w) // cols, w - 1)
+    sums = np.add.reduceat(np.add.reduceat(luma, rb, axis=0), cb, axis=1)
+    r_cnt = np.diff(np.append(rb, h)).astype(np.float64)
+    c_cnt = np.diff(np.append(cb, w)).astype(np.float64)
+    return sums / np.outer(r_cnt, c_cnt)
+
+
 def image_ahash_decoded(media: DataFrame) -> DataFrame:
-    """J44's aHash over REAL pixels: decode, luma-average into the 8x8
-    grid (nearest-neighbor block means), threshold at the grid mean —
-    the actual perceptual fingerprint, robust to re-encode/resize of
-    codec-free containers. Signature format identical to `image_ahash`
-    (16-char hex), so `image_ahash_pairs` banding works unchanged on
-    either signature table."""
+    """J44's aHash over REAL pixels: decode, luma, TRUE 8x8 block means
+    (every pixel contributes — `_block_mean_grid`), threshold at the
+    grid mean — the actual perceptual fingerprint, robust to re-encode
+    and near-size resizes of codec-free containers (gated: a resized
+    image stays within small hamming distance of the original).
+    Signature format identical to `image_ahash` (16-char hex), so
+    `image_ahash_pairs` banding works unchanged on either signature
+    table."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -419,7 +441,7 @@ def image_ahash_decoded(media: DataFrame) -> DataFrame:
         def one(b: bytes) -> str:
             arr = decode_image_array(b).astype(np.float64)
             luma = arr.mean(axis=2)
-            grid = resize_nearest(luma[:, :, None], 8, 8)[:, :, 0]
+            grid = _block_mean_grid(luma, 8, 8)
             bits = 0
             mean = float(grid.mean())
             flat = grid.reshape(-1)
@@ -477,6 +499,10 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
     code, channels, rate, _brate, _align, bits = fmt
+    if channels < 1 or rate < 1:
+        raise ValueError(
+            f"invalid WAV header: channels={channels}, sample_rate={rate}"
+        )
     if code != 1:
         raise NotImplementedError(
             f"only PCM WAV decodes codec-free (format code {code}); "
@@ -591,6 +617,9 @@ def split_jpeg_frames(payload: bytes) -> list[bytes]:
                 i = j + 2
                 closed = True
                 break
+            if m == 0xFF:
+                j += 1  # T.81 B.1.1.2 fill byte: FF padding before a marker
+                continue
             if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7 or m == 0x00:
                 j += 2  # SOI-in-scan junk / TEM / RSTn / stuffed FF00
                 continue
@@ -599,8 +628,8 @@ def split_jpeg_frames(payload: bytes) -> list[bytes]:
                     break
                 j += 2 + int.from_bytes(b[j + 2 : j + 4], "big")
                 while j + 1 < n:
-                    if b[j] == 0xFF and b[j + 1] not in (0x00, *range(0xD0, 0xD8)):
-                        break  # a real marker ends the scan
+                    if b[j] == 0xFF and b[j + 1] not in (0x00, 0xFF, *range(0xD0, 0xD8)):
+                        break  # a real marker ends the scan (FF FF = fill)
                     j += 1
                 continue
             if j + 3 >= n:

@@ -5506,7 +5506,10 @@ ORACLES["q_pagerank_step"] = """
     ),
     nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-    r0 AS (SELECT CAST(1000000000000 // n AS BIGINT) AS r FROM nn),
+    -- n > 0 guard: the Spark side returns an empty frame for an empty
+    -- graph; the division must not run (r0 empty => share/recv empty
+    -- => the final cross join yields the same empty result)
+    r0 AS (SELECT CAST(1000000000000 // n AS BIGINT) AS r FROM nn WHERE n > 0),
     deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY s),
     dang AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM nodes

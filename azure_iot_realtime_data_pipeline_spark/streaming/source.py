@@ -296,7 +296,14 @@ def kafka_events_stream(
         reader = reader.option(k, v)
     try:
         raw = reader.load()
-    except Exception as e:  # noqa: BLE001 - connector absence is env-specific
+    except Exception as e:  # noqa: BLE001 - inspect, rebrand ONLY jar absence
+        msg = str(e)
+        if not (
+            "Failed to find data source" in msg
+            or "ClassNotFoundException" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+        ):
+            raise  # real config/broker error: let the actual cause surface
         raise RuntimeError(
             "kafka streaming source unavailable: the spark-sql-kafka "
             "connector jar is not on the JVM classpath (add "

@@ -215,7 +215,7 @@ def main() -> None:
     min_attempts = max(
         1, int(os.environ.get("SPARK_GRAFT_BENCH_MIN_ATTEMPTS", "2"))
     )
-    max_attempts = max(min_attempts, 1 + steal_retries)
+    max_attempts = min_attempts + steal_retries  # retries on TOP of mandatory attempts
     attempts: list[dict] = []
     for attempt in range(max_attempts):
         j0 = _cpu_jiffies()
@@ -345,8 +345,11 @@ def main() -> None:
     }
     if best["steal_pct"] is not None:
         out["cpu_steal_pct"] = best["steal_pct"]  # over the EMITTED window
-    if len(attempts) > 1:
-        out["steal_retries"] = len(attempts) - 1
+    # steal-TRIGGERED retries only: attempts past the mandatory minimum
+    # ran because steal stayed over threshold (mandatory re-runs are not
+    # host-contention evidence and must not read as such in the record)
+    if len(attempts) > min_attempts:
+        out["steal_retries"] = len(attempts) - min_attempts
     if degraded:
         # even the best of 1+retries attempts ran over the steal
         # threshold: the number is the host's, not the engine's

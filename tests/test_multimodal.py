@@ -397,3 +397,65 @@ def test_mjpeg_frame_split_and_sampling(spark):
     )
     assert [i for i, _ in out] == [0, 4, 8]
     assert all(p == frames[i] for i, p in out)
+
+
+def test_jpeg_fill_bytes_and_validation_hardening(spark):
+    """Review fixes, pinned: (a) T.81 fill bytes (FF padding before a
+    marker, incl. FF FF D9 at a frame end) do not derail the segment
+    walk; (b) zero-dimension netpbm and zero-channel WAV headers raise
+    ValueError instead of crashing the Arrow UDF downstream."""
+    import struct
+
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_image_array,
+        decode_wav,
+        split_jpeg_frames,
+    )
+
+    frames = [_fake_jpeg(s) for s in range(4)]
+    # fill-padded EOI on frame 1: ... FF FF FF D9 (two fill bytes)
+    padded = frames[1][:-2] + b"\xff\xff" + frames[1][-2:]
+    stream = frames[0] + padded + frames[2] + frames[3]
+    got = split_jpeg_frames(stream)
+    assert len(got) == 4
+    assert got[0] == frames[0] and got[2] == frames[2] and got[3] == frames[3]
+    assert got[1].endswith(b"\xff\xd9") and got[1].startswith(b"\xff\xd8")
+    # fill-padded EOI at the very stream tail: frame must still close
+    assert len(split_jpeg_frames(frames[0][:-2] + b"\xff" + b"\xff\xd9")) == 1
+
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_image_array(b"P5 0 0 255\n")
+    fmt0 = struct.pack("<HHIIHH", 1, 0, 8000, 8000, 1, 16)  # channels=0
+    body = b"fmt " + struct.pack("<I", len(fmt0)) + fmt0
+    body += b"data" + struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="channels"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+
+def test_ahash_decoded_survives_resize(spark):
+    """The J44 property the block-mean grid buys (point-sampling one
+    pixel per cell did NOT have it): resizing an image to a non-multiple
+    size keeps its aHash within a small hamming distance, so
+    image_ahash_pairs can pair resized duplicates."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_image_array,
+        image_ahash_decoded,
+        resize_nearest,
+    )
+
+    w, h = 64, 64
+    # smooth 2-D gradient: resize preserves block means closely
+    grad = lambda x, y: ((x * 4) % 256, (y * 4) % 256, ((x + y) * 2) % 256)  # noqa: E731
+    orig = _ppm_bytes(w, h, grad)
+    arr = resize_nearest(decode_image_array(orig), 63, 61)
+    resized = b"P6\n63 61\n255\n" + arr.tobytes()
+    media = spark.createDataFrame(
+        [(1, bytearray(orig)), (2, bytearray(resized))],
+        "doc_id long, payload binary",
+    )
+    sig = {r.doc_id: int(r.ahash_hex, 16)
+           for r in image_ahash_decoded(media).collect()}
+    hamming = bin(sig[1] ^ sig[2]).count("1")
+    assert hamming <= 4, hamming
