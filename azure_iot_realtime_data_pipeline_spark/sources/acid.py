@@ -547,6 +547,7 @@ def merge_upsert(
     key: str,
     max_driver_keys: int = 1_000_000,
     order_by: str | None = None,
+    schema_evolution: bool = False,
 ) -> dict:
     """MERGE: rows of `updates` replace same-key rows (WHEN MATCHED ...
     UPDATE) and insert otherwise. Only data files whose footer
@@ -582,6 +583,18 @@ def merge_upsert(
     vacuumable orphans. The table's recorded layout carries forward
     unchanged (merge rewrites are key-local; a full re-cluster is
     optimize's job).
+
+    SCHEMA EVOLUTION (`schema_evolution=True`, the Delta
+    `mergeSchema`/autoMerge analog): when the update batch's column set
+    differs from the table's, the merge becomes a COPY-ON-EVOLVE — it
+    rewrites EVERY file onto the union schema (missing columns NULL on
+    either side), so the invariant "all files of a manifest share one
+    schema" holds and readers never see mixed-schema parquet. Evolution
+    commits therefore cost a full rewrite (Delta avoids that with a
+    log-tracked schema; at this module's scope the rare evolve paying a
+    rewrite beats every read paying mergeSchema footer reconciliation).
+    Without the flag, a differing column set raises — a typo'd batch
+    column must not silently evolve the table (the Delta default).
     """
     from pyspark.sql import functions as F
 
@@ -636,8 +649,25 @@ def merge_upsert(
     for _attempt in range(5):
         m = _read_manifest(table_dir)
         version, files, stats = m["version"], m["files"], m["stats"]
+        evolve = False
+        if files:
+            table_cols = set(
+                spark.read.parquet(os.path.join(table_dir, files[0])).columns
+            )
+            if table_cols != set(updates.columns):
+                if not schema_evolution:
+                    raise ValueError(
+                        "update batch columns "
+                        f"{sorted(set(updates.columns))} != table columns "
+                        f"{sorted(table_cols)}; pass schema_evolution=True "
+                        "to evolve (copy-on-evolve full rewrite)"
+                    )
+                evolve = True
         touched, kept = [], []
         for rel in files:
+            if evolve:
+                touched.append(rel)  # copy-on-evolve: every file rewrites
+                continue
             rng = stats.get(rel, {}).get(key)
             if rng is None:
                 rng = _file_key_range(os.path.join(table_dir, rel), key)
@@ -655,7 +685,9 @@ def merge_upsert(
             survivors = spark.read.parquet(
                 *[os.path.join(table_dir, f) for f in touched]
             ).join(updates.select(key), key, "left_anti")
-            new_content = survivors.unionByName(updates)
+            new_content = survivors.unionByName(
+                updates, allowMissingColumns=evolve
+            )
         else:
             new_content = updates
         # hold file granularity steady: the rewrite replaces len(touched)
@@ -768,6 +800,81 @@ def optimize(
             "files_kept": len(kept),
         }
     raise last_conflict  # pragma: no cover - needs 5 straight races
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    key: str,
+) -> DataFrame:
+    """Row-level change feed between two retained snapshots — the Delta
+    CDF (`table_changes`) analog, derived from the manifests alone:
+    only the files that DIFFER between the two versions are read
+    (copy-on-write means unchanged files carry over by name, so the
+    unchanged bulk of a 100 TB table costs nothing), and rows rewritten
+    byte-identically into new files (merge survivors, compactions) are
+    cancelled out by a full-row fingerprint anti-join — OPTIMIZE-only
+    version pairs produce an EMPTY feed, exactly like Delta CDF.
+
+    Returns the changed rows with Delta CDF's column convention:
+    `_change_type` in ('insert', 'update_preimage', 'update_postimage',
+    'delete') plus `_commit_version` = `to_version`. `key` is the
+    table's merge key (PK): a key present on both sides with different
+    content is an update, present only in `to` an insert, only in
+    `from` a delete.
+    """
+    from pyspark.sql import functions as F
+
+    m_from = _read_manifest(table_dir, from_version)
+    m_to = _read_manifest(table_dir, to_version)
+    removed = sorted(set(m_from["files"]) - set(m_to["files"]))
+    added = sorted(set(m_to["files"]) - set(m_from["files"]))
+
+    def _load(rels: list[str], like: list[str]) -> DataFrame:
+        paths = [os.path.join(table_dir, r) for r in (rels or like)]
+        df = spark.read.parquet(*paths)
+        return df.limit(0) if not rels else df
+
+    old = _load(removed, m_from["files"])
+    new = _load(added, m_to["files"])
+    # align both sides to the UNION schema (a copy-on-evolve merge
+    # between the versions leaves the old files without the new
+    # columns): unionByName with the other side's empty frame adds the
+    # missing columns as typed NULLs, so the fingerprint and the
+    # per-image unions below see one schema
+    old = old.unionByName(new.limit(0), allowMissingColumns=True)
+    new = new.unionByName(old.limit(0), allowMissingColumns=True)
+    fp = lambda df: F.md5(  # noqa: E731 - full-row fingerprint
+        F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))
+    )
+    old = old.withColumn("_fp", fp(old))
+    new = new.withColumn("_fp", fp(new))
+    # identical rows shuffled between files are not changes
+    old_c = old.join(new.select("_fp"), "_fp", "left_anti")
+    new_c = new.join(old.select("_fp"), "_fp", "left_anti")
+    old_keys = old_c.select(key).distinct()
+    new_keys = new_c.select(key).distinct()
+    inserts = new_c.join(old_keys, key, "left_anti").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = old_c.join(new_keys, key, "left_anti").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    pre = old_c.join(new_keys, key, "left_semi").withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    post = new_c.join(old_keys, key, "left_semi").withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    return (
+        inserts.unionByName(deletes)
+        .unionByName(pre)
+        .unionByName(post)
+        .drop("_fp")
+        .withColumn("_commit_version", F.lit(int(to_version)))
+    )
 
 
 def vacuum(

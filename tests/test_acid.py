@@ -604,3 +604,91 @@ def test_optimize_preserves_zorder_layout(spark, tmp_path):
         for r in acid.read_table(spark, d, key_between=box).collect()
     }
     assert got == {(x, y) for x in range(8) for y in range(8)}
+
+
+def test_merge_schema_evolution_copy_on_evolve(spark, tmp_path):
+    """schema_evolution=True: a batch with a NEW column evolves the
+    table to the union schema via a full rewrite (every file on the new
+    schema — readers never see mixed-schema parquet); missing columns
+    fill NULL on both sides. Without the flag, a differing column set
+    raises instead of silently evolving (the Delta default)."""
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=20, files=2)
+    evolved = spark.createDataFrame(
+        [(1, -1, "alpha"), (500, -500, "beta")], "k long, v long, tag string"
+    )
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        acid.merge_upsert(evolved, d, key="k")
+    stats = acid.merge_upsert(evolved, d, key="k", schema_evolution=True)
+    assert stats["files_kept"] == 0  # copy-on-evolve rewrites everything
+    got = {r.k: (r.v, r.tag) for r in acid.read_table(spark, d).collect()}
+    assert got[1] == (-1, "alpha") and got[500] == (-500, "beta")
+    assert got[5] == (50, None)  # untouched rows gain a NULL tag
+    assert len(got) == 21
+    # post-evolve merges on the union schema skip files again
+    s2 = acid.merge_upsert(
+        spark.createDataFrame([(2, -2, None)], "k long, v long, tag string"),
+        d, key="k",
+    )
+    assert s2["files_kept"] >= 0  # plain merge path, no raise
+    # a batch MISSING a column also needs the flag, then fills NULL
+    s3 = acid.merge_upsert(
+        spark.createDataFrame([(3, -3)], "k long, v long"),
+        d, key="k", schema_evolution=True,
+    )
+    assert s3["version"] == stats["version"] + 2
+    got3 = {r.k: (r.v, r.tag) for r in acid.read_table(spark, d).collect()}
+    assert got3[3] == (-3, None)
+
+
+def test_table_changes_cdc_feed(spark, tmp_path):
+    """Delta-CDF analog: the change feed between two snapshots comes
+    from the DIFFERING files only, classifies insert/update/delete by
+    key, tags images with the Delta column convention, and an
+    OPTIMIZE-only version pair (identical rows shuffled between files)
+    yields an EMPTY feed."""
+    d = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    acid.write_table(df.repartitionByRange(4, "k"), d)  # v1
+    acid.merge_upsert(
+        spark.createDataFrame([(7, -7), (500, 1)], "k long, v long"),
+        d, key="k",
+    )  # v2: update k=7, insert k=500
+
+    ch = acid.table_changes(spark, d, 1, 2, key="k")
+    by_type = {
+        (r["_change_type"], r.k): r.v for r in ch.collect()
+    }
+    assert by_type == {
+        ("insert", 500): 1,
+        ("update_preimage", 7): 70,
+        ("update_postimage", 7): -7,
+    }
+    assert {r["_commit_version"] for r in ch.collect()} == {2}
+
+    # OPTIMIZE produces no row changes: feed between v2 and v3 is empty
+    acid.optimize(spark, d, small_file_bytes=1 << 20)  # v3 compaction
+    assert acid.table_changes(spark, d, 2, 3, key="k").count() == 0
+    # and the full span v1 -> v3 equals the v1 -> v2 changes
+    span = {
+        (r["_change_type"], r.k): r.v
+        for r in acid.table_changes(spark, d, 1, 3, key="k").collect()
+    }
+    assert span == by_type
+
+    # the feed works ACROSS a schema evolution: old-side rows align to
+    # the union schema with NULLs, unchanged rows still cancel
+    acid.merge_upsert(
+        spark.createDataFrame([(8, -8, "t")], "k long, v long, tag string"),
+        d, key="k", schema_evolution=True,
+    )  # v4
+    ch4 = {
+        (r["_change_type"], r.k): (r.v, r.tag)
+        for r in acid.table_changes(spark, d, 3, 4, key="k").collect()
+    }
+    assert ch4 == {
+        ("update_preimage", 8): (80, None),
+        ("update_postimage", 8): (-8, "t"),
+    }
