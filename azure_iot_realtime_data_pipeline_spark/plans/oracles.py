@@ -5603,3 +5603,111 @@ ORACLES["q_image_decode_stats"] = """
            CAST(COALESCE(agg.pix_max, 0) AS INT) AS pix_max
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
+
+# J64b: the full PQ chain — deterministic per-subspace codebooks
+# (lowest-16 vectors sliced 8 ways), encode by rounded-L2^2 argmin
+# (ties -> lowest code id), ADC on the int64 micro lattice, shortlist
+# of k*8 by (approx cos DESC, cand ASC), exact-cosine refine to top-k.
+# Every accumulation is list_sum over ascending dims, matching the
+# Spark side's sequential folds; every cross-row sum is over int64.
+ORACLES["q_pq_topk"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    ms AS (SELECT unnest(range(8)) AS m),
+    cw AS (
+      SELECT vec_id AS code_id, ms.m AS m,
+             embedding[ms.m * 8 + 1 : ms.m * 8 + 8] AS w
+      FROM embeddings, ms WHERE vec_id < 16
+    ),
+    cw2 AS (
+      SELECT code_id, m, w,
+             CAST(floor(list_sum(list_transform(w,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS w2_micro
+      FROM cw
+    ),
+    sub AS (
+      SELECT cand_id, ms.m AS m, cv[ms.m * 8 + 1 : ms.m * 8 + 8] AS s
+      FROM c, ms
+    ),
+    dist AS (
+      SELECT sub.cand_id, sub.m, cw2.code_id, cw2.w2_micro,
+             floor(list_sum(list_transform(list_zip(s, w),
+                    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+                   * 10000 + 0.5) / 10000 AS d2
+      FROM sub JOIN cw2 ON sub.m = cw2.m
+    ),
+    enc AS (
+      SELECT cand_id, m, code_id, w2_micro FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cand_id, m ORDER BY d2 ASC, code_id ASC) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    rn2 AS (
+      SELECT cand_id, CAST(SUM(w2_micro) AS BIGINT) AS rn2_micro
+      FROM enc GROUP BY cand_id
+    ),
+    qsub AS (
+      SELECT query_id, ms.m AS m, qv[ms.m * 8 + 1 : ms.m * 8 + 8] AS qs
+      FROM q, ms
+    ),
+    qd AS (
+      SELECT query_id, qsub.m, cw2.code_id,
+             CAST(floor(list_sum(list_transform(list_zip(qs, w),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS dot_micro
+      FROM qsub JOIN cw2 ON qsub.m = cw2.m
+    ),
+    qn AS (
+      SELECT query_id,
+             sqrt(list_sum(list_transform(qv,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+      FROM q
+    ),
+    adc AS (
+      SELECT qd.query_id, enc.cand_id,
+             CAST(SUM(qd.dot_micro) AS BIGINT) AS adc_micro
+      FROM enc JOIN qd ON enc.m = qd.m AND enc.code_id = qd.code_id
+      GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT adc.query_id, adc.cand_id,
+             floor((CAST(adc_micro AS DOUBLE) / 1000000.0)
+                   / (qn.qnorm
+                      * sqrt(CAST(rn2.rn2_micro AS DOUBLE) / 1000000.0))
+                   * 10000 + 0.5) / 10000 AS acos_
+      FROM adc
+      JOIN qn USING (query_id)
+      JOIN rn2 USING (cand_id)
+      WHERE adc.query_id <> adc.cand_id
+        AND qn.qnorm > 0 AND rn2.rn2_micro > 0
+    ),
+    short AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY acos_ DESC, cand_id ASC) AS rn
+        FROM approx
+      ) WHERE rn <= 80
+    ),
+    ex AS (
+      SELECT s.query_id, s.cand_id,
+             floor(list_sum(list_transform(list_zip(q.qv, c.cv),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(q.qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(c.cv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   * 10000 + 0.5) / 10000 AS cosine
+      FROM short s
+      JOIN q ON s.query_id = q.query_id
+      JOIN c ON s.cand_id = c.cand_id
+    )
+    SELECT query_id, cand_id, cosine, CAST(rnk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+      FROM ex
+    ) WHERE rnk <= 10
+    """

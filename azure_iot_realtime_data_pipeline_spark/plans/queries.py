@@ -719,6 +719,25 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features(multimodal.attach_payload(docs))
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J64b product-quantization ANN with the FAISS refine stage: the
+    corpus encoded to 8 sub-codes (16 deterministic codewords each),
+    ADC shortlist of 80 per query, exact re-rank to top-10 — the full
+    chain (subspace argmin encode, int64-micro ADC lookups, shortlist,
+    refine) mirrored in the DuckDB twin, so PQ joins IVF as a fully
+    value-hash-gated ANN path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    return similarity.pq_topk(
+        q, c, m_subspaces=8, n_codes=16, k=10, rerank_factor=8
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14b the REAL audio codec under the value-hash gate: documents
     synthesize deterministic 8-bit PCM WAVs (one sample per character
@@ -3747,6 +3766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank_step": q_pagerank_step,
     "q_audio_features": q_audio_features,
     "q_image_decode_stats": q_image_decode_stats,
+    "q_pq_topk": q_pq_topk,
     # -- last driver green: r2 ---------------------------------------
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,

@@ -2980,3 +2980,47 @@ def test_ivf_index_append_equals_union_search(spark, sf_smoke, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_pq_topk_recall_and_compression_contract(spark, sf_oracle):
+    """J64b gates: (a) refine lifts raw-ADC recall (measured ~0.32 ->
+    ~0.82 at factor 8 on this weakly-clustered corpus) above 0.7;
+    (b) the encode really is the compressed form — m int64 codes + one
+    int per vector, no float columns; (c) rerank_factor=0 still returns
+    k ranked rows per query (the raw-ADC contract)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
+    exact = {
+        (r.query_id, r.cand_id) for r in cosine_topk(q, c, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.cand_id)
+        for r in pq_topk(q, c, m_subspaces=8, n_codes=16, k=10,
+                         rerank_factor=8).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, recall
+
+    books = pq_codebooks(c, "cand_id", "cv", 8, 16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    enc = pq_encode(c, books)
+    assert set(enc.columns) == {"cand_id", "codes", "_rn2_micro"}
+    row = enc.first()
+    assert len(row["codes"]) == 8  # 8 small ints stand in for 64 floats
+
+    raw = pq_topk(q, c, m_subspaces=8, n_codes=16, k=10)
+    per_q = {r.query_id: 0 for r in raw.collect()}
+    counts = raw.groupBy("query_id").count().collect()
+    assert all(r["count"] == 10 for r in counts) and len(counts) == 5
