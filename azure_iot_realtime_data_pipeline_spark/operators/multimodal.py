@@ -8,14 +8,18 @@ Arrow moves the bytes columnar-batch-wise, Python touches each batch
 once, and the plan stays a single narrow map stage (no shuffle, no
 driver collect), which is the only shape that survives 100 TB of blobs.
 
-Decode: REAL in pure numpy for uncompressed public containers since
-r10 — netpbm P5/P6 and 24-bit BMP decode to actual pixels
-(`decode_image_array`), feeding real measured metadata
-(`image_meta_decoded`), nearest-neighbor resize (`resize_images`) and
-a true perceptual aHash (`image_ahash_decoded`, container-invariant —
-gated). Only COMPRESSED codecs (JPEG/PNG/video) remain behind the PIL
-swap point: this container ships none (no PIL/cv2/ffmpeg), so
-`decode_image` raises NotImplementedError for them, and
+Decode: REAL in pure numpy/stdlib since r10 — netpbm P5/P6, 24-bit
+BMP, AND full 8-bit PNG (all five color types and scanline filters,
+DEFLATE via stdlib zlib — a genuinely COMPRESSED codec, see
+`operators/codecs.py`) decode to actual pixels (`decode_image_array`),
+feeding real measured metadata (`image_meta_decoded`),
+nearest-neighbor resize (`resize_images`) and a true perceptual aHash
+(`image_ahash_decoded`, container-invariant — gated). Audio decodes
+PCM and ITU-T G.711 µ-law/A-law WAV (`decode_wav`); video decodes
+YUV4MPEG2 raw frames (`video_frame_stats`) beside the MJPEG boundary
+walk. Only entropy-coded codecs (JPEG DCT/Huffman, MP3/AAC, inter-
+frame video) remain behind the PIL/ffmpeg swap point: this container
+ships none, so `decode_image` raises NotImplementedError for them, and
 `fake_decode_meta` keeps a deterministic stand-in so the registered
 queries run on the text-payload test corpus. Swapping in a codec
 changes no plan shape.
@@ -327,16 +331,20 @@ def _decode_bmp24(payload: bytes):
 
 
 def decode_image_array(payload: bytes):
-    """(H, W, C) uint8 ndarray from an image payload. Uncompressed
-    containers (netpbm P5/P6, 24-bit BMP) decode HERE in pure numpy —
-    real decode, no codec library; compressed codecs fall through to
-    `decode_image`'s PIL swap point and raise NotImplementedError in
-    this container."""
+    """(H, W, C) uint8 ndarray from an image payload. Netpbm P5/P6,
+    24-bit BMP AND 8-bit PNG (full filter/color-type support, stdlib
+    zlib inflate — `operators/codecs.py`) decode HERE codec-lib-free;
+    entropy-coded codecs (JPEG) fall through to `decode_image`'s PIL
+    swap point and raise NotImplementedError in this container."""
+    from .codecs import PNG_SIGNATURE, decode_png
+
     magic = bytes(payload[:2])
     if magic in (b"P5", b"P6"):
         return _decode_netpbm(bytes(payload))
     if magic == b"BM":
         return _decode_bmp24(bytes(payload))
+    if bytes(payload[: len(PNG_SIGNATURE)]) == PNG_SIGNATURE:
+        return decode_png(bytes(payload))
     import numpy as np
 
     img = decode_image(bytes(payload))  # PIL swap point (compressed codecs)
@@ -473,13 +481,15 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def decode_wav(payload: bytes):
-    """RIFF/WAVE uncompressed PCM -> (meta dict, (n_samples, channels)
-    int32 ndarray). The published container spec in plain struct/numpy:
-    chunk walk (fmt/data in any order, odd-size padding), format code 1
-    (PCM) only, 8-bit unsigned -> centered, 16/32-bit little-endian
-    signed. Compressed audio (MP3/AAC/float WAV) raises the documented
-    NotImplementedError — the codec swap point, same contract as
-    images."""
+    """RIFF/WAVE -> (meta dict, (n_samples, channels) int32 ndarray).
+    The published container spec in plain struct/numpy: chunk walk
+    (fmt/data in any order, odd-size padding); format code 1 (PCM:
+    8-bit unsigned -> centered, 16/32-bit little-endian signed) plus
+    the ITU-T G.711 companded codes 6 (A-law) and 7 (µ-law), expanded
+    to 16-bit-scale linear via `operators/codecs.py` (the CCITT
+    reference arithmetic). Perceptual codecs (MP3/AAC/ADPCM/float WAV)
+    raise the documented NotImplementedError — the codec swap point,
+    same contract as images."""
     import struct
 
     import numpy as np
@@ -503,10 +513,20 @@ def decode_wav(payload: bytes):
         raise ValueError(
             f"invalid WAV header: channels={channels}, sample_rate={rate}"
         )
+    if code in (6, 7):  # ITU-T G.711 A-law / µ-law companded bytes
+        from .codecs import alaw_to_linear, ulaw_to_linear
+
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        expand = ulaw_to_linear if code == 7 else alaw_to_linear
+        arr = expand(np.frombuffer(data, dtype=np.uint8))
+        n = (len(arr) // channels) * channels
+        meta = {"sample_rate": rate, "channels": channels, "bits": bits}
+        return meta, arr[:n].reshape(-1, channels)
     if code != 1:
         raise NotImplementedError(
-            f"only PCM WAV decodes codec-free (format code {code}); "
-            "compressed audio needs a codec library"
+            f"only PCM and G.711 WAV decode codec-free (format code "
+            f"{code}); perceptual codecs need a codec library"
         )
     if bits == 8:
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
@@ -739,6 +759,176 @@ def synth_pgm_from_text(
 
     return docs.select("doc_id", text_col).mapInPandas(
         synth, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def synth_png_from_text(
+    docs: DataFrame, text_col: str = "text", width: int = 16
+) -> DataFrame:
+    """Deterministic REAL-PNG synthesis from text: the same
+    one-grayscale-pixel-per-codepoint grid as `synth_pgm_from_text`,
+    but encoded through the true PNG encoder (`codecs.encode_png` —
+    predictive scanline filter + stdlib DEFLATE), with the filter type
+    cycling `doc_id % 5` so the gated corpus exercises EVERY unfilter
+    branch. `q_png_roundtrip_stats` routes documents through this
+    encode -> `decode_png` -> `image_stats` loop against the same
+    character-level DuckDB oracle as the PGM chain — a genuinely
+    COMPRESSED codec under the value-hash gate."""
+    from .codecs import encode_png
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(doc_id: int, text: str) -> bytes:
+            px = bytes(ord(c) % 256 for c in (text or ""))
+            h = max(1, (len(px) + width - 1) // width)
+            px = px + b"\x00" * (h * width - len(px))
+            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, width, 1)
+            return encode_png(arr, filter_type=int(doc_id) % 5)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        one(d, t)
+                        for d, t in zip(pdf["doc_id"], pdf[text_col])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        synth, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def synth_g711_wav_from_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    law: str = "ulaw",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic G.711 WAV synthesis from text: each character's
+    codepoint (mod 256) becomes one companded µ-law/A-law CODE byte in
+    a format-code-7/6 RIFF container, so `decode_wav`'s G.711 expansion
+    path (the CCITT arithmetic in `operators/codecs.py`) runs under the
+    value-hash gate — the DuckDB oracle of `q_g711_features` replays
+    the same expansion in SQL bit arithmetic from the characters."""
+    import struct
+
+    code = {"ulaw": 7, "alaw": 6}[law]
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmt = struct.pack(
+            "<HHIIHH", code, 1, sample_rate, sample_rate, 1, 8
+        )
+        head = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+
+        def one(text: str) -> bytes:
+            data = bytes(ord(c) % 256 for c in (text or ""))
+            chunks = head + b"data" + struct.pack("<I", len(data)) + data
+            if len(data) & 1:
+                chunks += b"\x00"
+            return (
+                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf[text_col].map(one)}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        synth, "doc_id BIGINT, payload BINARY"
+    )
+
+
+VIDEO_FRAME_STATS_SCHEMA = (
+    "doc_id BIGINT, frame_idx INT, width INT, height INT, "
+    "y_sum BIGINT, y_max INT"
+)
+
+
+def synth_y4m_from_text(
+    docs: DataFrame, text_col: str = "text", width: int = 8, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL-Y4M synthesis from text: codepoints (mod 256)
+    fill consecutive width x height mono luma frames (last frame
+    zero-padded; empty text yields one zero frame) — the video twin of
+    the WAV/PGM/PNG synthesizers, feeding the true YUV4MPEG2 container
+    decoder so `q_video_frame_stats` gates the video
+    encode -> decode -> per-frame-measure chain."""
+    from .codecs import encode_y4m
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        fsz = width * height
+
+        def one(text: str) -> bytes:
+            px = bytes(ord(c) % 256 for c in (text or ""))
+            n_frames = max(1, (len(px) + fsz - 1) // fsz)
+            px = px + b"\x00" * (n_frames * fsz - len(px))
+            arr = np.frombuffer(px, dtype=np.uint8)
+            return encode_y4m(
+                [
+                    arr[i * fsz : (i + 1) * fsz].reshape(height, width)
+                    for i in range(n_frames)
+                ]
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf[text_col].map(one)}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        synth, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Decode a Y4M payload and measure every n-th frame's luma plane:
+    (doc_id, frame_idx, width, height, y_sum, y_max) — all-integer
+    per-frame measurements (the video analog of `image_stats`), REAL
+    raw-plane decode via `codecs.decode_y4m`. Fan-out stays inside one
+    narrow Arrow map stage; chroma planes (when present) are excluded
+    from the measurement so the numbers mean luma across modes."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_y4m
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta, frames = decode_y4m(payload)
+                y_len = meta["width"] * meta["height"]
+                for i in range(0, len(frames), every_n):
+                    y = np.frombuffer(
+                        frames[i], dtype=np.uint8, count=y_len
+                    ).astype(np.int64)
+                    rows.append(
+                        (
+                            doc_id,
+                            i,
+                            meta["width"],
+                            meta["height"],
+                            int(y.sum()),
+                            int(y.max()) if y_len else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "y_sum", "y_max",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, VIDEO_FRAME_STATS_SCHEMA
     )
 
 

@@ -5604,6 +5604,122 @@ ORACLES["q_image_decode_stats"] = """
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
 
+# J14c: PNG round-trip — the encode->DEFLATE->decode->measure chain is
+# lossless, so the oracle is the SAME character-level arithmetic as the
+# PGM chain (16-wide grayscale rows, zero padding): any defect in the
+# filter/unfilter or inflate path breaks the hash.
+ORACLES["q_png_roundtrip_stats"] = """
+    WITH v AS (
+      SELECT doc_id,
+             ascii(substr(d.text, i, 1)) % 256 AS s
+      FROM (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+      ) JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(s) AS BIGINT) AS pix_sum,
+             CAST(MAX(s) AS INT) AS pix_max
+      FROM v GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(greatest(1, (length(d.text) + 15) // 16) AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(COALESCE(agg.pix_sum, 0) AS BIGINT) AS pix_sum,
+           CAST(COALESCE(agg.pix_max, 0) AS INT) AS pix_max
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+# J14d: G.711 µ-law expansion replayed in SQL bit arithmetic — the
+# CCITT ulaw2linear(): complement the code byte, rebuild mantissa+bias
+# (0x84), shift by the segment, strip the bias, apply the sign — then
+# the same integer loudness features as q_audio_features.
+ORACLES["q_g711_features"] = """
+    WITH codes AS (
+      SELECT doc_id, i,
+             255 - (ascii(substr(d.text, i, 1)) % 256) AS u
+      FROM (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+      ) JOIN documents d USING (doc_id)
+    ),
+    v AS (
+      SELECT doc_id, i,
+             CASE WHEN (u & 128) <> 0
+                  THEN 132 - ((((u & 15) << 3) + 132) << ((u & 112) >> 4))
+                  ELSE ((((u & 15) << 3) + 132) << ((u & 112) >> 4)) - 132
+             END AS s
+      FROM codes
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS ssq,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(abs(s)) AS INT) AS peak
+      FROM v GROUP BY doc_id
+    ),
+    nz AS (
+      SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE -1 END AS sgn
+      FROM v WHERE s <> 0
+    ),
+    zc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS zero_crossings
+      FROM (
+        SELECT doc_id, sgn,
+               lag(sgn) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM nz
+      ) WHERE prev IS NOT NULL AND sgn <> prev
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(floor(sqrt(CAST(agg.ssq // agg.n AS DOUBLE))), 0)
+                AS BIGINT) AS rms,
+           CAST(COALESCE(agg.peak, 0) AS INT) AS peak,
+           CAST(COALESCE(zc.zero_crossings, 0) AS BIGINT) AS zero_crossings
+    FROM documents d
+    LEFT JOIN agg ON d.doc_id = agg.doc_id
+    LEFT JOIN zc ON d.doc_id = zc.doc_id
+    """
+
+# J14e: Y4M frame grammar — 8x8 mono frames (64 codepoints each, last
+# frame zero-padded, empty text = one zero frame), every SECOND frame
+# sampled; padding contributes 0 to y_sum and never raises y_max.
+ORACLES["q_video_frame_stats"] = """
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0,
+               greatest(1, CAST(ceil(length(text) / 64.0) AS BIGINT)) - 1
+             )) AS frame_idx
+      FROM documents
+    ),
+    chars AS (
+      SELECT doc_id, (i - 1) // 64 AS frame_idx,
+             ascii(substr(d.text, i, 1)) % 256 AS s
+      FROM (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+      ) JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT doc_id, frame_idx,
+             CAST(SUM(s) AS BIGINT) AS y_sum,
+             CAST(MAX(s) AS INT) AS y_max
+      FROM chars GROUP BY doc_id, frame_idx
+    )
+    SELECT f.doc_id,
+           CAST(f.frame_idx AS INT) AS frame_idx,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(COALESCE(agg.y_sum, 0) AS BIGINT) AS y_sum,
+           CAST(COALESCE(agg.y_max, 0) AS INT) AS y_max
+    FROM f LEFT JOIN agg
+      ON f.doc_id = agg.doc_id AND f.frame_idx = agg.frame_idx
+    WHERE f.frame_idx % 2 = 0
+    """
+
 # J64b: the full PQ chain — deterministic per-subspace codebooks
 # (lowest-16 vectors sliced 8 ways), encode by rounded-L2^2 argmin
 # (ties -> lowest code id), ADC on the int64 micro lattice, shortlist

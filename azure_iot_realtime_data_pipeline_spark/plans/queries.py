@@ -761,6 +761,44 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_stats(multimodal.synth_pgm_from_text(docs))
 
 
+def q_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14c a genuinely COMPRESSED image codec under the value-hash
+    gate: documents synthesize real PNGs (one grayscale pixel per
+    codepoint, predictive scanline filter cycling doc_id % 5, stdlib
+    DEFLATE — operators/codecs.py), the true PNG decoder (all five
+    filters, CRC-checked chunks, zlib inflate) reads them back, and the
+    integer measurements must hash-match the same character-level
+    DuckDB oracle as the PGM chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_stats(multimodal.synth_png_from_text(docs))
+
+
+def q_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14d ITU-T G.711 µ-law audio under the value-hash gate:
+    documents synthesize format-code-7 WAVs whose companded code bytes
+    are the codepoints, `decode_wav` expands them through the CCITT
+    reference arithmetic (operators/codecs.py), and the integer
+    loudness features must hash-match a DuckDB oracle replaying the
+    same expansion in SQL bit arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(
+        multimodal.synth_g711_wav_from_text(docs)
+    )
+
+
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14e REAL video-container decode under the value-hash gate:
+    documents synthesize YUV4MPEG2 streams (8x8 mono luma frames from
+    codepoints, last frame zero-padded), `decode_y4m` walks the
+    published FRAME grammar, and every SECOND frame's integer luma
+    measurements (the frame-sampling semantics) must hash-match a
+    character-level DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.video_frame_stats(
+        multimodal.synth_y4m_from_text(docs), every_n=2
+    )
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode stub: deterministic fake image dimensions via
     mapInPandas (the decode swap point is the only non-real part; plan
@@ -3758,6 +3796,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # verifies the FIRST ~50 entries each round, so entries sort by
     # how stale their last driver-green is (stalest first; never-
     # sampled rows-only queries lead). Rotate each round.
+    # -- never driver-sampled (new this session, oracled) ------------
+    "q_png_roundtrip_stats": q_png_roundtrip_stats,
+    "q_g711_features": q_g711_features,
+    "q_video_frame_stats": q_video_frame_stats,
     # -- never driver-sampled (rows-only) ----------------------------
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_encode": q_bpe_encode,

@@ -258,16 +258,16 @@ def test_image_meta_decoded_and_resize_real_pixels(spark):
 
 
 def test_decode_compressed_still_gated():
-    """Compressed codecs stay behind the PIL swap point: a PNG magic
-    payload raises the documented NotImplementedError in this
-    container."""
+    """Entropy-coded codecs stay behind the PIL swap point: a JPEG
+    magic payload raises the documented NotImplementedError in this
+    container (PNG left this list in r10 — codecs.decode_png)."""
     from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
         decode_image_array,
     )
 
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_image_array(png_magic)
+        decode_image_array(jpeg_magic)
 
 
 def _wav_bytes(rate=8000, channels=1, bits=16, samples=None):
@@ -459,3 +459,233 @@ def test_ahash_decoded_survives_resize(spark):
            for r in image_ahash_decoded(media).collect()}
     hamming = bin(sig[1] ^ sig[2]).count("1")
     assert hamming <= 4, hamming
+
+
+# ---------------------------------------------------------------------------
+# r10 session-later codecs: PNG, G.711, Y4M (operators/codecs.py)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_every_color_type_and_filter():
+    """encode_png -> decode_png is the identity for every (channel
+    count, scanline filter) combination — full coverage of the five
+    unfilter branches across gray/GA/RGB/RGBA."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for channels in (1, 2, 3, 4):
+        for filter_type in range(5):
+            arr = rng.integers(0, 256, size=(13, 17, channels), dtype=np.uint8)
+            out = decode_png(encode_png(arr, filter_type=filter_type))
+            assert np.array_equal(out, arr), (channels, filter_type)
+
+
+def test_png_palette_expands_through_plte():
+    """Color type 3 decodes by indexing PLTE to RGB — a hand-built
+    spec-conformant palette PNG comes back as pal[idx]."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        PNG_SIGNATURE,
+        _filter_scanlines,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 5, size=(6, 8), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 8, 6, 8, 3, 0, 0, 0)
+    png = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(_filter_scanlines(idx, 0, 1)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), pal[idx])
+
+
+def test_png_rejects_corrupt_and_gates_unsupported():
+    """Malformed input raises ValueError (quarantine-able, never a bare
+    crash inside the Arrow UDF); valid-but-unsupported variants (Adam7,
+    16-bit) raise the documented NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        PNG_SIGNATURE,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(np.zeros((4, 4, 1), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK" + good)
+    # flip one IDAT byte: the chunk CRC the spec mandates must catch it
+    corrupt = bytearray(good)
+    corrupt[len(good) // 2] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-4])  # CRC cut off the final chunk
+    with _pytest.raises(ValueError, match="IEND"):
+        decode_png(good[:-12])  # IEND chunk missing entirely
+
+    def _ihdr_png(depth, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 0, 0, 0, interlace)
+        return PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(_ihdr_png(8, 1) + _png_chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(_ihdr_png(16, 0) + _png_chunk(b"IEND", b""))
+
+
+def test_png_dispatches_from_decode_image_array():
+    """`decode_image_array` recognizes the PNG signature and returns
+    real pixels — the compressed-image swap point is CLOSED for PNG."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import encode_png
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_image_array,
+    )
+
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(decode_image_array(encode_png(arr, 4)), arr)
+
+
+def test_g711_expansion_matches_ccitt_reference():
+    """Vectorized µ-law/A-law expansion agrees with a scalar
+    transcription of the public-domain CCITT g711.c on all 256 codes
+    (the published ±32124 / ±32256 16-bit-scale ranges)."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        alaw_to_linear,
+        ulaw_to_linear,
+    )
+
+    def ulaw_ref(u):
+        u = ~u & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw_ref(a):
+        a ^= 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert (ulaw_to_linear(codes) == [ulaw_ref(int(c)) for c in codes]).all()
+    assert (alaw_to_linear(codes) == [alaw_ref(int(c)) for c in codes]).all()
+    assert int(np.abs(ulaw_to_linear(codes)).max()) == 32124
+    assert int(np.abs(alaw_to_linear(codes)).max()) == 32256
+
+
+def test_g711_wav_decodes_and_adpcm_still_gated():
+    """WAV format codes 7 (µ-law) and 6 (A-law) decode through the
+    expansion tables; ADPCM (0x11) remains the documented swap point."""
+    import struct
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        alaw_to_linear,
+        ulaw_to_linear,
+    )
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    def g711_wav(code, data):
+        fmt = struct.pack("<HHIIHH", code, 1, 8000, 8000, 1, 8)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            chunks += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    data = bytes(range(0, 250, 10))
+    for code, expand in ((7, ulaw_to_linear), (6, alaw_to_linear)):
+        meta, samples = decode_wav(g711_wav(code, data))
+        assert meta == {"sample_rate": 8000, "channels": 1, "bits": 8}
+        want = expand(np.frombuffer(data, dtype=np.uint8))
+        assert (samples[:, 0] == want).all()
+    with pytest.raises(NotImplementedError, match="format code 17"):
+        decode_wav(g711_wav(0x11, data))
+
+
+def test_y4m_decode_chroma_modes_and_torn_frame():
+    """The Y4M walk sizes frames per the chroma tag (420 -> 3/2 w*h,
+    444 -> 3 w*h, mono -> w*h), defaults to 420jpeg when C is absent,
+    drops a torn trailing frame, and rejects junk between frames."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    for tag, num, den in (("420", 3, 2), ("444", 3, 1), ("mono", 1, 1)):
+        fb = (4 * 6 * num) // den
+        raw = b"YUV4MPEG2 W6 H4 F25:1 C%s\n" % tag.encode()
+        raw += (b"FRAME\n" + bytes(range(fb % 256)) * (fb // max(fb % 256, 1) + 1))[: 6 + fb]
+        meta, frames = decode_y4m(raw)
+        assert (meta["chroma"], len(frames[0])) == (tag, fb)
+    # default chroma + torn trailing frame dropped
+    fb = (6 * 4 * 3) // 2
+    raw = b"YUV4MPEG2 W6 H4 F30:1\n" + b"FRAME\n" + b"\x01" * fb
+    raw += b"FRAME\n" + b"\x02" * (fb - 1)  # torn
+    meta, frames = decode_y4m(raw)
+    assert meta["chroma"] == "420jpeg" and meta["n_frames"] == 1
+    with pytest.raises(ValueError, match="FRAME marker"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 Cmono\n" + b"JUNK" + b"\x00" * 4)
+    with pytest.raises(NotImplementedError, match="C411"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C411\nFRAME\n" + b"\x00" * 4)
+    # round-trip through the mono encoder
+    frames_y = [np.full((4, 6), i, dtype=np.uint8) for i in range(3)]
+    meta, back = decode_y4m(encode_y4m(frames_y, fps=(30, 1)))
+    assert meta["n_frames"] == 3
+    assert all(back[i] == frames_y[i].tobytes() for i in range(3))
+
+
+def test_video_frame_stats_real_decode(spark):
+    """`video_frame_stats` measures REAL luma planes: a two-doc corpus
+    with known codepoints yields exact per-frame integer sums under the
+    every-other-frame sampling, inside one narrow Arrow map stage."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 64 + "b" * 64 + "c" * 10), (2, "")],
+        "doc_id long, text string",
+    )
+    media = multimodal.synth_y4m_from_text(docs, width=8, height=8)
+    rows = {
+        (r.doc_id, r.frame_idx): r
+        for r in multimodal.video_frame_stats(media, every_n=2).collect()
+    }
+    assert set(rows) == {(1, 0), (1, 2), (2, 0)}
+    assert rows[(1, 0)].y_sum == 64 * ord("a")
+    assert rows[(1, 2)].y_sum == 10 * ord("c")  # zero-padded tail frame
+    assert rows[(1, 2)].y_max == ord("c")
+    assert rows[(2, 0)].y_sum == 0 and rows[(2, 0)].y_max == 0
+    plan = multimodal.video_frame_stats(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow map: zero shuffle
