@@ -380,3 +380,556 @@ def encode_y4m(
         out += b"FRAME\n"
         out += np.asarray(f, dtype=np.uint8).tobytes()
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, sequential DCT, Huffman): decode + encode
+# ---------------------------------------------------------------------------
+#
+# The full entropy path in numpy/stdlib: segment parse (DQT/DHT/SOF0/
+# DRI/SOS), canonical Huffman decode with FF00 unstuffing and RSTn
+# resets, dequantize, de-zigzag, orthonormal 2-D IDCT, integer-factor
+# chroma upsampling, BT.601 YCbCr->RGB. The encoder covers grayscale
+# and 4:4:4 / subsampled color with the spec's Annex K example Huffman
+# tables. Progressive (SOF2), arithmetic coding and 12-bit precision
+# raise NotImplementedError — valid-but-unsupported variants.
+#
+# Exactness anchor (what the oracle gate leans on): a constant 8x8
+# block has only a DC coefficient (8 * (v - 128)); with DC quant step
+# 8 the quantized value is v - 128 exactly, and the orthonormal IDCT
+# returns the constant v bit-exactly — so constant-block images
+# round-trip losslessly through the REAL encoder+decoder, which is how
+# `q_jpeg_roundtrip_stats` can hash-match a character-level oracle
+# despite JPEG being lossy in general.
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal DCT-II basis: M[u, x] = C(u)/2 * cos((2x+1)u*pi/16);
+    forward F = M @ s @ M.T, inverse s = M.T @ F @ M."""
+    u = np.arange(8).reshape(-1, 1)
+    x = np.arange(8).reshape(1, -1)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] = 0.5 / np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+# T.81 Annex K.3 example Huffman tables: (BITS counts per code length
+# 1..16, HUFFVAL symbol list) — the tables virtually every baseline
+# encoder ships.
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_decode_table(bits: list[int], huffval: list[int]) -> dict:
+    """Canonical Huffman: {(length, code): symbol} per T.81 C.2."""
+    table: dict = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], huffval: list[int]) -> dict:
+    """{symbol: (code, length)} — the encoder-side view."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _huff_decode_table(bits, huffval).items()
+    }
+
+
+class _BitReader:
+    """Entropy-segment bit reader: FF00 unstuffing, RSTn handling
+    (byte-align + swallow the marker), EOI stops the stream."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        while True:
+            if self.pos >= len(d):
+                raise ValueError("JPEG entropy data truncated")
+            b = d[self.pos]
+            self.pos += 1
+            if b != 0xFF:
+                return b
+            nxt = d[self.pos] if self.pos < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 1
+                return 0xFF
+            # a real marker: rewind so the caller sees it
+            self.pos -= 1
+            raise _MarkerHit(nxt)
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.bitbuf = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker and byte-align (T.81 E.2.4)."""
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected JPEG restart marker")
+
+
+class _MarkerHit(Exception):
+    """A non-stuffing marker appeared inside entropy data (EOI/RSTn)."""
+
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _huff_read(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG -> (H, W, C) uint8 (C = 1 grayscale or
+    3 RGB via BT.601). Supports SOF0/SOF1 8-bit, integer chroma
+    subsampling factors, DRI/RSTn; SOF2 progressive and arithmetic
+    coding raise NotImplementedError."""
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at offset {pos}")
+        marker = b[pos + 1]
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            pos += 2
+            continue
+        size = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        seg = b[pos + 4 : pos + 2 + size]
+        if size < 2 or len(seg) != size - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nsym = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nsym])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(
+                    bits, vals
+                )
+                i += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/extended-seq
+            prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} not supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + ci * 3], seg[7 + ci * 3], seg[8 + ci * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tds = seg[1 + si * 2], seg[2 + si * 2]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tds >> 4, tds & 0xF))
+            return _decode_scan(
+                b, pos + 2 + size, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += 2 + size
+    raise ValueError("JPEG stream ended without SOS")
+
+
+def _decode_scan(
+    b: bytes,
+    pos: int,
+    frame: dict,
+    scan: list,
+    qt: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    """Interleaved baseline scan: MCU loop -> per-component block
+    planes -> dequant + de-zigzag + IDCT -> crop/upsample -> color."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component coefficient planes (in 8x8 block units)
+    planes = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
+        )
+    reader = _BitReader(b, pos)
+    pred = {c["id"]: 0 for c in comps}
+    idct_m = _DCT_M
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.restart()
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for comp, td, ta in scan:
+            q = qt.get(comp["tq"])
+            if q is None:
+                raise ValueError(f"JPEG missing quant table {comp['tq']}")
+            dct = huff_dc.get(td)
+            act = huff_ac.get(ta)
+            if dct is None or act is None:
+                raise ValueError("JPEG missing Huffman table")
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    coeffs = np.zeros(64, dtype=np.int64)
+                    try:
+                        s = _huff_read(reader, dct)
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        pred[comp["id"]] += diff
+                        coeffs[0] = pred[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(reader, act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block")
+                            coeffs[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                    except _MarkerHit as mh:
+                        if mh.marker == 0xD9 and mcu == n_mcus - 1:
+                            pass  # tolerate EOI landing mid-pad
+                        else:
+                            raise ValueError(
+                                f"unexpected marker 0xFF{mh.marker:02X} in scan"
+                            ) from None
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZIGZAG] = coeffs * q
+                    spatial = idct_m.T @ block.reshape(8, 8) @ idct_m
+                    y0 = (my * comp["v"] + by) * 8
+                    x0 = (mx * comp["h"] + bx) * 8
+                    planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    # crop to each component's sampled dims, upsample to full size
+    out = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        p = planes[c["id"]][:ch, :cw]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        y = np.clip(np.rint(out[0] + 128.0), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    if len(out) != 3:
+        raise NotImplementedError(f"{len(out)}-component JPEG not supported")
+    y, cb, cr = out[0] + 128.0, out[1], out[2]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _huff_emit(out: list, state: list, code: int, length: int) -> None:
+    """Append `length` bits of `code` to the byte stream with FF00
+    stuffing (state = [bitbuf, nbits])."""
+    for i in range(length - 1, -1, -1):
+        state[0] = (state[0] << 1) | ((code >> i) & 1)
+        state[1] += 1
+        if state[1] == 8:
+            byte = state[0] & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            state[0] = 0
+            state[1] = 0
+
+
+def _encode_block(
+    out: list, state: list, coeffs: np.ndarray, pred: int,
+    dc_tbl: dict, ac_tbl: dict,
+) -> int:
+    """Huffman-encode one zigzagged quantized block; returns the new DC
+    predictor."""
+    dc = int(coeffs[0])
+    diff = dc - pred
+    mag = abs(diff)
+    s = mag.bit_length()
+    code, length = dc_tbl[s]
+    _huff_emit(out, state, code, length)
+    if s:
+        v = diff if diff > 0 else diff + (1 << s) - 1
+        _huff_emit(out, state, v, s)
+    run = 0
+    last_nz = int(np.nonzero(coeffs)[0].max(initial=0))
+    for k in range(1, 64):
+        v = int(coeffs[k])
+        if v == 0:
+            if k > last_nz:
+                code, length = ac_tbl[0x00]  # EOB
+                _huff_emit(out, state, code, length)
+                return dc
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tbl[0xF0]  # ZRL
+            _huff_emit(out, state, code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = ac_tbl[(run << 4) | s]
+        _huff_emit(out, state, code, length)
+        vv = v if v > 0 else v + (1 << s) - 1
+        _huff_emit(out, state, vv, s)
+        run = 0
+    return dc
+
+
+def _dht_segment(tc: int, th: int, table: tuple) -> bytes:
+    bits, vals = table
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray,
+    quant: np.ndarray | int = 8,
+    subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) or (H, W, 1|3) uint8 -> baseline JFIF bytes with the
+    Annex K example Huffman tables. `quant` is one 8x8 table (natural
+    order) or a scalar applied uniformly — a scalar 8 makes constant
+    8x8 blocks round-trip EXACTLY (DC = 8*(v-128) quantizes to v-128
+    with no remainder), the anchor `q_jpeg_roundtrip_stats` gates on.
+    Color encodes YCbCr with `subsampling` (h, v) on the chroma planes
+    ((1, 1) = 4:4:4, (2, 2) = 4:2:0) using BT.601 forward — exercising
+    the decoder's upsampling path from the encoder side.
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (predictors reset, stream byte-aligned with 1-bit
+    padding) — the decoder's restart path, round-trip testable."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ValueError(f"expected (H, W, 1|3) uint8, got {a.shape}")
+    h, w, nc = a.shape
+    if isinstance(quant, (int, np.integer)):
+        q = np.full(64, int(quant), dtype=np.int32)
+    else:
+        q = np.asarray(quant, dtype=np.int32).reshape(64)
+    if ((q < 1) | (q > 255)).any():
+        raise ValueError("quant values must be in [1, 255]")
+    sh, sv = subsampling
+    if nc == 1:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": a[:, :, 0].astype(np.float64) - 128.0}]
+        sh = sv = 1
+    else:
+        f = a.astype(np.float64)
+        r, g, bl = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl
+        # subsample chroma by box mean over sh x sv cells
+        def sub(p):
+            if (sh, sv) == (1, 1):
+                return p
+            ph = -(-p.shape[0] // sv) * sv
+            pw = -(-p.shape[1] // sh) * sh
+            pad = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+            return pad.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+
+        comps = [
+            {"id": 1, "h": sh, "v": sv, "tq": 0, "plane": y - 128.0},
+            {"id": 2, "h": 1, "v": 1, "tq": 0, "plane": sub(cb)},
+            {"id": 3, "h": 1, "v": 1, "tq": 0, "plane": sub(cr)},
+        ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # pad each plane (edge-replicate) to its MCU-covered block grid
+    for c in comps:
+        p = c["plane"]
+        ph = mcus_y * c["v"] * 8
+        pw = mcus_x * c["h"] * 8
+        c["plane"] = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
+    # DQT stores the table in ZIGZAG order: zigzag position k holds the
+    # natural-order entry _ZIGZAG[k] — the same indexing the quantize
+    # step below uses, so decoder and encoder agree for non-uniform
+    # tables too (a scalar table masks any mismatch).
+    qzz = q[_ZIGZAG]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(v) for v in qzz
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUM) + _dht_segment(1, 0, _AC_LUM)
+    if len(comps) > 1:
+        out += _dht_segment(0, 1, _DC_CHR) + _dht_segment(1, 1, _AC_CHR)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([len(comps)])
+    for i, c in enumerate(comps):
+        tbl = 0 if i == 0 else 1
+        sos += bytes([c["id"], (tbl << 4) | tbl])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    enc_dc = {0: _huff_encode_table(*_DC_LUM), 1: _huff_encode_table(*_DC_CHR)}
+    enc_ac = {0: _huff_encode_table(*_AC_LUM), 1: _huff_encode_table(*_AC_CHR)}
+    body: list[int] = []
+    state = [0, 0]
+    pred = {c["id"]: 0 for c in comps}
+    m = _DCT_M
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            if state[1]:  # byte-align with 1-bit padding before RSTn
+                pad = 8 - state[1]
+                _huff_emit(body, state, (1 << pad) - 1, pad)
+            body.extend((0xFF, 0xD0 + ((mcu // restart_interval) - 1) % 8))
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for i, c in enumerate(comps):
+            tbl = 0 if i == 0 else 1
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    block = c["plane"][y0 : y0 + 8, x0 : x0 + 8]
+                    coef = m @ block @ m.T
+                    qcoef = np.rint(coef.reshape(-1)[_ZIGZAG] / q[_ZIGZAG])
+                    pred[c["id"]] = _encode_block(
+                        body, state, qcoef.astype(np.int64),
+                        pred[c["id"]], enc_dc[tbl], enc_ac[tbl],
+                    )
+    if state[1]:  # pad the final byte with 1-bits (T.81 F.1.2.3)
+        pad = 8 - state[1]
+        _huff_emit(body, state, (1 << pad) - 1, pad)
+    out += bytes(body)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -334,9 +334,10 @@ def decode_image_array(payload: bytes):
     """(H, W, C) uint8 ndarray from an image payload. Netpbm P5/P6,
     24-bit BMP AND 8-bit PNG (full filter/color-type support, stdlib
     zlib inflate — `operators/codecs.py`) decode HERE codec-lib-free;
-    entropy-coded codecs (JPEG) fall through to `decode_image`'s PIL
-    swap point and raise NotImplementedError in this container."""
-    from .codecs import PNG_SIGNATURE, decode_png
+    baseline JPEG (full Huffman+IDCT entropy decode, codecs.decode_jpeg)
+    decodes here too; anything else falls through to `decode_image`'s
+    PIL swap point and raises NotImplementedError in this container."""
+    from .codecs import PNG_SIGNATURE, decode_jpeg, decode_png
 
     magic = bytes(payload[:2])
     if magic in (b"P5", b"P6"):
@@ -345,6 +346,8 @@ def decode_image_array(payload: bytes):
         return _decode_bmp24(bytes(payload))
     if bytes(payload[: len(PNG_SIGNATURE)]) == PNG_SIGNATURE:
         return decode_png(bytes(payload))
+    if magic == b"\xff\xd8":
+        return decode_jpeg(bytes(payload))
     import numpy as np
 
     img = decode_image(bytes(payload))  # PIL swap point (compressed codecs)
@@ -795,6 +798,41 @@ def synth_png_from_text(
                         for d, t in zip(pdf["doc_id"], pdf[text_col])
                     ],
                 }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        synth, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def synth_jpeg_from_text(
+    docs: DataFrame, text_col: str = "text", blocks_per_row: int = 8
+) -> DataFrame:
+    """Deterministic REAL-JPEG synthesis from text: each codepoint
+    (mod 256) becomes one CONSTANT 8x8 luma block (8 blocks per row,
+    zero blocks padding the last row), encoded through the true
+    baseline encoder with scalar quant 8. A constant block carries only
+    a DC coefficient (8 * (v - 128)), which quant step 8 captures with
+    no remainder — so the stream round-trips BIT-EXACTLY through the
+    lossy codec's full Huffman/DCT machinery, and
+    `q_jpeg_roundtrip_stats` can value-hash the decode against a
+    character-level DuckDB oracle."""
+    from .codecs import encode_jpeg_baseline
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(text: str) -> bytes:
+            cp = [ord(c) % 256 for c in (text or "")]
+            rows = max(1, (len(cp) + blocks_per_row - 1) // blocks_per_row)
+            cp = cp + [0] * (rows * blocks_per_row - len(cp))
+            vals = np.array(cp, dtype=np.uint8).reshape(rows, blocks_per_row)
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            return encode_jpeg_baseline(img, quant=8)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf[text_col].map(one)}
             )
 
     return docs.select("doc_id", text_col).mapInPandas(

@@ -5632,6 +5632,34 @@ ORACLES["q_png_roundtrip_stats"] = """
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
 
+# J14f: the LOSSY codec's exactness anchor — each codepoint is one
+# constant 8x8 block (64 identical pixels), 8 blocks per 64-px-wide
+# row, zero blocks padding the last row; quant step 8 makes the DC
+# path bit-exact, so the oracle is pure character arithmetic.
+ORACLES["q_jpeg_roundtrip_stats"] = """
+    WITH v AS (
+      SELECT doc_id,
+             ascii(substr(d.text, i, 1)) % 256 AS s
+      FROM (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+      ) JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(64 * SUM(s) AS BIGINT) AS pix_sum,
+             CAST(MAX(s) AS INT) AS pix_max
+      FROM v GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(64 AS INT) AS width,
+           CAST(8 * greatest(1, (length(d.text) + 7) // 8) AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(COALESCE(agg.pix_sum, 0) AS BIGINT) AS pix_sum,
+           CAST(COALESCE(agg.pix_max, 0) AS INT) AS pix_max
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
 # J14d: G.711 µ-law expansion replayed in SQL bit arithmetic — the
 # CCITT ulaw2linear(): complement the code byte, rebuild mantissa+bias
 # (0x84), shift by the segment, strip the bias, apply the sign — then

@@ -773,6 +773,19 @@ def q_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_stats(multimodal.synth_png_from_text(docs))
 
 
+def q_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14f the LOSSY codec under the value-hash gate: documents
+    synthesize baseline JPEGs of constant 8x8 luma blocks (one block
+    per codepoint, quant 8 — DC-exact, see synth_jpeg_from_text), the
+    true T.81 decoder (canonical Huffman, FF00 unstuffing, dequant,
+    de-zigzag, orthonormal IDCT) reads them back bit-exactly, and the
+    integer measurements must hash-match a character-level DuckDB
+    oracle — the entire entropy-coded path under the correctness
+    gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_stats(multimodal.synth_jpeg_from_text(docs))
+
+
 def q_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14d ITU-T G.711 µ-law audio under the value-hash gate:
     documents synthesize format-code-7 WAVs whose companded code bytes
@@ -3798,6 +3811,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sampled rows-only queries lead). Rotate each round.
     # -- never driver-sampled (new this session, oracled) ------------
     "q_png_roundtrip_stats": q_png_roundtrip_stats,
+    "q_jpeg_roundtrip_stats": q_jpeg_roundtrip_stats,
     "q_g711_features": q_g711_features,
     "q_video_frame_stats": q_video_frame_stats,
     # -- never driver-sampled (rows-only) ----------------------------

@@ -258,16 +258,20 @@ def test_image_meta_decoded_and_resize_real_pixels(spark):
 
 
 def test_decode_compressed_still_gated():
-    """Entropy-coded codecs stay behind the PIL swap point: a JPEG
-    magic payload raises the documented NotImplementedError in this
-    container (PNG left this list in r10 — codecs.decode_png)."""
+    """Formats without an own decoder stay behind the PIL swap point
+    (PNG and baseline JPEG left this list in r10 — operators/codecs.py):
+    a GIF payload raises the documented NotImplementedError, and a
+    malformed JPEG raises ValueError (quarantine-able), never a bare
+    crash."""
     from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
         decode_image_array,
     )
 
-    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    gif_magic = b"GIF89a" + b"\x00" * 32
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_image_array(jpeg_magic)
+        decode_image_array(gif_magic)
+    with pytest.raises(ValueError):
+        decode_image_array(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
 def _wav_bytes(rate=8000, channels=1, bits=16, samples=None):
@@ -689,3 +693,159 @@ def test_video_frame_stats_real_decode(spark):
     assert rows[(2, 0)].y_sum == 0 and rows[(2, 0)].y_max == 0
     plan = multimodal.video_frame_stats(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow map: zero shuffle
+
+
+def test_jpeg_constant_block_roundtrip_is_exact():
+    """The oracle anchor: constant 8x8 blocks with DC quant step 8
+    round-trip BIT-EXACTLY through the full Huffman/DCT machinery
+    (DC = 8*(v-128) quantizes with no remainder; orthonormal IDCT
+    returns the constant)."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg_baseline(img, quant=8))
+    assert out.shape == (24, 32, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_jpeg_decode_single_block_matches_independent_idct():
+    """Huffman + dequant + de-zigzag verified against an independent
+    direct-sum IDCT: encode one arbitrary block at quant 1, decode, and
+    compare to the T.81 closed form computed with explicit loops (no
+    shared matrix code path)."""
+    import math
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        _DCT_M,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    payload = encode_jpeg_baseline(img, quant=1)
+    got = decode_jpeg(payload)[:, :, 0]
+
+    # independently recompute: forward (shared M is fine for the
+    # *encoder* reference), quantize, then direct-sum inverse
+    coef = np.rint(_DCT_M @ (img.astype(np.float64) - 128.0) @ _DCT_M.T)
+    want = np.empty((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv / 4.0 * coef[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            want[x, y] = s
+    want = np.clip(np.rint(want + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+
+def test_jpeg_color_subsampling_and_restarts():
+    """4:4:4 color at quant 1 is near-lossless; 4:2:0 keeps shape and
+    is near-exact on constant color (chroma loss only affects detail);
+    RSTn restart intervals round-trip (predictor resets + byte
+    alignment)."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img, quant=1))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+    const = np.full((17, 19, 3), (120, 60, 200), dtype=np.uint8)
+    out420 = decode_jpeg(
+        encode_jpeg_baseline(const, quant=1, subsampling=(2, 2))
+    )
+    assert out420.shape == const.shape
+    assert int(np.abs(out420.astype(int) - const.astype(int)).max()) == 0
+
+    gray = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    for ri in (1, 3, 7):
+        got = decode_jpeg(
+            encode_jpeg_baseline(gray, quant=1, restart_interval=ri)
+        )[:, :, 0]
+        assert int(np.abs(got.astype(int) - gray.astype(int)).max()) <= 1
+
+
+def test_jpeg_nonuniform_quant_table_agrees_between_sides():
+    """DQT is written/read in zigzag order on BOTH sides: with a
+    non-uniform table whose DC step is 8, constant blocks stay exact
+    (any encoder/decoder zigzag disagreement would break this)."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    qt = np.arange(1, 65, dtype=np.int32)
+    qt[0] = 8
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 256, size=(2, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg_baseline(img, quant=qt))[:, :, 0]
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_gates_progressive_and_rejects_garbage():
+    """SOF2 raises the documented NotImplementedError; junk and
+    truncated entropy data raise ValueError (quarantine-able)."""
+    import struct
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01\x02")
+    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    stream = b"\xff\xd8\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(stream + b"\xff\xd9")
+    good = encode_jpeg_baseline(
+        np.zeros((16, 16), dtype=np.uint8), quant=1
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
+
+
+def test_jpeg_dispatches_from_decode_image_array():
+    """`decode_image_array` recognizes the FFD8 magic — the
+    entropy-coded image swap point is CLOSED for baseline JPEG."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        encode_jpeg_baseline,
+    )
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_image_array,
+    )
+
+    vals = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    out = decode_image_array(encode_jpeg_baseline(img, quant=8))
+    assert np.array_equal(out[:, :, 0], img)
