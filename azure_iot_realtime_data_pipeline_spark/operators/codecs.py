@@ -21,14 +21,23 @@ ffmpeg. This closes three of the "compressed codec" swap points that
   + FRAME-marker parsing for C420*/C422/C444/Cmono chroma modes, so
   the video modality has a REAL frame decoder (raw planes), not just
   the MJPEG boundary walk.
+- Baseline JPEG (ITU-T T.81 sequential DCT): full entropy decode
+  (canonical Huffman, FF00 unstuffing, RSTn restarts, dequant,
+  de-zigzag, orthonormal IDCT, chroma upsampling, BT.601) plus an
+  encoder with the Annex K example tables — the lossy codec is real,
+  and constant 8x8 blocks at DC quant step 8 round-trip bit-exactly
+  (the oracle anchor of `q_jpeg_roundtrip_stats`).
+- IMA ADPCM (the Interactive Multimedia Association reference
+  algorithm; WAV format code 0x11): per-block predictive 4-bit decode
+  and a greedy reference encoder.
 
-The remaining swap points after this module: JPEG/video *entropy*
-decode (Huffman+DCT) and perceptual audio codecs (MP3/AAC) — see
+The remaining swap points after this module: progressive JPEG,
+GIF/LZW, perceptual audio (MP3/AAC) and inter-frame video — see
 `multimodal.decode_image`.
 
 All decoders validate headers and raise ValueError on malformed input
 (never a bare crash inside an Arrow UDF) and NotImplementedError on
-valid-but-unsupported variants (16-bit PNG, Adam7 interlace, ADPCM),
+valid-but-unsupported variants (16-bit PNG, Adam7 interlace, SOF2),
 keeping the quarantine-vs-swap-point contract of the WAV/netpbm
 decoders.
 """
@@ -933,3 +942,139 @@ def encode_jpeg_baseline(
     out += bytes(body)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4 / WAV format code 0x11): 4-bit predictive audio
+# ---------------------------------------------------------------------------
+#
+# The IMA reference algorithm (published by the Interactive Multimedia
+# Association; the step/index tables and shift-ladder delta are the
+# spec): each WAV block carries a per-channel (int16 predictor, uint8
+# step index) header, then channel-interleaved 4-byte nibble groups.
+
+_IMA_STEP = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int32,
+)
+
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_nibbles(nibbles, predictor: int, index: int):
+    """Decode a nibble sequence from one (predictor, index) state;
+    returns (list of int16 samples, predictor, index). The shift-ladder
+    delta (step>>3 + conditional step>>2/step>>1/step) is the exact
+    integer form the IMA spec mandates — NOT (2n+1)*step/8."""
+    out = []
+    for nib in nibbles:
+        step = int(_IMA_STEP[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        predictor = predictor - diff if nib & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + int(_IMA_INDEX[nib & 7])))
+        out.append(predictor)
+    return out, predictor, index
+
+
+def ima_adpcm_decode_block(
+    block: bytes, channels: int
+) -> np.ndarray:
+    """One WAV IMA-ADPCM block -> (n_samples, channels) int32. Header:
+    per channel int16 predictor + uint8 step index + reserved byte (the
+    predictor IS the block's first output sample); body: 4-byte nibble
+    groups interleaved channel 0..C-1, low nibble first within each
+    byte."""
+    hdr = 4 * channels
+    if len(block) < hdr or (len(block) - hdr) % (4 * channels):
+        raise ValueError("malformed IMA ADPCM block")
+    preds, idxs, chans = [], [], []
+    for c in range(channels):
+        p = int.from_bytes(block[c * 4 : c * 4 + 2], "little", signed=True)
+        i = block[c * 4 + 2]
+        if i > 88:
+            raise ValueError(f"IMA ADPCM step index {i} out of range")
+        preds.append(p)
+        idxs.append(i)
+        chans.append([p])  # header predictor = first sample
+    body = block[hdr:]
+    for g in range(0, len(body), 4 * channels):
+        for c in range(channels):
+            word = body[g + c * 4 : g + c * 4 + 4]
+            nibs = []
+            for byte in word:
+                nibs.append(byte & 0xF)
+                nibs.append(byte >> 4)
+            dec, preds[c], idxs[c] = _ima_decode_nibbles(
+                nibs, preds[c], idxs[c]
+            )
+            chans[c].extend(dec)
+    n = min(len(ch) for ch in chans)
+    return np.stack([np.array(ch[:n], dtype=np.int32) for ch in chans], axis=1)
+
+
+def ima_adpcm_encode_block(
+    samples: np.ndarray, index: int = 0
+) -> tuple[bytes, int]:
+    """Encode (n, channels) int16-range samples as one IMA ADPCM block
+    (greedy nibble choice per the reference encoder); returns (block
+    bytes, final step index of channel 0). n-1 must be a multiple of 8
+    per channel (header consumes the first sample)."""
+    s = np.asarray(samples, dtype=np.int32)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, channels = s.shape
+    if (n - 1) % 8:
+        raise ValueError("need 1 + 8k samples per channel per block")
+    out = bytearray()
+    states = []
+    for c in range(channels):
+        p = int(s[0, c])
+        out += int(p).to_bytes(2, "little", signed=True)
+        out += bytes([index, 0])
+        states.append([p, index])
+    pos = 1
+    while pos < n:
+        for c in range(channels):
+            pred, idx = states[c]
+            nibs = []
+            for k in range(8):
+                target = int(s[pos + k, c])
+                step = int(_IMA_STEP[idx])
+                diff = target - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                mask = 4
+                d = step
+                acc = step >> 3
+                for _ in range(3):
+                    if diff >= d:
+                        nib |= mask
+                        diff -= d
+                        acc += d
+                    d >>= 1
+                    mask >>= 1
+                pred = pred - acc if nib & 8 else pred + acc
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + int(_IMA_INDEX[nib & 7])))
+                nibs.append(nib)
+            for b in range(0, 8, 2):
+                out.append(nibs[b] | (nibs[b + 1] << 4))
+            states[c] = [pred, idx]
+        pos += 8
+    return bytes(out), states[0][1]

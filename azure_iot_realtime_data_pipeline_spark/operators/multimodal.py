@@ -490,9 +490,10 @@ def decode_wav(payload: bytes):
     8-bit unsigned -> centered, 16/32-bit little-endian signed) plus
     the ITU-T G.711 companded codes 6 (A-law) and 7 (µ-law), expanded
     to 16-bit-scale linear via `operators/codecs.py` (the CCITT
-    reference arithmetic). Perceptual codecs (MP3/AAC/ADPCM/float WAV)
-    raise the documented NotImplementedError — the codec swap point,
-    same contract as images."""
+    reference arithmetic), plus IMA ADPCM (code 0x11, the IMA
+    reference shift-ladder per block). Perceptual codecs
+    (MP3/AAC/float WAV) raise the documented NotImplementedError —
+    the codec swap point, same contract as images."""
     import struct
 
     import numpy as np
@@ -516,6 +517,21 @@ def decode_wav(payload: bytes):
         raise ValueError(
             f"invalid WAV header: channels={channels}, sample_rate={rate}"
         )
+    if code == 0x11:  # IMA ADPCM: per-block predictive 4-bit nibbles
+        from .codecs import ima_adpcm_decode_block
+
+        block_align = fmt[4]
+        if block_align < 4 * channels:
+            raise ValueError(f"IMA ADPCM block_align {block_align} too small")
+        blocks = [
+            ima_adpcm_decode_block(data[o : o + block_align], channels)
+            for o in range(0, len(data) - len(data) % block_align, block_align)
+        ]
+        if not blocks:
+            raise ValueError("IMA ADPCM data shorter than one block")
+        samples = np.concatenate(blocks, axis=0)
+        meta = {"sample_rate": rate, "channels": channels, "bits": bits}
+        return meta, samples
     if code in (6, 7):  # ITU-T G.711 A-law / µ-law companded bytes
         from .codecs import alaw_to_linear, ulaw_to_linear
 

@@ -606,9 +606,10 @@ def test_g711_expansion_matches_ccitt_reference():
     assert int(np.abs(alaw_to_linear(codes)).max()) == 32256
 
 
-def test_g711_wav_decodes_and_adpcm_still_gated():
+def test_g711_wav_decodes_and_mp3_still_gated():
     """WAV format codes 7 (µ-law) and 6 (A-law) decode through the
-    expansion tables; ADPCM (0x11) remains the documented swap point."""
+    expansion tables; MPEG audio (0x55) remains the documented swap
+    point (ADPCM left the gated list in r10)."""
     import struct
 
     import numpy as np
@@ -635,8 +636,50 @@ def test_g711_wav_decodes_and_adpcm_still_gated():
         assert meta == {"sample_rate": 8000, "channels": 1, "bits": 8}
         want = expand(np.frombuffer(data, dtype=np.uint8))
         assert (samples[:, 0] == want).all()
-    with pytest.raises(NotImplementedError, match="format code 17"):
-        decode_wav(g711_wav(0x11, data))
+    with pytest.raises(NotImplementedError, match="format code 85"):
+        decode_wav(g711_wav(0x55, data))  # MPEG layer audio
+
+
+def test_ima_adpcm_wav_decodes_block_structure():
+    """WAV format 0x11 decodes per the IMA reference: per-channel
+    block headers (the predictor IS the first sample), shift-ladder
+    deltas, step-index adaptation. Encode->decode error is bounded by
+    the local step once adapted; stereo interleave round-trips."""
+    import struct
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        ima_adpcm_decode_block,
+        ima_adpcm_encode_block,
+    )
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    t = np.arange(1 + 8 * 64)
+    wave = (6000 * np.sin(t / 9.0)).astype(np.int32)
+    stereo = np.stack([wave, -wave // 2], axis=1)
+    block, _ = ima_adpcm_encode_block(stereo, index=40)
+    # container: fmt code 0x11, block_align = len(block), one block
+    channels, rate, bits = 2, 8000, 4
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, channels, rate, rate, len(block), bits
+    ) + struct.pack("<HH", 2, 8 * ((len(block) - 4 * channels) // channels) + 1)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(block)) + block
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    meta, samples = decode_wav(wav)
+    assert meta == {"sample_rate": rate, "channels": 2, "bits": 4}
+    assert samples.shape == stereo.shape
+    assert int(np.abs(samples - stereo).max()) < 600  # step-bounded
+    # container path ≡ direct block decode
+    direct = ima_adpcm_decode_block(block, 2)
+    assert np.array_equal(samples, direct)
+    # malformed: truncated block body raises, never crashes
+    with pytest.raises(ValueError, match="IMA ADPCM"):
+        ima_adpcm_decode_block(block[:-3], 2)
 
 
 def test_y4m_decode_chroma_modes_and_torn_frame():
