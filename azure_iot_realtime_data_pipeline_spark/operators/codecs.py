@@ -31,8 +31,13 @@ ffmpeg. This closes three of the "compressed codec" swap points that
   algorithm; WAV format code 0x11): per-block predictive 4-bit decode
   and a greedy reference encoder.
 
+- GIF87a/89a: full variable-width LZW decode (CLEAR/EOI, KwKwK case,
+  12-bit cap with table resets), global/local color tables, the
+  published 4-pass interlace, extension skipping; plus an LZW encoder
+  so the round-trip is testable end to end.
+
 The remaining swap points after this module: progressive JPEG,
-GIF/LZW, perceptual audio (MP3/AAC) and inter-frame video — see
+perceptual audio (MP3/AAC) and inter-frame video — see
 `multimodal.decode_image`.
 
 All decoders validate headers and raise ValueError on malformed input
@@ -1078,3 +1083,246 @@ def ima_adpcm_encode_block(
             states[c] = [pred, idx]
         pos += 8
     return bytes(out), states[0][1]
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a): LZW-compressed palette images
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width starting min+1, dictionary
+    reset on CLEAR (2^min), EOI ends (2^min + 1), width grows when the
+    dict fills (cap 12 bits per the spec)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit cursor over data, LSB-first (GIF packs codes little-endian)
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            raise ValueError("GIF LZW data truncated")
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(
+            data[byte0 : byte0 + (((bitpos & 7) + width + 7) >> 3)], "little"
+        )
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    def fresh():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read_code(width)
+        if code == clear:
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW stream starts with a non-root code")
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("GIF LZW code out of range")
+            if next_code < (1 << 12):
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+        out.extend(entry)
+        prev = entry
+        # the decoder assigns one entry BEHIND the encoder, so it must
+        # widen as soon as its next slot hits the width's capacity
+        if next_code == (1 << width) and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder: emits CLEAR first, resets when the
+    12-bit table fills — the standard reference behavior."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code == (1 << 12):
+            # table full at the 12-bit cap: CLEAR and start over (the
+            # decoder stops assigning at the same point, so both sides
+            # stay in lockstep until the reset arrives)
+            emit(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        else:
+            table[wk] = next_code
+            next_code += 1
+            # widen once the just-assigned code outgrows the width —
+            # the decoder (one assignment behind) widens on the same
+            # boundary via its next_code == 2^width rule
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+        # mirror the decoder exactly once more: after processing this
+        # final code it assigns its pending entry (reaching THIS
+        # next_code) and widens if that hits the boundary — EOI must be
+        # written at the width the decoder will read it with
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF -> (H, W, 3) uint8 RGB of the FIRST image frame (animated
+    GIFs decode their first frame; extensions are skipped per the
+    sub-block grammar). Supports global/local color tables, interlace
+    (the published 4-pass order), full variable-width LZW."""
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(b) and b[p]:
+            p += 1 + b[p]
+        return p + 1
+
+    while pos < len(b):
+        tag = b[pos]
+        if tag == 0x3B:  # trailer
+            break
+        if tag == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+            continue
+        if tag != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{tag:02X}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        if w <= 0 or h <= 0 or w > sw or h > sh:
+            raise ValueError("invalid GIF image dimensions")
+        min_code = b[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(b) and b[pos]:
+            size = b[pos]
+            lzw += b[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(bytes(lzw), min_code), dtype=np.uint8
+        )
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data does not match dimensions")
+        idx = idx[: w * h].reshape(h, w)
+        if ipacked & 0x40:  # interlaced: reorder rows per the 4 passes
+            deinter = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    deinter[y] = idx[src]
+                    src += 1
+            idx = deinter
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF palette index out of range")
+        return pal[idx]
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(
+    idx: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """(H, W) uint8 palette indices + (N, 3) palette -> GIF89a bytes
+    with real LZW compression (and optionally the 4-pass interlace
+    layout, so the decoder's deinterlacer is round-trip testable)."""
+    a = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if a.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("need (H, W) indices and (N, 3) palette")
+    h, w = a.shape
+    if int(a.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("palette index out of range")
+    depth = max(1, (int(pal.shape[0]) - 1).bit_length())
+    n = 1 << depth
+    pal_full = np.zeros((n, 3), dtype=np.uint8)
+    pal_full[: pal.shape[0]] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal_full.tobytes()
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    rows = a
+    if interlace:
+        order = [
+            y for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, h, step)
+        ]
+        rows = a[order]
+    min_code = max(2, depth)
+    out.append(min_code)
+    lzw = _lzw_encode(rows.tobytes(), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -348,6 +348,10 @@ def decode_image_array(payload: bytes):
         return decode_png(bytes(payload))
     if magic == b"\xff\xd8":
         return decode_jpeg(bytes(payload))
+    if bytes(payload[:4]) == b"GIF8":
+        from .codecs import decode_gif
+
+        return decode_gif(bytes(payload))
     import numpy as np
 
     img = decode_image(bytes(payload))  # PIL swap point (compressed codecs)
@@ -849,6 +853,49 @@ def synth_jpeg_from_text(
         for pdf in batches:
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": pdf[text_col].map(one)}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        synth, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def synth_gif_from_text(
+    docs: DataFrame, text_col: str = "text", width: int = 16
+) -> DataFrame:
+    """Deterministic REAL-GIF synthesis from text: the PGM pixel grid
+    (one codepoint per pixel, zero-padded 16-wide rows) indexed into a
+    256-entry grayscale palette and LZW-compressed — interlace cycles
+    `doc_id % 2` so the gated corpus exercises the 4-pass deinterlacer.
+    `q_gif_roundtrip_stats` routes documents through this
+    encode -> `decode_gif` -> `image_stats` loop (LZW is lossless, so
+    the character-level oracle hash-matches; the palette expands gray
+    to RGB, hence channels=3 and a 3x pixel sum)."""
+    from .codecs import encode_gif
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pal = np.repeat(
+            np.arange(256, dtype=np.uint8).reshape(-1, 1), 3, axis=1
+        )
+
+        def one(doc_id: int, text: str) -> bytes:
+            px = bytes(ord(c) % 256 for c in (text or ""))
+            h = max(1, (len(px) + width - 1) // width)
+            px = px + b"\x00" * (h * width - len(px))
+            idx = np.frombuffer(px, dtype=np.uint8).reshape(h, width)
+            return encode_gif(idx, pal, interlace=bool(int(doc_id) % 2))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        one(d, t)
+                        for d, t in zip(pdf["doc_id"], pdf[text_col])
+                    ],
+                }
             )
 
     return docs.select("doc_id", text_col).mapInPandas(

@@ -5660,6 +5660,33 @@ ORACLES["q_jpeg_roundtrip_stats"] = """
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
 
+# J14g: GIF/LZW is lossless and the grayscale palette maps index v to
+# RGB (v, v, v) — channels 3, pixel sum 3x the codepoint sum, max
+# unchanged; 16-wide rows, zero padding as in the PGM/PNG chains.
+ORACLES["q_gif_roundtrip_stats"] = """
+    WITH v AS (
+      SELECT doc_id,
+             ascii(substr(d.text, i, 1)) % 256 AS s
+      FROM (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+      ) JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(3 * SUM(s) AS BIGINT) AS pix_sum,
+             CAST(MAX(s) AS INT) AS pix_max
+      FROM v GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(greatest(1, (length(d.text) + 15) // 16) AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(COALESCE(agg.pix_sum, 0) AS BIGINT) AS pix_sum,
+           CAST(COALESCE(agg.pix_max, 0) AS INT) AS pix_max
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
 # J14d: G.711 µ-law expansion replayed in SQL bit arithmetic — the
 # CCITT ulaw2linear(): complement the code byte, rebuild mantissa+bias
 # (0x84), shift by the segment, strip the bias, apply the sign — then

@@ -786,6 +786,17 @@ def q_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_stats(multimodal.synth_jpeg_from_text(docs))
 
 
+def q_gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14g GIF/LZW under the value-hash gate: documents synthesize
+    real GIF89a payloads (grayscale palette, interlace cycling
+    doc_id % 2), the true variable-width LZW decoder + 4-pass
+    deinterlacer reads them back losslessly, and the integer
+    measurements (palette expands gray to RGB: channels 3, pixel sum
+    3x) must hash-match a character-level DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_stats(multimodal.synth_gif_from_text(docs))
+
+
 def q_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14d ITU-T G.711 µ-law audio under the value-hash gate:
     documents synthesize format-code-7 WAVs whose companded code bytes
@@ -3812,6 +3823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-sampled (new this session, oracled) ------------
     "q_png_roundtrip_stats": q_png_roundtrip_stats,
     "q_jpeg_roundtrip_stats": q_jpeg_roundtrip_stats,
+    "q_gif_roundtrip_stats": q_gif_roundtrip_stats,
     "q_g711_features": q_g711_features,
     "q_video_frame_stats": q_video_frame_stats,
     # -- never driver-sampled (rows-only) ----------------------------

@@ -259,19 +259,21 @@ def test_image_meta_decoded_and_resize_real_pixels(spark):
 
 def test_decode_compressed_still_gated():
     """Formats without an own decoder stay behind the PIL swap point
-    (PNG and baseline JPEG left this list in r10 — operators/codecs.py):
-    a GIF payload raises the documented NotImplementedError, and a
-    malformed JPEG raises ValueError (quarantine-able), never a bare
-    crash."""
+    (PNG, baseline JPEG and GIF left this list in r10 —
+    operators/codecs.py): a TIFF payload raises the documented
+    NotImplementedError, and malformed JPEG/GIF raise ValueError
+    (quarantine-able), never a bare crash."""
     from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
         decode_image_array,
     )
 
-    gif_magic = b"GIF89a" + b"\x00" * 32
+    tiff_magic = b"II*\x00" + b"\x00" * 32
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_image_array(gif_magic)
+        decode_image_array(tiff_magic)
     with pytest.raises(ValueError):
         decode_image_array(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        decode_image_array(b"GIF89a" + b"\x00" * 32)
 
 
 def _wav_bytes(rate=8000, channels=1, bits=16, samples=None):
@@ -892,3 +894,82 @@ def test_jpeg_dispatches_from_decode_image_array():
     img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
     out = decode_image_array(encode_jpeg_baseline(img, quant=8))
     assert np.array_equal(out[:, :, 0], img)
+
+
+def test_gif_lzw_roundtrip_interlace_and_table_reset():
+    """encode_gif -> decode_gif is the identity: plain and interlaced
+    (the 4-pass deinterlacer), a small palette, and an image large
+    enough to force the 12-bit LZW table reset."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+    for interlace in (False, True):
+        out = decode_gif(encode_gif(idx, pal, interlace=interlace))
+        assert np.array_equal(out, pal[idx]), interlace
+    pal4 = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    idx4 = rng.integers(0, 4, size=(9, 7), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx4, pal4)), pal4[idx4])
+    big = rng.integers(0, 256, size=(200, 300), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(big, pal)), pal[big])
+
+
+def test_gif_rejects_malformed_and_dispatches():
+    """Junk headers/blocks raise ValueError; `decode_image_array`
+    recognizes GIF8 magic — the LZW swap point is CLOSED."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_image_array,
+    )
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" + b"\x00" * 16)
+    good = encode_gif(
+        np.arange(16, dtype=np.uint8).reshape(4, 4),
+        np.zeros((16, 3), dtype=np.uint8),
+    )
+    with pytest.raises(ValueError):
+        decode_gif(good[: len(good) // 2])
+    pal = np.repeat(np.arange(256, dtype=np.uint8).reshape(-1, 1), 3, axis=1)
+    idx = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    assert np.array_equal(
+        decode_image_array(encode_gif(idx, pal)), pal[idx]
+    )
+
+
+def test_gif_lzw_kwkwk_and_boundary_stress():
+    """The LZW pair survives the KwKwK case (code == next slot — only
+    low-entropy repetitive input produces it), width-boundary EOI
+    placement, and cap-reset cycles: property sweep over seeds, lengths
+    and min code sizes."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    assert _lzw_decode(_lzw_encode(b"a" * 500, 8), 8) == b"a" * 500
+    for seed in range(20):
+        r = np.random.default_rng(seed)
+        data = bytes(
+            r.integers(0, 3, size=int(r.integers(1, 2000))).astype(np.uint8)
+        )
+        for mcs in (2, 4, 8):
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+    base = bytes(range(256)) * 3
+    for n in range(1, 600, 7):  # sweep lengths across width boundaries
+        assert _lzw_decode(_lzw_encode(base[:n], 8), 8) == base[:n]
