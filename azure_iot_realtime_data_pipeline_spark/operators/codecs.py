@@ -549,9 +549,36 @@ class _BitReader:
         return (self.bitbuf >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
+        """MSB-first n-bit read with state cached in locals (the
+        per-coefficient magnitude path — once per nonzero coefficient,
+        so it earns the same treatment as `_huff_read`)."""
+        data = self.data
+        pos = self.pos
+        bitbuf = self.bitbuf
+        nbits = self.nbits
         v = 0
         for _ in range(n):
-            v = (v << 1) | self.read_bit()
+            if nbits == 0:
+                while True:  # inline _next_byte incl. FF00 unstuffing
+                    if pos >= len(data):
+                        raise ValueError("JPEG entropy data truncated")
+                    bitbuf = data[pos]
+                    pos += 1
+                    if bitbuf != 0xFF:
+                        break
+                    nxt = data[pos] if pos < len(data) else 0xD9
+                    if nxt == 0x00:
+                        pos += 1
+                        break
+                    self.pos = pos - 1
+                    self.bitbuf, self.nbits = 0, 0
+                    raise _MarkerHit(nxt)
+                nbits = 8
+            nbits -= 1
+            v = (v << 1) | ((bitbuf >> nbits) & 1)
+        self.pos = pos
+        self.bitbuf = bitbuf
+        self.nbits = nbits
         return v
 
     def restart(self) -> None:
@@ -572,11 +599,39 @@ class _MarkerHit(Exception):
 
 
 def _huff_read(reader: _BitReader, table: dict) -> int:
+    """Canonical-code read with the reader state cached in locals —
+    this is the per-symbol hot path (called once per DC and once per
+    AC run), so attribute round-trips per bit are worth avoiding."""
+    data = reader.data
+    pos = reader.pos
+    bitbuf = reader.bitbuf
+    nbits = reader.nbits
     code = 0
+    get = table.get
     for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
+        if nbits == 0:
+            while True:  # inline _next_byte incl. FF00 unstuffing
+                if pos >= len(data):
+                    raise ValueError("JPEG entropy data truncated")
+                bitbuf = data[pos]
+                pos += 1
+                if bitbuf != 0xFF:
+                    break
+                nxt = data[pos] if pos < len(data) else 0xD9
+                if nxt == 0x00:
+                    pos += 1
+                    break
+                reader.pos = pos - 1  # rewind: caller sees the marker
+                reader.bitbuf, reader.nbits = 0, 0
+                raise _MarkerHit(nxt)
+            nbits = 8
+        nbits -= 1
+        code = (code << 1) | ((bitbuf >> nbits) & 1)
+        sym = get((length, code))
         if sym is not None:
+            reader.pos = pos
+            reader.bitbuf = bitbuf
+            reader.nbits = nbits
             return sym
     raise ValueError("invalid JPEG Huffman code")
 
@@ -682,6 +737,15 @@ def _decode_scan(
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError(f"invalid JPEG sampling factors {c['h']}x{c['v']}")
+        if hmax % c["h"] or vmax % c["v"]:
+            # the spec permits e.g. 3:2 ratios; the integer-repeat
+            # upsampler below does not — fail loudly, never mis-shape
+            raise NotImplementedError(
+                "non-integer JPEG chroma sampling ratio not supported"
+            )
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     # per-component coefficient planes (in 8x8 block units)
@@ -709,12 +773,11 @@ def _decode_scan(
                 raise ValueError("JPEG missing Huffman table")
             for by in range(comp["v"]):
                 for bx in range(comp["h"]):
-                    coeffs = np.zeros(64, dtype=np.int64)
+                    acs: list = []  # (zigzag index, value) pairs
                     try:
                         s = _huff_read(reader, dct)
                         diff = _extend(reader.read_bits(s), s) if s else 0
                         pred[comp["id"]] += diff
-                        coeffs[0] = pred[comp["id"]]
                         k = 1
                         while k < 64:
                             rs = _huff_read(reader, act)
@@ -727,7 +790,7 @@ def _decode_scan(
                             k += r
                             if k > 63:
                                 raise ValueError("JPEG AC run past block")
-                            coeffs[k] = _extend(reader.read_bits(s), s)
+                            acs.append((k, _extend(reader.read_bits(s), s)))
                             k += 1
                     except _MarkerHit as mh:
                         if mh.marker == 0xD9 and mcu == n_mcus - 1:
@@ -736,11 +799,23 @@ def _decode_scan(
                             raise ValueError(
                                 f"unexpected marker 0xFF{mh.marker:02X} in scan"
                             ) from None
-                    block = np.zeros(64, dtype=np.float64)
-                    block[_ZIGZAG] = coeffs * q
-                    spatial = idct_m.T @ block.reshape(8, 8) @ idct_m
                     y0 = (my * comp["v"] + by) * 8
                     x0 = (mx * comp["h"] + bx) * 8
+                    dc = pred[comp["id"]] * int(q[0])
+                    if not acs:
+                        # DC-only block: the IDCT of a pure DC term is
+                        # the constant dc/8 — skip the matmuls (the
+                        # standard flat-block shortcut; most blocks of
+                        # smooth content take it)
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = (
+                            dc / 8.0
+                        )
+                        continue
+                    block = np.zeros(64, dtype=np.float64)
+                    block[0] = dc
+                    for k, v in acs:
+                        block[_ZIGZAG[k]] = v * int(q[k])
+                    spatial = idct_m.T @ block.reshape(8, 8) @ idct_m
                     planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
     # crop to each component's sampled dims, upsample to full size
     out = []
@@ -765,17 +840,18 @@ def _decode_scan(
 
 def _huff_emit(out: list, state: list, code: int, length: int) -> None:
     """Append `length` bits of `code` to the byte stream with FF00
-    stuffing (state = [bitbuf, nbits])."""
-    for i in range(length - 1, -1, -1):
-        state[0] = (state[0] << 1) | ((code >> i) & 1)
-        state[1] += 1
-        if state[1] == 8:
-            byte = state[0] & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-            state[0] = 0
-            state[1] = 0
+    stuffing (state = [bitbuf, nbits]) — whole-code integer shifts,
+    one iteration per OUTPUT BYTE, not per bit."""
+    bitbuf = (state[0] << length) | (code & ((1 << length) - 1))
+    nbits = state[1] + length
+    while nbits >= 8:
+        nbits -= 8
+        byte = (bitbuf >> nbits) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    state[0] = bitbuf & ((1 << nbits) - 1) if nbits else 0
+    state[1] = nbits
 
 
 def _encode_block(
@@ -935,6 +1011,24 @@ def encode_jpeg_baseline(
                     y0 = (my * c["v"] + by) * 8
                     x0 = (mx * c["h"] + bx) * 8
                     block = c["plane"][y0 : y0 + 8, x0 : x0 + 8]
+                    flat = block.reshape(-1)
+                    v0 = flat[0]
+                    if (flat == v0).all():
+                        # constant block: DC = 8*v analytically, every
+                        # AC exactly 0 — skip FDCT, quantize the scalar
+                        dc = int(round(8.0 * float(v0) / float(q[0])))
+                        dc_tbl, ac_tbl = enc_dc[tbl], enc_ac[tbl]
+                        diff = dc - pred[c["id"]]
+                        s = abs(diff).bit_length()
+                        code, length = dc_tbl[s]
+                        _huff_emit(body, state, code, length)
+                        if s:
+                            v = diff if diff > 0 else diff + (1 << s) - 1
+                            _huff_emit(body, state, v, s)
+                        code, length = ac_tbl[0x00]  # EOB
+                        _huff_emit(body, state, code, length)
+                        pred[c["id"]] = dc
+                        continue
                     coef = m @ block @ m.T
                     qcoef = np.rint(coef.reshape(-1)[_ZIGZAG] / q[_ZIGZAG])
                     pred[c["id"]] = _encode_block(
