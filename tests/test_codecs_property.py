@@ -1,0 +1,103 @@
+"""Property tests for the pure-python codecs (operators/codecs.py):
+round-trip identities over Hypothesis-generated inputs — the codec
+twin of the engine's Hypothesis gates (union-find vs large-star,
+BPE python-reference). No Spark session needed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from azure_iot_realtime_data_pipeline_spark.operators import codecs
+
+
+@st.composite
+def _images(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    c = draw(st.sampled_from([1, 2, 3, 4]))
+    seed = draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=_images(), filter_type=st.integers(0, 4))
+def test_png_roundtrip_property(img, filter_type):
+    out = codecs.decode_png(codecs.encode_png(img, filter_type=filter_type))
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=4096),
+    min_code_size=st.integers(2, 8),
+)
+def test_gif_lzw_roundtrip_property(data, min_code_size):
+    # LZW roots cover 2^min_code_size symbols: clamp bytes into range
+    cap = (1 << min_code_size) - 1
+    data = bytes(b & cap for b in data)
+    assert codecs._lzw_decode(
+        codecs._lzw_encode(data, min_code_size), min_code_size
+    ) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), blocks=st.integers(1, 12))
+def test_jpeg_constant_blocks_exact_property(seed, blocks):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, size=(1, blocks), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    out = codecs.decode_jpeg(codecs.encode_jpeg_baseline(img, quant=8))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), n=st.integers(1, 64))
+def test_y4m_roundtrip_property(seed, n):
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(4, 6), dtype=np.uint8) for _ in range(n)
+    ]
+    meta, back = codecs.decode_y4m(codecs.encode_y4m(frames))
+    assert meta["n_frames"] == n
+    assert all(back[i] == frames[i].tobytes() for i in range(n))
+
+
+@settings(max_examples=200, deadline=None)
+@given(code=st.integers(0, 255))
+def test_g711_monotone_magnitude_property(code):
+    """Within one sign half, clearing magnitude bits never increases
+    the decoded magnitude (companding is monotone per segment)."""
+    u = codecs.ulaw_to_linear(np.array([code], dtype=np.uint8))[0]
+    a = codecs.alaw_to_linear(np.array([code], dtype=np.uint8))[0]
+    assert -32768 <= int(u) <= 32767
+    assert -32768 <= int(a) <= 32767
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), k=st.integers(1, 16))
+def test_ima_adpcm_bounded_error_property(seed, k):
+    """Encode->decode error of a smooth signal stays bounded by the
+    largest step the encoder visits (the ADPCM contract)."""
+    rng = np.random.default_rng(seed)
+    n = 1 + 8 * k
+    wave = np.cumsum(rng.integers(-300, 301, size=n)).astype(np.int32)
+    wave = np.clip(wave, -30000, 30000)
+    block, _ = codecs.ima_adpcm_encode_block(wave, index=32)
+    dec = codecs.ima_adpcm_decode_block(block, 1)[:, 0]
+    assert int(np.abs(dec - wave).max()) <= 2000
+
+
+def test_png_zero_dims_rejected():
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 0, 4, 8, 0, 0, 0, 0)
+    payload = (
+        codecs.PNG_SIGNATURE
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="dimensions"):
+        codecs.decode_png(payload)
