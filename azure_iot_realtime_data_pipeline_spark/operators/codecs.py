@@ -173,7 +173,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unknown PNG color type {color_type}")
     samples = _PNG_SAMPLES[color_type]
     stride = width * samples
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # chunk CRCs pass but DEFLATE is torn
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from None
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data does not match dimensions")
     img = _unfilter(raw, height, stride, samples).reshape(
@@ -355,6 +358,9 @@ def decode_y4m(payload: bytes):
     pos = nl + 1
     while pos < len(b):
         if not b.startswith(b"FRAME", pos):
+            rest = b[pos : pos + 5]
+            if b"FRAME".startswith(rest):
+                break  # payload torn mid-marker: drop, like other tears
             raise ValueError(f"Y4M expected FRAME marker at offset {pos}")
         fnl = b.find(b"\n", pos)
         if fnl < 0:
@@ -524,30 +530,6 @@ class _BitReader:
         self.bitbuf = 0
         self.nbits = 0
 
-    def _next_byte(self) -> int:
-        d = self.data
-        while True:
-            if self.pos >= len(d):
-                raise ValueError("JPEG entropy data truncated")
-            b = d[self.pos]
-            self.pos += 1
-            if b != 0xFF:
-                return b
-            nxt = d[self.pos] if self.pos < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos += 1
-                return 0xFF
-            # a real marker: rewind so the caller sees it
-            self.pos -= 1
-            raise _MarkerHit(nxt)
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self.bitbuf = self._next_byte()
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
-
     def read_bits(self, n: int) -> int:
         """MSB-first n-bit read with state cached in locals (the
         per-coefficient magnitude path — once per nonzero coefficient,
@@ -559,7 +541,7 @@ class _BitReader:
         v = 0
         for _ in range(n):
             if nbits == 0:
-                while True:  # inline _next_byte incl. FF00 unstuffing
+                while True:  # byte refill incl. FF00 unstuffing
                     if pos >= len(data):
                         raise ValueError("JPEG entropy data truncated")
                     bitbuf = data[pos]
@@ -610,7 +592,7 @@ def _huff_read(reader: _BitReader, table: dict) -> int:
     get = table.get
     for length in range(1, 17):
         if nbits == 0:
-            while True:  # inline _next_byte incl. FF00 unstuffing
+            while True:  # byte refill incl. FF00 unstuffing
                 if pos >= len(data):
                     raise ValueError("JPEG entropy data truncated")
                 bitbuf = data[pos]
@@ -659,6 +641,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if b[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at offset {pos}")
+        while pos + 2 <= n and b[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2 fill bytes: FF padding before a marker
         marker = b[pos + 1]
         if marker in (0x01, *range(0xD0, 0xD8)):
             pos += 2
@@ -682,9 +666,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
+                if i + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT table header")
                 tc, th = seg[i] >> 4, seg[i] & 0xF
                 bits = list(seg[i + 1 : i + 17])
                 nsym = sum(bits)
+                if i + 17 + nsym > len(seg):
+                    raise ValueError("truncated JPEG DHT symbol list")
                 vals = list(seg[i + 17 : i + 17 + nsym])
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(
                     bits, vals
@@ -709,10 +697,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if len(seg) < 1 + ns * 2 + 3:
+                raise ValueError("truncated JPEG SOS header")
+            if ns != len(frame["comps"]):
+                # spec-valid non-interleaved multi-scan layout: the MCU
+                # geometry below assumes one interleaved scan — fail as
+                # unsupported, never decode with misaligned geometry
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline JPEG not supported"
+                )
             scan = []
             for si in range(ns):
                 cs, tds = seg[1 + si * 2], seg[2 + si * 2]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"JPEG SOS references unknown component {cs}"
+                    )
                 scan.append((comp, tds >> 4, tds & 0xF))
             return _decode_scan(
                 b, pos + 2 + size, frame, scan, qt, huff_dc, huff_ac,
@@ -1320,6 +1323,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(b) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
     pos = 13
     gct = None

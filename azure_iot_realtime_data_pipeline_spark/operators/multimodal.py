@@ -455,7 +455,16 @@ def image_ahash_decoded(media: DataFrame) -> DataFrame:
 
         def one(b: bytes) -> str:
             arr = decode_image_array(b).astype(np.float64)
-            luma = arr.mean(axis=2)
+            # luma comes from the COLOR channels only: GA/RGBA images
+            # (decodable since the PNG codec landed) must not fold
+            # alpha into brightness, or identical pixels under
+            # different alpha would hash apart (container invariance)
+            if arr.shape[2] == 2:
+                luma = arr[:, :, 0]
+            elif arr.shape[2] == 4:
+                luma = arr[:, :, :3].mean(axis=2)
+            else:
+                luma = arr.mean(axis=2)
             grid = _block_mean_grid(luma, 8, 8)
             bits = 0
             mean = float(grid.mean())
@@ -527,12 +536,17 @@ def decode_wav(payload: bytes):
         block_align = fmt[4]
         if block_align < 4 * channels:
             raise ValueError(f"IMA ADPCM block_align {block_align} too small")
-        blocks = [
-            ima_adpcm_decode_block(data[o : o + block_align], channels)
-            for o in range(0, len(data) - len(data) % block_align, block_align)
-        ]
+        blocks = []
+        for o in range(0, len(data), block_align):
+            chunk = data[o : o + block_align]
+            # the spec sanctions a SHORT final block when the stream's
+            # sample count doesn't fill a whole block — decode it too
+            # (silently dropping it loses trailing audio); a tail that
+            # is not header + whole nibble groups is malformed and the
+            # block decoder raises ValueError
+            blocks.append(ima_adpcm_decode_block(chunk, channels))
         if not blocks:
-            raise ValueError("IMA ADPCM data shorter than one block")
+            raise ValueError("IMA ADPCM data is empty")
         samples = np.concatenate(blocks, axis=0)
         meta = {"sample_rate": rate, "channels": channels, "bits": bits}
         return meta, samples
@@ -710,6 +724,57 @@ def sample_frames_mjpeg(media: DataFrame, every_n: int = 4) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
 
 
+def _text_pixel_grid(text: str, width: int):
+    """Codepoints (mod 256) -> (h, width) uint8 grid, zero-padded to
+    the last row; empty text yields one zero row. The SHARED pixel
+    layout of every gated image/video synthesis chain — the DuckDB
+    oracles' padding arithmetic (padding adds 0 to sums, never raises
+    maxima) depends on it staying identical across chains."""
+    import numpy as np
+
+    px = bytes(ord(c) % 256 for c in (text or ""))
+    h = max(1, (len(px) + width - 1) // width)
+    px = px + b"\x00" * (h * width - len(px))
+    return np.frombuffer(px, dtype=np.uint8).reshape(h, width)
+
+
+def _synth_payloads(docs: DataFrame, text_col: str, one) -> DataFrame:
+    """Shared synthesis wrapper: `one(doc_id, text) -> payload bytes`
+    over a narrow Arrow map — the plan shape of every synth below."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        one(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf[text_col])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        synth, "doc_id BIGINT, payload BINARY"
+    )
+
+
+def _riff_wav(fmt_code: int, sample_rate: int, data: bytes) -> bytes:
+    """Mono 8-bit-per-code RIFF/WAVE container around raw sample/code
+    bytes (word-aligned data chunk) — shared by the PCM and G.711
+    synthesis chains."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, 1, sample_rate, sample_rate, 1, 8
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def synth_wav_from_text(
     docs: DataFrame, text_col: str = "text", sample_rate: int = 8000
 ) -> DataFrame:
@@ -721,34 +786,12 @@ def synth_wav_from_text(
     DuckDB oracle computing the same features from the characters
     directly, putting the ENTIRE encode->decode->feature chain under
     the correctness gate (not just a plumbing rows-run)."""
-    import struct
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        align = 1  # mono 8-bit
-        fmt = struct.pack(
-            "<HHIIHH", 1, 1, sample_rate, sample_rate * align, align, 8
-        )
-        head = b"fmt " + struct.pack("<I", len(fmt)) + fmt
-
-        def one(text: str) -> bytes:
-            data = bytes(ord(c) % 256 for c in (text or ""))
-            chunks = head + b"data" + struct.pack("<I", len(data)) + data
-            if len(data) & 1:
-                chunks += b"\x00"
-            return (
-                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
-            )
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": pdf[text_col].map(one),
-                }
-            )
-
-    return docs.select("doc_id", text_col).mapInPandas(
-        synth, "doc_id BIGINT, payload BINARY"
+    return _synth_payloads(
+        docs,
+        text_col,
+        lambda _d, t: _riff_wav(
+            1, sample_rate, bytes(ord(c) % 256 for c in (t or ""))
+        ),
     )
 
 
@@ -768,21 +811,11 @@ def synth_pgm_from_text(
     image encode->decode->measure chain against a character-level
     DuckDB oracle."""
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def one(text: str) -> bytes:
-            px = bytes(ord(c) % 256 for c in (text or ""))
-            h = max(1, (len(px) + width - 1) // width)
-            px = px + b"\x00" * (h * width - len(px))
-            return b"P5\n%d %d\n255\n" % (width, h) + px
+    def one(_doc_id: int, text: str) -> bytes:
+        grid = _text_pixel_grid(text, width)
+        return b"P5\n%d %d\n255\n" % (width, grid.shape[0]) + grid.tobytes()
 
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": pdf[text_col].map(one)}
-            )
-
-    return docs.select("doc_id", text_col).mapInPandas(
-        synth, "doc_id BIGINT, payload BINARY"
-    )
+    return _synth_payloads(docs, text_col, one)
 
 
 def synth_png_from_text(
@@ -799,30 +832,11 @@ def synth_png_from_text(
     COMPRESSED codec under the value-hash gate."""
     from .codecs import encode_png
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+    def one(doc_id: int, text: str) -> bytes:
+        grid = _text_pixel_grid(text, width)
+        return encode_png(grid[:, :, None], filter_type=doc_id % 5)
 
-        def one(doc_id: int, text: str) -> bytes:
-            px = bytes(ord(c) % 256 for c in (text or ""))
-            h = max(1, (len(px) + width - 1) // width)
-            px = px + b"\x00" * (h * width - len(px))
-            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, width, 1)
-            return encode_png(arr, filter_type=int(doc_id) % 5)
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        one(d, t)
-                        for d, t in zip(pdf["doc_id"], pdf[text_col])
-                    ],
-                }
-            )
-
-    return docs.select("doc_id", text_col).mapInPandas(
-        synth, "doc_id BIGINT, payload BINARY"
-    )
+    return _synth_payloads(docs, text_col, one)
 
 
 def synth_jpeg_from_text(
@@ -839,25 +853,14 @@ def synth_jpeg_from_text(
     character-level DuckDB oracle."""
     from .codecs import encode_jpeg_baseline
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def one(_doc_id: int, text: str) -> bytes:
         import numpy as np
 
-        def one(text: str) -> bytes:
-            cp = [ord(c) % 256 for c in (text or "")]
-            rows = max(1, (len(cp) + blocks_per_row - 1) // blocks_per_row)
-            cp = cp + [0] * (rows * blocks_per_row - len(cp))
-            vals = np.array(cp, dtype=np.uint8).reshape(rows, blocks_per_row)
-            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-            return encode_jpeg_baseline(img, quant=8)
+        vals = _text_pixel_grid(text, blocks_per_row)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        return encode_jpeg_baseline(img, quant=8)
 
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": pdf[text_col].map(one)}
-            )
-
-    return docs.select("doc_id", text_col).mapInPandas(
-        synth, "doc_id BIGINT, payload BINARY"
-    )
+    return _synth_payloads(docs, text_col, one)
 
 
 def synth_gif_from_text(
@@ -871,36 +874,18 @@ def synth_gif_from_text(
     encode -> `decode_gif` -> `image_stats` loop (LZW is lossless, so
     the character-level oracle hash-matches; the palette expands gray
     to RGB, hence channels=3 and a 3x pixel sum)."""
+    import numpy as np
+
     from .codecs import encode_gif
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
+    pal = np.repeat(np.arange(256, dtype=np.uint8).reshape(-1, 1), 3, axis=1)
 
-        pal = np.repeat(
-            np.arange(256, dtype=np.uint8).reshape(-1, 1), 3, axis=1
+    def one(doc_id: int, text: str) -> bytes:
+        return encode_gif(
+            _text_pixel_grid(text, width), pal, interlace=bool(doc_id % 2)
         )
 
-        def one(doc_id: int, text: str) -> bytes:
-            px = bytes(ord(c) % 256 for c in (text or ""))
-            h = max(1, (len(px) + width - 1) // width)
-            px = px + b"\x00" * (h * width - len(px))
-            idx = np.frombuffer(px, dtype=np.uint8).reshape(h, width)
-            return encode_gif(idx, pal, interlace=bool(int(doc_id) % 2))
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        one(d, t)
-                        for d, t in zip(pdf["doc_id"], pdf[text_col])
-                    ],
-                }
-            )
-
-    return docs.select("doc_id", text_col).mapInPandas(
-        synth, "doc_id BIGINT, payload BINARY"
-    )
+    return _synth_payloads(docs, text_col, one)
 
 
 def synth_g711_wav_from_text(
@@ -915,32 +900,13 @@ def synth_g711_wav_from_text(
     path (the CCITT arithmetic in `operators/codecs.py`) runs under the
     value-hash gate — the DuckDB oracle of `q_g711_features` replays
     the same expansion in SQL bit arithmetic from the characters."""
-    import struct
-
     code = {"ulaw": 7, "alaw": 6}[law]
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fmt = struct.pack(
-            "<HHIIHH", code, 1, sample_rate, sample_rate, 1, 8
-        )
-        head = b"fmt " + struct.pack("<I", len(fmt)) + fmt
-
-        def one(text: str) -> bytes:
-            data = bytes(ord(c) % 256 for c in (text or ""))
-            chunks = head + b"data" + struct.pack("<I", len(data)) + data
-            if len(data) & 1:
-                chunks += b"\x00"
-            return (
-                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
-            )
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": pdf[text_col].map(one)}
-            )
-
-    return docs.select("doc_id", text_col).mapInPandas(
-        synth, "doc_id BIGINT, payload BINARY"
+    return _synth_payloads(
+        docs,
+        text_col,
+        lambda _d, t: _riff_wav(
+            code, sample_rate, bytes(ord(c) % 256 for c in (t or ""))
+        ),
     )
 
 
@@ -961,31 +927,19 @@ def synth_y4m_from_text(
     encode -> decode -> per-frame-measure chain."""
     from .codecs import encode_y4m
 
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def one(_doc_id: int, text: str) -> bytes:
         import numpy as np
 
-        fsz = width * height
+        grid = _text_pixel_grid(text, width)
+        n_frames = -(-grid.shape[0] // height)  # == ceil(len/(w*h)), >= 1
+        grid = np.pad(
+            grid, ((0, n_frames * height - grid.shape[0]), (0, 0))
+        )
+        return encode_y4m(
+            [grid[i * height : (i + 1) * height] for i in range(n_frames)]
+        )
 
-        def one(text: str) -> bytes:
-            px = bytes(ord(c) % 256 for c in (text or ""))
-            n_frames = max(1, (len(px) + fsz - 1) // fsz)
-            px = px + b"\x00" * (n_frames * fsz - len(px))
-            arr = np.frombuffer(px, dtype=np.uint8)
-            return encode_y4m(
-                [
-                    arr[i * fsz : (i + 1) * fsz].reshape(height, width)
-                    for i in range(n_frames)
-                ]
-            )
-
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": pdf[text_col].map(one)}
-            )
-
-    return docs.select("doc_id", text_col).mapInPandas(
-        synth, "doc_id BIGINT, payload BINARY"
-    )
+    return _synth_payloads(docs, text_col, one)
 
 
 def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:

@@ -973,3 +973,125 @@ def test_gif_lzw_kwkwk_and_boundary_stress():
     base = bytes(range(256)) * 3
     for n in range(1, 600, 7):  # sweep lengths across width boundaries
         assert _lzw_decode(_lzw_encode(base[:n], 8), 8) == base[:n]
+
+
+def test_codec_review_fixes_r10():
+    """r10 review-pass regressions, each previously a live defect:
+    (1) PNG with torn DEFLATE but valid CRCs -> ValueError, not
+    zlib.error; (2) JPEG SOS naming an unknown component -> ValueError,
+    not StopIteration; (3) JPEG fill bytes (T.81 B.1.1.2) between
+    segments are legal; (4) non-interleaved multi-scan JPEG ->
+    NotImplementedError, never misdecoded; (5) truncated GIF screen
+    descriptor -> ValueError, not struct.error; (6) Y4M torn mid-FRAME-
+    marker salvages decoded frames like the other tear positions."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators import codecs
+
+    # (1) CRC-valid chunks around a truncated zlib stream
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    torn = _zlib.compress(b"\x00" * (4 * 5))[:-3]
+    png = (
+        codecs.PNG_SIGNATURE
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", torn)
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        codecs.decode_png(png)
+
+    # (2) flip the SOS component selector of a valid stream
+    good = codecs.encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8))
+    sos_at = good.find(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos_at + 5] = 9  # component id 1 -> 9
+    with pytest.raises(ValueError, match="unknown component"):
+        codecs.decode_jpeg(bytes(bad))
+
+    # (3) fill bytes before a marker are spec-legal
+    filled = good[:2] + b"\xff" + good[2:]
+    assert np.array_equal(codecs.decode_jpeg(filled), codecs.decode_jpeg(good))
+
+    # (4) multi-scan: 3-component SOF with a 1-component SOS
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    multi = (
+        b"\xff\xd8"
+        + dqt
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        codecs.decode_jpeg(multi + b"\xff\xd9")
+
+    # (5) truncated GIF logical screen descriptor
+    with pytest.raises(ValueError, match="truncated GIF"):
+        codecs.decode_gif(b"GIF89a\x04\x00")
+
+    # (6) tear mid-FRAME-marker == tear mid-body: salvage, don't raise
+    frames = [np.full((2, 3), 7, dtype=np.uint8)]
+    stream = codecs.encode_y4m(frames) + b"FRA"
+    meta, got = codecs.decode_y4m(stream)
+    assert meta["n_frames"] == 1 and got[0] == frames[0].tobytes()
+
+
+def test_adpcm_short_final_block_decodes(spark):
+    """A spec-sanctioned short final block (stream length not a
+    multiple of the block capacity) decodes instead of silently
+    vanishing from the feature math."""
+    import struct
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        ima_adpcm_encode_block,
+    )
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    full, _ = ima_adpcm_encode_block(
+        np.arange(1 + 8 * 8, dtype=np.int32) * 10, index=20
+    )
+    short, _ = ima_adpcm_encode_block(
+        np.arange(1 + 8 * 2, dtype=np.int32) * 10, index=20
+    )
+    data = full + short  # short FINAL block
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000, len(full), 4)
+    fmt += struct.pack("<HH", 2, 8 * ((len(full) - 4)) * 2 + 1)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    _meta, samples = decode_wav(wav)
+    assert samples.shape[0] == (1 + 8 * 8) + (1 + 8 * 2)
+
+
+def test_ahash_decoded_ignores_alpha(spark):
+    """Identical pixels under different alpha hash identically: the
+    luma of GA/RGBA images comes from the color channels only."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import encode_png
+
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rgba_lo = np.dstack([rgb, np.zeros((16, 16, 1), dtype=np.uint8)])
+    rgba_hi = np.dstack([rgb, np.full((16, 16, 1), 255, dtype=np.uint8)])
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    payloads = {1: encode_png(rgb), 2: encode_png(rgba_lo), 3: encode_png(rgba_hi)}
+    lit_map = F.create_map(
+        *[x for k, v in payloads.items() for x in (F.lit(k), F.lit(bytes(v)))]
+    )
+    media = docs.select("doc_id", lit_map[F.col("doc_id")].alias("payload"))
+    sig = {
+        r.doc_id: r.ahash_hex
+        for r in multimodal.image_ahash_decoded(media).collect()
+    }
+    assert sig[1] == sig[2] == sig[3]
