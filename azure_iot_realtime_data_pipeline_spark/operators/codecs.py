@@ -647,6 +647,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0x01, *range(0xD0, 0xD8)):
             pos += 2
             continue
+        if marker == 0xD9:  # EOI: progressive frames reconstruct below
+            break
         size = int.from_bytes(b[pos + 2 : pos + 4], "big")
         seg = b[pos + 4 : pos + 2 + size]
         if size < 2 or len(seg) != size - 2:
@@ -678,7 +680,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/extended-seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} not supported")
@@ -686,8 +688,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3], seg[7 + ci * 3], seg[8 + ci * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                # per-component quantized-coefficient grids (in block
+                # units, MCU-padded), accumulated across scans
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if any(
+                    not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4)
+                    or hmax % c["h"] or vmax % c["v"]
+                    for c in comps
+                ):
+                    raise NotImplementedError(
+                        "unsupported JPEG sampling factors"
+                    )
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                frame["geom"] = (hmax, vmax, mcus_x, mcus_y)
+                frame["coef"] = {
+                    c["id"]: np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+                    )
+                    for c in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}) not supported"
             )
@@ -699,7 +723,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ns = seg[0]
             if len(seg) < 1 + ns * 2 + 3:
                 raise ValueError("truncated JPEG SOS header")
-            if ns != len(frame["comps"]):
+            if not frame.get("progressive") and ns != len(frame["comps"]):
                 # spec-valid non-interleaved multi-scan layout: the MCU
                 # geometry below assumes one interleaved scan — fail as
                 # unsupported, never decode with misaligned geometry
@@ -717,11 +741,64 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"JPEG SOS references unknown component {cs}"
                     )
                 scan.append((comp, tds >> 4, tds & 0xF))
-            return _decode_scan(
-                b, pos + 2 + size, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
-            )
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    b, pos + 2 + size, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + ns * 2], seg[2 + ns * 2]
+            ah, al = seg[3 + ns * 2] >> 4, seg[3 + ns * 2] & 0xF
+            hmax, vmax, mcus_x, mcus_y = frame["geom"]
+            data_start = pos + 2 + size
+            if ss == 0:  # DC scan (Se must be 0 per G.1.1.1)
+                if se != 0:
+                    raise ValueError("JPEG progressive DC scan with Se != 0")
+                if ns == 1 and len(frame["comps"]) > 1:
+                    # single-component DC scan: non-interleaved geometry
+                    # (one block per MCU over the component's own grid)
+                    c0 = scan[0][0]
+                    solo = dict(c0)
+                    solo["h"] = solo["v"] = 1
+                    cw = -(-frame["w"] * c0["h"] // hmax)
+                    ch = -(-frame["h"] * c0["v"] // vmax)
+                    bx_n, by_n = -(-cw // 8), -(-ch // 8)
+                    end = _decode_dc_scan(
+                        b, data_start, frame,
+                        [(solo, scan[0][1], scan[0][2])],
+                        huff_dc, ah, al, restart_interval,
+                        frame["coef"], (bx_n, by_n),
+                    )
+                else:
+                    end = _decode_dc_scan(
+                        b, data_start, frame, scan, huff_dc, ah, al,
+                        restart_interval, frame["coef"], (mcus_x, mcus_y),
+                    )
+            else:  # AC scan: single component only (G.1.1.1)
+                if ns != 1:
+                    raise ValueError(
+                        "JPEG progressive AC scan must be single-component"
+                    )
+                if not 1 <= ss <= se <= 63:
+                    raise ValueError("invalid JPEG spectral band")
+                comp, _td, ta = scan[0]
+                act = huff_ac.get(ta)
+                if act is None:
+                    raise ValueError("JPEG missing AC Huffman table")
+                cw = -(-frame["w"] * comp["h"] // hmax)
+                ch = -(-frame["h"] * comp["v"] // vmax)
+                bx_n, by_n = -(-cw // 8), -(-ch // 8)
+                end = _decode_ac_scan(
+                    b, data_start, comp, act, ss, se, ah, al,
+                    restart_interval, frame["coef"], (bx_n, by_n),
+                )
+            pos = _next_marker_pos(b, end)
+            continue
         pos += 2 + size
+    if frame is not None and frame.get("progressive"):
+        hmax, vmax, mcus_x, mcus_y = frame["geom"]
+        return _reconstruct_jpeg(
+            frame, frame["coef"], qt, hmax, vmax, mcus_x, mcus_y
+        )
     raise ValueError("JPEG stream ended without SOS")
 
 
@@ -902,23 +979,15 @@ def _dht_segment(tc: int, th: int, table: tuple) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg_baseline(
+def _jpeg_prepare(
     arr: np.ndarray,
-    quant: np.ndarray | int = 8,
-    subsampling: tuple[int, int] = (1, 1),
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W) or (H, W, 1|3) uint8 -> baseline JFIF bytes with the
-    Annex K example Huffman tables. `quant` is one 8x8 table (natural
-    order) or a scalar applied uniformly — a scalar 8 makes constant
-    8x8 blocks round-trip EXACTLY (DC = 8*(v-128) quantizes to v-128
-    with no remainder), the anchor `q_jpeg_roundtrip_stats` gates on.
-    Color encodes YCbCr with `subsampling` (h, v) on the chroma planes
-    ((1, 1) = 4:4:4, (2, 2) = 4:2:0) using BT.601 forward — exercising
-    the decoder's upsampling path from the encoder side.
-    `restart_interval` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (predictors reset, stream byte-aligned with 1-bit
-    padding) — the decoder's restart path, round-trip testable."""
+    quant: np.ndarray | int,
+    subsampling: tuple[int, int],
+):
+    """Shared encoder front matter: validate input, build the natural-
+    order quant table, color-convert/subsample to per-component planes
+    (level-shifted float64), and pad every plane to its MCU-covered
+    block grid. Returns (h, w, q, comps, hmax, vmax, mcus_x, mcus_y)."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -967,6 +1036,29 @@ def encode_jpeg_baseline(
         c["plane"] = np.pad(
             p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
         )
+    return h, w, q, comps, hmax, vmax, mcus_x, mcus_y
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray,
+    quant: np.ndarray | int = 8,
+    subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) or (H, W, 1|3) uint8 -> baseline JFIF bytes with the
+    Annex K example Huffman tables. `quant` is one 8x8 table (natural
+    order) or a scalar applied uniformly — a scalar 8 makes constant
+    8x8 blocks round-trip EXACTLY (DC = 8*(v-128) quantizes to v-128
+    with no remainder), the anchor `q_jpeg_roundtrip_stats` gates on.
+    Color encodes YCbCr with `subsampling` (h, v) on the chroma planes
+    ((1, 1) = 4:4:4, (2, 2) = 4:2:0) using BT.601 forward — exercising
+    the decoder's upsampling path from the encoder side.
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (predictors reset, stream byte-aligned with 1-bit
+    padding) — the decoder's restart path, round-trip testable."""
+    h, w, q, comps, hmax, vmax, mcus_x, mcus_y = _jpeg_prepare(
+        arr, quant, subsampling
+    )
     # DQT stores the table in ZIGZAG order: zigzag position k holds the
     # natural-order entry _ZIGZAG[k] — the same indexing the quantize
     # step below uses, so decoder and encoder agree for non-uniform
@@ -1424,4 +1516,442 @@ def encode_gif(
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (T.81 Annex G): spectral selection + successive
+# approximation, decode AND encode
+# ---------------------------------------------------------------------------
+#
+# Scans accumulate QUANTIZED coefficients per component; reconstruction
+# (dequant + IDCT + upsample + color) runs once at EOI. DC scans are
+# MCU-interleaved (successive approximation = arithmetic point
+# transform, refinements OR in one raw bit per block); AC scans are
+# single-component over the component's non-interleaved block grid
+# (magnitude point transform, EOB runs, the G.1.2.3 correction-bit
+# refinement protocol — transcribed from the spec's flowcharts, the
+# same logic libjpeg implements).
+
+
+def _next_marker_pos(b: bytes, pos: int) -> int:
+    """First byte offset >= pos of a real marker (FF + not 00/FF/RSTn)."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF and b[pos + 1] not in (0x00, 0xFF, *range(0xD0, 0xD8)):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_dc_scan(
+    b, pos, frame, scan, huff_dc, Ah, Al, restart_interval, coef, geom
+):
+    """Interleaved (or single-component) DC scan: first pass (Ah=0)
+    diff-codes the point-transformed DC; refinements append one raw
+    bit per block (no Huffman)."""
+    mcus_x, mcus_y = geom
+    reader = _BitReader(b, pos)
+    pred = {c["id"]: 0 for c, _td, _ta in scan}
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.restart()
+            pred = {c["id"]: 0 for c, _td, _ta in scan}
+        my, mx = divmod(mcu, mcus_x)
+        for comp, td, _ta in scan:
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    cy = my * comp["v"] + by
+                    cx = mx * comp["h"] + bx
+                    blk = coef[comp["id"]]
+                    if Ah == 0:
+                        tbl = huff_dc.get(td)
+                        if tbl is None:
+                            raise ValueError("JPEG missing DC Huffman table")
+                        s = _huff_read(reader, tbl)
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        pred[comp["id"]] += diff
+                        blk[cy, cx, 0] = pred[comp["id"]] << Al
+                    else:
+                        if reader.read_bits(1):
+                            blk[cy, cx, 0] |= 1 << Al
+    return reader.pos
+
+
+def _decode_ac_scan(
+    b, pos, comp, huff_ac, Ss, Se, Ah, Al, restart_interval, coef, nblocks
+):
+    """Single-component AC scan over the non-interleaved block grid.
+    Ah=0: spectral-selection first pass with EOB runs (G.1.2.2);
+    Ah>0: successive-approximation refinement (G.1.2.3)."""
+    bx_n, by_n = nblocks
+    reader = _BitReader(b, pos)
+    blk = coef[comp["id"]]
+    eobrun = 0
+    p1 = 1 << Al
+    m1 = -(1 << Al)
+    total = bx_n * by_n
+    for i in range(total):
+        if restart_interval and i and i % restart_interval == 0:
+            reader.restart()
+            eobrun = 0
+        cy, cx = divmod(i, bx_n)
+        row = blk[cy, cx]
+        if Ah == 0:  # first pass
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = Ss
+            while k <= Se:
+                rs = _huff_read(reader, huff_ac)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > Se:
+                    raise ValueError("JPEG AC run past spectral band")
+                row[k] = _extend(reader.read_bits(s), s) << Al
+                k += 1
+            continue
+        # refinement pass (G.1.2.3)
+        k = Ss
+        if eobrun == 0:
+            while k <= Se:
+                rs = _huff_read(reader, huff_ac)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    # ZRL: advance over 16 zero-HISTORY coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "JPEG AC refinement symbol with s != 1"
+                        )
+                    newval = p1 if reader.read_bits(1) else m1
+                while k <= Se:
+                    cur = int(row[k])
+                    if cur != 0:
+                        if reader.read_bits(1) and (cur & p1) == 0:
+                            row[k] = cur + (p1 if cur >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= Se:
+                    row[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= Se:  # correction bits for the EOB-run remainder
+                cur = int(row[k])
+                if cur != 0:
+                    if reader.read_bits(1) and (cur & p1) == 0:
+                        row[k] = cur + (p1 if cur >= 0 else m1)
+                k += 1
+            eobrun -= 1
+    return reader.pos
+
+
+def _reconstruct_jpeg(frame, coef, qt, hmax, vmax, mcus_x, mcus_y):
+    """Dequantize + IDCT the accumulated coefficient grids, then crop/
+    upsample/color exactly like the baseline path."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    idct_m = _DCT_M
+    out = []
+    for c in comps:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        grid = coef[c["id"]]
+        by_n, bx_n = grid.shape[0], grid.shape[1]
+        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
+        qz = q.astype(np.int64)
+        for cy in range(by_n):
+            for cx in range(bx_n):
+                row = grid[cy, cx]
+                dc = int(row[0]) * int(qz[0])
+                nz = np.nonzero(row[1:])[0]
+                if nz.size == 0:
+                    plane[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = dc / 8.0
+                    continue
+                block = np.zeros(64, dtype=np.float64)
+                block[0] = dc
+                for k in nz + 1:
+                    block[_ZIGZAG[k]] = int(row[k]) * int(qz[k])
+                plane[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
+                    idct_m.T @ block.reshape(8, 8) @ idct_m
+                )
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        p = plane[:ch, :cw]
+        p = np.repeat(
+            np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        y = np.clip(np.rint(out[0] + 128.0), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    if len(out) != 3:
+        raise NotImplementedError(f"{len(out)}-component JPEG not supported")
+    y, cb, cr = out[0] + 128.0, out[1], out[2]
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# The Annex K example tables are BASELINE tables: they lack the EOBn
+# (r<<4, r>0) symbols progressive AC scans emit. Progressive scans use
+# this flat canonical table instead — every byte symbol present, 250 at
+# 8 bits + 6 at 9 bits (the all-ones max-length code stays unused, as
+# T.81 C.2 requires). Poorer compression than an optimized table, but
+# spec-valid — and it exercises the decoder's multi-length canonical
+# builder.
+_AC_FLAT = (
+    [0, 0, 0, 0, 0, 0, 0, 250, 6, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def _emit_eobrun(body, state, ac_tbl, pend):
+    """Flush a pending AC end-of-band run and its buffered correction
+    bits (pend = [eobrun, br_bits]) — G.1.2.2/3 EOBn coding."""
+    eobrun, br = pend
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, length = ac_tbl[nbits << 4]
+        _huff_emit(body, state, code, length)
+        if nbits:
+            _huff_emit(body, state, eobrun & ((1 << nbits) - 1), nbits)
+    for bit in br:
+        _huff_emit(body, state, bit, 1)
+    pend[0] = 0
+    pend[1] = []
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quant: np.ndarray | int = 8,
+    subsampling: tuple[int, int] = (1, 1),
+    al_dc: int = 1,
+    al_ac: int = 1,
+) -> bytes:
+    """(H, W) or (H, W, 1|3) uint8 -> PROGRESSIVE JFIF bytes (SOF2)
+    with the standard four-phase scan script: interleaved DC first scan
+    at Al=al_dc, per-component AC spectral scans (1..63) at Al=al_ac,
+    then a DC refinement (raw bits) and per-component AC refinements
+    (the G.1.2.3 correction-bit protocol) down to Al=0 — together the
+    scans exercise EVERY progressive decode path. Same quant semantics
+    as the baseline encoder, so constant 8x8 blocks at DC step 8 still
+    round-trip bit-exactly (the successive approximation splits the DC
+    into a shifted pass plus OR'd refinement bits — lossless)."""
+    h, w, q, comps, hmax, vmax, mcus_x, mcus_y = _jpeg_prepare(
+        arr, quant, subsampling
+    )
+    m = _DCT_M
+    qzz = q[_ZIGZAG].astype(np.float64)
+    # quantize every block up front: (by, bx, 64) int32 zigzag grids
+    for c in comps:
+        plane = c["plane"]
+        by_n = plane.shape[0] // 8
+        bx_n = plane.shape[1] // 8
+        grid = np.zeros((by_n, bx_n, 64), dtype=np.int32)
+        for cy in range(by_n):
+            for cx in range(bx_n):
+                block = plane[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8]
+                flat = block.reshape(-1)
+                if (flat == flat[0]).all():
+                    grid[cy, cx, 0] = int(round(8.0 * float(flat[0]) / float(q[0])))
+                    continue
+                coef = m @ block @ m.T
+                grid[cy, cx] = np.rint(
+                    coef.reshape(-1)[_ZIGZAG] / qzz
+                ).astype(np.int32)
+        c["grid"] = grid
+        # the non-interleaved block counts AC scans cover
+        c["nb"] = (-(-(-(-w * c["h"] // hmax)) // 8),
+                   -(-(-(-h * c["v"] // vmax)) // 8))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(v) for v in q[_ZIGZAG]
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUM) + _dht_segment(1, 0, _AC_FLAT)
+    if len(comps) > 1:
+        out += _dht_segment(0, 1, _DC_CHR) + _dht_segment(1, 1, _AC_FLAT)
+    enc_dc = {0: _huff_encode_table(*_DC_LUM), 1: _huff_encode_table(*_DC_CHR)}
+    enc_ac = {0: _huff_encode_table(*_AC_FLAT), 1: _huff_encode_table(*_AC_FLAT)}
+
+    def sos_header(comp_tbls, ss, se, ah, al):
+        sos = bytes([len(comp_tbls)])
+        for cid, td, ta in comp_tbls:
+            sos += bytes([cid, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    def flush(body, state):
+        if state[1]:
+            pad = 8 - state[1]
+            _huff_emit(body, state, (1 << pad) - 1, pad)
+        return bytes(body)
+
+    # --- scan 1: interleaved DC first pass (Ah=0, Al=al_dc) ---------
+    out += sos_header(
+        [(c["id"], 0 if i == 0 else 1, 0) for i, c in enumerate(comps)],
+        0, 0, 0, al_dc,
+    )
+    body: list[int] = []
+    state = [0, 0]
+    pred = {c["id"]: 0 for c in comps}
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for i, c in enumerate(comps):
+            tbl = enc_dc[0 if i == 0 else 1]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    dc = int(c["grid"][my * c["v"] + by, mx * c["h"] + bx, 0])
+                    val = dc >> al_dc  # arithmetic point transform (G.1.2.1)
+                    diff = val - pred[c["id"]]
+                    pred[c["id"]] = val
+                    s = abs(diff).bit_length()
+                    code, length = tbl[s]
+                    _huff_emit(body, state, code, length)
+                    if s:
+                        v = diff if diff > 0 else diff + (1 << s) - 1
+                        _huff_emit(body, state, v, s)
+    out += flush(body, state)
+
+    # --- per-component AC first scans (Ss=1..63, Ah=0, Al=al_ac) ----
+    for i, c in enumerate(comps):
+        out += sos_header([(c["id"], 0, 0 if i == 0 else 1)], 1, 63, 0, al_ac)
+        ac_tbl = enc_ac[0 if i == 0 else 1]
+        body, state = [], [0, 0]
+        pend = [0, []]  # [eobrun, buffered correction bits] (br unused here)
+        bx_n, by_n = c["nb"]
+        for bi in range(bx_n * by_n):
+            cy, cx = divmod(bi, bx_n)
+            row = c["grid"][cy, cx]
+            # magnitude point transform (G.1.2.2): sign-preserving >> Al
+            r = 0
+            emitted = False
+            for k in range(1, 64):
+                v = int(row[k])
+                t = (abs(v) >> al_ac)
+                if t == 0:
+                    r += 1
+                    continue
+                _emit_eobrun(body, state, ac_tbl, pend)
+                while r > 15:
+                    code, length = ac_tbl[0xF0]
+                    _huff_emit(body, state, code, length)
+                    r -= 16
+                s = t.bit_length()
+                code, length = ac_tbl[(r << 4) | s]
+                _huff_emit(body, state, code, length)
+                vv = t if v > 0 else -t
+                if vv < 0:
+                    vv += (1 << s) - 1
+                _huff_emit(body, state, vv, s)
+                r = 0
+                emitted = True
+            if r > 0 or not emitted:
+                pend[0] += 1
+                if pend[0] == 0x7FFF:
+                    _emit_eobrun(body, state, ac_tbl, pend)
+        _emit_eobrun(body, state, ac_tbl, pend)
+        out += flush(body, state)
+
+    # --- DC refinement scans: one raw bit per block per level -------
+    for al in range(al_dc - 1, -1, -1):
+        out += sos_header(
+            [(c["id"], 0, 0) for c in comps], 0, 0, al + 1, al
+        )
+        body, state = [], [0, 0]
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(
+                            c["grid"][my * c["v"] + by, mx * c["h"] + bx, 0]
+                        )
+                        _huff_emit(body, state, (dc >> al) & 1, 1)
+        out += flush(body, state)
+
+    # --- per-component AC refinement scans (G.1.2.3) ----------------
+    for al in range(al_ac - 1, -1, -1):
+        for i, c in enumerate(comps):
+            out += sos_header(
+                [(c["id"], 0, 0 if i == 0 else 1)], 1, 63, al + 1, al
+            )
+            ac_tbl = enc_ac[0 if i == 0 else 1]
+            body, state = [], [0, 0]
+            pend = [0, []]
+            bx_n, by_n = c["nb"]
+            for bi in range(bx_n * by_n):
+                cy, cx = divmod(bi, bx_n)
+                row = c["grid"][cy, cx]
+                absv = [abs(int(row[k])) >> al for k in range(64)]
+                # EOB = 1 + last newly-significant index (t == 1)
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k
+                r = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        _emit_eobrun(body, state, ac_tbl, pend)
+                        code, length = ac_tbl[0xF0]
+                        _huff_emit(body, state, code, length)
+                        r -= 16
+                        for bit in br:
+                            _huff_emit(body, state, bit, 1)
+                        br = []
+                    if t > 1:  # history coefficient: correction bit
+                        br.append(t & 1)
+                        continue
+                    # newly significant at this level
+                    _emit_eobrun(body, state, ac_tbl, pend)
+                    code, length = ac_tbl[(r << 4) | 1]
+                    _huff_emit(body, state, code, length)
+                    _huff_emit(body, state, 1 if int(row[k]) > 0 else 0, 1)
+                    for bit in br:
+                        _huff_emit(body, state, bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    pend[0] += 1
+                    pend[1].extend(br)
+                    if pend[0] == 0x7FFF:
+                        _emit_eobrun(body, state, ac_tbl, pend)
+            _emit_eobrun(body, state, ac_tbl, pend)
+            out += flush(body, state)
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -840,7 +840,10 @@ def synth_png_from_text(
 
 
 def synth_jpeg_from_text(
-    docs: DataFrame, text_col: str = "text", blocks_per_row: int = 8
+    docs: DataFrame,
+    text_col: str = "text",
+    blocks_per_row: int = 8,
+    progressive: bool = False,
 ) -> DataFrame:
     """Deterministic REAL-JPEG synthesis from text: each codepoint
     (mod 256) becomes one CONSTANT 8x8 luma block (8 blocks per row,
@@ -850,15 +853,21 @@ def synth_jpeg_from_text(
     no remainder — so the stream round-trips BIT-EXACTLY through the
     lossy codec's full Huffman/DCT machinery, and
     `q_jpeg_roundtrip_stats` can value-hash the decode against a
-    character-level DuckDB oracle."""
-    from .codecs import encode_jpeg_baseline
+    character-level DuckDB oracle. `progressive=True` swaps in the
+    SOF2 encoder (DC successive approximation + per-component spectral
+    AC scans + refinement passes) — the split is lossless for constant
+    blocks, so the same oracle gates the ENTIRE progressive decode
+    path (`q_jpeg_progressive_stats`)."""
+    from .codecs import encode_jpeg_baseline, encode_jpeg_progressive
+
+    enc = encode_jpeg_progressive if progressive else encode_jpeg_baseline
 
     def one(_doc_id: int, text: str) -> bytes:
         import numpy as np
 
         vals = _text_pixel_grid(text, blocks_per_row)
         img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-        return encode_jpeg_baseline(img, quant=8)
+        return enc(img, quant=8)
 
     return _synth_payloads(docs, text_col, one)
 

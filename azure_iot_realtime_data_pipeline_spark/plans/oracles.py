@@ -5660,6 +5660,11 @@ ORACLES["q_jpeg_roundtrip_stats"] = """
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
 
+# J14h: the progressive chain shares the baseline JPEG oracle — the
+# successive-approximation split is lossless for constant blocks, so
+# the same constant-8x8-block arithmetic gates the SOF2 path.
+ORACLES["q_jpeg_progressive_stats"] = ORACLES["q_jpeg_roundtrip_stats"]
+
 # J14g: GIF/LZW is lossless and the grayscale palette maps index v to
 # RGB (v, v, v) — channels 3, pixel sum 3x the codepoint sum, max
 # unchanged; 16-wide rows, zero padding as in the PGM/PNG chains.

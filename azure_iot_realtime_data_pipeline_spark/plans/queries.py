@@ -786,6 +786,21 @@ def q_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_stats(multimodal.synth_jpeg_from_text(docs))
 
 
+def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14h PROGRESSIVE JPEG (T.81 Annex G) under the value-hash gate:
+    the constant-block corpus encoded through the SOF2 encoder — DC
+    successive approximation (shifted first pass + OR'd refinement
+    bits), per-component spectral AC scans with EOB runs, and the
+    G.1.2.3 correction-bit refinement protocol — decoded by the
+    multi-scan coefficient-accumulating decoder, hash-matched against
+    the same character-level oracle as the baseline chain (the
+    approximation split is lossless for DC-only blocks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_stats(
+        multimodal.synth_jpeg_from_text(docs, progressive=True)
+    )
+
+
 def q_gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14g GIF/LZW under the value-hash gate: documents synthesize
     real GIF89a payloads (grayscale palette, interlace cycling
@@ -3824,6 +3839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_png_roundtrip_stats": q_png_roundtrip_stats,
     "q_jpeg_roundtrip_stats": q_jpeg_roundtrip_stats,
     "q_gif_roundtrip_stats": q_gif_roundtrip_stats,
+    "q_jpeg_progressive_stats": q_jpeg_progressive_stats,
     "q_g711_features": q_g711_features,
     "q_video_frame_stats": q_video_frame_stats,
     # -- never driver-sampled (rows-only) ----------------------------

@@ -853,9 +853,10 @@ def test_jpeg_nonuniform_quant_table_agrees_between_sides():
     assert np.array_equal(out, img)
 
 
-def test_jpeg_gates_progressive_and_rejects_garbage():
-    """SOF2 raises the documented NotImplementedError; junk and
-    truncated entropy data raise ValueError (quarantine-able)."""
+def test_jpeg_gates_lossless_and_rejects_garbage():
+    """SOF3 (lossless) raises the documented NotImplementedError
+    (progressive SOF2 left the gated list in r10); junk and truncated
+    entropy data raise ValueError (quarantine-able)."""
     import struct
 
     import numpy as np
@@ -867,8 +868,8 @@ def test_jpeg_gates_progressive_and_rejects_garbage():
 
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x00\x01\x02")
-    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
-    stream = b"\xff\xd8\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+    sof3 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    stream = b"\xff\xd8\xff\xc3" + struct.pack(">H", len(sof3) + 2) + sof3
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(stream + b"\xff\xd9")
     good = encode_jpeg_baseline(
@@ -1095,3 +1096,39 @@ def test_ahash_decoded_ignores_alpha(spark):
         for r in multimodal.image_ahash_decoded(media).collect()
     }
     assert sig[1] == sig[2] == sig[3]
+
+
+def test_jpeg_progressive_roundtrips_and_matches_baseline():
+    """The SOF2 progressive codec: constant blocks at DC step 8 are
+    bit-exact (the oracle anchor); a general gray image decodes
+    IDENTICALLY to the baseline encoding at the same quant (the
+    successive-approximation split is information-preserving); color
+    4:4:4 / 4:2:0 and deeper approximation (Al=2) all round-trip; the
+    EOB-run (r > 0) and refinement correction-bit paths are exercised
+    by the multi-block corpora."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg_progressive(img, quant=8))
+    assert np.array_equal(out[:, :, 0], img)
+
+    g = rng.integers(0, 256, size=(24, 31), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_baseline(g, quant=1))[:, :, 0]
+    prog = decode_jpeg(encode_jpeg_progressive(g, quant=1))[:, :, 0]
+    assert np.array_equal(base, prog)
+    deep = decode_jpeg(encode_jpeg_progressive(g, quant=1, al_dc=2, al_ac=2))
+    assert int(np.abs(deep[:, :, 0].astype(int) - g.astype(int)).max()) <= 1
+
+    c = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    pc = decode_jpeg(encode_jpeg_progressive(c, quant=1))
+    assert int(np.abs(pc.astype(int) - c.astype(int)).max()) <= 2
+    p420 = decode_jpeg(encode_jpeg_progressive(c, quant=1, subsampling=(2, 2)))
+    assert p420.shape == c.shape
