@@ -1654,12 +1654,13 @@ def _decode_ac_scan(
                     row[k] = newval
                 k += 1
         if eobrun > 0:
-            while k <= Se:  # correction bits for the EOB-run remainder
-                cur = int(row[k])
-                if cur != 0:
-                    if reader.read_bits(1) and (cur & p1) == 0:
-                        row[k] = cur + (p1 if cur >= 0 else m1)
-                k += 1
+            # correction bits for the EOB-run remainder: only NONZERO
+            # coefficients consume bits, so iterate those directly
+            # (the all-zero-band common case costs one nonzero() call)
+            for kk in np.nonzero(row[k : Se + 1])[0]:
+                cur = int(row[k + kk])
+                if reader.read_bits(1) and (cur & p1) == 0:
+                    row[k + kk] = cur + (p1 if cur >= 0 else m1)
             eobrun -= 1
     return reader.pos
 
@@ -1852,6 +1853,11 @@ def encode_jpeg_progressive(
         for bi in range(bx_n * by_n):
             cy, cx = divmod(bi, bx_n)
             row = c["grid"][cy, cx]
+            if not row[1:].any():  # all-zero band: pure EOB contribution
+                pend[0] += 1
+                if pend[0] == 0x7FFF:
+                    _emit_eobrun(body, state, ac_tbl, pend)
+                continue
             # magnitude point transform (G.1.2.2): sign-preserving >> Al
             r = 0
             emitted = False
@@ -1912,6 +1918,11 @@ def encode_jpeg_progressive(
             for bi in range(bx_n * by_n):
                 cy, cx = divmod(bi, bx_n)
                 row = c["grid"][cy, cx]
+                if not row[1:].any():  # all-zero band: pure EOB, no bits
+                    pend[0] += 1
+                    if pend[0] == 0x7FFF:
+                        _emit_eobrun(body, state, ac_tbl, pend)
+                    continue
                 absv = [abs(int(row[k])) >> al for k in range(64)]
                 # EOB = 1 + last newly-significant index (t == 1)
                 eob = 0
