@@ -781,8 +781,13 @@ def q_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     de-zigzag, orthonormal IDCT) reads them back bit-exactly, and the
     integer measurements must hash-match a character-level DuckDB
     oracle — the entire entropy-coded path under the correctness
-    gate."""
-    docs = load_table(spark, sf_dir, "documents")
+    gate. Gated on the doc_id % 4 == 0 quarter of the corpus: the
+    chain costs ~25 ms of pure-python codec per document, the quarter
+    exercises every code path identically, and the oracle carries the
+    same predicate."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
     return multimodal.image_stats(multimodal.synth_jpeg_from_text(docs))
 
 
@@ -794,8 +799,12 @@ def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     G.1.2.3 correction-bit refinement protocol — decoded by the
     multi-scan coefficient-accumulating decoder, hash-matched against
     the same character-level oracle as the baseline chain (the
-    approximation split is lossless for DC-only blocks)."""
-    docs = load_table(spark, sf_dir, "documents")
+    approximation split is lossless for DC-only blocks). Same
+    quarter-corpus predicate as the baseline chain (see
+    q_jpeg_roundtrip_stats)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
     return multimodal.image_stats(
         multimodal.synth_jpeg_from_text(docs, progressive=True)
     )
