@@ -1132,3 +1132,44 @@ def test_jpeg_progressive_roundtrips_and_matches_baseline():
     assert int(np.abs(pc.astype(int) - c.astype(int)).max()) <= 2
     p420 = decode_jpeg(encode_jpeg_progressive(c, quant=1, subsampling=(2, 2)))
     assert p420.shape == c.shape
+
+
+def test_codec_chain_runs_under_structured_streaming(spark, tmp_path):
+    """The codec operators are mapInPandas transforms, so the same
+    synth -> decode -> measure chain runs unchanged over a STREAMING
+    frame (readStream parquet -> PNG encode/decode/measure ->
+    availableNow sink) and is batch-equivalent — the shape a
+    continuous multimodal ingest pipeline would use."""
+    import numpy as np  # noqa: F401 - codec deps resolve on executors
+
+    docs = spark.createDataFrame(
+        [(i, "payload text %d" % i * (i + 1)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs"
+    docs.write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    out = multimodal.image_stats(multimodal.synth_png_from_text(stream))
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("codec_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.width, r.height, r.channels, r.pix_sum, r.pix_max)
+        for r in spark.sql("SELECT * FROM codec_stream").collect()
+    }
+    want = {
+        r.doc_id: (r.width, r.height, r.channels, r.pix_sum, r.pix_max)
+        for r in multimodal.image_stats(
+            multimodal.synth_png_from_text(docs)
+        ).collect()
+    }
+    assert got == want and len(got) == 8
