@@ -643,6 +643,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError(f"expected JPEG marker at offset {pos}")
         while pos + 2 <= n and b[pos + 1] == 0xFF:
             pos += 1  # T.81 B.1.1.2 fill bytes: FF padding before a marker
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG stream in fill bytes")
         marker = b[pos + 1]
         if marker in (0x01, *range(0xD0, 0xD8)):
             pos += 2
@@ -681,9 +683,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 )
                 i += 17 + nsym
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             prec, h, w, nc = seg[0], int.from_bytes(seg[1:3], "big"), int.from_bytes(seg[3:5], "big"), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} not supported")
+            if len(seg) < 6 + nc * 3:
+                raise ValueError("truncated JPEG SOF component list")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3], seg[7 + ci * 3], seg[8 + ci * 3]
@@ -696,11 +702,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vmax = max(c["v"] for c in comps)
                 if any(
                     not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4)
-                    or hmax % c["h"] or vmax % c["v"]
                     for c in comps
                 ):
+                    raise ValueError("invalid JPEG sampling factors")
+                if any(hmax % c["h"] or vmax % c["v"] for c in comps):
                     raise NotImplementedError(
-                        "unsupported JPEG sampling factors"
+                        "non-integer JPEG chroma sampling ratio not supported"
                     )
                 mcus_x = -(-w // (8 * hmax))
                 mcus_y = -(-h // (8 * vmax))
@@ -750,47 +757,61 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ah, al = seg[3 + ns * 2] >> 4, seg[3 + ns * 2] & 0xF
             hmax, vmax, mcus_x, mcus_y = frame["geom"]
             data_start = pos + 2 + size
-            if ss == 0:  # DC scan (Se must be 0 per G.1.1.1)
-                if se != 0:
-                    raise ValueError("JPEG progressive DC scan with Se != 0")
-                if ns == 1 and len(frame["comps"]) > 1:
-                    # single-component DC scan: non-interleaved geometry
-                    # (one block per MCU over the component's own grid)
-                    c0 = scan[0][0]
-                    solo = dict(c0)
-                    solo["h"] = solo["v"] = 1
-                    cw = -(-frame["w"] * c0["h"] // hmax)
-                    ch = -(-frame["h"] * c0["v"] // vmax)
+            try:
+                if ss == 0:  # DC scan (Se must be 0 per G.1.1.1)
+                    if se != 0:
+                        raise ValueError(
+                            "JPEG progressive DC scan with Se != 0"
+                        )
+                    if ns == 1:
+                        # ANY single-component scan is non-interleaved
+                        # (T.81 A.2.3): one block per MCU over the
+                        # component's own block grid — including a
+                        # lone-component frame with factors > 1
+                        c0 = scan[0][0]
+                        solo = dict(c0)
+                        solo["h"] = solo["v"] = 1
+                        cw = -(-frame["w"] * c0["h"] // hmax)
+                        ch = -(-frame["h"] * c0["v"] // vmax)
+                        bx_n, by_n = -(-cw // 8), -(-ch // 8)
+                        end = _decode_dc_scan(
+                            b, data_start, frame,
+                            [(solo, scan[0][1], scan[0][2])],
+                            huff_dc, ah, al, restart_interval,
+                            frame["coef"], (bx_n, by_n),
+                        )
+                    else:
+                        end = _decode_dc_scan(
+                            b, data_start, frame, scan, huff_dc, ah, al,
+                            restart_interval, frame["coef"],
+                            (mcus_x, mcus_y),
+                        )
+                else:  # AC scan: single component only (G.1.1.1)
+                    if ns != 1:
+                        raise ValueError(
+                            "JPEG progressive AC scan must be single-component"
+                        )
+                    if not 1 <= ss <= se <= 63:
+                        raise ValueError("invalid JPEG spectral band")
+                    comp, _td, ta = scan[0]
+                    act = huff_ac.get(ta)
+                    if act is None:
+                        raise ValueError("JPEG missing AC Huffman table")
+                    cw = -(-frame["w"] * comp["h"] // hmax)
+                    ch = -(-frame["h"] * comp["v"] // vmax)
                     bx_n, by_n = -(-cw // 8), -(-ch // 8)
-                    end = _decode_dc_scan(
-                        b, data_start, frame,
-                        [(solo, scan[0][1], scan[0][2])],
-                        huff_dc, ah, al, restart_interval,
-                        frame["coef"], (bx_n, by_n),
+                    end = _decode_ac_scan(
+                        b, data_start, comp, act, ss, se, ah, al,
+                        restart_interval, frame["coef"], (bx_n, by_n),
                     )
-                else:
-                    end = _decode_dc_scan(
-                        b, data_start, frame, scan, huff_dc, ah, al,
-                        restart_interval, frame["coef"], (mcus_x, mcus_y),
-                    )
-            else:  # AC scan: single component only (G.1.1.1)
-                if ns != 1:
-                    raise ValueError(
-                        "JPEG progressive AC scan must be single-component"
-                    )
-                if not 1 <= ss <= se <= 63:
-                    raise ValueError("invalid JPEG spectral band")
-                comp, _td, ta = scan[0]
-                act = huff_ac.get(ta)
-                if act is None:
-                    raise ValueError("JPEG missing AC Huffman table")
-                cw = -(-frame["w"] * comp["h"] // hmax)
-                ch = -(-frame["h"] * comp["v"] // vmax)
-                bx_n, by_n = -(-cw // 8), -(-ch // 8)
-                end = _decode_ac_scan(
-                    b, data_start, comp, act, ss, se, ah, al,
-                    restart_interval, frame["coef"], (bx_n, by_n),
-                )
+            except _MarkerHit as mh:
+                # a well-formed scan never refills into the next marker
+                # (padding covers the last partial byte), so this is
+                # always a short/corrupt scan — quarantine-able
+                raise ValueError(
+                    f"unexpected marker 0xFF{mh.marker:02X} inside "
+                    "progressive JPEG scan data"
+                ) from None
             pos = _next_marker_pos(b, end)
             continue
         pos += 2 + size
@@ -897,7 +918,17 @@ def _decode_scan(
                         block[_ZIGZAG[k]] = v * int(q[k])
                     spatial = idct_m.T @ block.reshape(8, 8) @ idct_m
                     planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
-    # crop to each component's sampled dims, upsample to full size
+    return _assemble_jpeg_image(comps, planes, w, h, hmax, vmax)
+
+
+def _assemble_jpeg_image(
+    comps, planes: dict, w: int, h: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Shared decode tail (baseline AND progressive): crop each
+    component's padded plane to its sampled dims, integer-repeat
+    upsample to full size, then level-shift/clip (gray) or BT.601
+    convert (color) — ONE implementation so the two paths can never
+    drift in rounding or upsampling."""
     out = []
     for c in comps:
         cw = -(-w * c["h"] // hmax)
@@ -1439,6 +1470,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
             continue
         if tag != 0x2C:
             raise ValueError(f"unknown GIF block 0x{tag:02X}")
+        if pos + 10 > len(b):
+            raise ValueError("truncated GIF image descriptor")
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
         pos += 10
         pal = gct
@@ -1450,6 +1483,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("GIF image has no color table")
         if w <= 0 or h <= 0 or w > sw or h > sh:
             raise ValueError("invalid GIF image dimensions")
+        if pos >= len(b):
+            raise ValueError("truncated GIF image data")
         min_code = b[pos]
         pos += 1
         lzw = bytearray()
@@ -1666,11 +1701,12 @@ def _decode_ac_scan(
 
 
 def _reconstruct_jpeg(frame, coef, qt, hmax, vmax, mcus_x, mcus_y):
-    """Dequantize + IDCT the accumulated coefficient grids, then crop/
-    upsample/color exactly like the baseline path."""
+    """Dequantize + IDCT the accumulated coefficient grids, then hand
+    off to the SHARED crop/upsample/color tail (`_assemble_jpeg_image`)
+    so baseline and progressive output can never drift."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     idct_m = _DCT_M
-    out = []
+    planes = {}
     for c in comps:
         q = qt.get(c["tq"])
         if q is None:
@@ -1694,28 +1730,8 @@ def _reconstruct_jpeg(frame, coef, qt, hmax, vmax, mcus_x, mcus_y):
                 plane[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
                     idct_m.T @ block.reshape(8, 8) @ idct_m
                 )
-        cw = -(-w * c["h"] // hmax)
-        ch = -(-h * c["v"] // vmax)
-        p = plane[:ch, :cw]
-        p = np.repeat(
-            np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
-        )
-        out.append(p[:h, :w])
-    if len(out) == 1:
-        y = np.clip(np.rint(out[0] + 128.0), 0, 255).astype(np.uint8)
-        return y[:, :, None]
-    if len(out) != 3:
-        raise NotImplementedError(f"{len(out)}-component JPEG not supported")
-    y, cb, cr = out[0] + 128.0, out[1], out[2]
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=2,
-    )
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+        planes[c["id"]] = plane
+    return _assemble_jpeg_image(comps, planes, w, h, hmax, vmax)
 
 
 # The Annex K example tables are BASELINE tables: they lack the EOBn

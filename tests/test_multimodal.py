@@ -1041,7 +1041,7 @@ def test_codec_review_fixes_r10():
     assert meta["n_frames"] == 1 and got[0] == frames[0].tobytes()
 
 
-def test_adpcm_short_final_block_decodes(spark):
+def test_adpcm_short_final_block_decodes():
     """A spec-sanctioned short final block (stream length not a
     multiple of the block capacity) decodes instead of silently
     vanishing from the feature math."""
@@ -1173,3 +1173,97 @@ def test_codec_chain_runs_under_structured_streaming(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 8
+
+
+def test_codec_review_fixes_r10_pass2():
+    """Second review-pass regressions: (1) corrupt progressive entropy
+    data -> ValueError, never the internal _MarkerHit; (2) a torn
+    payload ending in fill bytes -> ValueError, not IndexError;
+    (3) truncated SOF/GIF-image-descriptor/WAV-fmt -> ValueError;
+    (4) zero sampling factors are MALFORMED (ValueError), reserved
+    NotImplementedError stays for genuine unsupported variants;
+    (5) a single-component SOF2 frame with factors 2x2 decodes with
+    non-interleaved scan geometry (T.81 A.2.3)."""
+    import struct
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators import codecs
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    # (1) delete entropy bytes before the second scan's SOS
+    prog = codecs.encode_jpeg_progressive(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), quant=1
+    )
+    second_sos = prog.find(b"\xff\xda", prog.find(b"\xff\xda") + 2)
+    torn = prog[: second_sos - 4] + prog[second_sos:]
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(torn)
+
+    # (2) fill bytes to EOF
+    with pytest.raises(ValueError, match="fill bytes"):
+        codecs.decode_jpeg(b"\xff\xd8" + b"\xff" * 4)
+
+    # (3) truncated structures raise ValueError, not struct/IndexError
+    with pytest.raises(ValueError, match="SOF"):
+        codecs.decode_jpeg(
+            b"\xff\xd8\xff\xc0" + struct.pack(">H", 5) + b"\x08\x00\x00"
+        )
+    gif = codecs.encode_gif(
+        np.zeros((4, 4), dtype=np.uint8), np.zeros((2, 3), dtype=np.uint8)
+    )
+    for cut in range(13, len(gif)):
+        try:
+            codecs.decode_gif(gif[:cut])
+        except ValueError:
+            pass  # the only acceptable failure class
+    wav = multimodal.synth_wav_from_text  # noqa: F841 - context
+    riff = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x00" * 8
+    with pytest.raises(ValueError, match="fmt"):
+        decode_wav(riff)
+
+    # (4) zero sampling factor = malformed
+    sof2 = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x01, 0])
+    with pytest.raises(ValueError, match="sampling"):
+        codecs.decode_jpeg(
+            b"\xff\xd8\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+            + b"\xff\xd9"
+        )
+
+    # (5) hand-build: gray SOF2 with h=v=2, 24x8 -> 3 non-interleaved
+    # blocks; encode three constant blocks via a DC-only scan
+    img_vals = [40, 120, 200]
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    sof = bytes([8]) + struct.pack(">HH", 8, 24) + bytes([1, 1, 0x22, 0])
+    dht = codecs._dht_segment(0, 0, codecs._DC_LUM)
+    sos = bytes([1, 1, 0x00, 0, 0, 0])
+    body: list = []
+    state = [0, 0]
+    tbl = codecs._huff_encode_table(*codecs._DC_LUM)
+    pred = 0
+    for v in img_vals:
+        dc = v - 128
+        diff = dc - pred
+        pred = dc
+        s = abs(diff).bit_length()
+        code, length = tbl[s]
+        codecs._huff_emit(body, state, code, length)
+        if s:
+            vv = diff if diff > 0 else diff + (1 << s) - 1
+            codecs._huff_emit(body, state, vv, s)
+    if state[1]:
+        pad = 8 - state[1]
+        codecs._huff_emit(body, state, (1 << pad) - 1, pad)
+    stream = (
+        b"\xff\xd8" + dqt
+        + b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+        + dht
+        + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        + bytes(body) + b"\xff\xd9"
+    )
+    out = codecs.decode_jpeg(stream)[:, :, 0]
+    assert out.shape == (8, 24)
+    for i, v in enumerate(img_vals):
+        assert (out[:, i * 8 : (i + 1) * 8] == v).all(), (i, v)
