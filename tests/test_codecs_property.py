@@ -101,3 +101,54 @@ def test_png_zero_dims_rejected():
     )
     with pytest.raises(ValueError, match="dimensions"):
         codecs.decode_png(payload)
+
+
+def _assert_quarantine_only(decode, payload, mutations=400, seed=0):
+    """Mutate/truncate a valid payload; every failure must be the
+    quarantine contract's ValueError (or NotImplementedError for
+    valid-but-unsupported variants) — never struct.error, IndexError,
+    zlib.error, KeyError or an internal exception type."""
+    rng = np.random.default_rng(seed)
+    ok = (ValueError, NotImplementedError)
+    for _ in range(mutations):
+        buf = bytearray(payload)
+        pos = int(rng.integers(0, len(buf)))
+        buf[pos] ^= int(rng.integers(1, 256))
+        try:
+            decode(bytes(buf))
+        except ok:
+            pass
+    for cut in range(1, len(payload), max(1, len(payload) // 120)):
+        try:
+            decode(payload[:cut])
+        except ok:
+            pass
+
+
+def test_decoder_fuzz_quarantine_contract():
+    """The malformed-input contract, fuzz-enforced for every decoder:
+    single-byte mutations and truncation sweeps over valid payloads
+    must raise only ValueError/NotImplementedError (the classes the
+    Arrow-UDF quarantine path catches)."""
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(10, 11, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+
+    _assert_quarantine_only(codecs.decode_png, codecs.encode_png(gray), seed=1)
+    _assert_quarantine_only(
+        codecs.decode_jpeg, codecs.encode_jpeg_baseline(rgb, quant=1), seed=2
+    )
+    _assert_quarantine_only(
+        codecs.decode_jpeg,
+        codecs.encode_jpeg_progressive(gray, quant=1),
+        seed=3,
+    )
+    _assert_quarantine_only(
+        codecs.decode_gif, codecs.encode_gif(gray, pal), seed=4
+    )
+    _assert_quarantine_only(
+        codecs.decode_y4m,
+        codecs.encode_y4m([gray[:8, :8], gray[8:16, :8]]),
+        seed=5,
+    )
