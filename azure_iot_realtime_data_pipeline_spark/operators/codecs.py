@@ -1982,3 +1982,91 @@ def encode_jpeg_progressive(
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WARC (ISO 28500 / WARC/1.1): the web-archive container training-data
+# pipelines ingest (Common Crawl ships .warc.gz = one gzip member per
+# record)
+# ---------------------------------------------------------------------------
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """WARC stream -> list of {headers: {name: value}, body: bytes}.
+
+    Handles the plain concatenated-record form and the standard
+    .warc.gz layout (each record its own gzip member; stdlib zlib
+    members decompressed in a loop). Per the spec each record is a
+    version line + CRLF header block + empty line + Content-Length
+    body + CRLF CRLF. A torn trailing record is dropped (the salvage
+    rule shared with the other container walks); structural garbage
+    raises ValueError."""
+    b = bytes(payload)
+    if b[:2] == b"\x1f\x8b":  # gzip member chain
+        out = bytearray()
+        while b:
+            d = zlib.decompressobj(wbits=31)
+            try:
+                out += d.decompress(b)
+            except zlib.error as exc:
+                if out:
+                    break  # torn trailing member: salvage what decoded
+                raise ValueError(f"corrupt WARC gzip member: {exc}") from None
+            out += d.flush()
+            b = d.unused_data
+            if not d.eof:
+                break  # torn trailing member
+        b = bytes(out)
+    records = []
+    pos = 0
+    n = len(b)
+    while pos < n:
+        if b[pos : pos + 5] != b"WARC/":
+            if not b[pos:].strip():
+                break  # trailing padding/newlines
+            raise ValueError(f"expected WARC version line at offset {pos}")
+        head_end = b.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break  # torn trailing record header
+        head = b[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        headers: dict = {}
+        for line in lines[1:]:
+            if ":" not in line:
+                raise ValueError(f"malformed WARC header line: {line!r}")
+            k, v = line.split(":", 1)
+            headers[k.strip()] = v.strip()
+        try:
+            length = int(headers["Content-Length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record missing valid Content-Length") from None
+        body_start = head_end + 4
+        if body_start + length > n:
+            break  # torn trailing record body
+        records.append(
+            {"headers": headers, "body": b[body_start : body_start + length]}
+        )
+        pos = body_start + length
+        while b[pos : pos + 2] == b"\r\n":  # the two record separators
+            pos += 2
+    return records
+
+
+def build_warc_records(records: list[dict], gzip_members: bool = False) -> bytes:
+    """records = [{headers: {...}, body: bytes}] -> WARC stream. With
+    `gzip_members`, each record compresses as its own gzip member —
+    the Common Crawl .warc.gz layout (random access per record)."""
+    out = bytearray()
+    for rec in records:
+        headers = dict(rec["headers"])
+        body = bytes(rec["body"])
+        headers["Content-Length"] = str(len(body))
+        block = b"WARC/1.1\r\n"
+        for k, v in headers.items():
+            block += f"{k}: {v}\r\n".encode()
+        block += b"\r\n" + body + b"\r\n\r\n"
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            block = co.compress(block) + co.flush()
+        out += block
+    return bytes(out)

@@ -921,6 +921,88 @@ def synth_g711_wav_from_text(
     )
 
 
+WARC_EXTRACT_SCHEMA = (
+    "doc_id BIGINT, record_type STRING, uri STRING, "
+    "content_len BIGINT, body_prefix STRING"
+)
+
+
+def synth_warc_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic WARC synthesis from text: each document becomes a
+    two-record WARC stream (a warcinfo record plus a response record
+    whose body is the UTF-8 text, target URI `urn:doc:<id>`), with the
+    Common Crawl member-gzip layout cycling `doc_id % 2` — so
+    `q_warc_extract` gates BOTH container variants of the crawl-archive
+    ingestion path every training pipeline starts from."""
+    from .codecs import build_warc_records
+
+    def one(doc_id: int, text: str) -> bytes:
+        return build_warc_records(
+            [
+                {
+                    "headers": {
+                        "WARC-Type": "warcinfo",
+                        "WARC-Record-ID": f"<urn:uuid:{doc_id}-info>",
+                    },
+                    "body": b"software: azure_iot_realtime_data_pipeline-spark\r\n",
+                },
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:uuid:{doc_id}>",
+                        "WARC-Target-URI": f"urn:doc:{doc_id}",
+                    },
+                    "body": (text or "").encode("utf-8"),
+                },
+            ],
+            gzip_members=bool(doc_id % 2),
+        )
+
+    return _synth_payloads(docs, text_col, one)
+
+
+def warc_extract(
+    media: DataFrame, record_type: str | None = "response"
+) -> DataFrame:
+    """Parse WARC payloads and emit one row per record (optionally
+    filtered by WARC-Type): (doc_id, record_type, uri, content_len,
+    body_prefix — first 16 chars of the UTF-8 body). The crawl-archive
+    ingestion operator: fan-out inside one narrow Arrow map, exactly
+    like the frame samplers."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import parse_warc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for rec in parse_warc(payload):
+                    rtype = rec["headers"].get("WARC-Type", "")
+                    if record_type is not None and rtype != record_type:
+                        continue
+                    body = rec["body"]
+                    rows.append(
+                        (
+                            doc_id,
+                            rtype,
+                            rec["headers"].get("WARC-Target-URI"),
+                            len(body),
+                            body.decode("utf-8", "replace")[:16],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "record_type", "uri", "content_len",
+                    "body_prefix",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, WARC_EXTRACT_SCHEMA
+    )
+
+
 VIDEO_FRAME_STATS_SCHEMA = (
     "doc_id BIGINT, frame_idx INT, width INT, height INT, "
     "y_sum BIGINT, y_max INT"

@@ -5604,6 +5604,18 @@ ORACLES["q_image_decode_stats"] = """
     FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
 
+# J81: WARC response-record extraction — the container round-trip is
+# lossless, so the fields mirror the text directly (content_len is
+# UTF-8 BYTES, hence octet_length over the encoded blob).
+ORACLES["q_warc_extract"] = """
+    SELECT doc_id,
+           'response' AS record_type,
+           'urn:doc:' || CAST(doc_id AS VARCHAR) AS uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_len,
+           substr(text, 1, 16) AS body_prefix
+    FROM documents
+    """
+
 # J14c: PNG round-trip — the encode->DEFLATE->decode->measure chain is
 # lossless, so the oracle is the SAME character-level arithmetic as the
 # PGM chain (16-wide grayscale rows, zero padding): any defect in the

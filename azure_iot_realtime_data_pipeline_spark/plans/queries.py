@@ -761,6 +761,18 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_stats(multimodal.synth_pgm_from_text(docs))
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J81 crawl-archive ingestion under the value-hash gate: documents
+    synthesize two-record WARC/1.1 streams (warcinfo + response; the
+    Common Crawl member-gzip layout cycling doc_id % 2), the ISO 28500
+    parser walks them back, and the extracted response fields (URI,
+    UTF-8 byte length, 16-char body prefix) must hash-match a DuckDB
+    oracle computed from the text directly — the ingestion step every
+    training-data pipeline runs before any dedup/quality work."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.warc_extract(multimodal.synth_warc_from_text(docs))
+
+
 def q_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14c a genuinely COMPRESSED image codec under the value-hash
     gate: documents synthesize real PNGs (one grayscale pixel per
@@ -3845,6 +3857,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # how stale their last driver-green is (stalest first; never-
     # sampled rows-only queries lead). Rotate each round.
     # -- never driver-sampled (new this session, oracled) ------------
+    "q_warc_extract": q_warc_extract,
     "q_png_roundtrip_stats": q_png_roundtrip_stats,
     "q_jpeg_roundtrip_stats": q_jpeg_roundtrip_stats,
     "q_gif_roundtrip_stats": q_gif_roundtrip_stats,

@@ -152,3 +152,11 @@ def test_decoder_fuzz_quarantine_contract():
         codecs.encode_y4m([gray[:8, :8], gray[8:16, :8]]),
         seed=5,
     )
+    warc = codecs.build_warc_records(
+        [
+            {"headers": {"WARC-Type": "response"}, "body": b"abc" * 40},
+            {"headers": {"WARC-Type": "warcinfo"}, "body": b"x: y"},
+        ],
+        gzip_members=True,
+    )
+    _assert_quarantine_only(codecs.parse_warc, warc, seed=6)

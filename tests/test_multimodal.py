@@ -1267,3 +1267,61 @@ def test_codec_review_fixes_r10_pass2():
     assert out.shape == (8, 24)
     for i, v in enumerate(img_vals):
         assert (out[:, i * 8 : (i + 1) * 8] == v).all(), (i, v)
+
+
+def test_warc_parse_build_roundtrip_and_salvage():
+    """The ISO 28500 container pair: plain and member-gzip streams
+    round-trip (headers + bodies byte-exact, non-ASCII bodies
+    included); a torn trailing record salvages earlier records; a
+    torn trailing gzip member salvages earlier members; garbage
+    raises ValueError."""
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        build_warc_records,
+        parse_warc,
+    )
+
+    recs = [
+        {
+            "headers": {"WARC-Type": "warcinfo", "WARC-Record-ID": "<a>"},
+            "body": b"software: x\r\n",
+        },
+        {
+            "headers": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "urn:doc:7",
+            },
+            "body": "hello élève".encode(),
+        },
+    ]
+    for gz in (False, True):
+        back = parse_warc(build_warc_records(recs, gzip_members=gz))
+        assert len(back) == 2
+        assert back[1]["headers"]["WARC-Target-URI"] == "urn:doc:7"
+        assert back[1]["body"] == recs[1]["body"]
+    assert len(parse_warc(build_warc_records(recs)[:-20])) == 1
+    gzs = build_warc_records(recs, gzip_members=True)
+    second = gzs.find(b"\x1f\x8b", 2)  # second member's start
+    assert second > 0
+    assert len(parse_warc(gzs[: second + 5])) == 1  # torn second member
+    with pytest.raises(ValueError, match="WARC"):
+        parse_warc(b"NOT A WARC STREAM")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(b"WARC/1.1\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
+
+
+def test_warc_extract_operator_filters_and_fans_out(spark):
+    """warc_extract emits one row per matching record inside one
+    narrow Arrow map: response-only by default, all records with
+    record_type=None; gzip and plain payloads both parse."""
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta " * 10)], "doc_id long, text string"
+    )
+    media = multimodal.synth_warc_from_text(docs)
+    resp = {r.doc_id: r for r in multimodal.warc_extract(media).collect()}
+    assert set(resp) == {1, 2}
+    assert resp[1].uri == "urn:doc:1" and resp[1].content_len == 5
+    assert resp[2].body_prefix == ("beta " * 10)[:16]
+    everything = multimodal.warc_extract(media, record_type=None).collect()
+    assert len(everything) == 4  # warcinfo + response per doc
+    plan = multimodal.warc_extract(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
