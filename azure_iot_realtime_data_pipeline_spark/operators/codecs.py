@@ -27,6 +27,15 @@ ffmpeg. This closes three of the "compressed codec" swap points that
   encoder with the Annex K example tables — the lossy codec is real,
   and constant 8x8 blocks at DC quant step 8 round-trip bit-exactly
   (the oracle anchor of `q_jpeg_roundtrip_stats`).
+- Progressive JPEG (T.81 Annex G, Huffman): multi-scan coefficient
+  accumulation — DC successive approximation, single-component
+  spectral AC scans with EOB runs, the G.1.2.3 correction-bit
+  refinement protocol — plus a four-phase scan-script encoder, so
+  every progressive decode path is round-trip exercised
+  (`q_jpeg_progressive_stats` shares the baseline hash-exact anchor).
+- WARC (ISO 28500): plain and Common Crawl member-gzip crawl-archive
+  parse/build with torn-record/member salvage and RFC-5322-style
+  folded header lines.
 - IMA ADPCM (the Interactive Multimedia Association reference
   algorithm; WAV format code 0x11): per-block predictive 4-bit decode
   and a greedy reference encoder.
@@ -36,15 +45,16 @@ ffmpeg. This closes three of the "compressed codec" swap points that
   published 4-pass interlace, extension skipping; plus an LZW encoder
   so the round-trip is testable end to end.
 
-The remaining swap points after this module: progressive JPEG,
-perceptual audio (MP3/AAC) and inter-frame video — see
-`multimodal.decode_image`.
+The remaining swap points after this module: perceptual audio
+(MP3/AAC) and inter-frame video — see `multimodal.decode_wav` /
+`multimodal.split_jpeg_frames` for the documented
+NotImplementedError boundaries.
 
 All decoders validate headers and raise ValueError on malformed input
 (never a bare crash inside an Arrow UDF) and NotImplementedError on
-valid-but-unsupported variants (16-bit PNG, Adam7 interlace, SOF2),
-keeping the quarantine-vs-swap-point contract of the WAV/netpbm
-decoders.
+valid-but-unsupported variants (16-bit PNG, Adam7 interlace,
+arithmetic-coded or hierarchical JPEG), keeping the
+quarantine-vs-swap-point contract of the WAV/netpbm decoders.
 """
 
 from __future__ import annotations
@@ -833,8 +843,13 @@ def _decode_scan(
     huff_ac: dict,
     restart_interval: int,
 ) -> np.ndarray:
-    """Interleaved baseline scan: MCU loop -> per-component block
-    planes -> dequant + de-zigzag + IDCT -> crop/upsample -> color."""
+    """Baseline scan: MCU loop -> per-component block planes ->
+    dequant + de-zigzag + IDCT -> crop/upsample -> color. A
+    single-component scan is non-interleaved per T.81 A.2.3: one block
+    per MCU in raster order over the component's OWN block grid,
+    regardless of its declared sampling factors (a lone component
+    always samples full resolution, so the factors only matter for
+    interleaved geometry — which a solo scan never uses)."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -847,6 +862,19 @@ def _decode_scan(
             raise NotImplementedError(
                 "non-integer JPEG chroma sampling ratio not supported"
             )
+    if len(scan) == 1:
+        # T.81 A.2.3 non-interleaved geometry (mirrors the progressive
+        # DC path's solo handling): effective h=v=1 over the
+        # component's ceil(cw/8) x ceil(ch/8) grid. For a baseline
+        # frame the ns==len(comps) gate above guarantees a solo scan
+        # means a solo FRAME, whose component samples full res
+        # (cw = ceil(w*h_c/hmax) = w), so the assemble tail below sees
+        # a full-resolution plane with no upsampling.
+        solo = dict(scan[0][0])
+        solo["h"] = solo["v"] = 1
+        scan = [(solo, scan[0][1], scan[0][2])]
+        comps = [solo]
+        hmax = vmax = 1
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     # per-component coefficient planes (in 8x8 block units)
@@ -1442,13 +1470,19 @@ def decode_gif(payload: bytes) -> np.ndarray:
     """GIF -> (H, W, 3) uint8 RGB of the FIRST image frame (animated
     GIFs decode their first frame; extensions are skipped per the
     sub-block grammar). Supports global/local color tables, interlace
-    (the published 4-pass order), full variable-width LZW."""
+    (the published 4-pass order), full variable-width LZW. A first
+    frame smaller than or offset within the logical screen is
+    composited onto the screen-sized canvas at its (left, top) offset
+    — uncovered canvas takes the screen's background color (or
+    palette entry 0 when the background index is out of range), so the
+    returned dimensions are always (screen_h, screen_w, 3) as a
+    screen-compositing decoder would produce."""
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(b) < 13:
         raise ValueError("truncated GIF logical screen descriptor")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -1481,7 +1515,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
             pos += n * 3
         if pal is None:
             raise ValueError("GIF image has no color table")
-        if w <= 0 or h <= 0 or w > sw or h > sh:
+        if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
             raise ValueError("invalid GIF image dimensions")
         if pos >= len(b):
             raise ValueError("truncated GIF image data")
@@ -1509,7 +1543,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
             idx = deinter
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("GIF palette index out of range")
-        return pal[idx]
+        if left == 0 and top == 0 and w == sw and h == sh:
+            return pal[idx]
+        # partial/offset first frame: composite onto the logical
+        # screen at (left, top); uncovered canvas = background color
+        canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+        canvas[:] = pal[bg] if bg < pal.shape[0] else pal[0]
+        canvas[top : top + h, left : left + w] = pal[idx]
+        return canvas
     raise ValueError("GIF contains no image data")
 
 
@@ -2031,11 +2072,23 @@ def parse_warc(payload: bytes) -> list[dict]:
         head = b[pos:head_end].decode("utf-8", "replace")
         lines = head.split("\r\n")
         headers: dict = {}
+        last_key: str | None = None
         for line in lines[1:]:
+            if line[:1] in (" ", "\t"):
+                # ISO 28500 header grammar is RFC-5322-style: a line
+                # starting with SP/HT folds into the previous header's
+                # value (Common Crawl emits these)
+                if last_key is None:
+                    raise ValueError(
+                        f"WARC continuation line before any header: {line!r}"
+                    )
+                headers[last_key] = f"{headers[last_key]} {line.strip()}"
+                continue
             if ":" not in line:
                 raise ValueError(f"malformed WARC header line: {line!r}")
             k, v = line.split(":", 1)
-            headers[k.strip()] = v.strip()
+            last_key = k.strip()
+            headers[last_key] = v.strip()
         try:
             length = int(headers["Content-Length"])
         except (KeyError, ValueError):

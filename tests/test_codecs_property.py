@@ -160,3 +160,20 @@ def test_decoder_fuzz_quarantine_contract():
         gzip_members=True,
     )
     _assert_quarantine_only(codecs.parse_warc, warc, seed=6)
+
+
+def test_gif_lzw_table_reset_roundtrip_large():
+    """The 12-bit table cap (ADVICE r10): high-entropy input long
+    enough that next_code reaches 4096, forcing the encoder's CLEAR/
+    reset and the decoder's deferred-assignment stop — unreachable by
+    the bounded property cases above."""
+    import numpy as np
+
+    rng = np.random.default_rng(4096)
+    data = rng.integers(0, 256, size=24_000, dtype=np.uint8).tobytes()
+    enc = codecs._lzw_encode(data, 8)
+    assert codecs._lzw_decode(enc, 8) == data
+    # and with a smaller root alphabet (more phrases per byte, so the
+    # cap is hit earlier and more than once)
+    data4 = (np.frombuffer(data, np.uint8) & 15).tobytes()
+    assert codecs._lzw_decode(codecs._lzw_encode(data4, 4), 4) == data4

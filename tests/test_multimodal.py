@@ -1325,3 +1325,110 @@ def test_warc_extract_operator_filters_and_fans_out(spark):
     assert len(everything) == 4  # warcinfo + response per doc
     plan = multimodal.warc_extract(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_jpeg_single_component_scan_is_noninterleaved():
+    """T.81 A.2.3 (ADVICE r10 medium): a single-component baseline
+    scan is NON-interleaved — raster order over the component's own
+    block grid, regardless of its declared sampling factors. A lone
+    component always samples full resolution, so re-declaring a 1x1
+    grayscale stream as 2x2 must decode IDENTICALLY (before the fix
+    the interleaved MCU loop permuted block rows)."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 256, size=(2, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)  # 16 x 32
+    payload = encode_jpeg_baseline(img, quant=8)
+    want = decode_jpeg(payload)
+
+    m = payload.find(b"\xff\xc0")
+    assert m > 0
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) hv(1)
+    assert payload[m + 11] == 0x11
+    patched = payload[: m + 11] + b"\x22" + payload[m + 12 :]
+    got = decode_jpeg(patched)
+    assert got.shape == want.shape == (16, 32, 1)
+    assert np.array_equal(got, want)
+    # and non-multiple-of-16 dims (odd MCU padding under the wrong
+    # interleaved reading) decode identically too
+    img2 = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:12, :28]
+    p2 = encode_jpeg_baseline(img2, quant=8)
+    m2 = p2.find(b"\xff\xc0")
+    patched2 = p2[: m2 + 11] + b"\x22" + p2[m2 + 12 :]
+    assert np.array_equal(decode_jpeg(patched2), decode_jpeg(p2))
+
+
+def test_warc_folded_header_lines():
+    """ISO 28500 headers use the RFC-5322-style grammar: a line
+    starting with SP/HT continues the previous header's value (Common
+    Crawl emits these). Folded values unfold with a single space; a
+    continuation before any header is malformed."""
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        parse_warc,
+    )
+
+    body = b"payload"
+    head = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.org/a\r\n"
+        b"\t very/long#fragment\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+    )
+    recs = parse_warc(head + b"\r\n" + body + b"\r\n\r\n")
+    assert len(recs) == 1
+    assert (
+        recs[0]["headers"]["WARC-Target-URI"]
+        == "http://example.org/a very/long#fragment"
+    )
+    assert recs[0]["body"] == body
+    with pytest.raises(ValueError, match="continuation"):
+        parse_warc(
+            b"WARC/1.1\r\n  orphan fold\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+        )
+
+
+def test_gif_offset_frame_composites_onto_screen():
+    """A first frame smaller than / offset within the logical screen
+    composites onto the screen-sized canvas at (left, top) with the
+    background color filling uncovered area; left+w > sw is malformed
+    (ADVICE r10: offsets were silently ignored)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.array(
+        [[9, 9, 9], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    idx = np.array([[1, 2, 3], [3, 2, 1]], dtype=np.uint8)  # 2 x 3 frame
+    payload = bytearray(encode_gif(idx, pal))
+    # grow the logical screen to 6 x 5 with background index 0 and
+    # move the frame to (left=2, top=1); encode_gif wrote screen at
+    # offset 6 (<HHBBB w h packed bg ar>) and the image descriptor
+    # right after the 4-entry GCT (depth 2 -> 12 bytes)
+    _struct.pack_into("<HHBBB", payload, 6, 6, 5, payload[10], 0, 0)
+    desc = 13 + 4 * 3
+    assert payload[desc] == 0x2C
+    _struct.pack_into("<HHHH", payload, desc + 1, 2, 1, 3, 2)
+    out = decode_gif(bytes(payload))
+    assert out.shape == (5, 6, 3)
+    want = np.empty((5, 6, 3), dtype=np.uint8)
+    want[:] = pal[0]
+    want[1:3, 2:5] = pal[idx]
+    assert np.array_equal(out, want)
+    # frame overflowing the screen is malformed, not clipped
+    bad = bytearray(payload)
+    _struct.pack_into("<HHHH", bad, desc + 1, 4, 1, 3, 2)  # left+w=7 > 6
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_gif(bytes(bad))
