@@ -5902,3 +5902,44 @@ ORACLES["q_pq_topk"] = """
       FROM ex
     ) WHERE rnk <= 10
     """
+
+ORACLES["q_bucketed_join"] = (
+    # L50 mirror: the bucketed layout changes the physical plan, never
+    # the answer — the oracle is the plain events ⋈ customer join.
+    "SELECT c_mktsegment AS segment, COUNT(*) AS n_events, "
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
+    "FROM events JOIN customer ON user_id = c_custkey "
+    "GROUP BY c_mktsegment"
+)
+
+ORACLES["q_bpe_encode_fixed"] = """
+    -- J63b mirror: the fixed rules (t,h)(e,r)(i,n)(a,s)(o,u) are
+    -- pairwise character-disjoint with unchained outputs, so the
+    -- greedy left-to-right non-overlapping fold equals per-rule
+    -- digram counts on the raw word: tokens = chars - sum of
+    -- occurrences. replace() is itself greedy L2R non-overlapping,
+    -- so (len - len(replace(w, d, ''))) // 2 IS the merge count.
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+      FROM documents
+    ),
+    enc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             SUM(length(w)) AS n_chars,
+             SUM(length(w)
+                 - (length(w) - length(replace(w, 'th', ''))) // 2
+                 - (length(w) - length(replace(w, 'er', ''))) // 2
+                 - (length(w) - length(replace(w, 'in', ''))) // 2
+                 - (length(w) - length(replace(w, 'as', ''))) // 2
+                 - (length(w) - length(replace(w, 'ou', ''))) // 2
+             ) AS n_bpe_tokens
+      FROM words GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(enc.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(enc.n_chars, 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(enc.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+    """

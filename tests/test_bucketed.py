@@ -279,3 +279,27 @@ def test_zorder_key_narrows_both_dimensions(spark, sf_smoke, tmp_path):
     # ...without giving up all locality on the first
     assert u_zo < (u_lex + 1) * 64, (u_zo, u_lex)
 
+
+
+def test_registered_bucketed_join_query_plan_and_result(spark, sf_smoke):
+    """The REGISTERED q_bucketed_join path (the one the driver oracles):
+    join strategy is ShuffledHashJoin over the co-bucketed layout with
+    zero Exchange below the join — the only hash exchange in the whole
+    plan is the final 5-row segment aggregate. The query also
+    self-gates (raises if the join shuffles), so this test double-locks
+    the shape the CORRECTNESS entry certifies."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import (
+        q_bucketed_join,
+    )
+
+    df = q_bucketed_join(spark, sf_smoke)
+    p = _plan(df)
+    assert "ShuffledHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # formatted mode prints each node once in the tree ("Exchange (8)")
+    # and once in the detail section ("(8) Exchange") — count tree nodes
+    assert p.count("Exchange (") == 1, p  # the segment aggregate only
+    rows = {r.segment: r.n_events for r in df.collect()}
+    assert sum(rows.values()) > 0
+    spark.sql("DROP TABLE IF EXISTS bkt_events_sf0_001")
+    spark.sql("DROP TABLE IF EXISTS bkt_cust_sf0_001")

@@ -1425,3 +1425,55 @@ def test_collocations_rank_real_phrases_above_independents(spark):
     # empty corpus: empty result, no division error
     empty = spark.createDataFrame([], "doc_id long, text string, source string")
     assert collocations(empty).count() == 0
+
+
+def test_bpe_encode_fixed_rules_digram_equivalence(spark):
+    """q_bpe_encode_fixed's oracle premise, pinned on adversarial
+    words: for pairwise character-disjoint unchained rules, the greedy
+    left-to-right fold (the REAL bpe_encode machinery) equals
+    chars - sum of non-overlapping digram counts — including repeat
+    runs (erer/eer/ere), cross-rule adjacency (thin/thein), and words
+    with no matches at all."""
+    from azure_iot_realtime_data_pipeline_spark.plans.queries import (
+        BPE_FIXED_RULES,
+    )
+    from azure_iot_realtime_data_pipeline_spark.operators import corpus
+
+    words = [
+        "ther", "erer", "eer", "ere", "thth", "thin", "thein", "xyzzy",
+        "masou", "asas", "aassas", "inin", "thhe", "tth", "outhouse",
+    ]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(BPE_FIXED_RULES)],
+        "merge_rank long, left string, right string",
+    )
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in corpus.bpe_encode(docs, merges).collect()
+    }
+
+    def digram_count(w: str, d: str) -> int:
+        return (len(w) - len(w.replace(d, ""))) // 2
+
+    for i, w in enumerate(words):
+        want = len(w) - sum(digram_count(w, a + b) for a, b in BPE_FIXED_RULES)
+        assert got[i] == want, (w, got[i], want)
+
+    # and against the true greedy fold in plain python
+    def greedy(w: str) -> int:
+        syms = list(w)
+        for a, b in BPE_FIXED_RULES:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    for i, w in enumerate(words):
+        assert got[i] == greedy(w), w
