@@ -692,3 +692,94 @@ def test_table_changes_cdc_feed(spark, tmp_path):
         ("update_preimage", 8): (80, None),
         ("update_postimage", 8): (-8, "t"),
     }
+
+
+def test_multiprocess_writer_race_soak(spark, tmp_path):
+    """Cross-PROCESS writer race (r10 verdict #7): the in-process race
+    tests above interleave via monkeypatched reads; this soak puts the
+    put-if-absent `os.link` commit under two REAL OS processes — each
+    with its own JVM — doing append/merge/optimize on one table, and
+    asserts no lost rows and a linear (contiguous, single-writer-per-
+    version) manifest history. The workers gate on each other's ready
+    file after Spark init so their commit windows genuinely overlap."""
+    import subprocess
+    import sys
+    import textwrap
+
+    d = str(tmp_path / "t")
+    _mk_table(spark, tmp_path / "t", n=20, files=2)
+
+    worker_src = textwrap.dedent(
+        """
+        import os, sys, time
+        sys.path.insert(0, "/root/repo")
+        d, w, sync = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+        from pyspark.sql import SparkSession, functions as F
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName(f"race-worker-{w}")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.driver.memory", "2g").getOrCreate())
+        from azure_iot_realtime_data_pipeline_spark.sources import acid
+        open(os.path.join(sync, f"ready-{w}"), "w").close()
+        deadline = time.monotonic() + 120
+        other = os.path.join(sync, f"ready-{1 - w}")
+        while not os.path.exists(other):
+            if time.monotonic() > deadline:
+                raise SystemExit(f"worker {w}: peer never became ready")
+            time.sleep(0.1)
+        base = (w + 1) * 100000
+        for i in range(3):
+            rows = [(base + i * 100 + j, (base + i * 100 + j) * 2)
+                    for j in range(10)]
+            df = spark.createDataFrame(rows, "k long, v long").coalesce(1)
+            acid.append_table(df, d)
+        upd = spark.createDataFrame(
+            [(base + j, -(base + j)) for j in range(5)], "k long, v long"
+        )
+        acid.merge_upsert(upd, d, key="k")
+        acid.optimize(spark, d, small_file_bytes=1 << 20)
+        print(f"worker {w} done")
+        """
+    )
+    script = tmp_path / "race_worker.py"
+    script.write_text(worker_src)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "2"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), d, str(w), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for w in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out.decode()[-500:], err.decode()[-2000:])
+
+    # no lost rows: parent baseline + both workers' appends, with each
+    # worker's merge applied — regardless of commit interleaving
+    got = {r.k: r.v for r in acid.read_table(spark, d).collect()}
+    want = {i: i * 10 for i in range(20)}
+    for w in (0, 1):
+        base = (w + 1) * 100000
+        for i in range(3):
+            for j in range(10):
+                k = base + i * 100 + j
+                want[k] = k * 2
+        for j in range(5):
+            want[base + j] = -(base + j)
+    assert got == want
+
+    # linear history: 1 (create) + 2 workers x (3 appends + merge)
+    # commits always land; each optimize commits unless the OTHER
+    # worker's optimize already left <2 small files (the documented
+    # no-op) — so 10 or 11 contiguous versions, never a gap and never
+    # a duplicate
+    versions = sorted(
+        h["version"] for h in acid.table_history(d)
+    )
+    assert versions == list(range(1, len(versions) + 1)), versions
+    assert 10 <= len(versions) <= 11, versions
+    for v in versions:  # every manifest parsable and self-consistent
+        m = acid._read_manifest(d, v)
+        assert m["version"] == v and m["files"]
