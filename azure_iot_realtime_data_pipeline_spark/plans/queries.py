@@ -796,11 +796,15 @@ def q_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate. Gated on the doc_id % 4 == 0 quarter of the corpus: the
     chain costs ~25 ms of pure-python codec per document, the quarter
     exercises every code path identically, and the oracle carries the
-    same predicate."""
+    same predicate. backend="pure" pins the spec-exact decoder as the
+    oracle anchor — production `decode_image_array` prefers the native
+    codec when `multimodal.native_image_backend()` finds one."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 4 == 0
     )
-    return multimodal.image_stats(multimodal.synth_jpeg_from_text(docs))
+    return multimodal.image_stats(
+        multimodal.synth_jpeg_from_text(docs), backend="pure"
+    )
 
 
 def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,7 +822,8 @@ def q_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 4 == 0
     )
     return multimodal.image_stats(
-        multimodal.synth_jpeg_from_text(docs, progressive=True)
+        multimodal.synth_jpeg_from_text(docs, progressive=True),
+        backend="pure",
     )
 
 
