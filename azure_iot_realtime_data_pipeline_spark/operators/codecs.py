@@ -52,9 +52,9 @@ NotImplementedError boundaries.
 
 All decoders validate headers and raise ValueError on malformed input
 (never a bare crash inside an Arrow UDF) and NotImplementedError on
-valid-but-unsupported variants (16-bit PNG, Adam7 interlace,
-arithmetic-coded or hierarchical JPEG), keeping the
-quarantine-vs-swap-point contract of the WAV/netpbm decoders.
+valid-but-unsupported variants (16-bit PNG, arithmetic-coded or
+hierarchical JPEG), keeping the quarantine-vs-swap-point contract of
+the WAV/netpbm decoders. Adam7 interlace decodes for real since r11.
 """
 
 from __future__ import annotations
@@ -150,11 +150,25 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 pass grid (W3C PNG spec §8.2): (x0, y0, dx, dy) per pass.
+#: Each pass is an independently filtered sub-image; empty passes
+#: (zero width or height at the image's size) contribute NO bytes.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG -> (H, W, C) uint8 ndarray. Supports bit depth 8, interlace
-    0 (progressive Adam7 raises NotImplementedError — a valid but
-    unsupported variant, same contract as ADPCM in `decode_wav`), all
-    five color types; palette images expand through PLTE to RGB."""
+    0 AND Adam7 interlace 1 (seven independently filtered sub-images
+    scattered back onto the pass grid), all five color types; palette
+    images expand through PLTE to RGB."""
     b = bytes(payload)
     if b[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
@@ -175,8 +189,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"invalid PNG dimensions {width}x{height}")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} not supported")
     if color_type not in _PNG_SAMPLES:
@@ -187,11 +201,29 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:  # chunk CRCs pass but DEFLATE is torn
         raise ValueError(f"PNG IDAT stream corrupt: {exc}") from None
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel data does not match dimensions")
-    img = _unfilter(raw, height, stride, samples).reshape(
-        height, width, samples
-    )
+    if interlace == 1:
+        img = np.zeros((height, width, samples), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue  # empty pass: no scanlines, no filter bytes
+            pstride = pw * samples
+            need = ph * (pstride + 1)
+            if pos + need > len(raw):
+                raise ValueError("PNG pixel data does not match dimensions")
+            sub = _unfilter(raw[pos : pos + need], ph, pstride, samples)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, samples)
+            pos += need
+        if pos != len(raw):
+            raise ValueError("PNG pixel data does not match dimensions")
+    else:
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG pixel data does not match dimensions")
+        img = _unfilter(raw, height, stride, samples).reshape(
+            height, width, samples
+        )
     if color_type == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/invalid PLTE")
@@ -254,13 +286,18 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(
-    arr: np.ndarray, filter_type: int = 1, level: int = 6
+    arr: np.ndarray,
+    filter_type: int = 1,
+    level: int = 6,
+    interlace: bool = False,
 ) -> bytes:
-    """(H, W, C) uint8 -> PNG bytes (8-bit, non-interlaced). Channel
-    count picks the color type (1 gray, 2 gray+alpha, 3 RGB, 4 RGBA);
-    `filter_type` applies one spec filter to every scanline before
-    DEFLATE — real predictive compression, and the dial the round-trip
-    tests turn to cover every unfilter branch."""
+    """(H, W, C) uint8 -> PNG bytes (8-bit). Channel count picks the
+    color type (1 gray, 2 gray+alpha, 3 RGB, 4 RGBA); `filter_type`
+    applies one spec filter to every scanline before DEFLATE — real
+    predictive compression, and the dial the round-trip tests turn to
+    cover every unfilter branch. `interlace=True` emits the Adam7
+    layout (seven independently filtered pass sub-images, empty passes
+    omitted) so the decoder's scatter path is round-trip testable."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -268,8 +305,21 @@ def encode_png(
         raise ValueError(f"expected (H, W, 1..4) uint8, got {a.shape}")
     h, w, c = a.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = _filter_scanlines(a.reshape(h, w * c), filter_type, c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    if interlace:
+        raw = b"".join(
+            _filter_scanlines(
+                a[y0::dy, x0::dx].reshape(
+                    a[y0::dy, x0::dx].shape[0], -1
+                ),
+                filter_type,
+                c,
+            )
+            for x0, y0, dx, dy in _ADAM7_PASSES
+            if a[y0::dy, x0::dx].size
+        )
+    else:
+        raw = _filter_scanlines(a.reshape(h, w * c), filter_type, c)
     idat = zlib.compress(raw, level)
     return (
         PNG_SIGNATURE

@@ -886,7 +886,10 @@ def synth_png_from_text(
     but encoded through the true PNG encoder (`codecs.encode_png` —
     predictive scanline filter + stdlib DEFLATE), with the filter type
     cycling `doc_id % 5` so the gated corpus exercises EVERY unfilter
-    branch. `q_png_roundtrip_stats` routes documents through this
+    branch, and Adam7 interlace cycling `(doc_id // 5) % 2` so the
+    seven-pass scatter decode path sits under the SAME gate (the
+    interlaced stream decodes to identical pixels, so the oracle is
+    untouched). `q_png_roundtrip_stats` routes documents through this
     encode -> `decode_png` -> `image_stats` loop against the same
     character-level DuckDB oracle as the PGM chain — a genuinely
     COMPRESSED codec under the value-hash gate."""
@@ -894,7 +897,11 @@ def synth_png_from_text(
 
     def one(doc_id: int, text: str) -> bytes:
         grid = _text_pixel_grid(text, width)
-        return encode_png(grid[:, :, None], filter_type=doc_id % 5)
+        return encode_png(
+            grid[:, :, None],
+            filter_type=doc_id % 5,
+            interlace=bool((doc_id // 5) % 2),
+        )
 
     return _synth_payloads(docs, text_col, one)
 

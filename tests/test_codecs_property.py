@@ -137,6 +137,9 @@ def test_decoder_fuzz_quarantine_contract():
 
     _assert_quarantine_only(codecs.decode_png, codecs.encode_png(gray), seed=1)
     _assert_quarantine_only(
+        codecs.decode_png, codecs.encode_png(gray, interlace=True), seed=11
+    )
+    _assert_quarantine_only(
         codecs.decode_jpeg, codecs.encode_jpeg_baseline(rgb, quant=1), seed=2
     )
     _assert_quarantine_only(
@@ -177,3 +180,36 @@ def test_gif_lzw_table_reset_roundtrip_large():
     # cap is hit earlier and more than once)
     data4 = (np.frombuffer(data, np.uint8) & 15).tobytes()
     assert codecs._lzw_decode(codecs._lzw_encode(data4, 4), 4) == data4
+
+
+@given(
+    img=st.integers(0, 2**32 - 1).map(
+        lambda seed: __import__("numpy").random.default_rng(seed).integers(
+            0, 256,
+            size=(
+                1 + seed % 19,
+                1 + (seed >> 5) % 23,
+                (1, 2, 3, 4)[(seed >> 10) % 4],
+            ),
+            dtype="uint8",
+        )
+    ),
+    filter_type=st.integers(0, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_adam7_roundtrip_property(img, filter_type):
+    """Adam7 interlace (r11): encode -> decode is the identity across
+    arbitrary dims (incl. dims < 8, where some of the seven passes are
+    EMPTY and must contribute zero bytes), every channel count and
+    every filter type — and the interlaced stream decodes to exactly
+    what the non-interlaced stream decodes to."""
+    import numpy as np
+
+    inter = codecs.decode_png(
+        codecs.encode_png(img, filter_type=filter_type, interlace=True)
+    )
+    plain = codecs.decode_png(
+        codecs.encode_png(img, filter_type=filter_type)
+    )
+    assert np.array_equal(inter, plain)
+    assert np.array_equal(inter, img)

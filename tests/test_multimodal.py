@@ -522,8 +522,9 @@ def test_png_palette_expands_through_plte():
 
 def test_png_rejects_corrupt_and_gates_unsupported():
     """Malformed input raises ValueError (quarantine-able, never a bare
-    crash inside the Arrow UDF); valid-but-unsupported variants (Adam7,
-    16-bit) raise the documented NotImplementedError."""
+    crash inside the Arrow UDF); the remaining valid-but-unsupported
+    variant (16-bit depth) raises the documented NotImplementedError
+    (Adam7 decodes for real since r11)."""
     import struct
 
     import numpy as np
@@ -553,8 +554,12 @@ def test_png_rejects_corrupt_and_gates_unsupported():
         ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 0, 0, 0, interlace)
         return PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
 
-    with _pytest.raises(NotImplementedError, match="interlaced"):
+    # interlace 1 is SUPPORTED since r11 — but a stream claiming it
+    # with no pixel data is malformed, and unknown methods reject
+    with _pytest.raises(ValueError, match="IDAT"):
         decode_png(_ihdr_png(8, 1) + _png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="interlace"):
+        decode_png(_ihdr_png(8, 2) + _png_chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError, match="bit depth"):
         decode_png(_ihdr_png(16, 0) + _png_chunk(b"IEND", b""))
 
