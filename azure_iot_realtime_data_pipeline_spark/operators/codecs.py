@@ -2173,3 +2173,753 @@ def build_warc_records(records: list[dict], gzip_members: bool = False) -> bytes
             block = co.compress(block) + co.flush()
         out += block
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639 / the published xiph.org format spec): lossless
+# predictive audio — the first ENTROPY-CODED audio codec in the family
+# (G.711/ADPCM are fixed-rate companding; FLAC is prediction + rice
+# coding, the audio analog of what PNG's filters+DEFLATE are to images)
+# ---------------------------------------------------------------------------
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    tbl = []
+    for byte in range(256):
+        r = byte << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) if r & top else (r << 1)
+        tbl.append(r & mask)
+    return tbl
+
+
+#: frame-header CRC-8 (poly x^8+x^2+x+1) and whole-frame CRC-16
+#: (poly x^16+x^15+x^2+1), both init 0 — RFC 9639 §9.2/§9.3
+_FLAC_CRC8 = _crc_table(0x07, 8)
+_FLAC_CRC16 = _crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _FLAC_CRC8[r ^ b]
+    return r
+
+
+def _crc16(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _FLAC_CRC16[((r >> 8) ^ b) & 0xFF] ^ ((r << 8) & 0xFFFF)
+    return r
+
+
+class _MSBReader:
+    """MSB-first bit reader over plain bytes (no unstuffing — unlike
+    the JPEG reader). Tracks byte position so frame CRC-16 can cover
+    exactly the bytes consumed."""
+
+    __slots__ = ("b", "pos", "bit")
+
+    def __init__(self, b: bytes, pos: int = 0):
+        self.b = b
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        b, pos, bit = self.b, self.pos, self.bit
+        while n > 0:
+            if pos >= len(b):
+                raise ValueError("truncated FLAC bitstream")
+            avail = 8 - bit
+            take = min(n, avail)
+            chunk = (b[pos] >> (avail - take)) & ((1 << take) - 1)
+            v = (v << take) | chunk
+            bit += take
+            n -= take
+            if bit == 8:
+                pos += 1
+                bit = 0
+        self.pos, self.bit = pos, bit
+        return v
+
+    def read_unary(self) -> int:
+        """Count zero bits up to the terminating 1."""
+        q = 0
+        b, pos, bit = self.b, self.pos, self.bit
+        while True:
+            if pos >= len(b):
+                raise ValueError("truncated FLAC bitstream")
+            cur = b[pos] & ((1 << (8 - bit)) - 1)
+            if cur == 0:
+                q += 8 - bit
+                pos += 1
+                bit = 0
+                continue
+            lead = (8 - bit) - cur.bit_length()
+            q += lead
+            bit += lead + 1
+            if bit >= 8:
+                pos += 1
+                bit -= 8
+            self.pos, self.bit = pos, bit
+            return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.pos += 1
+            self.bit = 0
+
+
+class _MSBWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+def _flac_utf8_encode(n: int) -> bytes:
+    """The frame header's coded number: UTF-8-style encoding extended
+    to 36 bits (RFC 9639 frame header). total bytes 1-7; a k-byte code
+    carries 7, 11, 16, 21, 26, 31 or 36 payload bits."""
+    if n < 0:
+        raise ValueError("coded number must be non-negative")
+    if n < 0x80:
+        return bytes([n])
+    for total in range(2, 8):
+        first_bits = 7 - total if total < 7 else 0
+        payload_bits = first_bits + 6 * (total - 1)
+        if n < (1 << payload_bits):
+            lead = (0xFF << (8 - total)) & 0xFF
+            out = [lead | ((n >> (6 * (total - 1))) & ((1 << first_bits) - 1))]
+            for i in range(total - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError(f"coded number {n} exceeds 36 bits")
+
+
+def _flac_utf8_decode(r: _MSBReader) -> int:
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    ones = 8 - (first ^ 0xFF).bit_length()  # leading 1-bits
+    if ones < 2 or ones > 7:
+        raise ValueError("invalid FLAC coded-number lead byte")
+    first_bits = 7 - ones if ones < 7 else 0
+    v = first & ((1 << first_bits) - 1)
+    for _ in range(ones - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC coded-number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+#: frame-header block-size codes for common sizes (RFC 9639): value ->
+#: 4-bit code; anything else uses code 7 + 16-bit (size-1) field
+_FLAC_BS_CODES = {
+    192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
+    256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
+    8192: 13, 16384: 14, 32768: 15,
+}
+_FLAC_SR_TABLE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_SS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+_FLAC_SS_BITS = {v: k for k, v in _FLAC_SS_CODES.items()}
+
+
+def _sext(v: int, bits: int) -> int:
+    """Two's-complement sign extension of a `bits`-wide field."""
+    if bits == 0:
+        return 0
+    return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+
+def _flac_read_residual(
+    r: _MSBReader, bsz: int, order: int
+) -> np.ndarray:
+    """Partitioned rice residual (RFC 9639 §9.2.7): 2-bit method (rice
+    4-bit / rice2 5-bit parameters), 4-bit partition order, per
+    partition either rice codes (unary quotient + param LSBs, zigzag
+    sign fold) or the escape (param all-ones -> 5-bit raw width,
+    width 0 = all zeros)."""
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    po = r.read(4)
+    parts = 1 << po
+    if bsz % parts or bsz // parts <= order:
+        raise ValueError("invalid FLAC rice partition order")
+    out = np.empty(bsz - order, dtype=np.int64)
+    w = 0
+    for p in range(parts):
+        count = bsz // parts - (order if p == 0 else 0)
+        param = r.read(pbits)
+        if param == escape:
+            raw = r.read(5)
+            for _ in range(count):
+                out[w] = _sext(r.read(raw), raw)
+                w += 1
+        else:
+            for _ in range(count):
+                u = (r.read_unary() << param) | r.read(param)
+                out[w] = (u >> 1) ^ -(u & 1)
+                w += 1
+    return out
+
+
+#: j-th order fixed predictor == j-th finite difference; reconstruction
+#: is j nested prefix sums seeded from the warm-up samples' differences
+def _flac_restore_fixed(
+    warm: np.ndarray, res: np.ndarray, order: int
+) -> np.ndarray:
+    full = res.astype(np.int64)
+    for j in range(order - 1, -1, -1):
+        seed = np.diff(warm, n=j)[-1] if order else 0
+        full = np.cumsum(full) + int(seed)
+    return np.concatenate([warm, full]) if order else full
+
+
+def _flac_read_subframe(r: _MSBReader, bsz: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise ValueError("FLAC subframe pad bit set")
+    t = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if t == 0:  # CONSTANT
+        out = np.full(bsz, _sext(r.read(eff), eff), dtype=np.int64)
+    elif t == 1:  # VERBATIM
+        out = np.fromiter(
+            (_sext(r.read(eff), eff) for _ in range(bsz)), np.int64, bsz
+        )
+    elif 8 <= t <= 12:  # FIXED, order t-8
+        order = t - 8
+        if order > bsz:
+            raise ValueError("FLAC fixed order exceeds block size")
+        warm = np.fromiter(
+            (_sext(r.read(eff), eff) for _ in range(order)), np.int64, order
+        )
+        res = _flac_read_residual(r, bsz, order)
+        out = _flac_restore_fixed(warm, res, order)
+    elif t >= 32:  # LPC, order t-31
+        order = t - 31
+        if order > bsz:
+            raise ValueError("FLAC LPC order exceeds block size")
+        warm = [
+            _sext(r.read(eff), eff) for _ in range(order)
+        ]
+        prec = r.read(4)
+        if prec == 15:
+            raise ValueError("invalid FLAC LPC precision code")
+        prec += 1
+        shift = _sext(r.read(5), 5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [_sext(r.read(prec), prec) for _ in range(order)]
+        res = _flac_read_residual(r, bsz, order)
+        s = list(warm)
+        for e in res.tolist():  # genuinely sequential IIR
+            pred = 0
+            for j, c in enumerate(coefs):
+                pred += c * s[-1 - j]
+            s.append(e + (pred >> shift))
+        out = np.asarray(s, dtype=np.int64)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {t}")
+    return out << wasted
+
+
+def decode_flac(payload: bytes):
+    """FLAC (RFC 9639) -> (meta dict, (n_samples, channels) int32).
+    Full decode of the lossless predictive codec: STREAMINFO +
+    skipped metadata blocks, frame headers (all block-size/sample-
+    rate/sample-size codes, UTF-8-style coded numbers, CRC-8),
+    CONSTANT/VERBATIM/FIXED/LPC subframes with wasted bits, partitioned
+    rice/rice2 residuals with the raw-escape, all four channel
+    assignments (independent, left-side, right-side, mid-side), frame
+    CRC-16, and the STREAMINFO MD5 (verified over the decoded samples
+    when present — a torn or tampered stream fails loudly, the
+    quarantine contract). Sample widths 8-32 bits decode; the decoded
+    array is int32 like `decode_wav` (16-bit scale for this family)."""
+    import hashlib
+
+    b = bytes(payload)
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    info = None
+    last = False
+    while not last:
+        if pos + 4 > len(b):
+            raise ValueError("truncated FLAC metadata header")
+        last = bool(b[pos] & 0x80)
+        btype = b[pos] & 0x7F
+        size = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body = b[pos + 4 : pos + 4 + size]
+        if len(body) != size:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 127:
+            raise ValueError("forbidden FLAC metadata block type 127")
+        if btype == 0:
+            if size < 34:
+                raise ValueError("truncated FLAC STREAMINFO")
+            mr = _MSBReader(body)
+            mr.read(16)  # min block size
+            mr.read(16)  # max block size
+            mr.read(24)  # min frame size
+            mr.read(24)  # max frame size
+            rate = mr.read(20)
+            channels = mr.read(3) + 1
+            bits = mr.read(5) + 1
+            total = mr.read(36)
+            info = {
+                "sample_rate": rate,
+                "channels": channels,
+                "bits": bits,
+                "total": total,
+                "md5": body[18:34],
+            }
+        pos += 4 + size
+    if info is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    if info["sample_rate"] == 0 or info["bits"] < 4:
+        raise ValueError("invalid FLAC STREAMINFO")
+
+    channels = info["channels"]
+    bits = info["bits"]
+    blocks: list[np.ndarray] = []
+    n_out = 0
+    while pos < len(b):
+        if len(b) - pos < 2:
+            break  # trailing torn bytes: salvage decoded frames
+        frame_start = pos
+        r = _MSBReader(b, pos)
+        try:
+            if r.read(14) != 0x3FFE:
+                raise ValueError("bad FLAC frame sync")
+            if r.read(1):
+                raise ValueError("FLAC frame reserved bit set")
+            r.read(1)  # blocking strategy
+            bs_code = r.read(4)
+            sr_code = r.read(4)
+            ch_code = r.read(4)
+            ss_code = r.read(3)
+            if r.read(1):
+                raise ValueError("FLAC frame reserved bit set")
+            _flac_utf8_decode(r)  # frame/sample number
+            if bs_code == 0:
+                raise ValueError("reserved FLAC block size code")
+            elif bs_code == 1:
+                bsz = 192
+            elif bs_code <= 5:
+                bsz = 576 << (bs_code - 2)
+            elif bs_code == 6:
+                bsz = r.read(8) + 1
+            elif bs_code == 7:
+                bsz = r.read(16) + 1
+            else:
+                bsz = 256 << (bs_code - 8)
+            if sr_code == 15:
+                raise ValueError("invalid FLAC sample rate code")
+            elif sr_code == 12:
+                r.read(8)
+            elif sr_code in (13, 14):
+                r.read(16)
+            if ch_code >= 11:
+                raise ValueError("reserved FLAC channel assignment")
+            n_ch = (ch_code + 1) if ch_code <= 7 else 2
+            if n_ch != channels:
+                raise ValueError("FLAC frame channel count mismatch")
+            if ss_code == 0:
+                bps = bits
+            elif ss_code in _FLAC_SS_BITS:
+                bps = _FLAC_SS_BITS[ss_code]
+            else:
+                raise ValueError("reserved FLAC sample size code")
+            crc_pos = r.pos
+            if _crc8(b[frame_start:crc_pos]) != r.read(8):
+                raise ValueError("FLAC frame header CRC-8 mismatch")
+            subs = []
+            for c in range(n_ch):
+                side = (
+                    (ch_code == 8 and c == 1)
+                    or (ch_code == 9 and c == 0)
+                    or (ch_code == 10 and c == 1)
+                )
+                subs.append(_flac_read_subframe(r, bsz, bps + side))
+            r.align()
+            crc_pos = r.pos
+            if _crc16(b[frame_start:crc_pos]) != r.read(16):
+                raise ValueError("FLAC frame CRC-16 mismatch")
+        except ValueError:
+            if blocks and n_out >= info["total"] > 0:
+                break  # torn trailing junk after a complete stream
+            raise
+        if ch_code == 8:  # left-side
+            left, side = subs
+            subs = [left, left - side]
+        elif ch_code == 9:  # side-right
+            side, right = subs
+            subs = [right + side, right]
+        elif ch_code == 10:  # mid-side
+            mid, side = subs
+            m2 = (mid << 1) | (side & 1)
+            subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+        blocks.append(np.stack(subs, axis=1))
+        n_out += bsz
+        pos = crc_pos + 2
+    if not blocks and info["total"]:
+        raise ValueError("FLAC stream ended before any audio frame")
+    samples = (
+        np.concatenate(blocks, axis=0)
+        if blocks
+        else np.zeros((0, channels), dtype=np.int64)
+    )
+    if info["total"]:
+        if len(samples) < info["total"]:
+            raise ValueError("FLAC stream shorter than STREAMINFO total")
+        samples = samples[: info["total"]]
+    if info["md5"] != b"\x00" * 16 and bits % 8 == 0:
+        width = bits // 8
+        lo = -(1 << (bits - 1))
+        hi = (1 << (bits - 1)) - 1
+        if samples.size and (samples.min() < lo or samples.max() > hi):
+            raise ValueError("FLAC sample out of declared range")
+        raw = b"".join(
+            int(v).to_bytes(width, "little", signed=True)
+            for v in samples.reshape(-1)
+        )
+        if hashlib.md5(raw).digest() != info["md5"]:
+            raise ValueError("FLAC MD5 signature mismatch")
+    meta = {
+        "sample_rate": info["sample_rate"],
+        "channels": channels,
+        "bits": bits,
+        "n_samples": int(len(samples)),
+    }
+    return meta, samples.astype(np.int32)
+
+
+def _flac_zigzag(res: np.ndarray) -> np.ndarray:
+    return (res << 1) ^ (res >> 63)
+
+
+def _flac_best_rice(zig: np.ndarray) -> tuple[int, int]:
+    """(best k, bits) for one partition — exact cost, vectorized."""
+    n = len(zig)
+    best_k, best_cost = 0, None
+    total = int(zig.sum())
+    for k in range(0, 31):
+        cost = (total >> k) if k == 0 else int((zig >> k).sum())
+        cost += n * (k + 1)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+        elif cost > best_cost * 2:
+            break  # costs are convex in k past the optimum
+    return best_k, best_cost
+
+
+def _flac_write_residual(
+    w: _MSBWriter, res: np.ndarray, bsz: int, order: int, po: int
+) -> None:
+    while po > 0 and (bsz % (1 << po) or bsz // (1 << po) <= order):
+        po -= 1  # largest legal partition order at this geometry
+    parts = 1 << po
+    zig = _flac_zigzag(res.astype(np.int64))
+    plans = []
+    need_rice2 = False
+    off = 0
+    for p in range(parts):
+        count = bsz // parts - (order if p == 0 else 0)
+        pz = zig[off : off + count]
+        off += count
+        k, rice_cost = _flac_best_rice(pz)
+        raw = int(pz.max()).bit_length() + 1 if count and pz.max() else 0
+        if raw > 32:
+            raise ValueError("FLAC residual exceeds 32-bit raw escape")
+        esc_cost = 5 + count * raw
+        use_esc = esc_cost < rice_cost
+        plans.append((use_esc, k, raw, pz, res[off - count : off]))
+        if not use_esc and k > 14:
+            need_rice2 = True
+    method = 1 if need_rice2 else 0
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    w.write(method, 2)
+    w.write(po, 4)
+    for use_esc, k, raw, pz, pr in plans:
+        if use_esc:
+            w.write(escape, pbits)
+            w.write(raw, 5)
+            for v in pr.tolist():
+                w.write(int(v), raw)
+        else:
+            w.write(k, pbits)
+            for u in pz.tolist():
+                w.write_unary(int(u) >> k)
+                w.write(int(u), k)
+
+
+def _flac_lpc_analyze(
+    sig: np.ndarray, order: int, precision: int = 12
+) -> tuple[list[int], int] | None:
+    """Levinson-Durbin on the block's autocorrelation -> quantized
+    integer predictor (coefficients, shift), or None when degenerate
+    (constant/near-silent blocks fall back to the fixed predictors)."""
+    x = sig.astype(np.float64)
+    n = len(x)
+    if n <= order:
+        return None
+    ac = np.array(
+        [float(np.dot(x[: n - lag], x[lag:])) for lag in range(order + 1)]
+    )
+    if ac[0] == 0.0:
+        return None
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+        k = acc / err
+        a[: i + 1] = np.concatenate([a[:i] - k * a[:i][::-1], [k]])
+        err *= 1.0 - k * k
+        if err <= 0:
+            return None
+    cmax = float(np.abs(a).max())
+    if cmax == 0.0 or not np.isfinite(cmax):
+        return None
+    shift = min(15, max(1, (precision - 1) - int(np.floor(np.log2(cmax))) - 1))
+    q = np.clip(
+        np.round(a * (1 << shift)),
+        -(1 << (precision - 1)),
+        (1 << (precision - 1)) - 1,
+    ).astype(np.int64)
+    if not q.any():
+        return None
+    return q.tolist(), shift
+
+
+def _flac_write_subframe(
+    w: _MSBWriter, sig: np.ndarray, bps: int, po: int, lpc_order: int
+) -> None:
+    sig = sig.astype(np.int64)
+    bsz = len(sig)
+    wasted = 0
+    if sig.any():
+        # common trailing zero bits -> the wasted-bits field (spec's
+        # intended use: upscaled sources)
+        ored = int(np.bitwise_or.reduce(sig))
+        wasted = (ored & -ored).bit_length() - 1
+        if wasted:
+            sig = sig >> wasted
+    eff = bps - wasted
+    if np.all(sig == sig[0]) if bsz else True:
+        w.write(0, 1)
+        w.write(0, 6)
+        if wasted:
+            w.write(1, 1)
+            w.write_unary(wasted - 1)
+        else:
+            w.write(0, 1)
+        w.write(int(sig[0]) if bsz else 0, eff)
+        return
+    candidates: list[tuple[int, str, object]] = []
+    best_fixed, best_cost = 0, None
+    for order in range(0, min(4, bsz - 1) + 1):
+        res = np.diff(sig, n=order)
+        zig = _flac_zigzag(res)
+        cost = int(np.log2(zig + 1).sum()) + order * eff
+        if best_cost is None or cost < best_cost:
+            best_fixed, best_cost = order, cost
+    candidates.append((best_cost, "fixed", best_fixed))
+    if lpc_order > 0:
+        lpc = _flac_lpc_analyze(sig, min(lpc_order, bsz - 1))
+        if lpc is not None:
+            coefs, shift = lpc
+            order = len(coefs)
+            hist = sig
+            pred = np.zeros(bsz - order, dtype=np.int64)
+            for j, c in enumerate(coefs):
+                pred += int(c) * hist[order - 1 - j : bsz - 1 - j]
+            res = sig[order:] - (pred >> shift)
+            zig = _flac_zigzag(res)
+            cost = int(np.log2(zig + 1).sum()) + order * (eff + 12)
+            candidates.append((cost, "lpc", (coefs, shift, res)))
+    _, kind, chosen = min(candidates, key=lambda t: t[0])
+    verb_cost = bsz * eff
+    if min(c[0] for c in candidates) > verb_cost:
+        kind = "verbatim"
+    w.write(0, 1)
+    if kind == "verbatim":
+        w.write(1, 6)
+    elif kind == "fixed":
+        w.write(8 + chosen, 6)
+    else:
+        w.write(32 + len(chosen[0]) - 1, 6)
+    if wasted:
+        w.write(1, 1)
+        w.write_unary(wasted - 1)
+    else:
+        w.write(0, 1)
+    if kind == "verbatim":
+        for v in sig.tolist():
+            w.write(int(v), eff)
+        return
+    if kind == "fixed":
+        order = chosen
+        for v in sig[:order].tolist():
+            w.write(int(v), eff)
+        _flac_write_residual(w, np.diff(sig, n=order), bsz, order, po)
+        return
+    coefs, shift, res = chosen
+    order = len(coefs)
+    for v in sig[:order].tolist():
+        w.write(int(v), eff)
+    w.write(12 - 1, 4)  # precision code: 12 bits
+    w.write(shift, 5)
+    for c in coefs:
+        w.write(int(c), 12)
+    _flac_write_residual(w, res, bsz, order, po)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    bits: int = 16,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+    partition_order: int = 0,
+    lpc_order: int = 0,
+) -> bytes:
+    """(n,) or (n, channels) int -> FLAC bytes (RFC 9639), losslessly.
+    Per block, every channel picks the cheapest of CONSTANT / VERBATIM
+    / FIXED orders 0-4 / (with `lpc_order` > 0) a Levinson-Durbin LPC
+    predictor, residuals rice-coded with up to 2^`partition_order`
+    partitions (per-partition parameter search, raw escape when
+    cheaper, rice2 when a parameter outgrows 4 bits). `stereo_mode`
+    exercises the decorrelation paths: independent | left-side |
+    right-side | mid-side. STREAMINFO carries the real MD5 so decode
+    is integrity-checked end to end."""
+    import hashlib
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or s.shape[1] < 1 or s.shape[1] > 8:
+        raise ValueError(f"expected (n, 1..8) samples, got {s.shape}")
+    if bits not in (8, 16):
+        raise ValueError("encoder supports 8- or 16-bit samples")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if s.size and (s.min() < lo or s.max() > hi):
+        raise ValueError(f"sample out of {bits}-bit range")
+    if not 1 <= block_size <= 65536:
+        raise ValueError("block size must be 1..65536")
+    n, channels = s.shape
+    if stereo_mode != "independent" and channels != 2:
+        raise ValueError("stereo decorrelation needs exactly 2 channels")
+    ch_code = {
+        "independent": channels - 1,
+        "left-side": 8,
+        "right-side": 9,
+        "mid-side": 10,
+    }.get(stereo_mode)
+    if ch_code is None:
+        raise ValueError(f"unknown stereo mode {stereo_mode!r}")
+
+    frames = []
+    for fi, off in enumerate(range(0, max(n, 1), block_size)):
+        block = s[off : off + block_size]
+        if not len(block):
+            break
+        bsz = len(block)
+        w = _MSBWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed block-size stream; coded number = frame #
+        bs_code = _FLAC_BS_CODES.get(bsz, 7)
+        w.write(bs_code, 4)
+        w.write(0, 4)  # sample rate: from STREAMINFO
+        w.write(ch_code, 4)
+        w.write(_FLAC_SS_CODES[bits], 3)
+        w.write(0, 1)
+        for byte in _flac_utf8_encode(fi):
+            w.write(byte, 8)
+        if bs_code == 7:
+            w.write(bsz - 1, 16)
+        w.align()
+        head = w.bytes()
+        w = _MSBWriter()
+        if ch_code <= 7:
+            chans = [(block[:, c], bits) for c in range(channels)]
+        else:
+            left = block[:, 0]
+            right = block[:, 1]
+            side = left - right
+            if ch_code == 8:
+                chans = [(left, bits), (side, bits + 1)]
+            elif ch_code == 9:
+                chans = [(side, bits + 1), (right, bits)]
+            else:
+                chans = [((left + right) >> 1, bits), (side, bits + 1)]
+        for sig, bps in chans:
+            _flac_write_subframe(w, sig, bps, partition_order, lpc_order)
+        w.align()
+        body = w.bytes()
+        framed = head + bytes([_crc8(head)]) + body
+        frames.append(framed + _crc16(framed).to_bytes(2, "big"))
+
+    md5 = hashlib.md5(
+        b"".join(
+            int(v).to_bytes(bits // 8, "little", signed=True)
+            for v in s.reshape(-1)
+        )
+    ).digest()
+    mi = _MSBWriter()
+    mi.write(min(block_size, max(n, 1)) if n else block_size, 16)
+    mi.write(block_size, 16)
+    fsizes = [len(f) for f in frames] or [0]
+    mi.write(min(fsizes), 24)
+    mi.write(max(fsizes), 24)
+    mi.write(sample_rate, 20)
+    mi.write(channels - 1, 3)
+    mi.write(bits - 1, 5)
+    mi.write(n, 36)
+    mi.align()
+    streaminfo = mi.bytes() + md5
+    return (
+        b"fLaC"
+        + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        + b"".join(frames)
+    )

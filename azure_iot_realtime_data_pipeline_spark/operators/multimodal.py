@@ -641,13 +641,14 @@ def decode_wav(payload: bytes):
 
 def audio_meta(media: DataFrame) -> DataFrame:
     """(doc_id, sample_rate, channels, bits, n_samples, duration_ms)
-    from REAL WAV decode — narrow Arrow map, zero shuffle."""
+    from REAL audio decode (WAV or FLAC) — narrow Arrow map, zero
+    shuffle."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                meta, samples = decode_wav(payload)
+                meta, samples = decode_audio(payload)
                 n = samples.shape[0]
                 rows.append(
                     (
@@ -685,7 +686,7 @@ def audio_features(media: DataFrame) -> DataFrame:
         rows = []
         for pdf in batches:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                _meta, s = decode_wav(payload)
+                _meta, s = decode_audio(payload)
                 flat = s.astype(np.int64).reshape(-1)
                 n = max(len(flat), 1)
                 rms = math.isqrt(int((flat * flat).sum()) // n)
@@ -800,7 +801,16 @@ def _text_pixel_grid(text: str, width: int):
 
 def _synth_payloads(docs: DataFrame, text_col: str, one) -> DataFrame:
     """Shared synthesis wrapper: `one(doc_id, text) -> payload bytes`
-    over a narrow Arrow map — the plan shape of every synth below."""
+    over a narrow Arrow map — the plan shape of every synth below.
+    `ensure_parallelism` guards the CPU-bound codec stage downstream:
+    the local documents parquet is ONE file, so without it every
+    synth->decode->measure chain serializes on a single core (measured
+    12 s -> ~1 s for the FLAC chain at sf0.1; the q_top_ngrams
+    incident class). At scale the scan has thousands of splits and the
+    guard is a no-op."""
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import (
+        ensure_parallelism,
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -814,7 +824,7 @@ def _synth_payloads(docs: DataFrame, text_col: str, one) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(
         synth, "doc_id BIGINT, payload BINARY"
     )
 
@@ -1182,3 +1192,62 @@ def image_stats(media: DataFrame, backend: str = "auto") -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         extract, IMAGE_STATS_SCHEMA
     )
+
+
+def decode_audio(payload: bytes):
+    """Container-dispatching audio decode: RIFF/WAVE -> `decode_wav`
+    (PCM, G.711, IMA ADPCM), fLaC -> `codecs.decode_flac` (the
+    entropy-coded lossless codec, RFC 9639). Same return convention
+    everywhere: (meta dict with sample_rate/channels/bits,
+    (n, channels) int32). Unknown magic raises ValueError
+    (quarantine-able); MP3/AAC remain the documented perceptual-audio
+    swap point."""
+    b = bytes(payload)
+    if b[:4] == b"fLaC":
+        from .codecs import decode_flac
+
+        return decode_flac(b)
+    if b[:4] == b"RIFF":
+        return decode_wav(b)
+    raise ValueError("unknown audio container (expected RIFF/WAVE or FLAC)")
+
+
+def synth_flac_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic REAL-FLAC synthesis from text: each character's
+    codepoint (mod 256, centered) becomes one 16-bit sample, encoded
+    through the true RFC 9639 encoder with the codec's dials cycling
+    per document so the gated corpus exercises every decode path —
+    channel layout `doc_id % 4` (mono, then left-side / right-side /
+    mid-side stereo with the REVERSED signal as the right channel: a
+    reversal preserves the sample multiset, so rms/peak stay
+    oracle-identical while the side channel carries real content),
+    block size 192/256 (both natural header codes, multi-frame for
+    longer docs), rice partition order `doc_id % 3`, and LPC order 4
+    on every 5th doc (fixed predictors otherwise). `q_flac_features`
+    routes documents through synth -> `decode_flac` -> `audio_features`
+    against the SAME character-level DuckDB oracle as the PCM chain —
+    the prediction + rice entropy coding layer changes the bytes,
+    never the samples."""
+    from .codecs import encode_flac
+
+    import numpy as np
+
+    def one(doc_id: int, text: str) -> bytes:
+        s = np.array(
+            [(ord(c) % 256) - 128 for c in (text or "")], dtype=np.int64
+        )
+        mode = doc_id % 4
+        if mode == 0 or len(s) == 0:
+            sig, stereo = s, "independent"
+        else:
+            sig = np.stack([s, s[::-1]], axis=1)
+            stereo = ("left-side", "right-side", "mid-side")[mode - 1]
+        return encode_flac(
+            sig,
+            block_size=192 if doc_id % 2 else 256,
+            stereo_mode=stereo,
+            partition_order=doc_id % 3,
+            lpc_order=4 if doc_id % 5 == 0 else 0,
+        )
+
+    return _synth_payloads(docs, text_col, one)

@@ -5943,3 +5943,9 @@ ORACLES["q_bpe_encode_fixed"] = """
            CAST(coalesce(enc.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
     FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
     """
+
+# J14i: FLAC is lossless, so its feature chain shares the PCM chain's
+# character-level oracle verbatim — the stereo layouts synthesized by
+# synth_flac_from_text use the REVERSED signal as the right channel,
+# which preserves the sample multiset (rms/peak) and channel 0 (zc).
+ORACLES["q_flac_features"] = ORACLES["q_audio_features"]

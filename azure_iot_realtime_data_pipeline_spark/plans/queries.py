@@ -851,6 +851,22 @@ def q_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14i FLAC (RFC 9639) under the value-hash gate — the first
+    ENTROPY-CODED audio codec in the family (G.711/ADPCM are fixed-rate
+    companding; FLAC is prediction + rice coding, audio's PNG).
+    Documents synthesize real FLAC streams with the codec dials cycling
+    per doc (mono/left-side/right-side/mid-side layout, 192/256 block
+    sizes, rice partition orders 0-2, LPC every 5th doc — see
+    synth_flac_from_text), the true decoder reads them back through
+    CRC-8/CRC-16/MD5 verification, and the integer loudness features
+    must hash-match the SAME character-level DuckDB oracle as the PCM
+    chain: the whole prediction + entropy layer changes the bytes,
+    never the samples."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_features(multimodal.synth_flac_from_text(docs))
+
+
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14e REAL video-container decode under the value-hash gate:
     documents synthesize YUV4MPEG2 streams (8x8 mono luma frames from
@@ -3953,6 +3969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # queries + the full 35-query r5-era block + the 13 stalest
     # r6-era queries. Rotate each round.
     # -- never driver-sampled (new this session, oracled) ------------
+    "q_flac_features": q_flac_features,
     "q_bucketed_join": q_bucketed_join,
     "q_bpe_encode_fixed": q_bpe_encode_fixed,
     # -- last driver green: r5 ---------------------------------------

@@ -213,3 +213,51 @@ def test_png_adam7_roundtrip_property(img, filter_type):
     )
     assert np.array_equal(inter, plain)
     assert np.array_equal(inter, img)
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_flac_roundtrip_property(seed):
+    """FLAC (RFC 9639, r11): encode -> decode is the identity across
+    random 16-bit content, every stereo decorrelation mode, rice
+    partition orders, LPC on/off, and block sizes that exercise both
+    the natural header codes and the 16-bit explicit field — with the
+    CRC-8/CRC-16/MD5 integrity chain verified on every decode."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, 700))
+    channels = int(rng.integers(1, 3))
+    shape = (n,) if channels == 1 else (n, 2)
+    x = rng.integers(-(2**15), 2**15, size=shape, dtype=np.int64)
+    mode = (
+        "independent"
+        if channels == 1
+        else ("independent", "left-side", "right-side", "mid-side")[
+            int(rng.integers(0, 4))
+        ]
+    )
+    payload = codecs.encode_flac(
+        x,
+        block_size=int(rng.integers(1, 400)),
+        stereo_mode=mode,
+        partition_order=int(rng.integers(0, 4)),
+        lpc_order=int(rng.integers(0, 9)),
+    )
+    meta, out = codecs.decode_flac(payload)
+    assert meta["bits"] == 16 and meta["channels"] == channels
+    assert np.array_equal(out, x.reshape(n, channels))
+
+
+def test_flac_fuzz_quarantine():
+    """The quarantine contract for the FLAC decoder: mutations and
+    truncations of a valid stream raise only ValueError — the CRC-8 /
+    CRC-16 / MD5 chain turns silent corruption into loud rejection."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(-3000, 3000, size=(400, 2), dtype=np.int64)
+    payload = codecs.encode_flac(
+        x, stereo_mode="mid-side", block_size=192, partition_order=2
+    )
+    _assert_quarantine_only(codecs.decode_flac, payload, seed=12)

@@ -1510,3 +1510,99 @@ def test_native_backend_matches_pure_on_dc_exact_corpus():
         assert np.array_equal(got, want)
     finally:
         multimodal._NATIVE_IMAGE = None
+
+
+def test_flac_integrity_chain_and_dispatch():
+    """FLAC's three integrity layers each reject independently: a
+    flipped header byte fails CRC-8, a flipped audio byte fails CRC-16,
+    and a forged MD5 fails the final signature check; decode_audio
+    dispatches on the fLaC magic and rejects unknown containers."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_flac,
+        encode_flac,
+    )
+    from azure_iot_realtime_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    rng = np.random.default_rng(77)
+    x = rng.integers(-20000, 20000, size=600, dtype=np.int64)
+    payload = encode_flac(x, block_size=256, partition_order=2)
+
+    meta, out = decode_audio(payload)
+    assert meta["bits"] == 16 and np.array_equal(out[:, 0], x)
+
+    # STREAMINFO is 4 (magic) + 4 (block header) + 34 bytes; the first
+    # frame starts right after — flip its sync/header region
+    frame0 = 4 + 4 + 34
+    hdr_bad = bytearray(payload)
+    hdr_bad[frame0 + 2] ^= 0x01  # inside the frame header
+    with pytest.raises(ValueError):
+        decode_flac(bytes(hdr_bad))
+
+    body_bad = bytearray(payload)
+    body_bad[frame0 + 40] ^= 0x40  # inside subframe data
+    with pytest.raises(ValueError):
+        decode_flac(bytes(body_bad))
+
+    md5_bad = bytearray(payload)
+    md5_bad[4 + 4 + 18] ^= 0xFF  # first MD5 byte in STREAMINFO
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(md5_bad))
+
+    with pytest.raises(ValueError, match="audio container"):
+        decode_audio(b"ID3\x04" + b"\x00" * 64)  # MP3: the swap point
+
+
+def test_flac_chain_operator_and_throughput(spark):
+    """The registered chain end-to-end on a tiny corpus: synth (cycled
+    dials) -> decode -> features matches the PCM chain's features for
+    the same text (FLAC is lossless; the reversed right channel
+    preserves rms/peak/zc). Plus the throughput tripwire: a
+    2000-sample doc must encode+decode well under the JPEG chains'
+    documented per-doc cost."""
+    import time
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators import multimodal
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_flac,
+        encode_flac,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["hello flac world", "", "aaaa" * 120, "mixed Text 123!"] * 3
+        )],
+        "doc_id long, text string",
+    )
+    flac_feats = {
+        r.doc_id: r
+        for r in multimodal.audio_features(
+            multimodal.synth_flac_from_text(docs)
+        ).collect()
+    }
+    wav_feats = {
+        r.doc_id: r
+        for r in multimodal.audio_features(
+            multimodal.synth_wav_from_text(docs)
+        ).collect()
+    }
+    assert set(flac_feats) == set(wav_feats)
+    for k in flac_feats:
+        assert (
+            flac_feats[k].rms == wav_feats[k].rms
+            and flac_feats[k].peak == wav_feats[k].peak
+            and flac_feats[k].zero_crossings == wav_feats[k].zero_crossings
+        ), k
+
+    rng = np.random.default_rng(5)
+    sig = rng.integers(-128, 128, size=2000, dtype=np.int64)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        decode_flac(encode_flac(sig, block_size=256, partition_order=2))
+    per_doc_ms = (time.perf_counter() - t0) / 5 * 1000
+    assert per_doc_ms < 60, f"FLAC chain {per_doc_ms:.1f} ms/doc"
