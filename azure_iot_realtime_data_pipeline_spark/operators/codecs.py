@@ -5,7 +5,7 @@ standard library (zlib for PNG's DEFLATE) and numpy — no PIL/cv2/
 ffmpeg. This closes three of the "compressed codec" swap points that
 `operators/multimodal.py` documented since r10:
 
-- PNG (W3C PNG spec / RFC 2083): full decode of 8-bit non-interlaced
+- PNG (W3C PNG spec / RFC 2083): full decode of 8/16-bit
   images in all five color types (gray, RGB, palette, gray+alpha,
   RGBA) including all five scanline filters (None/Sub/Up/Average/
   Paeth), plus an encoder with a selectable filter so round-trip tests
@@ -52,9 +52,10 @@ NotImplementedError boundaries.
 
 All decoders validate headers and raise ValueError on malformed input
 (never a bare crash inside an Arrow UDF) and NotImplementedError on
-valid-but-unsupported variants (16-bit PNG, arithmetic-coded or
-hierarchical JPEG), keeping the quarantine-vs-swap-point contract of
-the WAV/netpbm decoders. Adam7 interlace decodes for real since r11.
+valid-but-unsupported variants (sub-byte PNG depths, arithmetic-coded
+or hierarchical JPEG), keeping the quarantine-vs-swap-point contract
+of the WAV/netpbm decoders. Adam7 interlace and 16-bit depth decode
+for real since r11.
 """
 
 from __future__ import annotations
@@ -165,10 +166,11 @@ _ADAM7_PASSES = (
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> (H, W, C) uint8 ndarray. Supports bit depth 8, interlace
-    0 AND Adam7 interlace 1 (seven independently filtered sub-images
-    scattered back onto the pass grid), all five color types; palette
-    images expand through PLTE to RGB."""
+    """PNG -> (H, W, C) ndarray (uint8, or uint16 for 16-bit depth).
+    Supports bit depths 8 AND 16, interlace 0 AND Adam7 interlace 1
+    (seven independently filtered sub-images scattered back onto the
+    pass grid), all five color types; palette images expand through
+    PLTE to RGB."""
     b = bytes(payload)
     if b[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
@@ -191,39 +193,56 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("invalid PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(f"PNG bit depth {depth} not supported")
     if color_type not in _PNG_SAMPLES:
         raise ValueError(f"unknown PNG color type {color_type}")
+    if depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not spec-valid")
     samples = _PNG_SAMPLES[color_type]
-    stride = width * samples
+    # PNG filters operate on BYTES with bpp = bytes per pixel, so the
+    # 16-bit path reuses the same unfilter at doubled lane width and
+    # combines big-endian byte pairs afterwards
+    sw = depth // 8  # sample width in bytes
+    bpp = samples * sw
+    stride = width * bpp
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:  # chunk CRCs pass but DEFLATE is torn
         raise ValueError(f"PNG IDAT stream corrupt: {exc}") from None
+
+    def _combine(bytes_img: np.ndarray, h: int, w: int) -> np.ndarray:
+        if sw == 1:
+            return bytes_img.reshape(h, w, samples)
+        return (
+            bytes_img.reshape(h, w * samples, 2)
+            .astype(np.uint16)[:, :, 0] * 256
+            + bytes_img.reshape(h, w * samples, 2).astype(np.uint16)[:, :, 1]
+        ).reshape(h, w, samples)
+
     if interlace == 1:
-        img = np.zeros((height, width, samples), dtype=np.uint8)
+        img = np.zeros(
+            (height, width, samples), dtype=np.uint16 if sw == 2 else np.uint8
+        )
         pos = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = max(0, -(-(width - x0) // dx))
             ph = max(0, -(-(height - y0) // dy))
             if pw == 0 or ph == 0:
                 continue  # empty pass: no scanlines, no filter bytes
-            pstride = pw * samples
+            pstride = pw * bpp
             need = ph * (pstride + 1)
             if pos + need > len(raw):
                 raise ValueError("PNG pixel data does not match dimensions")
-            sub = _unfilter(raw[pos : pos + need], ph, pstride, samples)
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, samples)
+            sub = _unfilter(raw[pos : pos + need], ph, pstride, bpp)
+            img[y0::dy, x0::dx] = _combine(sub, ph, pw)
             pos += need
         if pos != len(raw):
             raise ValueError("PNG pixel data does not match dimensions")
     else:
         if len(raw) != height * (stride + 1):
             raise ValueError("PNG pixel data does not match dimensions")
-        img = _unfilter(raw, height, stride, samples).reshape(
-            height, width, samples
-        )
+        img = _combine(_unfilter(raw, height, stride, bpp), height, width)
     if color_type == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/invalid PLTE")
@@ -291,35 +310,46 @@ def encode_png(
     level: int = 6,
     interlace: bool = False,
 ) -> bytes:
-    """(H, W, C) uint8 -> PNG bytes (8-bit). Channel count picks the
+    """(H, W, C) uint8 (or uint16 -> 16-bit depth) -> PNG bytes.
+    Channel count picks the
     color type (1 gray, 2 gray+alpha, 3 RGB, 4 RGBA); `filter_type`
     applies one spec filter to every scanline before DEFLATE — real
     predictive compression, and the dial the round-trip tests turn to
     cover every unfilter branch. `interlace=True` emits the Adam7
     layout (seven independently filtered pass sub-images, empty passes
     omitted) so the decoder's scatter path is round-trip testable."""
-    a = np.asarray(arr, dtype=np.uint8)
+    src = np.asarray(arr)
+    depth = 16 if src.dtype == np.uint16 else 8
+    a = src.astype(np.uint16 if depth == 16 else np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
-        raise ValueError(f"expected (H, W, 1..4) uint8, got {a.shape}")
+        raise ValueError(f"expected (H, W, 1..4) image, got {a.shape}")
     h, w, c = a.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
+    )
+    bpp = c * (depth // 8)
+
+    def _rows(sub: np.ndarray) -> np.ndarray:
+        # (h', w', c) -> byte rows: PNG filters work on bytes, so the
+        # 16-bit path filters the big-endian byte view at doubled bpp
+        hh = sub.shape[0]
+        if depth == 8:
+            return sub.reshape(hh, -1)
+        return (
+            sub.astype(">u2").reshape(hh, -1).view(np.uint8).reshape(hh, -1)
+        )
+
     if interlace:
         raw = b"".join(
-            _filter_scanlines(
-                a[y0::dy, x0::dx].reshape(
-                    a[y0::dy, x0::dx].shape[0], -1
-                ),
-                filter_type,
-                c,
-            )
+            _filter_scanlines(_rows(a[y0::dy, x0::dx]), filter_type, bpp)
             for x0, y0, dx, dy in _ADAM7_PASSES
             if a[y0::dy, x0::dx].size
         )
     else:
-        raw = _filter_scanlines(a.reshape(h, w * c), filter_type, c)
+        raw = _filter_scanlines(_rows(a), filter_type, bpp)
     idat = zlib.compress(raw, level)
     return (
         PNG_SIGNATURE

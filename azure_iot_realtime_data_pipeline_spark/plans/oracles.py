@@ -5949,3 +5949,4 @@ ORACLES["q_bpe_encode_fixed"] = """
 # synth_flac_from_text use the REVERSED signal as the right channel,
 # which preserves the sample multiset (rms/peak) and channel 0 (zc).
 ORACLES["q_flac_features"] = ORACLES["q_audio_features"]
+

@@ -261,3 +261,24 @@ def test_flac_fuzz_quarantine():
         x, stereo_mode="mid-side", block_size=192, partition_order=2
     )
     _assert_quarantine_only(codecs.decode_flac, payload, seed=12)
+
+
+@given(seed=st.integers(0, 2**32 - 1), filter_type=st.integers(0, 4))
+@settings(max_examples=30, deadline=None)
+def test_png_16bit_roundtrip_property(seed, filter_type):
+    """16-bit PNG (r11): the byte-lane filters at doubled bpp + the
+    big-endian pair combine round-trip exactly, plain and Adam7, for
+    every channel count — and the dtype contract holds (uint16 in,
+    uint16 out; uint8 stays uint8)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(1, 16)), int(rng.integers(1, 16))
+    c = int(rng.integers(1, 5))
+    img = rng.integers(0, 65536, size=(h, w, c), dtype=np.uint16)
+    for interlace in (False, True):
+        out = codecs.decode_png(
+            codecs.encode_png(img, filter_type=filter_type, interlace=interlace)
+        )
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, img)

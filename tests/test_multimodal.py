@@ -523,8 +523,8 @@ def test_png_palette_expands_through_plte():
 def test_png_rejects_corrupt_and_gates_unsupported():
     """Malformed input raises ValueError (quarantine-able, never a bare
     crash inside the Arrow UDF); the remaining valid-but-unsupported
-    variant (16-bit depth) raises the documented NotImplementedError
-    (Adam7 decodes for real since r11)."""
+    variants (sub-byte depths) raise the documented NotImplementedError
+    (Adam7 and 16-bit depth decode for real since r11)."""
     import struct
 
     import numpy as np
@@ -561,7 +561,7 @@ def test_png_rejects_corrupt_and_gates_unsupported():
     with _pytest.raises(ValueError, match="interlace"):
         decode_png(_ihdr_png(8, 2) + _png_chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(_ihdr_png(16, 0) + _png_chunk(b"IEND", b""))
+        decode_png(_ihdr_png(4, 0) + _png_chunk(b"IEND", b""))
 
 
 def test_png_dispatches_from_decode_image_array():
@@ -1178,6 +1178,30 @@ def test_codec_chain_runs_under_structured_streaming(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 8
+
+    # the FLAC chain (r11) streams the same way: entropy-coded audio
+    # synth -> decode -> features, batch-equivalent
+    out2 = multimodal.audio_features(multimodal.synth_flac_from_text(stream))
+    assert out2.isStreaming
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("flac_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r.doc_id: (r.rms, r.peak, r.zero_crossings)
+        for r in spark.sql("SELECT * FROM flac_stream").collect()
+    }
+    want2 = {
+        r.doc_id: (r.rms, r.peak, r.zero_crossings)
+        for r in multimodal.audio_features(
+            multimodal.synth_flac_from_text(docs)
+        ).collect()
+    }
+    assert got2 == want2 and len(got2) == 8
 
 
 def test_codec_review_fixes_r10_pass2():
