@@ -2953,3 +2953,192 @@ def encode_flac(
         + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
         + b"".join(frames)
     )
+
+
+def decode_gif_frames(payload: bytes, max_frames: int | None = None):
+    """GIF87a/89a ANIMATION -> (meta, [composited (H, W, 3) uint8
+    frames]) — the full temporal walk the first-frame `decode_gif`
+    skips: graphic control extensions (per-frame transparency index,
+    disposal method, delay), partial/offset frames composited onto the
+    logical-screen canvas, and the published disposal semantics
+    BETWEEN frames (0/1 leave in place, 2 restore the frame rectangle
+    to the background color, 3 restore the pre-frame canvas). Each
+    returned frame is the fully composited screen as a compositing
+    renderer would display it — frames genuinely DEPEND on their
+    predecessors, which is what makes the animated container a
+    temporal format rather than a stack of stills. Unknown extensions
+    (NETSCAPE loops, comments) skip via the sub-block grammar.
+    `max_frames` bounds decode work for sampling consumers."""
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(b) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    if sw <= 0 or sh <= 0:
+        raise ValueError("invalid GIF screen dimensions")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + n * 3 > len(b):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(b) and b[p]:
+            p += 1 + b[p]
+        return p + 1
+
+    bg_rgb = (
+        gct[bg]
+        if gct is not None and bg < gct.shape[0]
+        else (gct[0] if gct is not None else np.zeros(3, dtype=np.uint8))
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    gce: tuple[int, int | None, int] | None = None  # (disposal, tidx, delay)
+    while pos < len(b):
+        tag = b[pos]
+        if tag == 0x3B:  # trailer
+            break
+        if tag == 0x21:  # extension
+            if pos + 2 > len(b):
+                raise ValueError("truncated GIF extension")
+            label = b[pos + 1]
+            if label == 0xF9:  # graphic control
+                if pos + 7 > len(b) or b[pos + 2] != 4:
+                    raise ValueError("malformed GIF graphic control block")
+                gpacked = b[pos + 3]
+                delay = int.from_bytes(b[pos + 4 : pos + 6], "little")
+                tidx = b[pos + 6] if gpacked & 1 else None
+                gce = ((gpacked >> 2) & 7, tidx, delay)
+            pos = skip_subblocks(pos + 2)
+            continue
+        if tag != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{tag:02X}")
+        if pos + 10 > len(b):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            if pos + n * 3 > len(b):
+                raise ValueError("truncated GIF local color table")
+            pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+            raise ValueError("invalid GIF image dimensions")
+        if pos >= len(b):
+            raise ValueError("truncated GIF image data")
+        min_code = b[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(b) and b[pos]:
+            size = b[pos]
+            lzw += b[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(bytes(lzw), min_code), dtype=np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data does not match dimensions")
+        idx = idx[: w * h].reshape(h, w)
+        if ipacked & 0x40:
+            deinter = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    deinter[y] = idx[src]
+                    src += 1
+            idx = deinter
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF palette index out of range")
+        disposal, tidx, delay = gce if gce is not None else (0, None, 0)
+        gce = None
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        rgb = pal[idx]
+        if tidx is None:
+            region[:] = rgb
+        else:
+            mask = idx != tidx
+            region[mask] = rgb[mask]
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3:
+            canvas = saved
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    meta = {
+        "width": sw,
+        "height": sh,
+        "n_frames": len(frames),
+        "delays_cs": delays,
+    }
+    return meta, frames
+
+
+def encode_gif_anim(
+    frames: list[dict],
+    palette: np.ndarray,
+    screen: tuple[int, int],
+    bg: int = 0,
+    loop: bool = True,
+) -> bytes:
+    """Animated GIF89a writer — the round-trip twin of
+    `decode_gif_frames`. `frames` is a list of dicts with `idx`
+    ((h, w) uint8 palette indices) and optional `left`/`top` offsets,
+    `disposal` (0-3), `transparent` index, `delay_cs`; `screen` is the
+    logical screen (w, h). Emits a graphic control extension per frame
+    and (with `loop`) the NETSCAPE application extension, so the
+    decoder's GCE parse, disposal/transparency compositing and
+    unknown-extension skip paths are all round-trip exercisable."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not len(frames):
+        raise ValueError("need frames and an (N, 3) palette")
+    sw, sh = screen
+    depth = max(1, (int(pal.shape[0]) - 1).bit_length())
+    n = 1 << depth
+    pal_full = np.zeros((n, 3), dtype=np.uint8)
+    pal_full[: pal.shape[0]] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), bg, 0)
+    out += pal_full.tobytes()
+    if loop:  # NETSCAPE 2.0 infinite loop (an app extension to skip)
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        a = np.asarray(f["idx"], dtype=np.uint8)
+        if a.ndim != 2:
+            raise ValueError("frame idx must be (H, W)")
+        h, w = a.shape
+        left, top = int(f.get("left", 0)), int(f.get("top", 0))
+        if left + w > sw or top + h > sh:
+            raise ValueError("frame exceeds logical screen")
+        if int(a.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        disposal = int(f.get("disposal", 0))
+        trans = f.get("transparent")
+        gpacked = (disposal & 7) << 2 | (1 if trans is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([gpacked])
+        out += int(f.get("delay_cs", 4)).to_bytes(2, "little")
+        out += bytes([trans if trans is not None else 0, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        min_code = max(2, depth)
+        out += bytes([min_code])
+        data = _lzw_encode(a.reshape(-1).tobytes(), min_code)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -1251,3 +1251,78 @@ def synth_flac_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
 
     return _synth_payloads(docs, text_col, one)
+
+
+GIF_FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, y_sum BIGINT, y_max INT"
+
+
+def synth_gif_anim_from_text(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic ANIMATED-GIF synthesis from text: the shared
+    codepoint pixel grid split into 128-char (8-row x 16-col) frame
+    bands that alternate between the top and bottom half of a 16x16
+    logical screen, so consecutive composited frames OVERLAP — frame
+    k shows its own band plus whatever the previous frame left in the
+    other band. Disposal cycles by document (`doc_id % 2`: even docs
+    use 1 = leave in place, odd docs 2 = restore background), which
+    flips whether that carryover survives — both published disposal
+    semantics sit under the value-hash gate, and the oracle expresses
+    the carryover as a per-frame lag. Grayscale identity palette,
+    background 0, NETSCAPE loop extension present (exercising the
+    unknown-extension skip)."""
+    import numpy as np
+
+    from .codecs import encode_gif_anim
+
+    pal = np.repeat(np.arange(256, dtype=np.uint8).reshape(-1, 1), 3, axis=1)
+
+    def one(doc_id: int, text: str) -> bytes:
+        grid = _text_pixel_grid(text, 16)
+        n_frames = max(1, -(-grid.shape[0] // 8))
+        frames = []
+        for k in range(n_frames):
+            band = np.zeros((8, 16), dtype=np.uint8)
+            rows = grid[8 * k : 8 * k + 8]
+            band[: rows.shape[0]] = rows
+            frames.append(
+                {
+                    "idx": band,
+                    "top": 0 if k % 2 == 0 else 8,
+                    "disposal": 1 if doc_id % 2 == 0 else 2,
+                }
+            )
+        return encode_gif_anim(frames, pal, screen=(16, 16), bg=0)
+
+    return _synth_payloads(docs, text_col, one)
+
+
+def gif_frame_stats(media: DataFrame) -> DataFrame:
+    """Per-COMPOSITED-frame luma measurement over the animated-GIF
+    temporal decode — one row per frame, all-integer (sum over the
+    three RGB channels + channel max), inside one narrow Arrow map.
+    The video-analog measurement stage for the only inter-frame-
+    dependent container the codec family ships (frames composite onto
+    prior canvas state per the GIF disposal semantics)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_gif_frames
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _meta, frames = decode_gif_frames(payload)
+                for k, fr in enumerate(frames):
+                    flat = fr.astype(np.int64)
+                    rows.append(
+                        (doc_id, k, int(flat.sum()), int(fr.max(initial=0)))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "y_sum", "y_max"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, GIF_FRAME_SCHEMA
+    )

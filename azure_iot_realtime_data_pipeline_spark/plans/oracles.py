@@ -5950,3 +5950,39 @@ ORACLES["q_bpe_encode_fixed"] = """
 # which preserves the sample multiset (rms/peak) and channel 0 (zc).
 ORACLES["q_flac_features"] = ORACLES["q_audio_features"]
 
+
+ORACLES["q_gif_anim_stats"] = """
+    -- J14j mirror: 128-char frame bands on a 16x16 screen; composited
+    -- frame k = own band + (previous band iff disposal==leave, i.e.
+    -- even doc_id); gray palette expands to RGB (sum x3); background
+    -- 0 never raises a max; empty docs emit one all-zero frame.
+    WITH chars AS (
+      SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+      FROM documents WHERE length(text) > 0
+    ),
+    chunk AS (
+      SELECT c.doc_id, CAST((i - 1) // 128 AS BIGINT) AS f,
+             SUM(ascii(substr(d.text, i, 1)) % 256) AS cs,
+             MAX(ascii(substr(d.text, i, 1)) % 256) AS cm
+      FROM chars c JOIN documents d ON c.doc_id = d.doc_id
+      GROUP BY c.doc_id, f
+    ),
+    frames AS (
+      SELECT doc_id, f, cs, cm,
+             lag(cs) OVER (PARTITION BY doc_id ORDER BY f) AS pcs,
+             lag(cm) OVER (PARTITION BY doc_id ORDER BY f) AS pcm
+      FROM chunk
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(3 * (cs + CASE WHEN doc_id % 2 = 0
+                               THEN coalesce(pcs, 0) ELSE 0 END)
+                AS BIGINT) AS y_sum,
+           CAST(greatest(cm, CASE WHEN doc_id % 2 = 0
+                                  THEN coalesce(pcm, 0) ELSE 0 END)
+                AS INT) AS y_max
+    FROM frames
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INT) AS frame_idx,
+           CAST(0 AS BIGINT) AS y_sum, CAST(0 AS INT) AS y_max
+    FROM documents WHERE length(text) = 0
+    """

@@ -867,6 +867,19 @@ def q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(multimodal.synth_flac_from_text(docs))
 
 
+def q_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14j ANIMATED GIF under the value-hash gate — the temporal
+    compositing decode (frames depend on prior canvas state):
+    documents synthesize multi-frame GIF89a animations whose 8-row
+    bands alternate screen halves, disposal cycling per doc (leave in
+    place vs restore background), and the per-composited-frame integer
+    measurements must hash-match a DuckDB oracle that expresses the
+    inter-frame carryover as a lag over the per-band character sums —
+    the compositing recurrence itself is what the oracle checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.gif_frame_stats(multimodal.synth_gif_anim_from_text(docs))
+
+
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14e REAL video-container decode under the value-hash gate:
     documents synthesize YUV4MPEG2 streams (8x8 mono luma frames from
@@ -3970,6 +3983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r6-era queries. Rotate each round.
     # -- never driver-sampled (new this session, oracled) ------------
     "q_flac_features": q_flac_features,
+    "q_gif_anim_stats": q_gif_anim_stats,
     "q_bucketed_join": q_bucketed_join,
     "q_bpe_encode_fixed": q_bpe_encode_fixed,
     # -- last driver green: r5 ---------------------------------------

@@ -282,3 +282,19 @@ def test_png_16bit_roundtrip_property(seed, filter_type):
         )
         assert out.dtype == np.uint16
         assert np.array_equal(out, img)
+
+
+def test_gif_anim_fuzz_quarantine():
+    """Quarantine contract for the animated-GIF walker: mutations and
+    truncations raise only ValueError/NotImplementedError."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    frames = [
+        {"idx": rng.integers(0, 64, size=(6, 9), dtype=np.uint8),
+         "top": 2, "left": 1, "disposal": d, "transparent": 3}
+        for d in (0, 1, 2, 3)
+    ]
+    payload = codecs.encode_gif_anim(frames, pal, screen=(12, 10))
+    _assert_quarantine_only(codecs.decode_gif_frames, payload, seed=22)
