@@ -3142,3 +3142,225 @@ def encode_gif_anim(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# APNG (the animated-PNG extension, standardized into the W3C PNG
+# spec 3rd edition): acTL/fcTL/fdAT chunks over the same DEFLATE +
+# filter machinery as still PNG — the second temporal container in
+# the family, and the first with TRUE ALPHA COMPOSITING (blend op
+# OVER), not just palette rectangles
+# ---------------------------------------------------------------------------
+
+def decode_apng_frames(payload: bytes, max_frames: int | None = None):
+    """APNG -> (meta, [composited (H, W, C) frames]) — the animated
+    walk: acTL declares the frame count, each fcTL carries the frame
+    rectangle, delay, dispose op (0 none, 1 background, 2 previous)
+    and blend op (0 source, 1 over); frame pixel data rides in IDAT
+    (first frame, when its fcTL precedes IDAT) or fdAT chunks, each
+    frame its own zlib stream filtered exactly like a still PNG.
+    Compositing follows the spec: OVER alpha-composites onto the
+    canvas (for alpha-less color types it equals SOURCE), dispose 1
+    clears the rectangle to fully-transparent/black, dispose 2 reverts
+    the canvas. Sequence numbers must be consecutive from 0 (shared
+    fcTL/fdAT counter) — a reordered or torn stream fails loudly.
+    Still PNGs (no acTL) return their single image. Palette APNG
+    raises NotImplementedError (tRNS-over-palette is the documented
+    unsupported variant); gray/RGB/GA/RGBA at depths 8 and 16 decode.
+    """
+    b = bytes(payload)
+    if b[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    actl = None
+    fctls: list[dict] = []  # in stream order
+    cur_data: bytearray | None = None
+    idat_frame: dict | None = None
+    seq_expect = 0
+    for ctype, data in _png_chunks(b):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"acTL":
+            if len(data) != 8:
+                raise ValueError("malformed APNG acTL chunk")
+            actl = struct.unpack(">II", data)
+        elif ctype == b"fcTL":
+            if len(data) != 26:
+                raise ValueError("malformed APNG fcTL chunk")
+            (seq, w, h, x, y, dnum, dden, dop, bop) = struct.unpack(
+                ">IIIIIHHBB", data
+            )
+            if seq != seq_expect:
+                raise ValueError("APNG sequence number out of order")
+            seq_expect += 1
+            fctls.append(
+                {
+                    "w": w, "h": h, "x": x, "y": y,
+                    "delay": (dnum, dden or 100),
+                    "dispose": dop, "blend": bop, "data": bytearray(),
+                }
+            )
+            cur_data = fctls[-1]["data"]
+        elif ctype == b"IDAT":
+            if fctls and fctls[-1]["data"] is cur_data and not fctls[-1]["data"]:
+                idat_frame = fctls[-1]
+            if idat_frame is not None:
+                idat_frame["data"].extend(data)
+            else:
+                # IDAT outside the animation (acTL present but first
+                # fcTL after IDAT): decode as the static fallback only
+                pass
+        elif ctype == b"fdAT":
+            if len(data) < 4:
+                raise ValueError("malformed APNG fdAT chunk")
+            seq = struct.unpack(">I", data[:4])[0]
+            if seq != seq_expect:
+                raise ValueError("APNG sequence number out of order")
+            seq_expect += 1
+            if cur_data is None:
+                raise ValueError("APNG fdAT before any fcTL")
+            cur_data.extend(data[4:])
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if actl is None:
+        meta_s = {"width": ihdr[1], "height": ihdr[0]}
+        img = decode_png(b)
+        return (
+            {"width": img.shape[1], "height": img.shape[0], "n_frames": 1,
+             "delays": [(0, 100)]},
+            [img],
+        )
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if color_type == 3:
+        raise NotImplementedError("palette APNG not supported")
+    if color_type not in _PNG_SAMPLES:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    if interlace != 0:
+        raise NotImplementedError("interlaced APNG frames not supported")
+    n_declared = actl[0]
+    if n_declared != len(fctls) or not fctls:
+        raise ValueError("APNG frame count does not match fcTL chunks")
+    samples = _PNG_SAMPLES[color_type]
+    sw = depth // 8
+    has_alpha = color_type in (4, 6)
+    dtype = np.uint16 if sw == 2 else np.uint8
+    maxv = (1 << depth) - 1
+
+    def _decode_region(data: bytes, w: int, h: int) -> np.ndarray:
+        try:
+            raw = zlib.decompress(bytes(data))
+        except zlib.error as exc:
+            raise ValueError(f"APNG frame stream corrupt: {exc}") from None
+        bpp = samples * sw
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("APNG frame data does not match dimensions")
+        img = _unfilter(raw, h, stride, bpp)
+        if sw == 1:
+            return img.reshape(h, w, samples)
+        pairs = img.reshape(h, w * samples, 2).astype(np.uint16)
+        return (pairs[:, :, 0] * 256 + pairs[:, :, 1]).reshape(h, w, samples)
+
+    canvas = np.zeros((height, width, samples), dtype=dtype)
+    frames: list[np.ndarray] = []
+    delays: list[tuple[int, int]] = []
+    for f in fctls:
+        w, h, x, y = f["w"], f["h"], f["x"], f["y"]
+        if w <= 0 or h <= 0 or x + w > width or y + h > height:
+            raise ValueError("APNG frame rectangle outside the canvas")
+        if f is idat_frame and (x, y, w, h) != (0, 0, width, height):
+            raise ValueError("APNG IDAT frame must cover the full canvas")
+        img = _decode_region(f["data"], w, h)
+        saved = canvas.copy() if f["dispose"] == 2 else None
+        region = canvas[y : y + h, x : x + w]
+        if f["blend"] == 1 and has_alpha:
+            fa = img[:, :, -1].astype(np.float64) / maxv
+            ba = region[:, :, -1].astype(np.float64) / maxv
+            oa = fa + ba * (1.0 - fa)
+            fc = img[:, :, :-1].astype(np.float64)
+            bc = region[:, :, :-1].astype(np.float64)
+            num = fc * fa[:, :, None] + bc * (ba * (1.0 - fa))[:, :, None]
+            with np.errstate(invalid="ignore"):
+                oc = np.where(oa[:, :, None] > 0, num / np.where(
+                    oa[:, :, None] > 0, oa[:, :, None], 1.0), 0.0)
+            region[:, :, :-1] = np.clip(np.rint(oc), 0, maxv).astype(dtype)
+            region[:, :, -1] = np.clip(np.rint(oa * maxv), 0, maxv).astype(dtype)
+        elif f["blend"] in (0, 1):
+            region[:] = img
+        else:
+            raise ValueError(f"unknown APNG blend op {f['blend']}")
+        frames.append(canvas.copy())
+        delays.append(f["delay"])
+        if f["dispose"] == 1:
+            canvas[y : y + h, x : x + w] = 0
+        elif f["dispose"] == 2:
+            canvas = saved
+        elif f["dispose"] != 0:
+            raise ValueError(f"unknown APNG dispose op {f['dispose']}")
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    meta = {
+        "width": width, "height": height,
+        "n_frames": len(frames), "delays": delays,
+    }
+    return meta, frames
+
+
+def encode_apng(
+    frames: list[dict],
+    canvas_size: tuple[int, int],
+    filter_type: int = 1,
+    num_plays: int = 0,
+) -> bytes:
+    """Animated-PNG writer, round-trip twin of `decode_apng_frames`.
+    `frames` = [{img: (h, w, c) uint8/uint16, x, y, dispose (0-2),
+    blend (0-1), delay: (num, den)}]; the first frame must cover the
+    full canvas (it rides in IDAT per the spec; later frames ride
+    fdAT). All frames share one color type/depth from frame 0's
+    array."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    cw, ch = canvas_size
+    f0 = np.asarray(frames[0]["img"])
+    depth = 16 if f0.dtype == np.uint16 else 8
+    c = f0.shape[2] if f0.ndim == 3 else 1
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if f0.ndim == 2:
+        f0 = f0[:, :, None]
+    if f0.shape[:2] != (ch, cw) or frames[0].get("x", 0) or frames[0].get("y", 0):
+        raise ValueError("first APNG frame must cover the full canvas")
+    ihdr = struct.pack(">IIBBBBB", cw, ch, depth, color_type, 0, 0, 0)
+    out = bytearray(PNG_SIGNATURE)
+    out += _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), num_plays))
+    seq = 0
+    for i, f in enumerate(frames):
+        img = np.asarray(f["img"])
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[2] != c or (16 if img.dtype == np.uint16 else 8) != depth:
+            raise ValueError("APNG frames must share color type and depth")
+        h, w = img.shape[:2]
+        x, y = int(f.get("x", 0)), int(f.get("y", 0))
+        dnum, dden = f.get("delay", (4, 100))
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, x, y, dnum, dden,
+            int(f.get("dispose", 0)), int(f.get("blend", 0)),
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        bpp = c * (depth // 8)
+        if depth == 8:
+            rows = img.reshape(h, -1)
+        else:
+            rows = img.astype(">u2").reshape(h, -1).view(np.uint8).reshape(h, -1)
+        data = zlib.compress(_filter_scanlines(rows, filter_type, bpp), 6)
+        if i == 0:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)

@@ -1326,3 +1326,86 @@ def gif_frame_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         extract, GIF_FRAME_SCHEMA
     )
+
+
+def synth_apng_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic APNG synthesis from text — the animated-PNG twin
+    of `synth_gif_anim_from_text`: grayscale 8-row x 16-col frame
+    bands alternating screen halves of a 16x16 canvas. The first frame
+    must cover the full canvas per the spec (it rides in IDAT), so
+    frame 0 is the band padded to full height; later frames are
+    band-sized fdAT frames at their offsets. Dispose cycles by doc
+    (`doc_id % 2`: 0 = none, 1 = clear-to-background) — the same
+    carryover algebra as the GIF chain, but through the fcTL/fdAT/
+    sequence-number machinery and PNG's filter+DEFLATE pixel path."""
+    import numpy as np
+
+    from .codecs import encode_apng
+
+    def one(doc_id: int, text: str) -> bytes:
+        grid = _text_pixel_grid(text, 16)
+        n_frames = max(1, -(-grid.shape[0] // 8))
+        dispose = 0 if doc_id % 2 == 0 else 1
+        frames = []
+        for k in range(n_frames):
+            band = np.zeros((8, 16), dtype=np.uint8)
+            rows = grid[8 * k : 8 * k + 8]
+            band[: rows.shape[0]] = rows
+            if k == 0:
+                full = np.zeros((16, 16), dtype=np.uint8)
+                full[:8] = band
+                frames.append({"img": full, "dispose": dispose})
+            else:
+                frames.append(
+                    {
+                        "img": band,
+                        "x": 0,
+                        "y": 0 if k % 2 == 0 else 8,
+                        "dispose": dispose,
+                        "blend": 0,
+                    }
+                )
+        return encode_apng(frames, canvas_size=(16, 16))
+
+    return _synth_payloads(docs, text_col, one)
+
+
+def anim_frame_stats(media: DataFrame) -> DataFrame:
+    """Per-composited-frame measurement over EITHER temporal container
+    — dispatches on magic (GIF87a/89a vs PNG signature) to the
+    matching frame walker, then measures each composited frame on the
+    integer lattice (sum over all channels + channel max). One narrow
+    Arrow map; the operator a mixed crawl corpus would run without
+    routing by container first."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import PNG_SIGNATURE, decode_apng_frames, decode_gif_frames
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] == b"GIF8":
+                    _m, frames = decode_gif_frames(b)
+                elif b[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+                    _m, frames = decode_apng_frames(b)
+                else:
+                    raise ValueError("unknown animation container")
+                for k, fr in enumerate(frames):
+                    rows.append(
+                        (
+                            doc_id,
+                            k,
+                            int(fr.astype(np.int64).sum()),
+                            int(fr.max(initial=0)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "y_sum", "y_max"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, GIF_FRAME_SCHEMA
+    )

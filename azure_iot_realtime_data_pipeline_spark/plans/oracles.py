@@ -5986,3 +5986,38 @@ ORACLES["q_gif_anim_stats"] = """
            CAST(0 AS BIGINT) AS y_sum, CAST(0 AS INT) AS y_max
     FROM documents WHERE length(text) = 0
     """
+
+ORACLES["q_apng_anim_stats"] = """
+    -- J14k mirror: identical carryover algebra to the GIF chain but
+    -- single-channel (no palette->RGB x3): frame k = own band's char
+    -- sum + previous band's iff dispose==none (even doc_id).
+    WITH chars AS (
+      SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+      FROM documents WHERE length(text) > 0
+    ),
+    chunk AS (
+      SELECT c.doc_id, CAST((i - 1) // 128 AS BIGINT) AS f,
+             SUM(ascii(substr(d.text, i, 1)) % 256) AS cs,
+             MAX(ascii(substr(d.text, i, 1)) % 256) AS cm
+      FROM chars c JOIN documents d ON c.doc_id = d.doc_id
+      GROUP BY c.doc_id, f
+    ),
+    frames AS (
+      SELECT doc_id, f, cs, cm,
+             lag(cs) OVER (PARTITION BY doc_id ORDER BY f) AS pcs,
+             lag(cm) OVER (PARTITION BY doc_id ORDER BY f) AS pcm
+      FROM chunk
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(cs + CASE WHEN doc_id % 2 = 0
+                          THEN coalesce(pcs, 0) ELSE 0 END
+                AS BIGINT) AS y_sum,
+           CAST(greatest(cm, CASE WHEN doc_id % 2 = 0
+                                  THEN coalesce(pcm, 0) ELSE 0 END)
+                AS INT) AS y_max
+    FROM frames
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INT) AS frame_idx,
+           CAST(0 AS BIGINT) AS y_sum, CAST(0 AS INT) AS y_max
+    FROM documents WHERE length(text) = 0
+    """

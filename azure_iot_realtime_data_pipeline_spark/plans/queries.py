@@ -880,6 +880,18 @@ def q_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.gif_frame_stats(multimodal.synth_gif_anim_from_text(docs))
 
 
+def q_apng_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14k APNG (animated PNG, W3C PNG 3rd ed) under the value-hash
+    gate: the fcTL/fdAT/sequence-number machinery with the IDAT first
+    frame, frame bands alternating screen halves, dispose cycling per
+    doc (none vs clear-to-background), decoded through the SAME
+    filter+DEFLATE pixel path as still PNG and composited per the
+    spec; the oracle is the GIF-chain carryover lag at factor 1
+    (single gray channel, background 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.anim_frame_stats(multimodal.synth_apng_from_text(docs))
+
+
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14e REAL video-container decode under the value-hash gate:
     documents synthesize YUV4MPEG2 streams (8x8 mono luma frames from
@@ -3984,6 +3996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- never driver-sampled (new this session, oracled) ------------
     "q_flac_features": q_flac_features,
     "q_gif_anim_stats": q_gif_anim_stats,
+    "q_apng_anim_stats": q_apng_anim_stats,
     "q_bucketed_join": q_bucketed_join,
     "q_bpe_encode_fixed": q_bpe_encode_fixed,
     # -- last driver green: r5 ---------------------------------------

@@ -298,3 +298,22 @@ def test_gif_anim_fuzz_quarantine():
     ]
     payload = codecs.encode_gif_anim(frames, pal, screen=(12, 10))
     _assert_quarantine_only(codecs.decode_gif_frames, payload, seed=22)
+
+
+def test_apng_fuzz_quarantine():
+    """Quarantine contract for the APNG walker: mutations and
+    truncations raise only ValueError/NotImplementedError (chunk CRCs,
+    sequence numbers, length checks and the zlib guard do the work)."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 256, size=(8, 9, 2), dtype=np.uint8)
+    patch = rng.integers(0, 256, size=(3, 4, 2), dtype=np.uint8)
+    payload = codecs.encode_apng(
+        [
+            {"img": base, "dispose": 1},
+            {"img": patch, "x": 2, "y": 2, "blend": 1, "dispose": 2},
+        ],
+        canvas_size=(9, 8),
+    )
+    _assert_quarantine_only(codecs.decode_apng_frames, payload, seed=32)

@@ -1705,3 +1705,120 @@ def test_gif_animation_compositing_semantics():
 
     _, single = decode_gif_frames(encode_gif(f0, pal))
     assert len(single) == 1 and np.array_equal(single[0][:, :, 0], f0)
+
+
+def test_apng_compositing_semantics():
+    """decode_apng_frames implements the APNG model: blend OVER
+    alpha-composites (checked against the non-premultiplied closed
+    form), SOURCE replaces, dispose 1 clears the rectangle, dispose 2
+    reverts the canvas, 16-bit frames keep the uint16 contract, a
+    still PNG returns one frame, and out-of-order sequence numbers or
+    palette frames fail loudly."""
+    import struct as _struct
+
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_apng_frames,
+        encode_apng,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, size=(10, 12, 4), dtype=np.uint8)
+    base[:, :, 3] = 255
+    patch = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    patch[:, :, 3] = 128
+
+    payload = encode_apng(
+        [{"img": base}, {"img": patch, "x": 3, "y": 2, "blend": 1}],
+        canvas_size=(12, 10),
+    )
+    meta, out = decode_apng_frames(payload)
+    assert meta["n_frames"] == 2 and np.array_equal(out[0], base)
+    fa, ba = 128 / 255.0, 1.0
+    oa = fa + ba * (1 - fa)
+    want = np.rint(
+        (patch[0, 0, :3] * fa + base[2, 3, :3] * ba * (1 - fa)) / oa
+    ).astype(np.uint8)
+    assert np.array_equal(out[1][2, 3, :3], want)
+    assert out[1][2, 3, 3] == round(oa * 255)
+
+    _, o2 = decode_apng_frames(
+        encode_apng(
+            [{"img": base, "dispose": 1}, {"img": patch, "x": 3, "y": 2}],
+            canvas_size=(12, 10),
+        )
+    )
+    assert (o2[1][0, 0] == 0).all()  # dispose 1 cleared outside the patch
+
+    _, o3 = decode_apng_frames(
+        encode_apng(
+            [
+                {"img": base},
+                {"img": patch, "x": 0, "y": 0, "dispose": 2},
+                {"img": patch, "x": 6, "y": 6},
+            ],
+            canvas_size=(12, 10),
+        )
+    )
+    assert np.array_equal(o3[2][:4, :6], base[:4, :6])  # reverted
+
+    g = rng.integers(0, 65536, size=(6, 5), dtype=np.uint16)
+    g2 = rng.integers(0, 65536, size=(3, 2), dtype=np.uint16)
+    _, o5 = decode_apng_frames(
+        encode_apng([{"img": g}, {"img": g2, "x": 1, "y": 1}], canvas_size=(5, 6))
+    )
+    assert o5[1].dtype == np.uint16 and np.array_equal(o5[1][1:4, 1:3, 0], g2)
+
+    meta6, o6 = decode_apng_frames(encode_png(base))
+    assert meta6["n_frames"] == 1 and np.array_equal(o6[0], base)
+
+    # out-of-order fdAT sequence number -> loud rejection
+    good = bytearray(
+        encode_apng(
+            [{"img": base}, {"img": patch, "x": 0, "y": 0}],
+            canvas_size=(12, 10),
+        )
+    )
+    i = bytes(good).find(b"fdAT")
+    seq = _struct.unpack(">I", good[i + 4 : i + 8])[0]
+    _struct.pack_into(">I", good, i + 4, seq + 5)
+    # fix the chunk CRC so only the sequence check can object
+    import zlib as _zlib
+
+    ln = _struct.unpack(">I", good[i - 4 : i])[0]
+    crc = _zlib.crc32(bytes(good[i : i + 4 + ln])) & 0xFFFFFFFF
+    _struct.pack_into(">I", good, i + 4 + ln, crc)
+    with pytest.raises(ValueError, match="sequence"):
+        decode_apng_frames(bytes(good))
+
+
+def test_anim_frame_stats_dispatches_both_containers(spark):
+    """anim_frame_stats routes GIF and APNG payloads to their walkers
+    inside one narrow map — the mixed-corpus shape; unknown magic is
+    quarantined by the standard ValueError contract."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 200), (1, "y" * 300)], "doc_id long, text string"
+    )
+    gif_rows = multimodal.anim_frame_stats(
+        multimodal.synth_gif_anim_from_text(docs)
+    ).collect()
+    apng_rows = multimodal.anim_frame_stats(
+        multimodal.synth_apng_from_text(docs)
+    ).collect()
+    # same band algebra, GIF sums are 3x (palette expands gray to RGB)
+    g = {(r.doc_id, r.frame_idx): r for r in gif_rows}
+    a = {(r.doc_id, r.frame_idx): r for r in apng_rows}
+    assert set(g) == set(a)
+    for k in g:
+        assert g[k].y_sum == 3 * a[k].y_sum
+        assert g[k].y_max == a[k].y_max
+    plan = multimodal.anim_frame_stats(
+        multimodal.synth_apng_from_text(docs)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
