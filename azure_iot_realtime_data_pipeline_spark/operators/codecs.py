@@ -3364,3 +3364,152 @@ def encode_apng(
             seq += 1
     out += _png_chunk(b"IEND", b"")
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AVI (the published Microsoft RIFF-AVI container format): hdrl/movi
+# chunk walk for MJPEG streams — container parse on top of the T.81
+# codec, so video decodes END TO END (container -> frame bytes ->
+# entropy decode) with no third-party library
+# ---------------------------------------------------------------------------
+
+def parse_avi_mjpeg(payload: bytes):
+    """RIFF-AVI -> (meta, [JPEG frame payloads]) for an MJPEG video
+    stream: the 12-byte RIFF/'AVI ' header, the hdrl LIST (avih main
+    header: frame interval, dims, declared frame count; strh/strf
+    verify the stream is MJPG), then the movi LIST whose '##dc'/'##db'
+    chunks carry one complete JPEG per frame (word-aligned, possibly
+    zero-padded after EOI — trailing pad is stripped to the EOI
+    marker). The optional idx1 index is skipped (frames are read in
+    stream order, the contract a sequential scan wants). Non-MJPEG
+    streams raise NotImplementedError (the documented
+    motion-compensated swap point); malformed structure raises
+    ValueError."""
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos = 12
+    n = len(b)
+    meta = {}
+    frames: list[bytes] = []
+    saw_movi = False
+
+    def walk(start: int, end: int, in_movi: bool) -> None:
+        nonlocal saw_movi
+        p = start
+        while p + 8 <= end:
+            cid = b[p : p + 4]
+            size = int.from_bytes(b[p + 4 : p + 8], "little")
+            body_start = p + 8
+            if body_start + size > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                ltype = b[body_start : body_start + 4]
+                if ltype == b"movi":
+                    saw_movi = True
+                walk(body_start + 4, body_start + size, ltype == b"movi")
+            elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("truncated AVI main header")
+                meta["us_per_frame"] = int.from_bytes(
+                    b[body_start : body_start + 4], "little"
+                )
+                meta["n_frames_declared"] = int.from_bytes(
+                    b[body_start + 16 : body_start + 20], "little"
+                )
+                meta["width"] = int.from_bytes(
+                    b[body_start + 32 : body_start + 36], "little"
+                )
+                meta["height"] = int.from_bytes(
+                    b[body_start + 36 : body_start + 40], "little"
+                )
+            elif cid == b"strh":
+                if size >= 8 and b[body_start : body_start + 4] == b"vids":
+                    handler = b[body_start + 4 : body_start + 8]
+                    if handler not in (b"MJPG", b"mjpg"):
+                        raise NotImplementedError(
+                            f"AVI video codec {handler!r} not supported "
+                            "(motion-compensated video is the documented "
+                            "swap point)"
+                        )
+            elif in_movi and cid[2:4] in (b"dc", b"db"):
+                frame = b[body_start : body_start + size]
+                if frame[:2] != b"\xff\xd8":
+                    raise ValueError("AVI MJPEG frame without JPEG SOI")
+                eoi = frame.rfind(b"\xff\xd9")
+                if eoi < 0:
+                    raise ValueError("AVI MJPEG frame without JPEG EOI")
+                frames.append(frame[: eoi + 2])
+            p = body_start + size + (size & 1)  # RIFF chunks word-align
+
+    walk(12, min(n, 8 + int.from_bytes(b[4:8], "little")), False)
+    if not saw_movi:
+        raise ValueError("AVI missing movi LIST")
+    meta["n_frames"] = len(frames)
+    return meta, frames
+
+
+def build_avi_mjpeg(
+    jpeg_frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+) -> bytes:
+    """JPEG payloads -> minimal spec-shaped RIFF-AVI (hdrl with
+    avih + one MJPG vids strl, movi with one '00dc' chunk per frame,
+    idx1 index) — the round-trip twin of `parse_avi_mjpeg`."""
+    if not jpeg_frames:
+        raise ValueError("need at least one frame")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = (
+        (1_000_000 // fps).to_bytes(4, "little")
+        + b"\x00" * 12
+        + len(jpeg_frames).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (1).to_bytes(4, "little")
+        + b"\x00" * 4
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    strh = (
+        b"vids" + b"MJPG" + b"\x00" * 12
+        + (1).to_bytes(4, "little")  # scale
+        + fps.to_bytes(4, "little")  # rate
+        + b"\x00" * 4
+        + len(jpeg_frames).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    strf = (  # BITMAPINFOHEADER with biCompression = 'MJPG'
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + (width * height * 3).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    movi = lst(b"movi", movi_body)
+    idx = bytearray()
+    off = 4
+    for f in jpeg_frames:
+        idx += b"00dc" + (0x10).to_bytes(4, "little")
+        idx += off.to_bytes(4, "little") + len(f).to_bytes(4, "little")
+        off += 8 + len(f) + (len(f) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -1409,3 +1409,58 @@ def anim_frame_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         extract, GIF_FRAME_SCHEMA
     )
+
+
+def synth_avi_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic AVI/MJPEG synthesis from text: 64-codepoint
+    chunks become per-FRAME constant-block JPEGs (one 8x8 luma block
+    per codepoint at quant 8 — the DC-exact anchor of the JPEG
+    chains), wrapped in the RIFF-AVI container (hdrl + MJPG strl +
+    movi + idx1). The whole video path — container walk, per-frame
+    entropy decode, frame sampling — sits under one value-hash gate."""
+    import numpy as np
+
+    from .codecs import build_avi_mjpeg, encode_jpeg_baseline
+
+    def one(_doc_id: int, text: str) -> bytes:
+        t = text or ""
+        chunks = [t[k : k + 64] for k in range(0, len(t), 64)] or [""]
+        frames = []
+        for ch in chunks:
+            vals = _text_pixel_grid(ch, 8)
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            frames.append(encode_jpeg_baseline(img, quant=8))
+        return build_avi_mjpeg(frames, 64, 64, fps=10)
+
+    return _synth_payloads(docs, text_col, one)
+
+
+def avi_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Per-sampled-frame luma stats over AVI/MJPEG: the RIFF container
+    walk yields frame payloads WITHOUT decoding, then only every n-th
+    frame pays the T.81 entropy decode (the production sampling shape
+    — container metadata is cheap, codec work is the cost to ration).
+    One narrow Arrow map; backend="pure" semantics (the oracle anchors
+    on the DC-exact constant-block corpus)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_jpeg, parse_avi_mjpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _meta, frames = parse_avi_mjpeg(payload)
+                for k in range(0, len(frames), every_n):
+                    fr = decode_jpeg(frames[k]).astype(np.int64)
+                    rows.append(
+                        (doc_id, k, int(fr.sum()), int(fr.max(initial=0)))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "y_sum", "y_max"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, GIF_FRAME_SCHEMA
+    )

@@ -6021,3 +6021,29 @@ ORACLES["q_apng_anim_stats"] = """
            CAST(0 AS BIGINT) AS y_sum, CAST(0 AS INT) AS y_max
     FROM documents WHERE length(text) = 0
     """
+
+ORACLES["q_avi_frame_stats"] = """
+    -- J14l mirror: 64-char frames, every 2nd sampled; each codepoint
+    -- is one DC-exact constant 8x8 block (sum = value x 64), padding
+    -- blocks are zero and never raise the max; empty docs emit one
+    -- all-zero frame (which index 0 always samples).
+    WITH chars AS (
+      SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+      FROM documents WHERE length(text) > 0
+    ),
+    chunk AS (
+      SELECT c.doc_id, CAST((i - 1) // 64 AS BIGINT) AS f,
+             SUM(ascii(substr(d.text, i, 1)) % 256) AS cs,
+             MAX(ascii(substr(d.text, i, 1)) % 256) AS cm
+      FROM chars c JOIN documents d ON c.doc_id = d.doc_id
+      GROUP BY c.doc_id, f
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(64 * cs AS BIGINT) AS y_sum,
+           CAST(cm AS INT) AS y_max
+    FROM chunk WHERE f % 2 = 0
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INT) AS frame_idx,
+           CAST(0 AS BIGINT) AS y_sum, CAST(0 AS INT) AS y_max
+    FROM documents WHERE length(text) = 0
+    """

@@ -892,6 +892,18 @@ def q_apng_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.anim_frame_stats(multimodal.synth_apng_from_text(docs))
 
 
+def q_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14l AVI/MJPEG video under the value-hash gate — container AND
+    codec end to end: documents synthesize per-frame constant-block
+    JPEGs (64 codepoints/frame, quant 8 — DC-exact) wrapped in the
+    RIFF-AVI container, the walker extracts frame payloads without
+    decoding, and every 2nd frame pays the full T.81 entropy decode;
+    the integer measurements must hash-match a character-level DuckDB
+    oracle (block value x 64 pixels, zero padding blocks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.avi_frame_stats(multimodal.synth_avi_from_text(docs))
+
+
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14e REAL video-container decode under the value-hash gate:
     documents synthesize YUV4MPEG2 streams (8x8 mono luma frames from
@@ -3997,6 +4009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_flac_features": q_flac_features,
     "q_gif_anim_stats": q_gif_anim_stats,
     "q_apng_anim_stats": q_apng_anim_stats,
+    "q_avi_frame_stats": q_avi_frame_stats,
     "q_bucketed_join": q_bucketed_join,
     "q_bpe_encode_fixed": q_bpe_encode_fixed,
     # -- last driver green: r5 ---------------------------------------

@@ -317,3 +317,26 @@ def test_apng_fuzz_quarantine():
         canvas_size=(9, 8),
     )
     _assert_quarantine_only(codecs.decode_apng_frames, payload, seed=32)
+
+
+def test_avi_fuzz_quarantine():
+    """Quarantine contract for the AVI walker + per-frame JPEG decode
+    chain: mutations/truncations raise only ValueError or the
+    NotImplementedError swap-point signal."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    img = np.repeat(
+        np.repeat(rng.integers(0, 256, size=(2, 2), dtype=np.uint8), 8, 0),
+        8, 1,
+    )
+    payload = codecs.build_avi_mjpeg(
+        [codecs.encode_jpeg_baseline(img, quant=8)] * 2, 16, 16
+    )
+
+    def walk_and_decode(b: bytes):
+        _m, frames = codecs.parse_avi_mjpeg(b)
+        for f in frames:
+            codecs.decode_jpeg(f)
+
+    _assert_quarantine_only(walk_and_decode, payload, seed=42)

@@ -1822,3 +1822,41 @@ def test_anim_frame_stats_dispatches_both_containers(spark):
         multimodal.synth_apng_from_text(docs)
     )._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan
+
+
+def test_avi_mjpeg_container_walk_and_decode():
+    """parse_avi_mjpeg/build_avi_mjpeg round-trip the RIFF structure:
+    avih metadata survives, frames come back byte-exact (odd-length
+    frames word-align; trailing pad strips to EOI), non-MJPEG streams
+    raise the documented NotImplementedError, and structural damage
+    raises ValueError."""
+    import numpy as np
+
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        build_avi_mjpeg,
+        decode_jpeg,
+        encode_jpeg_baseline,
+        parse_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(8)
+    frames = []
+    for _ in range(4):
+        vals = rng.integers(0, 256, size=(2, 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        frames.append((img, encode_jpeg_baseline(img, quant=8)))
+    payload = build_avi_mjpeg([p for _, p in frames], 24, 16, fps=5)
+    meta, back = parse_avi_mjpeg(payload)
+    assert meta["n_frames"] == 4 and (meta["width"], meta["height"]) == (24, 16)
+    assert meta["us_per_frame"] == 200000 and meta["n_frames_declared"] == 4
+    for (img, p), fb in zip(frames, back):
+        assert fb == p
+        assert np.array_equal(decode_jpeg(fb)[:, :, 0], img)
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    bad = bytearray(payload)
+    i = bytes(bad).find(b"MJPG")  # strh handler
+    bad[i : i + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        parse_avi_mjpeg(bytes(bad))
