@@ -4002,9 +4002,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry order IS the driver correctness window: the harness
     # verifies the FIRST ~50 entries each round, so entries sort by
     # how stale their last driver-green is (stalest first; never-
-    # sampled queries lead). Round-11 window: the 2 new oracled
-    # queries + the full 35-query r5-era block + the 13 stalest
-    # r6-era queries. Rotate each round.
+    # sampled queries lead). Round-11 window: the 6 new oracled
+    # queries + the full 35-query r5-era block + the 9 stalest
+    # r6-era queries. Rotate each round (re-sort by the
+    # CORRECTNESS_r* union; see the generator note above).
     # -- never driver-sampled (new this session, oracled) ------------
     "q_flac_features": q_flac_features,
     "q_gif_anim_stats": q_gif_anim_stats,
