@@ -74,6 +74,30 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 #: color type -> samples per pixel (before palette expansion)
 _PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Quarantine cap on header-declared canvas allocations. The image
+#: decoders allocate their output canvas from header-declared
+#: dimensions BEFORE any pixel data is validated, so a tiny hostile
+#: payload declaring e.g. a 65535x65535 logical screen would force a
+#: multi-GB allocation and MemoryError/OOM the Arrow worker instead of
+#: raising the contractual ValueError. 2^26 pixels (64 Mpx, ~192 MB as
+#: RGB8, ~512 MB as RGBA16) is far above any plausible document image
+#: and comfortably below executor memory.
+_MAX_CANVAS_PIXELS = 1 << 26
+
+
+def _check_canvas_dims(w: int, h: int, what: str) -> None:
+    """Reject nonpositive or cap-exceeding header-declared dimensions
+    BEFORE the canvas allocation they would size — malformed input
+    must raise ValueError per the module's quarantine contract, never
+    a bare MemoryError inside an Arrow UDF."""
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid {what} dimensions {w}x{h}")
+    if w * h > _MAX_CANVAS_PIXELS:
+        raise ValueError(
+            f"{what} dimensions {w}x{h} exceed the "
+            f"{_MAX_CANVAS_PIXELS}-pixel quarantine cap"
+        )
+
 
 def _png_chunks(payload: bytes):
     """Yield (type, data) for each chunk, verifying the CRC the spec
@@ -187,8 +211,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if width <= 0 or height <= 0:
-        raise ValueError(f"invalid PNG dimensions {width}x{height}")
+    _check_canvas_dims(width, height, "PNG")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
     if interlace not in (0, 1):
@@ -319,8 +342,13 @@ def encode_png(
     layout (seven independently filtered pass sub-images, empty passes
     omitted) so the decoder's scatter path is round-trip testable."""
     src = np.asarray(arr)
+    if src.dtype not in (np.uint8, np.uint16):
+        raise ValueError(
+            f"encode_png expects uint8 or uint16 pixels, got {src.dtype} "
+            "(an int16/int32 grid with values >255 would wrap silently)"
+        )
     depth = 16 if src.dtype == np.uint16 else 8
-    a = src.astype(np.uint16 if depth == 16 else np.uint8)
+    a = src
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
@@ -780,6 +808,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(f"JPEG precision {prec} not supported")
             if len(seg) < 6 + nc * 3:
                 raise ValueError("truncated JPEG SOF component list")
+            _check_canvas_dims(w, h, "JPEG frame")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3], seg[7 + ci * 3], seg[8 + ci * 3]
@@ -1553,9 +1582,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
     (the published 4-pass order), full variable-width LZW. A first
     frame smaller than or offset within the logical screen is
     composited onto the screen-sized canvas at its (left, top) offset
-    — uncovered canvas takes the screen's background color (or
-    palette entry 0 when the background index is out of range), so the
-    returned dimensions are always (screen_h, screen_w, 3) as a
+    — uncovered canvas takes the screen's background color from the
+    GLOBAL color table (entry 0 when the background index is out of
+    range; black when no global table exists), so the returned
+    dimensions are always (screen_h, screen_w, 3) as a
     screen-compositing decoder would produce."""
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1563,6 +1593,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
     if len(b) < 13:
         raise ValueError("truncated GIF logical screen descriptor")
     sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    _check_canvas_dims(sw, sh, "GIF screen")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -1626,9 +1657,15 @@ def decode_gif(payload: bytes) -> np.ndarray:
         if left == 0 and top == 0 and w == sw and h == sh:
             return pal[idx]
         # partial/offset first frame: composite onto the logical
-        # screen at (left, top); uncovered canvas = background color
+        # screen at (left, top). The background color index refers to
+        # the GLOBAL color table (GIF89a spec §18) even when the frame
+        # carries a local one — mirror decode_gif_frames' gct fill.
         canvas = np.empty((sh, sw, 3), dtype=np.uint8)
-        canvas[:] = pal[bg] if bg < pal.shape[0] else pal[0]
+        canvas[:] = (
+            gct[bg]
+            if gct is not None and bg < gct.shape[0]
+            else (gct[0] if gct is not None else np.zeros(3, dtype=np.uint8))
+        )
         canvas[top : top + h, left : left + w] = pal[idx]
         return canvas
     raise ValueError("GIF contains no image data")
@@ -2668,17 +2705,22 @@ def _flac_zigzag(res: np.ndarray) -> np.ndarray:
 
 
 def _flac_best_rice(zig: np.ndarray) -> tuple[int, int]:
-    """(best k, bits) for one partition — exact cost, vectorized."""
+    """(best k, bits) for one partition — exact cost, vectorized.
+    Scans every k (the unary part sum(zig>>k) can plateau on skewed
+    residual distributions, so a heuristic early break on rising cost
+    could skip a better k); the only early exit is exact: once the
+    shifted sum reaches 0, each further k adds n bits and can never
+    win."""
     n = len(zig)
     best_k, best_cost = 0, None
     total = int(zig.sum())
     for k in range(0, 31):
-        cost = (total >> k) if k == 0 else int((zig >> k).sum())
-        cost += n * (k + 1)
+        shifted = total if k == 0 else int((zig >> k).sum())
+        cost = shifted + n * (k + 1)
         if best_cost is None or cost < best_cost:
             best_k, best_cost = k, cost
-        elif cost > best_cost * 2:
-            break  # costs are convex in k past the optimum
+        if shifted == 0:
+            break
     return best_k, best_cost
 
 
@@ -2975,8 +3017,7 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
     if len(b) < 13:
         raise ValueError("truncated GIF logical screen descriptor")
     sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
-    if sw <= 0 or sh <= 0:
-        raise ValueError("invalid GIF screen dimensions")
+    _check_canvas_dims(sw, sh, "GIF screen")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -3231,6 +3272,7 @@ def decode_apng_frames(payload: bytes, max_frames: int | None = None):
             [img],
         )
     width, height, depth, color_type, comp, filt, interlace = ihdr
+    _check_canvas_dims(width, height, "APNG canvas")
     if color_type == 3:
         raise NotImplementedError("palette APNG not supported")
     if color_type not in _PNG_SAMPLES:

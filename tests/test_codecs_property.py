@@ -340,3 +340,118 @@ def test_avi_fuzz_quarantine():
             codecs.decode_jpeg(f)
 
     _assert_quarantine_only(walk_and_decode, payload, seed=42)
+
+
+def test_hostile_header_dims_raise_not_oom():
+    """ADVICE r11 (medium): a tiny payload declaring a huge canvas
+    (e.g. 65535x65535 GIF logical screen ~ 12 GB RGB) must raise the
+    quarantine ValueError BEFORE any allocation sized from the header
+    — never MemoryError/OOM inside an Arrow UDF. Covers every decoder
+    that allocates from header-declared dims: GIF (first-frame and
+    animated walks), PNG/APNG IHDR, and the JPEG SOF planes."""
+    import struct
+
+    huge_gif = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+    with pytest.raises(ValueError, match="quarantine cap"):
+        codecs.decode_gif(huge_gif)
+    with pytest.raises(ValueError, match="quarantine cap"):
+        codecs.decode_gif_frames(huge_gif)
+
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 6, 0, 0, 1)
+    huge_png = (
+        codecs.PNG_SIGNATURE
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", b"\x78\x9c\x03\x00\x00\x00\x00\x01")
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="quarantine cap"):
+        codecs.decode_png(huge_png)
+    with pytest.raises(ValueError, match="quarantine cap"):
+        codecs.decode_apng_frames(huge_png)
+
+    huge_apng = (
+        codecs.PNG_SIGNATURE
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"acTL", struct.pack(">II", 1, 0))
+        + codecs._png_chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", 0, 60000, 60000, 0, 0, 1, 100, 0, 0),
+        )
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="quarantine cap"):
+        codecs.decode_apng_frames(huge_apng)
+
+    # SOF segment: length(2) + precision(1) + h(2) + w(2) + nc(1) + comp(3)
+    sof_body = struct.pack(">BHHB", 8, 65500, 65500, 1) + bytes([1, 0x11, 0])
+    huge_jpeg = (
+        b"\xff\xd8\xff\xc0"
+        + struct.pack(">H", len(sof_body) + 2)
+        + sof_body
+    )
+    with pytest.raises(ValueError, match="quarantine cap"):
+        codecs.decode_jpeg(huge_jpeg)
+
+
+def test_gif_background_fill_uses_global_table():
+    """ADVICE r11: the GIF background color index refers to the GLOBAL
+    color table; an offset first frame carrying a LOCAL palette must
+    composite onto gct[bg], not local[bg]."""
+    import struct
+
+    gct = np.array([[10, 20, 30], [200, 0, 0]], dtype=np.uint8)
+    local = np.array([[0, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    # 4x4 screen, bg index 0, 2-entry GCT (depth 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 4, 0x80 | 0, 0, 0)
+    out += gct.tobytes()
+    # 2x2 frame at (1,1) with a LOCAL 2-entry table
+    out += b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0x80 | 0)
+    out += local.tobytes()
+    lzw = codecs._lzw_encode(bytes([1, 1, 1, 1]), 2)
+    out += bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    img = codecs.decode_gif(bytes(out))
+    assert img.shape == (4, 4, 3)
+    assert np.array_equal(img[0, 0], gct[0])  # global bg, NOT local[0]
+    assert np.array_equal(img[1, 1], local[1])  # frame pixels stay local
+    meta, frames = codecs.decode_gif_frames(bytes(out))
+    assert np.array_equal(frames[0][0, 0], gct[0])
+    assert np.array_equal(frames[0], img)  # first frames agree
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_flac_best_rice_is_exact_argmin(seed):
+    """ADVICE r11: the rice-parameter search must return the true
+    argmin even on skewed/plateauing residual distributions (the old
+    cost > 2*best break could exit early). Brute-force every k."""
+    rng = np.random.default_rng(seed)
+    kind = seed % 3
+    if kind == 0:
+        zig = rng.integers(0, 1 << 20, size=64, dtype=np.int64)
+    elif kind == 1:  # heavy skew: mostly tiny, a few enormous
+        zig = rng.integers(0, 4, size=64, dtype=np.int64)
+        zig[rng.integers(0, 64, size=3)] = np.int64(1) << 40
+    else:
+        zig = np.zeros(64, dtype=np.int64)
+    k, cost = codecs._flac_best_rice(zig)
+    n = len(zig)
+    brute = min(
+        (int((zig >> kk).sum()) + n * (kk + 1), kk) for kk in range(31)
+    )
+    assert (cost, k) == brute
+
+
+def test_encode_png_rejects_non_uint_dtypes():
+    """ADVICE r11: int32/int16 grids with values >255 must fail loudly
+    instead of wrapping through a silent uint8 cast."""
+    bad = np.full((4, 4, 1), 300, dtype=np.int32)
+    with pytest.raises(ValueError, match="uint8 or uint16"):
+        codecs.encode_png(bad)
+    with pytest.raises(ValueError, match="uint8 or uint16"):
+        codecs.encode_png(np.zeros((4, 4, 1), dtype=np.int16))
+    # the two legitimate dtypes still round-trip
+    ok8 = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(ok8)), ok8)
+    ok16 = (np.arange(16, dtype=np.uint16) * 4000).reshape(4, 4, 1)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(ok16)), ok16)
