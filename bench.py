@@ -308,10 +308,17 @@ def main() -> None:
         t_slow = time.perf_counter()
         # Pinned: adjudicated-noisy queries that must ALWAYS get medians
         # so round-over-round comparisons stop re-litigating them
-        # (r6 tail inflated both ~25% on single shots).
+        # (r6 tail inflated q_dedup_pipeline/q_canonical_docs ~25% on
+        # single shots; q_time_weighted_avg blipped ~3 s in-suite in
+        # r10 AND r11 against a 1.06 s isolated warm median — r11
+        # verdict mandated pinning it rather than re-adjudicating).
         pinned = [
             n
-            for n in ("q_dedup_pipeline", "q_canonical_docs")
+            for n in (
+                "q_dedup_pipeline",
+                "q_canonical_docs",
+                "q_time_weighted_avg",
+            )
             if n in timings_all and n not in HEADLINE
         ]
         slowest = pinned + sorted(

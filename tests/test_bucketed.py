@@ -301,5 +301,35 @@ def test_registered_bucketed_join_query_plan_and_result(spark, sf_smoke):
     assert p.count("Exchange (") == 1, p  # the segment aggregate only
     rows = {r.segment: r.n_events for r in df.collect()}
     assert sum(rows.values()) > 0
-    spark.sql("DROP TABLE IF EXISTS bkt_events_sf0_001")
-    spark.sql("DROP TABLE IF EXISTS bkt_cust_sf0_001")
+
+    # write-once reuse (r11 verdict #5): a repeated invocation in the
+    # same session must SKIP the write phase — it measures the join
+    # alone, the production read-path shape. Poison write_bucketed to
+    # prove the warm path never touches it, and the answer is stable.
+    import hashlib
+    import os
+
+    from azure_iot_realtime_data_pipeline_spark.sources import bucketed
+
+    def _boom(*a, **k):  # pragma: no cover - failure signal only
+        raise AssertionError("warm q_bucketed_join must not rewrite")
+
+    orig = bucketed.write_bucketed
+    bucketed.write_bucketed = _boom
+    try:
+        warm = {r.segment: r.n_events for r in
+                q_bucketed_join(spark, sf_smoke).collect()}
+    finally:
+        bucketed.write_bucketed = orig
+    assert warm == rows
+
+    # table names are namespaced by an md5 of the ABSOLUTE sf_dir so
+    # same-basename suites under a shared warehouse can never collide
+    tag = (
+        os.path.basename(os.path.normpath(sf_smoke)).replace(".", "_")
+        + "_"
+        + hashlib.md5(os.path.abspath(sf_smoke).encode()).hexdigest()[:8]
+    )
+    assert spark.catalog.tableExists(f"bkt_events_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS bkt_events_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS bkt_cust_{tag}")
