@@ -45,10 +45,12 @@ ffmpeg. This closes three of the "compressed codec" swap points that
   published 4-pass interlace, extension skipping; plus an LZW encoder
   so the round-trip is testable end to end.
 
-The remaining swap points after this module: perceptual audio
-(MP3/AAC) and inter-frame video — see `multimodal.decode_wav` /
-`multimodal.split_jpeg_frames` for the documented
-NotImplementedError boundaries.
+The remaining swap points after this module: MPEG Layer II/III and
+AAC perceptual audio (Layer I decodes for real below — subband +
+scalefactor + adaptive allocation; its Table B.3 window constants are
+a documented constant-table swap inside it) and motion-compensated
+video — see `decode_mpeg1_levels` / `multimodal.split_jpeg_frames`
+for the documented NotImplementedError boundaries.
 
 All decoders validate headers and raise ValueError on malformed input
 (never a bare crash inside an Arrow UDF) and NotImplementedError on
@@ -3555,3 +3557,415 @@ def build_avi_mjpeg(
         off += 8 + len(f) + (len(f) & 1)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
     return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Audio Layer I (ISO/IEC 11172-3): the perceptual-audio class.
+# Frame header + bit allocation + scalefactors + symmetric-midtread
+# requantization are spec-exact; the 32-band polyphase filterbank runs
+# the spec's exact analysis/synthesis flowcharts (C.1.3 / 2.4.3.2 —
+# 512-FIFO window, 8x64 partial sums, cos((2i+1)(k-16)pi/64)
+# matrixing) over a locally-designed prototype window: the published
+# Table B.3 window is a 512-entry optimized constant table with no
+# generating formula, so it is THE one documented constant-table swap
+# point in this codec (drop the table in to be sample-exact with
+# reference decoders). The shipped prototype is the TDAC sine window
+# on the FIFO's first 64 taps — the MDCT-degenerate member of the
+# same cosine-modulated family, chosen after measuring alternatives
+# (power-complementary frequency sampling ~51 dB, dense-grid +
+# truncation ~60 dB, alternating-projection ~65 dB, LS-optimized
+# synthesis ~79 dB): it reconstructs at ~76 dB with a 33-sample
+# delay vs the spec window's ~96 dB at 481. Layers II/III stay behind
+# NotImplementedError — Layer I already gives the modality its
+# perceptual member (subband + scalefactor + adaptive bit
+# allocation); reference swap point: the decode_wav perceptual-audio
+# NotImplementedError in operators/multimodal.py.
+# ---------------------------------------------------------------------------
+
+#: Table B.1-equivalent: scf[idx] = 2 * 2^(-idx/3); indices 0..62
+#: (63 is forbidden). Indices that are multiples of 3 are EXACT binary
+#: powers — the integer-lattice anchor the gated synth chain rides.
+_MPEG1_SCALEFACTORS = tuple(2.0 * 2.0 ** (-i / 3.0) for i in range(63))
+
+#: Layer I bitrate table (kbps), index 1..14; index 0 = free format
+#: (frame length not derivable from the header alone — unsupported),
+#: index 15 forbidden.
+_MPEG1_L1_BITRATES = (
+    0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448,
+)
+
+#: sampling_frequency field -> Hz (index 3 reserved)
+_MPEG1_SAMPLE_RATES = (44100, 48000, 32000)
+
+#: end-to-end analysis->synthesis delay of the shipped prototype (the
+#: spec window's is 481; the 64-tap TDAC prototype's is 33)
+MPEG1_FILTERBANK_DELAY = 33
+
+_mpeg1_cache: dict = {}
+
+
+def _mpeg1_proto() -> np.ndarray:
+    """512-tap analysis window C[i]: the TDAC sine window
+    sin(pi(i+0.5)/64)/64 on the FIFO's newest 64 taps, zero beyond —
+    the Princen-Bradley w[i]^2 + w[i+32]^2 = 1 overlap condition makes
+    the cosine-modulated bank near-perfect-reconstructing (~76 dB,
+    33-sample delay) with a window the code can GENERATE instead of
+    quote. Stands in for Table B.3 (see section comment)."""
+    key = "proto"
+    if key not in _mpeg1_cache:
+        C = np.zeros(512)
+        C[:64] = np.sin(np.pi * (np.arange(64) + 0.5) / 64) / 64.0
+        _mpeg1_cache[key] = C
+    return _mpeg1_cache[key]
+
+
+def _mpeg1_matrices() -> tuple[np.ndarray, np.ndarray]:
+    """(analysis M (32,64), synthesis N (64,32)) spec matrixing."""
+    key = "mat"
+    if key not in _mpeg1_cache:
+        i = np.arange(32)[:, None]
+        k = np.arange(64)[None, :]
+        ana = np.cos((2 * i + 1) * (k - 16) * np.pi / 64)
+        ii = np.arange(64)[:, None]
+        kk = np.arange(32)[None, :]
+        syn = np.cos((16 + ii) * (2 * kk + 1) * np.pi / 64)
+        _mpeg1_cache[key] = (ana, syn)
+    return _mpeg1_cache[key]
+
+
+def mpeg1_analysis(x: np.ndarray) -> np.ndarray:
+    """(n,) float in [-1, 1) -> (n//32, 32) subband samples via the
+    spec C.1.3 flowchart (vectorized: the 512-FIFO becomes a strided
+    window view, Z/Y partial sums a reshape-sum, matrixing one
+    matmul). Trailing samples beyond a 32-multiple are dropped."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x) // 32
+    if n == 0:
+        return np.zeros((0, 32))
+    xpad = np.concatenate([np.zeros(480), x[: n * 32]])
+    win = np.lib.stride_tricks.sliding_window_view(xpad, 512)[::32][:n]
+    Z = win[:, ::-1] * _mpeg1_proto()[None, :]
+    Y = Z.reshape(n, 8, 64).sum(axis=1)
+    ana, _ = _mpeg1_matrices()
+    return Y @ ana.T
+
+
+def mpeg1_synthesis(S: np.ndarray) -> np.ndarray:
+    """(n, 32) subband samples -> (n*32,) PCM float via the spec
+    2.4.3.2 flowchart (V-FIFO of 16 granule vectors, U selection,
+    windowing, 16-segment sum), vectorized across granules. The
+    analysis+synthesis gain and sign are folded into the synthesis
+    window — the same place the spec folds its equivalent constant
+    (Table B.3's D = 32*C scaling) — with the prototype's flat
+    passband gain self-calibrated once from the chain's own response
+    to a deterministic probe (measured frequency-flat to 5 decimals,
+    so a single scalar corrects it)."""
+    S = np.asarray(S, dtype=np.float64)
+    n = S.shape[0]
+    if n == 0:
+        return np.zeros(0)
+    return _mpeg1_synthesis_raw(S, _mpeg1_syn_window())
+
+
+def _mpeg1_synthesis_raw(S: np.ndarray, D: np.ndarray) -> np.ndarray:
+    _, syn = _mpeg1_matrices()
+    n = S.shape[0]
+    v = S @ syn.T  # (n, 64); granule g's V-front
+    vpad = np.concatenate([np.zeros((15, 64)), v])  # g-15..g available
+    out = np.zeros((n, 32))
+    for j in range(8):
+        a = vpad[15 - 2 * j : 15 - 2 * j + n, :32]
+        b = vpad[14 - 2 * j : 14 - 2 * j + n, 32:]
+        out += a * D[None, 64 * j : 64 * j + 32]
+        out += b * D[None, 64 * j + 32 : 64 * j + 64]
+    return out.reshape(-1)
+
+
+def _mpeg1_syn_window() -> np.ndarray:
+    """Synthesis window D = -256 * C, unity-gain calibrated against a
+    deterministic quasi-random probe through the full chain."""
+    key = "syn"
+    if key not in _mpeg1_cache:
+        D = _mpeg1_proto() * -256.0
+        x = np.sin(np.arange(32 * 256) * 1.6180339887498949)
+        y = _mpeg1_synthesis_raw(mpeg1_analysis(x), D)
+        d = MPEG1_FILTERBANK_DELAY
+        ln = len(x) - d
+        gain = float(np.dot(y[d : d + ln], x[:ln]) / np.dot(x[:ln], x[:ln]))
+        _mpeg1_cache[key] = D / gain
+    return _mpeg1_cache[key]
+
+
+def _mpeg1_frame_slots(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
+    """Layer I frame length in 32-bit slots: 12*bitrate/fs (+padding).
+    Must divide evenly when padding is 0 — the encoder restricts
+    itself to (bitrate, fs) pairs where it does; the decoder accepts
+    the padding bit as the spec's escape for 44.1 kHz."""
+    return 12 * bitrate_kbps * 1000 // sample_rate + padding
+
+
+def build_mpeg1_layer1(
+    levels: np.ndarray,
+    scf_idx: np.ndarray,
+    alloc: np.ndarray,
+    sample_rate: int = 32000,
+) -> bytes:
+    """Pack Layer I frames from already-quantized integer subband
+    LEVELS — the lattice-exact low-level packer the gated synthesis
+    chain rides (the PCM encoder below quantizes through the analysis
+    filterbank; this one takes the integers directly, so text-derived
+    levels survive encode -> decode bit-exactly and the DuckDB oracle
+    can mirror them with integer arithmetic).
+
+    levels: (F, 12, 32, ch) int — symmetric midtread level v per
+      sample, |v| <= 2^(nb-1) - 1 where nb = alloc for that subband.
+    scf_idx: (F, 32, ch) int — Table B.1 scalefactor indices 0..62.
+    alloc: (32,) int — bits per sample per subband, 0 (silent) or
+      2..15, shared by every frame/channel (the spec allows per-frame
+      per-channel allocation; a fixed profile keeps the oracle linear).
+    Picks the smallest standard bitrate whose frame fits and zero-pads
+    the remainder (spec-sanctioned ancillary data)."""
+    levels = np.asarray(levels)
+    scf_idx = np.asarray(scf_idx)
+    alloc = np.asarray(alloc, dtype=np.int64)
+    if levels.ndim != 4 or levels.shape[1:3] != (12, 32):
+        raise ValueError(f"levels must be (F, 12, 32, ch), got {levels.shape}")
+    F, _, _, ch = levels.shape
+    if ch not in (1, 2):
+        raise ValueError(f"Layer I supports 1 or 2 channels, got {ch}")
+    if scf_idx.shape != (F, 32, ch):
+        raise ValueError("scf_idx must be (F, 32, ch)")
+    if alloc.shape != (32,):
+        raise ValueError("alloc must be (32,)")
+    if np.any((alloc != 0) & ((alloc < 2) | (alloc > 15))):
+        raise ValueError("per-subband bits must be 0 or 2..15")
+    if np.any((scf_idx < 0) | (scf_idx > 62)):
+        raise ValueError("scalefactor index out of range 0..62")
+    lim = (1 << (alloc - 1)) - 1  # max |level| per subband (alloc>=2)
+    active = alloc > 0
+    if np.any(np.abs(levels[:, :, active, :]) > lim[None, None, active, None]):
+        raise ValueError("quantized level exceeds its allocation")
+    try:
+        sf_index = _MPEG1_SAMPLE_RATES.index(sample_rate)
+    except ValueError:
+        raise ValueError(f"unsupported MPEG-1 sample rate {sample_rate}")
+    nch = ch
+    bits_needed = (
+        32  # header
+        + 32 * 4 * nch  # allocation
+        + int(active.sum()) * 6 * nch  # scalefactors
+        + 12 * int(alloc[active].sum()) * nch  # sample codes
+    )
+    slots_needed = -(-bits_needed // 32)
+    for bi in range(1, 15):
+        if (12 * _MPEG1_L1_BITRATES[bi] * 1000) % sample_rate:
+            continue
+        if _mpeg1_frame_slots(_MPEG1_L1_BITRATES[bi], sample_rate, 0) >= slots_needed:
+            break
+    else:
+        raise ValueError(
+            f"allocation needs {slots_needed} slots/frame — more than the "
+            f"highest Layer I bitrate provides at {sample_rate} Hz"
+        )
+    slots = _mpeg1_frame_slots(_MPEG1_L1_BITRATES[bi], sample_rate, 0)
+    mode = 0b11 if ch == 1 else 0b00
+    out = bytearray()
+    for f in range(F):
+        w = _MSBWriter()
+        w.write(0xFFF, 12)  # syncword
+        w.write(1, 1)  # ID: MPEG-1
+        w.write(0b11, 2)  # layer I
+        w.write(1, 1)  # protection_bit: 1 = no CRC
+        w.write(bi, 4)
+        w.write(sf_index, 2)
+        w.write(0, 1)  # padding
+        w.write(0, 1)  # private
+        w.write(mode, 2)
+        w.write(0, 2)  # mode_extension
+        w.write(0, 1)  # copyright
+        w.write(1, 1)  # original
+        w.write(0, 2)  # emphasis
+        for sb in range(32):
+            a = int(alloc[sb])
+            for c in range(ch):
+                w.write(a - 1 if a else 0, 4)
+        for sb in range(32):
+            if alloc[sb]:
+                for c in range(ch):
+                    w.write(int(scf_idx[f, sb, c]), 6)
+        for s in range(12):
+            for sb in range(32):
+                nb = int(alloc[sb])
+                if nb:
+                    for c in range(ch):
+                        v = int(levels[f, s, sb, c])
+                        w.write(v + (1 << (nb - 1)) - 1, nb)
+        w.align()
+        frame = w.bytes()
+        if len(frame) > slots * 4:
+            raise ValueError("frame overflow")  # pragma: no cover - guarded above
+        out += frame + b"\x00" * (slots * 4 - len(frame))
+    return bytes(out)
+
+
+def decode_mpeg1_levels(payload: bytes):
+    """MPEG-1 Layer I -> (meta, levels (F, 12, 32, ch) int32,
+    scf_idx (F, 32, ch) uint8, alloc (F, 32, ch) uint8) — the exact
+    integer layer BELOW requantization: level v recovers from code c
+    as v = c - (2^(nb-1) - 1) with the all-ones code forbidden
+    (the quantizer has 2^nb - 1 symmetric levels; that exclusion is
+    why the spec's requantization carries the 2^nb/(2^nb - 1)
+    correction). Integer-exact end to end, so the oracle side needs
+    no floats. Malformed frames raise ValueError; Layer II/III raise
+    NotImplementedError (documented swap point)."""
+    b = bytes(payload)
+    if len(b) < 4:
+        raise ValueError("truncated MPEG audio payload")
+    pos = 0
+    frames = []
+    meta: dict = {}
+    while pos < len(b):
+        if pos + 4 > len(b):
+            raise ValueError("truncated MPEG frame header")
+        r = _MSBReader(b, pos)
+        if r.read(12) != 0xFFF:
+            raise ValueError("bad MPEG sync word")
+        if r.read(1) != 1:
+            raise ValueError("not an MPEG-1 stream (ID bit 0)")
+        layer = r.read(2)
+        if layer != 0b11:
+            if layer == 0:
+                raise ValueError("reserved MPEG layer")
+            raise NotImplementedError(
+                "only MPEG-1 Layer I decodes here; Layer II/III are the "
+                "documented perceptual-codec swap point"
+            )
+        r.read(1)  # protection (CRC, if present, is not checked)
+        bi = r.read(4)
+        if bi == 0:
+            raise NotImplementedError("free-format bitrate not supported")
+        if bi == 15:
+            raise ValueError("forbidden MPEG bitrate index")
+        sf_i = r.read(2)
+        if sf_i == 3:
+            raise ValueError("reserved MPEG sample-rate index")
+        padding = r.read(1)
+        r.read(1)  # private
+        mode = r.read(2)
+        r.read(2 + 1 + 1 + 2)  # mode_ext, copyright, original, emphasis
+        ch = 1 if mode == 0b11 else 2
+        rate = _MPEG1_SAMPLE_RATES[sf_i]
+        slots = _mpeg1_frame_slots(_MPEG1_L1_BITRATES[bi], rate, padding)
+        frame_end = pos + slots * 4
+        if frame_end > len(b):
+            raise ValueError("truncated MPEG frame body")
+        if meta:
+            if (meta["sample_rate"], meta["channels"]) != (rate, ch):
+                raise ValueError("MPEG stream parameters change mid-stream")
+        else:
+            meta = {
+                "sample_rate": rate,
+                "channels": ch,
+                "bitrate_kbps": _MPEG1_L1_BITRATES[bi],
+                "layer": 1,
+            }
+        alloc = np.zeros((32, ch), dtype=np.uint8)
+        for sb in range(32):
+            for c in range(ch):
+                a = r.read(4)
+                if a == 15:
+                    raise ValueError("forbidden Layer I allocation 15")
+                alloc[sb, c] = a + 1 if a else 0
+        scf = np.zeros((32, ch), dtype=np.uint8)
+        for sb in range(32):
+            for c in range(ch):
+                if alloc[sb, c]:
+                    idx = r.read(6)
+                    if idx == 63:
+                        raise ValueError("forbidden scalefactor index 63")
+                    scf[sb, c] = idx
+        lev = np.zeros((12, 32, ch), dtype=np.int32)
+        for s in range(12):
+            for sb in range(32):
+                for c in range(ch):
+                    nb = int(alloc[sb, c])
+                    if nb:
+                        code = r.read(nb)
+                        if code == (1 << nb) - 1:
+                            raise ValueError("forbidden all-ones sample code")
+                        lev[s, sb, c] = code - ((1 << (nb - 1)) - 1)
+        frames.append((lev, scf, alloc))
+        pos = frame_end
+    if not frames:
+        raise ValueError("MPEG payload contains no frames")
+    meta["n_frames"] = len(frames)
+    levels = np.stack([f[0] for f in frames])
+    scf_idx = np.stack([f[1] for f in frames])
+    allocs = np.stack([f[2] for f in frames])
+    return meta, levels, scf_idx, allocs
+
+
+def decode_mpeg1_audio(payload: bytes):
+    """MPEG-1 Layer I -> (meta, (n_samples, ch) int16 PCM): integer
+    level decode, spec requantization s = scf * 2v/(2^nb - 1)
+    (algebraically identical to 2.4.3.3's
+    (2^nb/(2^nb-1)) * (s''' + 2^(1-nb)) form — see
+    decode_mpeg1_levels), then the polyphase synthesis."""
+    meta, levels, scf_idx, allocs = decode_mpeg1_levels(payload)
+    F, _, _, ch = levels.shape
+    scfv = np.asarray(_MPEG1_SCALEFACTORS)[scf_idx]  # (F, 32, ch)
+    nb = allocs.astype(np.int64)
+    denom = np.where(nb > 0, (1 << nb) - 1, 1).astype(np.float64)
+    s = (
+        levels.astype(np.float64)
+        * 2.0
+        / denom[:, None, :, :]
+        * scfv[:, None, :, :]
+    )  # (F, 12, 32, ch)
+    sb = s.reshape(F * 12, 32, ch)
+    pcm = np.empty((F * 384, ch), dtype=np.int16)
+    for c in range(ch):
+        y = mpeg1_synthesis(sb[:, :, c])
+        pcm[:, c] = np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
+    meta["n_samples"] = F * 384
+    return meta, pcm
+
+
+def encode_mpeg1_layer1(
+    pcm: np.ndarray, sample_rate: int = 32000, nb: int = 11
+) -> bytes:
+    """(n, ch) int16 PCM -> MPEG-1 Layer I bytes: polyphase analysis,
+    per-frame-per-subband scalefactor selection (smallest Table B.1
+    value covering the 12 granules' max, the spec's C.1.5.4 rule),
+    symmetric-midtread quantization to 2^nb - 1 levels, frame pack.
+    Fixed `nb` bits across subbands — encoder bit allocation is a
+    quality choice the spec leaves free, and a flat profile is the
+    honest baseline (no psychoacoustic model here)."""
+    a = np.asarray(pcm)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2 or a.shape[1] not in (1, 2):
+        raise ValueError(f"pcm must be (n,), (n, 1) or (n, 2), got {a.shape}")
+    if not 2 <= nb <= 15:
+        raise ValueError("nb must be 2..15")
+    n, ch = a.shape
+    F = max(1, -(-n // 384))
+    x = np.zeros((F * 384, ch))
+    x[:n] = a.astype(np.float64) / 32768.0
+    scfs = np.asarray(_MPEG1_SCALEFACTORS)
+    levels = np.zeros((F, 12, 32, ch), dtype=np.int32)
+    scf_idx = np.zeros((F, 32, ch), dtype=np.int64)
+    lim = (1 << (nb - 1)) - 1
+    for c in range(ch):
+        S = mpeg1_analysis(x[:, c]).reshape(F, 12, 32)
+        mx = np.abs(S).max(axis=1)  # (F, 32)
+        # largest index whose scalefactor still covers the max: the
+        # table is decreasing, so searchsorted on the reversed table
+        idx = 62 - np.searchsorted(scfs[::-1], mx, side="left")
+        if np.any(idx < 0):
+            raise ValueError("subband sample exceeds the scalefactor range")
+        scf_idx[:, :, c] = idx
+        v = np.rint(S / scfs[idx][:, None, :] * ((1 << nb) - 1) / 2.0)
+        levels[:, :, :, c] = np.clip(v, -lim, lim).astype(np.int32)
+    alloc = np.full(32, nb, dtype=np.int64)
+    return build_mpeg1_layer1(levels, scf_idx, alloc, sample_rate)

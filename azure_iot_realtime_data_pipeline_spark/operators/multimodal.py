@@ -15,10 +15,11 @@ DEFLATE via stdlib zlib — a genuinely COMPRESSED codec, see
 feeding real measured metadata (`image_meta_decoded`),
 nearest-neighbor resize (`resize_images`) and a true perceptual aHash
 (`image_ahash_decoded`, container-invariant — gated). Audio decodes
-PCM and ITU-T G.711 µ-law/A-law WAV (`decode_wav`); video decodes
-YUV4MPEG2 raw frames (`video_frame_stats`) beside the MJPEG boundary
-walk. Only entropy-coded codecs (JPEG DCT/Huffman, MP3/AAC, inter-
-frame video) remain behind the PIL/ffmpeg swap point: this container
+PCM and ITU-T G.711 µ-law/A-law WAV (`decode_wav`), FLAC, and MPEG-1
+Layer I (r12); video decodes YUV4MPEG2 raw frames
+(`video_frame_stats`) beside the MJPEG boundary walk. Only MPEG
+Layer II/III + AAC audio and motion-compensated video remain behind
+the PIL/ffmpeg swap point: this container
 ships none, so `decode_image` raises NotImplementedError for them, and
 `fake_decode_meta` keeps a deterministic stand-in so the registered
 queries run on the text-payload test corpus. Swapping in a codec
@@ -1200,8 +1201,12 @@ def decode_audio(payload: bytes):
     entropy-coded lossless codec, RFC 9639). Same return convention
     everywhere: (meta dict with sample_rate/channels/bits,
     (n, channels) int32). Unknown magic raises ValueError
-    (quarantine-able); MP3/AAC remain the documented perceptual-audio
-    swap point."""
+    (quarantine-able); an 11-bit MPEG sync routes to the Layer I
+    decoder (`codecs.decode_mpeg1_audio`), whose Layer II/III branch
+    raises the NotImplementedError that — with AAC — remains the
+    perceptual-audio swap point."""
+    import numpy as np
+
     b = bytes(payload)
     if b[:4] == b"fLaC":
         from .codecs import decode_flac
@@ -1209,7 +1214,14 @@ def decode_audio(payload: bytes):
         return decode_flac(b)
     if b[:4] == b"RIFF":
         return decode_wav(b)
-    raise ValueError("unknown audio container (expected RIFF/WAVE or FLAC)")
+    if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        from .codecs import decode_mpeg1_audio
+
+        meta, pcm = decode_mpeg1_audio(b)
+        return meta, pcm.astype(np.int32)
+    raise ValueError(
+        "unknown audio container (expected RIFF/WAVE, FLAC or MPEG)"
+    )
 
 
 def synth_flac_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1463,4 +1475,93 @@ def avi_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         extract, GIF_FRAME_SCHEMA
+    )
+
+
+def synth_mpeg1_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic REAL MPEG-1 Layer I synthesis from text — the
+    perceptual-audio class (ISO/IEC 11172-3) under the value-hash
+    gate. Each character's codepoint (mod 256, centered to [-128,
+    127]) becomes one quantized subband LEVEL on the Layer I midtread
+    lattice, packed through the true frame encoder
+    (`codecs.build_mpeg1_layer1`): sync/header, per-subband bit
+    allocation, Table B.1 scalefactors, MSB-inverted sample codes.
+    The codec dials cycle per document — allocation `9 + doc_id % 4`
+    bits (9 is the smallest holding the full [-128, 127] range: a
+    codepoint congruent to 0 mod 256 maps to level -128, one past an
+    8-bit lattice's +-127), scalefactor index `3 * (doc_id % 5)`
+    (multiples of 3 are exact binary powers — the integer-lattice
+    anchor). Sample rate stays 32 kHz: Layer I's slot budget at
+    48 kHz tops out at 8 bits/sample mono, below the 9-bit floor. The
+    level layer is integer-exact end to end, so the DuckDB oracle
+    mirrors it with character arithmetic; the lossy part of the codec
+    (the polyphase filterbank) is property-gated in
+    tests/test_mpeg_audio.py, the same split the JPEG chain uses for
+    its DCT."""
+    import numpy as np
+
+    from .codecs import build_mpeg1_layer1
+
+    def one(doc_id: int, text: str) -> bytes:
+        s = np.array(
+            [(ord(c) % 256) - 128 for c in (text or "")], dtype=np.int32
+        )
+        F = max(1, -(-len(s) // 384))
+        levels = np.zeros((F, 12, 32, 1), dtype=np.int32)
+        levels.reshape(-1)[: len(s)] = s
+        nb = 9 + doc_id % 4
+        scf = np.full((F, 32, 1), 3 * (doc_id % 5), dtype=np.int64)
+        alloc = np.full(32, nb, dtype=np.int64)
+        return build_mpeg1_layer1(levels, scf, alloc, 32000)
+
+    return _synth_payloads(docs, text_col, one)
+
+
+MPEG1_STATS_SCHEMA = (
+    "doc_id BIGINT, n_frames INT, n_samples BIGINT, "
+    "level_sum BIGINT, level_peak INT"
+)
+
+
+def mpeg1_level_stats(media: DataFrame) -> DataFrame:
+    """Per-document integer measurement over the MPEG-1 Layer I
+    decode: frame count, PCM sample count from the FULL decode (the
+    polyphase synthesis actually runs — its output length is
+    structural, 384 per frame, so it sits under the hash gate even
+    though its sample values are lossy), and the sum/max of the
+    requantization LEVELS, which recover the synthesized codepoint
+    integers exactly (sum + absolute peak; frame zero-padding adds 0
+    to the sum and never raises the peak). One narrow Arrow map,
+    decode parallel per partition."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_mpeg1_audio, decode_mpeg1_levels
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta, levels, _scf, _alloc = decode_mpeg1_levels(payload)
+                pmeta, pcm = decode_mpeg1_audio(payload)
+                flat = levels.astype(np.int64).reshape(-1)
+                rows.append(
+                    (
+                        doc_id,
+                        meta["n_frames"],
+                        int(pcm.shape[0]),
+                        int(flat.sum()),
+                        int(np.abs(flat).max(initial=0)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_samples",
+                    "level_sum", "level_peak",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, MPEG1_STATS_SCHEMA
     )

@@ -6047,3 +6047,40 @@ ORACLES["q_avi_frame_stats"] = """
            CAST(0 AS BIGINT) AS y_sum, CAST(0 AS INT) AS y_max
     FROM documents WHERE length(text) = 0
     """
+
+
+# J14m: the MPEG-1 Layer I level layer is integer-exact (the synth
+# writes centered codepoints straight onto the quantization lattice),
+# so the oracle is character arithmetic: frames of 384 levels with
+# zero padding (adds 0 to the sum, never raises the absolute peak);
+# n_samples is structural (384 per frame, the synthesis filterbank's
+# output length).
+ORACLES["q_mpeg1_features"] = """
+    WITH v AS (
+      SELECT doc_id,
+             (ascii(substr(d.text, i, 1)) % 256) - 128 AS s
+      FROM (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+      ) JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(s) AS BIGINT) AS level_sum,
+             CAST(MAX(ABS(s)) AS INT) AS level_peak
+      FROM v GROUP BY doc_id
+    ),
+    fr AS (
+      SELECT doc_id,
+             GREATEST(1, (length(text) + 383) // 384) AS n_frames
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(fr.n_frames AS INT) AS n_frames,
+           CAST(384 * fr.n_frames AS BIGINT) AS n_samples,
+           CAST(COALESCE(agg.level_sum, 0) AS BIGINT) AS level_sum,
+           CAST(COALESCE(agg.level_peak, 0) AS INT) AS level_peak
+    FROM documents d
+    JOIN fr USING (doc_id)
+    LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """

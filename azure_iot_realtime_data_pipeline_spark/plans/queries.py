@@ -867,6 +867,25 @@ def q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(multimodal.synth_flac_from_text(docs))
 
 
+def q_mpeg1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14m MPEG-1 Audio Layer I (ISO/IEC 11172-3) under the
+    value-hash gate — the PERCEPTUAL-audio class joins the family
+    (G.711/ADPCM companding, FLAC lossless entropy coding, now
+    subband + scalefactor + adaptive-allocation lossy coding).
+    Documents synthesize real Layer I frames whose quantized subband
+    levels carry the centered codepoints on the spec's symmetric
+    midtread lattice (allocation and scalefactor dials cycling per
+    doc — see multimodal.synth_mpeg1_from_text), the true decoder
+    walks sync/header/allocation/scalefactors/MSB-inverted codes
+    back, runs the full polyphase synthesis for the PCM sample count,
+    and the integer level features must hash-match character-level
+    DuckDB arithmetic. The filterbank's lossy sample values stay
+    property-gated in tests (the JPEG-DCT split); Layer II/III + AAC
+    remain the documented swap point."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.mpeg1_level_stats(multimodal.synth_mpeg1_from_text(docs))
+
+
 def q_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14j ANIMATED GIF under the value-hash gate — the temporal
     compositing decode (frames depend on prior canvas state):
@@ -4029,6 +4048,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS_r*.json lands. ALL queries stay covered by the
     # local parity suite (tests/test_queries_oracle.py) every run
     # regardless of position.
+    # -- never driver-sampled (new this session, oracled) ------------
+    "q_mpeg1_features": q_mpeg1_features,
     # -- last driver green: r6 -----------------------------------
     "q_scd2": q_scd2,
     "q_top_journeys": q_top_journeys,
