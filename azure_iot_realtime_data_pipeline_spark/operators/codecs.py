@@ -3894,6 +3894,11 @@ def decode_mpeg1_levels(payload: bytes):
                         if code == (1 << nb) - 1:
                             raise ValueError("forbidden all-ones sample code")
                         lev[s, sb, c] = code - ((1 << (nb - 1)) - 1)
+        # audio_data must fit inside the header-declared slot count —
+        # a reader that silently continued into the NEXT frame's bytes
+        # would decode garbage without tripping the quarantine
+        if r.pos + (1 if r.bit else 0) > frame_end:
+            raise ValueError("MPEG frame data overruns its slot length")
         frames.append((lev, scf, alloc))
         pos = frame_end
     if not frames:

@@ -208,3 +208,18 @@ def test_build_rejects_illegal_inputs():
             np.full(32, 15, dtype=np.int64),
             32000,
         )
+
+
+def test_frame_data_must_fit_declared_slots():
+    """A frame whose header declares too few slots for its own
+    allocation must raise, not silently read into the next frame's
+    bytes (two concatenated frames would otherwise decode garbage)."""
+    x = (np.arange(384 * 2, dtype=np.int16) * 7 % 6000)[:, None].astype(
+        np.int16
+    )
+    payload = bytearray(codecs.encode_mpeg1_layer1(x, 32000, nb=10))
+    # first frame's bitrate index -> the smallest table entry (32 kbps:
+    # 12 slots at 32 kHz, far below what a 10-bit allocation needs)
+    payload[2] = (payload[2] & 0x0F) | 0x10
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        codecs.decode_mpeg1_levels(bytes(payload))
