@@ -266,6 +266,19 @@ def main() -> None:
     medians: dict[str, float] = best["queries"]
     mins: dict[str, float] = best["queries_min"]
 
+    # Context canary (round 12): the recurring adjudication pattern —
+    # a query measuring ~1.4 s isolated but ~3 s inside the sweep
+    # (q_top_ngrams r10/r11/r12, q_sample_per_group r11) — is a
+    # property of accumulated session state, not of the query. Time a
+    # known-inflating canary plus a stable control BEFORE and AFTER
+    # the sweep in the SAME process: the post/pre ratio quantifies the
+    # context cost per run, so future sweep-vs-isolated deltas can be
+    # read off the record instead of re-adjudicated by hand.
+    canaries = [n for n in ("q_count", "q_top_ngrams") if n in QUERIES]
+    canary_pre = (
+        {n: _median(_time_query(n, reps)) for n in canaries} if run_all else {}
+    )
+
     # Full sweep: every remaining registered query, single rep. A
     # wall-clock budget bounds it so one anomalous stall can never eat
     # the whole harness window and lose the JSON line — but an overrun
@@ -361,9 +374,18 @@ def main() -> None:
         # even the best of 1+retries attempts ran over the steal
         # threshold: the number is the host's, not the engine's
         out["degraded"] = True
+    canary_post = (
+        {n: _median(_time_query(n, reps)) for n in canaries} if run_all else {}
+    )
+
     full = dict(out)
     full["queries_min"] = mins
     full["headline_attempts"] = attempts
+    if canary_pre:
+        full["context_canary"] = {
+            "pre_sweep": canary_pre,
+            "post_sweep": canary_post,
+        }
     if sweep_steal is not None:
         full["sweep_steal_pct"] = sweep_steal
     if run_all:
