@@ -3731,6 +3731,8 @@ def build_mpeg1_layer1(
     if levels.ndim != 4 or levels.shape[1:3] != (12, 32):
         raise ValueError(f"levels must be (F, 12, 32, ch), got {levels.shape}")
     F, _, _, ch = levels.shape
+    if F == 0:
+        raise ValueError("need at least one frame of levels")
     if ch not in (1, 2):
         raise ValueError(f"Layer I supports 1 or 2 channels, got {ch}")
     if scf_idx.shape != (F, 32, ch):
@@ -3947,6 +3949,11 @@ def encode_mpeg1_layer1(
     quality choice the spec leaves free, and a flat profile is the
     honest baseline (no psychoacoustic model here)."""
     a = np.asarray(pcm)
+    if not np.issubdtype(a.dtype, np.integer):
+        raise ValueError(
+            f"encode_mpeg1_layer1 expects integer int16-scale PCM, got "
+            f"{a.dtype} (a [-1, 1) float would silently encode as silence)"
+        )
     if a.ndim == 1:
         a = a[:, None]
     if a.ndim != 2 or a.shape[1] not in (1, 2):

@@ -223,3 +223,18 @@ def test_frame_data_must_fit_declared_slots():
     payload[2] = (payload[2] & 0x0F) | 0x10
     with pytest.raises(ValueError, match="overruns|truncated"):
         codecs.decode_mpeg1_levels(bytes(payload))
+
+
+def test_encoder_input_strictness():
+    """Zero frames and float PCM both fail loudly (a [-1, 1) float
+    array divided by 32768 would encode near-silence without error —
+    the encode_png dtype-strictness convention applied here)."""
+    with pytest.raises(ValueError, match="at least one frame"):
+        codecs.build_mpeg1_layer1(
+            np.zeros((0, 12, 32, 1), dtype=np.int32),
+            np.zeros((0, 32, 1), dtype=np.int64),
+            np.full(32, 8, dtype=np.int64),
+            32000,
+        )
+    with pytest.raises(ValueError, match="integer"):
+        codecs.encode_mpeg1_layer1(np.zeros(384, dtype=np.float64), 32000)
