@@ -276,7 +276,7 @@ def main() -> None:
     # read off the record instead of re-adjudicated by hand.
     canaries = [n for n in ("q_count", "q_top_ngrams") if n in QUERIES]
     canary_pre = (
-        {n: _median(_time_query(n, reps)) for n in canaries} if run_all else {}
+        {n: _time_query(n, reps) for n in canaries} if run_all else {}
     )
 
     # Full sweep: every remaining registered query, single rep. A
@@ -374,8 +374,13 @@ def main() -> None:
         # even the best of 1+retries attempts ran over the steal
         # threshold: the number is the host's, not the engine's
         out["degraded"] = True
+    # raw per-rep samples, not medians: the first sf0.1 run recorded
+    # pre-sweep q_top_ngrams at 7.49 vs post-sweep 0.94 — the shape of
+    # the rep sequence (one cold monster vs uniformly slow) is exactly
+    # what distinguishes a first-execution-at-scale cost from genuine
+    # session-state degradation
     canary_post = (
-        {n: _median(_time_query(n, reps)) for n in canaries} if run_all else {}
+        {n: _time_query(n, reps) for n in canaries} if run_all else {}
     )
 
     full = dict(out)
