@@ -3771,43 +3771,72 @@ def build_mpeg1_layer1(
         )
     slots = _mpeg1_frame_slots(_MPEG1_L1_BITRATES[bi], sample_rate, 0)
     mode = 0b11 if ch == 1 else 0b00
-    out = bytearray()
-    for f in range(F):
-        w = _MSBWriter()
-        w.write(0xFFF, 12)  # syncword
-        w.write(1, 1)  # ID: MPEG-1
-        w.write(0b11, 2)  # layer I
-        w.write(1, 1)  # protection_bit: 1 = no CRC
-        w.write(bi, 4)
-        w.write(sf_index, 2)
-        w.write(0, 1)  # padding
-        w.write(0, 1)  # private
-        w.write(mode, 2)
-        w.write(0, 2)  # mode_extension
-        w.write(0, 1)  # copyright
-        w.write(1, 1)  # original
-        w.write(0, 2)  # emphasis
-        for sb in range(32):
-            a = int(alloc[sb])
-            for c in range(ch):
-                w.write(a - 1 if a else 0, 4)
-        for sb in range(32):
-            if alloc[sb]:
-                for c in range(ch):
-                    w.write(int(scf_idx[f, sb, c]), 6)
-        for s in range(12):
-            for sb in range(32):
-                nb = int(alloc[sb])
-                if nb:
-                    for c in range(ch):
-                        v = int(levels[f, s, sb, c])
-                        w.write(v + (1 << (nb - 1)) - 1, nb)
-        w.align()
-        frame = w.bytes()
-        if len(frame) > slots * 4:
-            raise ValueError("frame overflow")  # pragma: no cover - guarded above
-        out += frame + b"\x00" * (slots * 4 - len(frame))
-    return bytes(out)
+    # header + allocation are identical across frames: pack them once
+    w = _MSBWriter()
+    w.write(0xFFF, 12)  # syncword
+    w.write(1, 1)  # ID: MPEG-1
+    w.write(0b11, 2)  # layer I
+    w.write(1, 1)  # protection_bit: 1 = no CRC
+    w.write(bi, 4)
+    w.write(sf_index, 2)
+    w.write(0, 1)  # padding
+    w.write(0, 1)  # private
+    w.write(mode, 2)
+    w.write(0, 2)  # mode_extension
+    w.write(0, 1)  # copyright
+    w.write(1, 1)  # original
+    w.write(0, 2)  # emphasis
+    for sb in range(32):
+        a = int(alloc[sb])
+        for c in range(ch):
+            w.write(a - 1 if a else 0, 4)
+    w.align()
+    prefix_bits = 32 + 32 * 4 * ch  # before scalefactors (byte-aligned)
+    prefix = np.unpackbits(np.frombuffer(w.bytes(), np.uint8))[:prefix_bits]
+
+    # sample-section bit layout, shared by every frame and granule
+    # (the decode-side vectorization run in reverse: scatter each
+    # field's bits through one fancy index per distinct width)
+    act = [sb for sb in range(32) if alloc[sb]]
+    goff_map = {}
+    goff = 0
+    for sb in act:
+        for c in range(ch):
+            goff_map[(sb, c)] = goff
+            goff += int(alloc[sb])
+    scf_bits_n = len(act) * 6 * ch
+    total_bits = prefix_bits + scf_bits_n + 12 * goff
+    frame_bits = np.zeros((F, slots * 32), dtype=np.uint8)
+    frame_bits[:, :prefix_bits] = prefix[None, :]
+    # scalefactors: 6-bit fields, frame-varying
+    scf_act = scf_idx[:, act, :].reshape(F, -1).astype(np.int64)  # (F, k*ch)
+    shifts6 = np.arange(5, -1, -1)
+    scf_field_bits = ((scf_act[:, :, None] >> shifts6) & 1).astype(np.uint8)
+    frame_bits[
+        :, prefix_bits : prefix_bits + scf_bits_n
+    ] = scf_field_bits.reshape(F, -1)
+    base = prefix_bits + scf_bits_n
+    rows = base + goff * np.arange(12)  # (12,)
+    by_nb: dict[int, list[tuple[int, int]]] = {}
+    for sb in act:
+        for c in range(ch):
+            by_nb.setdefault(int(alloc[sb]), []).append((sb, c))
+    for nb, flds in by_nb.items():
+        offs = np.array([goff_map[f] for f in flds])
+        sbs = np.array([f[0] for f in flds])
+        cs = np.array([f[1] for f in flds])
+        codes = (
+            levels[:, :, sbs, cs].astype(np.int64) + (1 << (nb - 1)) - 1
+        )  # (F, 12, k)
+        shifts = np.arange(nb - 1, -1, -1)
+        fb = ((codes[:, :, :, None] >> shifts) & 1).astype(np.uint8)
+        idx = (
+            rows[:, None, None] + offs[None, :, None] + shifts[::-1][None, None, :]
+        )  # (12, k, nb) — shifts[::-1] is just arange(nb)
+        frame_bits[:, idx.reshape(-1)] = fb.reshape(F, -1)
+    if total_bits > slots * 32 * 8:
+        raise ValueError("frame overflow")  # pragma: no cover - guarded above
+    return np.packbits(frame_bits, axis=1).tobytes()
 
 
 def decode_mpeg1_levels(payload: bytes):
