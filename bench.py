@@ -331,6 +331,9 @@ def main() -> None:
                 "q_dedup_pipeline",
                 "q_canonical_docs",
                 "q_time_weighted_avg",
+                # in-suite ~3x inflation vs isolated, recurring r5/r8/
+                # r12 — median-pinned so the record is never single-shot
+                "q_contamination_score",
             )
             if n in timings_all and n not in HEADLINE
         ]
