@@ -640,6 +640,29 @@ def _huff_encode_table(bits: list[int], huffval: list[int]) -> dict:
     }
 
 
+class _HuffTable:
+    """Decode table with an 8-bit first-level LUT: for every 8-bit
+    window, the symbol and length of the (<=8-bit) code it starts
+    with, or length 0 when the code runs longer — then `_huff_read`
+    falls back to the canonical per-bit walk over `map`. Build cost is
+    at most 256 fills per table (once per DHT segment), and the LUT
+    turns the per-symbol hot path from ~L dict probes into one list
+    index (T.81 tables put all frequent symbols well inside 8 bits)."""
+
+    __slots__ = ("map", "lut_sym", "lut_len")
+
+    def __init__(self, table: dict):
+        self.map = table
+        self.lut_sym = [0] * 256
+        self.lut_len = [0] * 256
+        for (length, code), sym in table.items():
+            if length <= 8:
+                start = code << (8 - length)
+                for i in range(start, start + (1 << (8 - length))):
+                    self.lut_sym[i] = sym
+                    self.lut_len[i] = length
+
+
 class _BitReader:
     """Entropy-segment bit reader: FF00 unstuffing, RSTn handling
     (byte-align + swallow the marker), EOI stops the stream."""
@@ -651,41 +674,45 @@ class _BitReader:
         self.nbits = 0
 
     def read_bits(self, n: int) -> int:
-        """MSB-first n-bit read with state cached in locals (the
+        """MSB-first n-bit read against the multi-byte buffer (the
         per-coefficient magnitude path — once per nonzero coefficient,
-        so it earns the same treatment as `_huff_read`)."""
+        so it earns the same local-caching as `_huff_read`). The
+        buffer holds whole absorbed bytes (bitbuf masked to nbits);
+        markers are never absorbed — hitting one clears the buffer
+        (any residue is byte-alignment padding) and surfaces it."""
         data = self.data
         pos = self.pos
         bitbuf = self.bitbuf
         nbits = self.nbits
-        v = 0
-        for _ in range(n):
-            if nbits == 0:
-                while True:  # byte refill incl. FF00 unstuffing
-                    if pos >= len(data):
-                        raise ValueError("JPEG entropy data truncated")
-                    bitbuf = data[pos]
+        while nbits < n:
+            if pos >= len(data):
+                raise ValueError("JPEG entropy data truncated")
+            byte = data[pos]
+            pos += 1
+            if byte == 0xFF:
+                nxt = data[pos] if pos < len(data) else 0xD9
+                if nxt == 0x00:
                     pos += 1
-                    if bitbuf != 0xFF:
-                        break
-                    nxt = data[pos] if pos < len(data) else 0xD9
-                    if nxt == 0x00:
-                        pos += 1
-                        break
-                    self.pos = pos - 1
+                else:
+                    self.pos = pos - 1  # rewind: caller sees the marker
                     self.bitbuf, self.nbits = 0, 0
                     raise _MarkerHit(nxt)
-                nbits = 8
-            nbits -= 1
-            v = (v << 1) | ((bitbuf >> nbits) & 1)
+            bitbuf = (bitbuf << 8) | byte
+            nbits += 8
+        nbits -= n
+        v = (bitbuf >> nbits) & ((1 << n) - 1)
         self.pos = pos
-        self.bitbuf = bitbuf
+        self.bitbuf = bitbuf & ((1 << nbits) - 1)
         self.nbits = nbits
         return v
 
     def restart(self) -> None:
-        """Consume an RSTn marker and byte-align (T.81 E.2.4)."""
+        """Consume an RSTn marker and byte-align (T.81 E.2.4). Any
+        buffered bits are pre-marker padding — refill never absorbs a
+        byte past the pad byte, so discarding the buffer IS the
+        byte-align."""
         self.nbits = 0
+        self.bitbuf = 0
         d = self.data
         if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
             self.pos += 2
@@ -700,17 +727,67 @@ class _MarkerHit(Exception):
         self.marker = marker
 
 
-def _huff_read(reader: _BitReader, table: dict) -> int:
-    """Canonical-code read with the reader state cached in locals —
-    this is the per-symbol hot path (called once per DC and once per
-    AC run), so attribute round-trips per bit are worth avoiding."""
+def _huff_read(reader: _BitReader, table: _HuffTable) -> int:
+    """Canonical-code read, LUT-accelerated: buffer 8 bits (eagerly,
+    stopping at markers), index the table's first-level LUT once, and
+    only codes longer than 8 bits fall back to the per-bit dict walk.
+    This is the per-symbol hot path (once per DC and once per AC run)
+    — the LUT replaces up to 8 shift+probe iterations with one list
+    index, and reader state stays cached in locals throughout. Near
+    stream end / markers the window pads with 1-bits (T.81's own pad
+    value): padding can only influence LUT entries whose code length
+    exceeds the real bits available, and those reject below."""
     data = reader.data
     pos = reader.pos
     bitbuf = reader.bitbuf
     nbits = reader.nbits
-    code = 0
-    get = table.get
-    for length in range(1, 17):
+    marker = -1
+    while nbits < 8:
+        if pos >= len(data):
+            break
+        byte = data[pos]
+        if byte == 0xFF:
+            nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
+            if nxt != 0x00:
+                marker = nxt
+                break
+            pos += 2
+        else:
+            pos += 1
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+    if nbits >= 8:
+        window = (bitbuf >> (nbits - 8)) & 0xFF
+    else:
+        window = ((bitbuf << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF
+    ln = table.lut_len[window]
+    if ln:
+        if ln <= nbits:
+            nbits -= ln
+            reader.pos = pos
+            reader.bitbuf = bitbuf & ((1 << nbits) - 1)
+            reader.nbits = nbits
+            return table.lut_sym[window]
+        # the code needs bits that do not exist in the stream
+        if marker >= 0:
+            reader.pos = pos
+            reader.bitbuf, reader.nbits = 0, 0
+            raise _MarkerHit(marker)
+        raise ValueError("JPEG entropy data truncated")
+    if nbits < 8:
+        # fewer than 8 real bits left and no <=8-bit code matches:
+        # a longer code cannot complete either
+        if marker >= 0:
+            reader.pos = pos
+            reader.bitbuf, reader.nbits = 0, 0
+            raise _MarkerHit(marker)
+        raise ValueError("JPEG entropy data truncated")
+    # slow path: the code is longer than 8 bits — continue the
+    # canonical walk from the 8-bit prefix
+    code = window
+    nbits -= 8
+    get = table.map.get
+    for length in range(9, 17):
         if nbits == 0:
             while True:  # byte refill incl. FF00 unstuffing
                 if pos >= len(data):
@@ -732,7 +809,7 @@ def _huff_read(reader: _BitReader, table: dict) -> int:
         sym = get((length, code))
         if sym is not None:
             reader.pos = pos
-            reader.bitbuf = bitbuf
+            reader.bitbuf = bitbuf & ((1 << nbits) - 1)
             reader.nbits = nbits
             return sym
     raise ValueError("invalid JPEG Huffman code")
@@ -798,8 +875,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if i + 17 + nsym > len(seg):
                     raise ValueError("truncated JPEG DHT symbol list")
                 vals = list(seg[i + 17 : i + 17 + nsym])
-                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(
-                    bits, vals
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
+                    _huff_decode_table(bits, vals)
                 )
                 i += 17 + nsym
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
