@@ -1824,27 +1824,55 @@ def _decode_dc_scan(
     bit per block (no Huffman)."""
     mcus_x, mcus_y = geom
     reader = _BitReader(b, pos)
-    pred = {c["id"]: 0 for c, _td, _ta in scan}
+    # hoist the per-block dict probes (component plane, Huffman table)
+    # out of the MCU loop — this scan visits every block in the image
+    parts = []
+    for comp, td, _ta in scan:
+        tbl = huff_dc.get(td)
+        if Ah == 0 and tbl is None:
+            raise ValueError("JPEG missing DC Huffman table")
+        parts.append((comp["id"], comp["v"], comp["h"], coef[comp["id"]], tbl))
+    pred = dict.fromkeys((p[0] for p in parts), 0)
     n_mcus = mcus_x * mcus_y
+    if (
+        Ah
+        and not restart_interval
+        and len(parts) == 1
+        and parts[0][1] == 1
+        and parts[0][2] == 1
+    ):
+        # DC refinement consumes EXACTLY one raw bit per block (no
+        # Huffman, no data dependence), so the single-component
+        # non-restart case reads whole bytes and unpacks — 8x fewer
+        # python iterations than the per-block loop below; blk is only
+        # written after every bit read, so a _MarkerHit mid-scan
+        # leaves the grid untouched (same as failing on block 0)
+        _cid, _v, _h, blk, _tbl = parts[0]
+        nbytes = (n_mcus + 7) // 8
+        raw = bytearray(nbytes)
+        for bi in range(nbytes - 1):
+            raw[bi] = reader.read_bits(8)
+        rem = n_mcus - 8 * (nbytes - 1)
+        raw[nbytes - 1] = reader.read_bits(rem) << (8 - rem)
+        bits = np.unpackbits(np.frombuffer(bytes(raw), np.uint8))[:n_mcus]
+        mcy, mcx = divmod(np.flatnonzero(bits), mcus_x)
+        blk[mcy, mcx, 0] |= 1 << Al
+        return reader.pos
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             reader.restart()
-            pred = {c["id"]: 0 for c, _td, _ta in scan}
+            pred = dict.fromkeys(pred, 0)
         my, mx = divmod(mcu, mcus_x)
-        for comp, td, _ta in scan:
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    cy = my * comp["v"] + by
-                    cx = mx * comp["h"] + bx
-                    blk = coef[comp["id"]]
+        for cid, v, h, blk, tbl in parts:
+            for by in range(v):
+                cy = my * v + by
+                for bx in range(h):
+                    cx = mx * h + bx
                     if Ah == 0:
-                        tbl = huff_dc.get(td)
-                        if tbl is None:
-                            raise ValueError("JPEG missing DC Huffman table")
                         s = _huff_read(reader, tbl)
                         diff = _extend(reader.read_bits(s), s) if s else 0
-                        pred[comp["id"]] += diff
-                        blk[cy, cx, 0] = pred[comp["id"]] << Al
+                        pred[cid] += diff
+                        blk[cy, cx, 0] = pred[cid] << Al
                     else:
                         if reader.read_bits(1):
                             blk[cy, cx, 0] |= 1 << Al
@@ -1950,24 +1978,22 @@ def _reconstruct_jpeg(frame, coef, qt, hmax, vmax, mcus_x, mcus_y):
             raise ValueError(f"JPEG missing quant table {c['tq']}")
         grid = coef[c["id"]]
         by_n, bx_n = grid.shape[0], grid.shape[1]
-        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.float64)
-        qz = q.astype(np.int64)
-        for cy in range(by_n):
-            for cx in range(bx_n):
-                row = grid[cy, cx]
-                dc = int(row[0]) * int(qz[0])
-                nz = np.nonzero(row[1:])[0]
-                if nz.size == 0:
-                    plane[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = dc / 8.0
-                    continue
-                block = np.zeros(64, dtype=np.float64)
-                block[0] = dc
-                for k in nz + 1:
-                    block[_ZIGZAG[k]] = int(row[k]) * int(qz[k])
-                plane[cy * 8 : cy * 8 + 8, cx * 8 : cx * 8 + 8] = (
-                    idct_m.T @ block.reshape(8, 8) @ idct_m
-                )
-        planes[c["id"]] = plane
+        # batched dequantize + zigzag scatter + IDCT over EVERY block
+        # at once (was a per-block python loop): broadcasting matmul
+        # runs the same 8x8 GEMM per block; coefficient x quant
+        # products stay below 2^53, exact in float64 (the old path's
+        # dc-only dc/8 shortcut could differ from the GEMM by ~1 ulp —
+        # the chains' DC-exact values sit on integers, far from any
+        # uint8 rounding boundary)
+        deq = grid.astype(np.float64) * q.astype(np.float64)[None, None, :]
+        blocks = np.zeros((by_n, bx_n, 64), dtype=np.float64)
+        blocks[:, :, _ZIGZAG] = deq
+        out = np.matmul(
+            np.matmul(idct_m.T, blocks.reshape(by_n, bx_n, 8, 8)), idct_m
+        )
+        planes[c["id"]] = out.transpose(0, 2, 1, 3).reshape(
+            by_n * 8, bx_n * 8
+        )
     return _assemble_jpeg_image(comps, planes, w, h, hmax, vmax)
 
 
