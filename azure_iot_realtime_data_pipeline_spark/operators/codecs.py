@@ -1065,36 +1065,40 @@ def _decode_scan(
         hmax = vmax = 1
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    # per-component coefficient planes (in 8x8 block units)
-    planes = {}
-    for c in comps:
-        planes[c["id"]] = np.zeros(
-            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
+    # per-component UNQUANTIZED coefficient grids in zigzag order (in
+    # 8x8 block units) — the same accumulate-then-batch shape as the
+    # progressive path, so both share _reconstruct_jpeg's vectorized
+    # dequant + de-zigzag + IDCT instead of per-block python matmuls
+    coef = {}
+    parts = []
+    for comp, td, ta in scan:
+        if qt.get(comp["tq"]) is None:
+            raise ValueError(f"JPEG missing quant table {comp['tq']}")
+        dct = huff_dc.get(td)
+        act = huff_ac.get(ta)
+        if dct is None or act is None:
+            raise ValueError("JPEG missing Huffman table")
+        coef[comp["id"]] = np.zeros(
+            (mcus_y * comp["v"], mcus_x * comp["h"], 64), dtype=np.int32
         )
+        parts.append((comp, dct, act, coef[comp["id"]]))
     reader = _BitReader(b, pos)
     pred = {c["id"]: 0 for c in comps}
-    idct_m = _DCT_M
     n_mcus = mcus_x * mcus_y
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             reader.restart()
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(mcu, mcus_x)
-        for comp, td, ta in scan:
-            q = qt.get(comp["tq"])
-            if q is None:
-                raise ValueError(f"JPEG missing quant table {comp['tq']}")
-            dct = huff_dc.get(td)
-            act = huff_ac.get(ta)
-            if dct is None or act is None:
-                raise ValueError("JPEG missing Huffman table")
+        for comp, dct, act, grid in parts:
+            cid = comp["id"]
             for by in range(comp["v"]):
                 for bx in range(comp["h"]):
                     acs: list = []  # (zigzag index, value) pairs
                     try:
                         s = _huff_read(reader, dct)
                         diff = _extend(reader.read_bits(s), s) if s else 0
-                        pred[comp["id"]] += diff
+                        pred[cid] += diff
                         k = 1
                         while k < 64:
                             rs = _huff_read(reader, act)
@@ -1116,25 +1120,17 @@ def _decode_scan(
                             raise ValueError(
                                 f"unexpected marker 0xFF{mh.marker:02X} in scan"
                             ) from None
-                    y0 = (my * comp["v"] + by) * 8
-                    x0 = (mx * comp["h"] + bx) * 8
-                    dc = pred[comp["id"]] * int(q[0])
-                    if not acs:
-                        # DC-only block: the IDCT of a pure DC term is
-                        # the constant dc/8 — skip the matmuls (the
-                        # standard flat-block shortcut; most blocks of
-                        # smooth content take it)
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = (
-                            dc / 8.0
-                        )
-                        continue
-                    block = np.zeros(64, dtype=np.float64)
-                    block[0] = dc
+                    if not -0x100000 <= pred[cid] <= 0x100000:
+                        # 8-bit baseline DC legally spans ~12 bits; a
+                        # predictor past 2^20 is a corrupt diff chain
+                        # (and would overflow the int32 grid)
+                        raise ValueError("JPEG DC predictor out of range")
+                    row = grid[my * comp["v"] + by, mx * comp["h"] + bx]
+                    row[0] = pred[cid]
                     for k, v in acs:
-                        block[_ZIGZAG[k]] = v * int(q[k])
-                    spatial = idct_m.T @ block.reshape(8, 8) @ idct_m
-                    planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
-    return _assemble_jpeg_image(comps, planes, w, h, hmax, vmax)
+                        row[k] = v
+    shim = {"w": w, "h": h, "comps": comps}
+    return _reconstruct_jpeg(shim, coef, qt, hmax, vmax, mcus_x, mcus_y)
 
 
 def _assemble_jpeg_image(
@@ -1872,6 +1868,10 @@ def _decode_dc_scan(
                         s = _huff_read(reader, tbl)
                         diff = _extend(reader.read_bits(s), s) if s else 0
                         pred[cid] += diff
+                        if not -0x100000 <= pred[cid] <= 0x100000:
+                            raise ValueError(
+                                "JPEG DC predictor out of range"
+                            )
                         blk[cy, cx, 0] = pred[cid] << Al
                     else:
                         if reader.read_bits(1):
@@ -1978,19 +1978,24 @@ def _reconstruct_jpeg(frame, coef, qt, hmax, vmax, mcus_x, mcus_y):
             raise ValueError(f"JPEG missing quant table {c['tq']}")
         grid = coef[c["id"]]
         by_n, bx_n = grid.shape[0], grid.shape[1]
-        # batched dequantize + zigzag scatter + IDCT over EVERY block
-        # at once (was a per-block python loop): broadcasting matmul
-        # runs the same 8x8 GEMM per block; coefficient x quant
-        # products stay below 2^53, exact in float64 (the old path's
-        # dc-only dc/8 shortcut could differ from the GEMM by ~1 ulp —
-        # the chains' DC-exact values sit on integers, far from any
-        # uint8 rounding boundary)
+        # batched dequantize + zigzag scatter + IDCT (was a per-block
+        # python loop): DC-only blocks — most blocks of smooth/sparse
+        # content — take the vectorized dc/8 constant fill (the IDCT
+        # of a pure DC term), and only blocks with AC energy run the
+        # 8x8 GEMMs, batched through one broadcasting matmul.
+        # Coefficient x quant products stay below 2^53, exact in
+        # float64.
         deq = grid.astype(np.float64) * q.astype(np.float64)[None, None, :]
-        blocks = np.zeros((by_n, bx_n, 64), dtype=np.float64)
-        blocks[:, :, _ZIGZAG] = deq
-        out = np.matmul(
-            np.matmul(idct_m.T, blocks.reshape(by_n, bx_n, 8, 8)), idct_m
-        )
+        out = np.empty((by_n, bx_n, 8, 8), dtype=np.float64)
+        out[:] = (deq[:, :, 0] / 8.0)[:, :, None, None]
+        ac_y, ac_x = np.nonzero((grid[:, :, 1:] != 0).any(axis=2))
+        if ac_y.size:
+            sel = deq[ac_y, ac_x]  # (k, 64) zigzag-ordered
+            blocks = np.zeros((ac_y.size, 64), dtype=np.float64)
+            blocks[:, _ZIGZAG] = sel
+            out[ac_y, ac_x] = np.matmul(
+                np.matmul(idct_m.T, blocks.reshape(-1, 8, 8)), idct_m
+            )
         planes[c["id"]] = out.transpose(0, 2, 1, 3).reshape(
             by_n * 8, bx_n * 8
         )
