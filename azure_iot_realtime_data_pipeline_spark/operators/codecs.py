@@ -2394,14 +2394,19 @@ def _crc16(data: bytes) -> int:
 class _MSBReader:
     """MSB-first bit reader over plain bytes (no unstuffing — unlike
     the JPEG reader). Tracks byte position so frame CRC-16 can cover
-    exactly the bytes consumed."""
+    exactly the bytes consumed. `bits`/`ones` lazily cache the whole
+    payload unpacked to a bit array plus its 1-bit positions — the
+    context the vectorized rice residual path walks; decode_flac
+    shares one cache across its per-frame readers."""
 
-    __slots__ = ("b", "pos", "bit")
+    __slots__ = ("b", "pos", "bit", "bits", "ones")
 
     def __init__(self, b: bytes, pos: int = 0):
         self.b = b
         self.pos = pos
         self.bit = 0
+        self.bits = None
+        self.ones = None
 
     def read(self, n: int) -> int:
         v = 0
@@ -2557,20 +2562,86 @@ def _flac_read_residual(
     if bsz % parts or bsz // parts <= order:
         raise ValueError("invalid FLAC rice partition order")
     out = np.empty(bsz - order, dtype=np.int64)
+    # Vectorized walk over a whole-payload bit cache: a rice code is
+    # (unary quotient, 1-terminator, param LSBs), so the terminator of
+    # code i is the FIRST 1-bit at or after start_i (every bit between
+    # is a zero by construction) and start_{i+1} = t_i + 1 + param.
+    # Finding terminators is one bisect into the payload's 1-positions
+    # per code (the only sequential dependence); the fixed-width LSB
+    # suffixes and zigzag unfold then batch per partition — this
+    # replaced a per-sample read_unary/read pair, the FLAC decode
+    # floor's hot loop.
+    from bisect import bisect_left
+
+    if r.bits is None:
+        r.bits = np.unpackbits(np.frombuffer(r.b, np.uint8))
+        r.ones = np.flatnonzero(r.bits).tolist()
+    bits = r.bits
+    ones = r.ones
+    n_ones = len(ones)
+    total = len(bits)
+    cur = r.pos * 8 + r.bit
+
+    def take(n: int) -> int:
+        nonlocal cur
+        if cur + n > total:
+            raise ValueError("truncated FLAC bitstream")
+        v = 0
+        for bitv in bits[cur : cur + n]:
+            v = (v << 1) | int(bitv)
+        cur += n
+        return v
+
     w = 0
     for p in range(parts):
         count = bsz // parts - (order if p == 0 else 0)
-        param = r.read(pbits)
+        param = take(pbits)
         if param == escape:
-            raw = r.read(5)
-            for _ in range(count):
-                out[w] = _sext(r.read(raw), raw)
-                w += 1
+            raw = take(5)
+            if raw:
+                end = cur + count * raw
+                if end > total:
+                    raise ValueError("truncated FLAC bitstream")
+                idx = (
+                    cur
+                    + np.arange(count)[:, None] * raw
+                    + np.arange(raw)[None, :]
+                )
+                vals = bits[idx] @ (1 << np.arange(raw - 1, -1, -1))
+                sign = 1 << (raw - 1)
+                out[w : w + count] = (vals ^ sign) - sign
+                cur = end
+            else:
+                out[w : w + count] = 0
+            w += count
         else:
-            for _ in range(count):
-                u = (r.read_unary() << param) | r.read(param)
-                out[w] = (u >> 1) ^ -(u & 1)
-                w += 1
+            k = param
+            ts = np.empty(count, dtype=np.int64)
+            c = cur
+            for i in range(count):
+                m = bisect_left(ones, c)
+                if m >= n_ones:
+                    raise ValueError("truncated FLAC bitstream")
+                t = ones[m]
+                ts[i] = t
+                c = t + 1 + k
+            if count and ts[-1] + 1 + k > total:
+                raise ValueError("truncated FLAC bitstream")
+            starts = np.empty(count, dtype=np.int64)
+            if count:
+                starts[0] = cur
+                starts[1:] = ts[:-1] + 1 + k
+            q = ts - starts
+            if k:
+                sidx = ts[:, None] + 1 + np.arange(k)[None, :]
+                suf = bits[sidx] @ (1 << np.arange(k - 1, -1, -1))
+            else:
+                suf = np.zeros(count, dtype=np.int64)
+            u = (q << k) | suf
+            out[w : w + count] = (u >> 1) ^ -(u & 1)
+            w += count
+            cur = c
+    r.pos, r.bit = cur >> 3, cur & 7
     return out
 
 
@@ -2699,11 +2770,14 @@ def decode_flac(payload: bytes):
     bits = info["bits"]
     blocks: list[np.ndarray] = []
     n_out = 0
+    bit_cache = None  # (bits array, ones list) shared across frames
     while pos < len(b):
         if len(b) - pos < 2:
             break  # trailing torn bytes: salvage decoded frames
         frame_start = pos
         r = _MSBReader(b, pos)
+        if bit_cache is not None:
+            r.bits, r.ones = bit_cache
         try:
             if r.read(14) != 0x3FFE:
                 raise ValueError("bad FLAC frame sync")
@@ -2765,6 +2839,9 @@ def decode_flac(payload: bytes):
             if blocks and n_out >= info["total"] > 0:
                 break  # torn trailing junk after a complete stream
             raise
+        finally:
+            if r.bits is not None:
+                bit_cache = (r.bits, r.ones)
         if ch_code == 8:  # left-side
             left, side = subs
             subs = [left, left - side]
