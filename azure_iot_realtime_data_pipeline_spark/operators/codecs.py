@@ -2536,6 +2536,12 @@ _FLAC_SR_TABLE = {
 _FLAC_SS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
 _FLAC_SS_BITS = {v: k for k, v in _FLAC_SS_CODES.items()}
 
+#: Payload-size cap for the whole-payload rice bit cache (bit array is
+#: 8x payload, 1-positions up to 8 B/bit): above this, residuals decode
+#: through the sequential O(1)-memory reader instead — a hostile
+#: payload must not be able to OOM an Arrow worker via the cache.
+_RICE_CACHE_CAP = 8 << 20
+
 
 def _sext(v: int, bits: int) -> int:
     """Two's-complement sign extension of a `bits`-wide field."""
@@ -2562,22 +2568,50 @@ def _flac_read_residual(
     if bsz % parts or bsz // parts <= order:
         raise ValueError("invalid FLAC rice partition order")
     out = np.empty(bsz - order, dtype=np.int64)
+    if len(r.b) > _RICE_CACHE_CAP:
+        # Memory guard: the vectorized path below caches the WHOLE
+        # payload as a bit array (8x payload) plus its 1-positions
+        # (8 bytes each) — fine for the kilobyte-scale frames this
+        # corpus carries, an Arrow-worker OOM vector for a hostile
+        # multi-hundred-MB payload (the same failure class
+        # _check_canvas_dims closed for images). Past the cap, decode
+        # sequentially: slower, O(1) extra memory.
+        w = 0
+        for p in range(parts):
+            count = bsz // parts - (order if p == 0 else 0)
+            param = r.read(pbits)
+            if param == escape:
+                raw = r.read(5)
+                if raw:
+                    sign = 1 << (raw - 1)
+                    for i in range(count):
+                        out[w + i] = (r.read(raw) ^ sign) - sign
+                else:
+                    out[w : w + count] = 0
+            else:
+                k = param
+                for i in range(count):
+                    u = (r.read_unary() << k) | (r.read(k) if k else 0)
+                    out[w + i] = (u >> 1) ^ -(u & 1)
+            w += count
+        return out
     # Vectorized walk over a whole-payload bit cache: a rice code is
     # (unary quotient, 1-terminator, param LSBs), so the terminator of
     # code i is the FIRST 1-bit at or after start_i (every bit between
     # is a zero by construction) and start_{i+1} = t_i + 1 + param.
-    # Finding terminators is one bisect into the payload's 1-positions
-    # per code (the only sequential dependence); the fixed-width LSB
-    # suffixes and zigzag unfold then batch per partition — this
-    # replaced a per-sample read_unary/read pair, the FLAC decode
-    # floor's hot loop.
-    from bisect import bisect_left
-
+    # Finding terminators is one searchsorted into the payload's
+    # 1-positions per code (the only sequential dependence); the
+    # fixed-width LSB suffixes and zigzag unfold then batch per
+    # partition — this replaced a per-sample read_unary/read pair,
+    # the FLAC decode floor's hot loop. `ones` stays an int64 array
+    # (8 B/bit) rather than a Python int list (~28 B/bit + object
+    # churn): ~4x less cache memory for the same walk.
     if r.bits is None:
         r.bits = np.unpackbits(np.frombuffer(r.b, np.uint8))
-        r.ones = np.flatnonzero(r.bits).tolist()
+        r.ones = np.flatnonzero(r.bits)
     bits = r.bits
     ones = r.ones
+    ones_search = ones.searchsorted
     n_ones = len(ones)
     total = len(bits)
     cur = r.pos * 8 + r.bit
@@ -2619,10 +2653,10 @@ def _flac_read_residual(
             ts = np.empty(count, dtype=np.int64)
             c = cur
             for i in range(count):
-                m = bisect_left(ones, c)
+                m = ones_search(c)
                 if m >= n_ones:
                     raise ValueError("truncated FLAC bitstream")
-                t = ones[m]
+                t = int(ones[m])
                 ts[i] = t
                 c = t + 1 + k
             if count and ts[-1] + 1 + k > total:
@@ -3889,11 +3923,28 @@ def _mpeg1_frame_slots(bitrate_kbps: int, sample_rate: int, padding: int) -> int
     return 12 * bitrate_kbps * 1000 // sample_rate + padding
 
 
+def _mpeg_crc16(fields) -> int:
+    """ISO/IEC 11172-3 §2.4.3.1 crc_check: CRC-16 with generator
+    X^16 + X^15 + X^2 + 1 (0x8005), initial state all-ones, fed
+    MSB-first with the protected bits — the last 16 header bits plus
+    (for Layer I) the bit-allocation fields. `fields` is a sequence
+    of (value, width) pairs in stream order."""
+    crc = 0xFFFF
+    for v, width in fields:
+        for i in range(width - 1, -1, -1):
+            fb = ((v >> i) & 1) ^ (crc >> 15)
+            crc = (crc << 1) & 0xFFFF
+            if fb:
+                crc ^= 0x8005
+    return crc
+
+
 def build_mpeg1_layer1(
     levels: np.ndarray,
     scf_idx: np.ndarray,
     alloc: np.ndarray,
     sample_rate: int = 32000,
+    protection: int = 1,
 ) -> bytes:
     """Pack Layer I frames from already-quantized integer subband
     LEVELS — the lattice-exact low-level packer the gated synthesis
@@ -3908,6 +3959,10 @@ def build_mpeg1_layer1(
     alloc: (32,) int — bits per sample per subband, 0 (silent) or
       2..15, shared by every frame/channel (the spec allows per-frame
       per-channel allocation; a fixed profile keeps the oracle linear).
+    protection: the header protection_bit — 1 (default) means no CRC;
+      0 inserts the spec's 16-bit crc_check word (genuine §2.4.3.1
+      CRC over the last 16 header bits + allocation) between header
+      and allocation, which the decoder must consume to stay aligned.
     Picks the smallest standard bitrate whose frame fits and zero-pads
     the remainder (spec-sanctioned ancillary data)."""
     levels = np.asarray(levels)
@@ -3936,9 +3991,12 @@ def build_mpeg1_layer1(
         sf_index = _MPEG1_SAMPLE_RATES.index(sample_rate)
     except ValueError:
         raise ValueError(f"unsupported MPEG-1 sample rate {sample_rate}")
+    if protection not in (0, 1):
+        raise ValueError("protection must be 0 (CRC present) or 1")
     nch = ch
     bits_needed = (
         32  # header
+        + (16 if protection == 0 else 0)  # crc_check word
         + 32 * 4 * nch  # allocation
         + int(active.sum()) * 6 * nch  # scalefactors
         + 12 * int(alloc[active].sum()) * nch  # sample codes
@@ -3961,22 +4019,25 @@ def build_mpeg1_layer1(
     w.write(0xFFF, 12)  # syncword
     w.write(1, 1)  # ID: MPEG-1
     w.write(0b11, 2)  # layer I
-    w.write(1, 1)  # protection_bit: 1 = no CRC
-    w.write(bi, 4)
-    w.write(sf_index, 2)
-    w.write(0, 1)  # padding
-    w.write(0, 1)  # private
-    w.write(mode, 2)
-    w.write(0, 2)  # mode_extension
-    w.write(0, 1)  # copyright
-    w.write(1, 1)  # original
-    w.write(0, 2)  # emphasis
-    for sb in range(32):
-        a = int(alloc[sb])
-        for c in range(ch):
-            w.write(a - 1 if a else 0, 4)
+    w.write(protection, 1)  # protection_bit: 0 = crc_check follows
+    hdr_tail = [
+        (bi, 4), (sf_index, 2), (0, 1), (0, 1), (mode, 2),
+        (0, 2), (0, 1), (1, 1), (0, 2),
+    ]  # bitrate..emphasis — the 16 header bits the CRC covers
+    for v, width in hdr_tail:
+        w.write(v, width)
+    alloc_fields = [
+        (int(alloc[sb]) - 1 if alloc[sb] else 0, 4)
+        for sb in range(32)
+        for _ in range(ch)
+    ]
+    if protection == 0:
+        w.write(_mpeg_crc16(hdr_tail + alloc_fields), 16)
+    for v, width in alloc_fields:
+        w.write(v, width)
     w.align()
-    prefix_bits = 32 + 32 * 4 * ch  # before scalefactors (byte-aligned)
+    # bits before the scalefactors (byte-aligned by construction)
+    prefix_bits = 32 + (16 if protection == 0 else 0) + 32 * 4 * ch
     prefix = np.unpackbits(np.frombuffer(w.bytes(), np.uint8))[:prefix_bits]
 
     # sample-section bit layout, shared by every frame and granule
@@ -4056,7 +4117,7 @@ def decode_mpeg1_levels(payload: bytes):
                 "only MPEG-1 Layer I decodes here; Layer II/III are the "
                 "documented perceptual-codec swap point"
             )
-        r.read(1)  # protection (CRC, if present, is not checked)
+        protection = r.read(1)  # 0 = a 16-bit CRC follows the header
         bi = r.read(4)
         if bi == 0:
             raise NotImplementedError("free-format bitrate not supported")
@@ -4085,6 +4146,14 @@ def decode_mpeg1_levels(payload: bytes):
                 "bitrate_kbps": _MPEG1_L1_BITRATES[bi],
                 "layer": 1,
             }
+        if protection == 0:
+            # ISO/IEC 11172-3 §2.4.1.4: protection_bit=0 means a
+            # crc_check word occupies the 16 bits between the header
+            # and the allocation fields. The CRC value itself is not
+            # verified (same stance as FLAC frame CRCs here), but it
+            # MUST be consumed or every following field shifts 16 bits
+            # and decodes garbage levels without erroring.
+            r.read(16)
         alloc = np.zeros((32, ch), dtype=np.uint8)
         for sb in range(32):
             for c in range(ch):
@@ -4177,6 +4246,11 @@ def decode_mpeg1_audio(payload: bytes):
         y = mpeg1_synthesis(sb[:, :, c])
         pcm[:, c] = np.clip(np.rint(y * 32768.0), -32768, 32767).astype(np.int16)
     meta["n_samples"] = F * 384
+    # Return-convention key (sample_rate/channels/bits) shared with the
+    # WAV/FLAC decoders: audio_meta and every downstream feature reads
+    # meta["bits"], and a missing key is a bare KeyError inside an
+    # Arrow UDF — exactly what the quarantine contract forbids.
+    meta["bits"] = 16
     return meta, pcm
 
 

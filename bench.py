@@ -289,6 +289,15 @@ def main() -> None:
     # truncation record, never a silent one.
     timings_all: dict[str, float] = dict(medians)
     skipped: list[str] = []
+    # Bounded session-state experiment (r12 verdict): the recurring
+    # q_contamination_score in-sweep inflation correlates with its
+    # broadcast build being the sweep's largest. clearCache() already
+    # runs between reps, so the remaining accumulated state is
+    # ContextCleaner-pending broadcast/shuffle blocks, whose cleanup is
+    # driven by DRIVER-JVM GC. SPARK_GRAFT_BENCH_SWEEP_GC=1 forces a
+    # System.gc() between sweep entries; A/B vs a plain sweep settles
+    # fixable-vs-inherent (recorded in the sidecar + BASELINE.md).
+    sweep_gc = os.environ.get("SPARK_GRAFT_BENCH_SWEEP_GC", "0") == "1"
     j_sweep = _cpu_jiffies()
     t_start = time.perf_counter()
     for name in [n for n in to_run if n not in HEADLINE]:
@@ -302,6 +311,8 @@ def main() -> None:
             ):
                 skipped.append(name)
                 continue
+        if sweep_gc:
+            spark.sparkContext._jvm.System.gc()  # noqa: SLF001
         samples = _time_query(name, 1)
         timings_all[name] = _median(samples)
         print(f"# {name} med={timings_all[name]}s n=1", file=sys.stderr)
@@ -334,6 +345,13 @@ def main() -> None:
                 # in-suite ~3x inflation vs isolated, recurring r5/r8/
                 # r12 — median-pinned so the record is never single-shot
                 "q_contamination_score",
+                # r12 verdict: moved 3.3-4.9x between two same-commit
+                # r12 runs (0.60->2.96, 0.55->2.17, 0.58->1.92) — the
+                # documented in-suite/host noise class; medians by
+                # construction from r13 on
+                "q_warc_extract",
+                "q_scd2",
+                "q_impute",
             )
             if n in timings_all and n not in HEADLINE
         ]
@@ -393,9 +411,17 @@ def main() -> None:
         full["context_canary"] = {
             "pre_sweep": canary_pre,
             "post_sweep": canary_post,
+            # ADVICE r12: the pre-sweep probe WARMS these queries, so
+            # their in-sweep entries in queries_all are warm-cache
+            # numbers from r12 on — NOT comparable to the cold-in-sweep
+            # figures of r11 and earlier, and a drop there is the
+            # canary's warming, not an engine speedup.
+            "warms_in_sweep_entries": canaries,
         }
     if sweep_steal is not None:
         full["sweep_steal_pct"] = sweep_steal
+    if sweep_gc:
+        full["sweep_gc"] = True  # session-state A/B arm, not comparable
     if run_all:
         out["value_all"] = round(sum(timings_all.values()), 3)
         out["n_all"] = len(timings_all)

@@ -74,6 +74,27 @@ def main() -> None:
         sys.exit("QUERIES dict not found")
     body = m.group(2)
     entries = re.findall(r'^    "(\w+)": (\w+),$', body, re.M)
+    # Guard (ADVICE r12): the rewrite keeps ONLY matched lines, so any
+    # entry the regex misses (lambda, trailing comment, wrapped line)
+    # would silently vanish — and the import smoke below compares
+    # against the matched count, so the deletion would pass. Every
+    # non-comment, non-blank body line must therefore match exactly.
+    content_lines = [
+        ln
+        for ln in body.splitlines()
+        if ln.strip() and not ln.lstrip().startswith("#")
+    ]
+    if len(content_lines) != len(entries):
+        unmatched = [
+            ln
+            for ln in content_lines
+            if not re.fullmatch(r'    "(\w+)": (\w+),', ln)
+        ]
+        sys.exit(
+            f"{len(content_lines) - len(entries)} registry line(s) do not "
+            f"match the rewrite pattern and would be dropped:\n"
+            + "\n".join(unmatched[:10])
+        )
     names = [n for n, _ in entries]
     if len(set(names)) != len(names):
         sys.exit("duplicate registry entries")

