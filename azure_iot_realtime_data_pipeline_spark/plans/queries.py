@@ -4048,61 +4048,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS_r*.json lands. ALL queries stay covered by the
     # local parity suite (tests/test_queries_oracle.py) every run
     # regardless of position.
-    # -- never driver-sampled (new this session, oracled) ------------
-    "q_mpeg1_features": q_mpeg1_features,
-    # -- last driver green: r6 -----------------------------------
-    "q_scd2": q_scd2,
-    "q_top_journeys": q_top_journeys,
-    "q_impute": q_impute,
-    "q_dedup_pipeline": q_dedup_pipeline,
-    "q_availability": q_availability,
-    "q_rollup_incremental": q_rollup_incremental,
-    "q_trending": q_trending,
-    "q_corpus_prep": q_corpus_prep,
-    "q_survival": q_survival,
-    "q_ab_test": q_ab_test,
-    "q_lorenz": q_lorenz,
-    "q_promo_share": q_promo_share,
-    "q_brand_size_revenue": q_brand_size_revenue,
-    "q_event_lift": q_event_lift,
-    "q_scd2_enrich": q_scd2_enrich,
-    "q_snapshot_diff": q_snapshot_diff,
-    "q_reconcile": q_reconcile,
-    "q_nation_trade": q_nation_trade,
-    "q_region_share": q_region_share,
-    "q_session_conversion": q_session_conversion,
-    "q_cheapest_supplier": q_cheapest_supplier,
-    "q_important_parts": q_important_parts,
-    "q_idle_rich_customers": q_idle_rich_customers,
-    "q_simhash_portable": q_simhash_portable,
-    "q_embed_dedup_lsh": q_embed_dedup_lsh,
-    "q_ivf_topk": q_ivf_topk,
-    "q_lsh_topk": q_lsh_topk,
-    "q_topk_cosine": q_topk_cosine,
-    "q_asof_join": q_asof_join,
-    "q_asof_forward": q_asof_forward,
-    "q_sessionize": q_sessionize,
-    "q_tf_idf": q_tf_idf,
-    "q_bm25": q_bm25,
-    "q_tumbling_agg": q_tumbling_agg,
-    "q_hopping_agg": q_hopping_agg,
-    "q_interval_join": q_interval_join,
-    "q_interval_join_left": q_interval_join_left,
-    "q_topn_per_group": q_topn_per_group,
-    "q_median_value": q_median_value,
-    "q_hash_split": q_hash_split,
-    "q_decontaminate": q_decontaminate,
     # -- last driver green: r7 -----------------------------------
-    "q_dsir_weights": q_dsir_weights,
-    "q_gopher_rules": q_gopher_rules,
-    "q_quantized_topk": q_quantized_topk,
-    "q_triangles": q_triangles,
-    "q_cms_heavy_hitters": q_cms_heavy_hitters,
-    "q_ccnet_buckets": q_ccnet_buckets,
-    "q_temperature_mix": q_temperature_mix,
-    "q_hard_negatives": q_hard_negatives,
     "q_discount_revenue": q_discount_revenue,
-    # ================= ~driver window boundary =================
     "q_returned_customers": q_returned_customers,
     "q_market_share": q_market_share,
     "q_product_profit": q_product_profit,
@@ -4153,6 +4100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_diversity": q_ngram_diversity,
     "q_window_funnel": q_window_funnel,
     "q_collocations": q_collocations,
+    # ================= ~driver window boundary =================
     "q_mutual_info": q_mutual_info,
     "q_quality_checks": q_quality_checks,
     "q_embed_dedup": q_embed_dedup,
@@ -4297,6 +4245,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_attribution": q_attribution,
     "q_metric_corr": q_metric_corr,
     "q_autocorr": q_autocorr,
+    # -- last driver green: r12 ----------------------------------
+    "q_mpeg1_features": q_mpeg1_features,
+    "q_scd2": q_scd2,
+    "q_top_journeys": q_top_journeys,
+    "q_impute": q_impute,
+    "q_dedup_pipeline": q_dedup_pipeline,
+    "q_availability": q_availability,
+    "q_rollup_incremental": q_rollup_incremental,
+    "q_trending": q_trending,
+    "q_corpus_prep": q_corpus_prep,
+    "q_survival": q_survival,
+    "q_ab_test": q_ab_test,
+    "q_lorenz": q_lorenz,
+    "q_promo_share": q_promo_share,
+    "q_brand_size_revenue": q_brand_size_revenue,
+    "q_event_lift": q_event_lift,
+    "q_scd2_enrich": q_scd2_enrich,
+    "q_snapshot_diff": q_snapshot_diff,
+    "q_reconcile": q_reconcile,
+    "q_nation_trade": q_nation_trade,
+    "q_region_share": q_region_share,
+    "q_session_conversion": q_session_conversion,
+    "q_cheapest_supplier": q_cheapest_supplier,
+    "q_important_parts": q_important_parts,
+    "q_idle_rich_customers": q_idle_rich_customers,
+    "q_simhash_portable": q_simhash_portable,
+    "q_embed_dedup_lsh": q_embed_dedup_lsh,
+    "q_ivf_topk": q_ivf_topk,
+    "q_lsh_topk": q_lsh_topk,
+    "q_topk_cosine": q_topk_cosine,
+    "q_asof_join": q_asof_join,
+    "q_asof_forward": q_asof_forward,
+    "q_sessionize": q_sessionize,
+    "q_tf_idf": q_tf_idf,
+    "q_bm25": q_bm25,
+    "q_tumbling_agg": q_tumbling_agg,
+    "q_hopping_agg": q_hopping_agg,
+    "q_interval_join": q_interval_join,
+    "q_interval_join_left": q_interval_join_left,
+    "q_topn_per_group": q_topn_per_group,
+    "q_median_value": q_median_value,
+    "q_hash_split": q_hash_split,
+    "q_decontaminate": q_decontaminate,
+    "q_dsir_weights": q_dsir_weights,
+    "q_gopher_rules": q_gopher_rules,
+    "q_quantized_topk": q_quantized_topk,
+    "q_triangles": q_triangles,
+    "q_cms_heavy_hitters": q_cms_heavy_hitters,
+    "q_ccnet_buckets": q_ccnet_buckets,
+    "q_temperature_mix": q_temperature_mix,
+    "q_hard_negatives": q_hard_negatives,
 }
 
 

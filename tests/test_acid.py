@@ -701,32 +701,46 @@ def test_multiprocess_writer_race_soak(spark, tmp_path):
     with its own JVM — doing append/merge/optimize on one table, and
     asserts no lost rows and a linear (contiguous, single-writer-per-
     version) manifest history. The workers gate on each other's ready
-    file after Spark init so their commit windows genuinely overlap."""
+    file after Spark init so their commit windows genuinely overlap.
+
+    Launch-vs-invariant separation (r12 verdict #1: one in-suite flake,
+    worker rc=1, passed isolated — two EXTRA JVMs starting while the
+    session JVM is under 32-way suite load): the worker now exits with
+    DISTINCT codes for environment failures — 7 when Spark/JVM init
+    itself fails (before any table access), 8 when the peer never
+    became ready (i.e. the peer's launch failed or stalled) — and the
+    test retries those, in a FRESH table dir, up to 3 attempts,
+    printing the failed attempt's stderr so the mechanism stays on the
+    record. Any other nonzero rc is a commit-invariant failure and
+    stays a strict immediate assert; the lost-rows / linear-history
+    asserts below are unchanged."""
     import subprocess
     import sys
     import textwrap
 
-    d = str(tmp_path / "t")
-    _mk_table(spark, tmp_path / "t", n=20, files=2)
-
     worker_src = textwrap.dedent(
         """
-        import os, sys, time
+        import os, sys, time, traceback
         sys.path.insert(0, "/root/repo")
         d, w, sync = sys.argv[1], int(sys.argv[2]), sys.argv[3]
-        from pyspark.sql import SparkSession, functions as F
-        spark = (SparkSession.builder.master("local[2]")
-                 .appName(f"race-worker-{w}")
-                 .config("spark.sql.shuffle.partitions", "2")
-                 .config("spark.ui.enabled", "false")
-                 .config("spark.driver.memory", "2g").getOrCreate())
-        from azure_iot_realtime_data_pipeline_spark.sources import acid
+        try:
+            from pyspark.sql import SparkSession, functions as F
+            spark = (SparkSession.builder.master("local[2]")
+                     .appName(f"race-worker-{w}")
+                     .config("spark.sql.shuffle.partitions", "2")
+                     .config("spark.ui.enabled", "false")
+                     .config("spark.driver.memory", "2g").getOrCreate())
+            from azure_iot_realtime_data_pipeline_spark.sources import acid
+        except BaseException:
+            traceback.print_exc()
+            sys.exit(7)  # JVM/gateway launch failure: environment, retriable
         open(os.path.join(sync, f"ready-{w}"), "w").close()
         deadline = time.monotonic() + 120
         other = os.path.join(sync, f"ready-{1 - w}")
         while not os.path.exists(other):
             if time.monotonic() > deadline:
-                raise SystemExit(f"worker {w}: peer never became ready")
+                print(f"worker {w}: peer never became ready", file=sys.stderr)
+                sys.exit(8)  # peer launch failure/stall: retriable
             time.sleep(0.1)
         base = (w + 1) * 100000
         for i in range(3):
@@ -745,16 +759,46 @@ def test_multiprocess_writer_race_soak(spark, tmp_path):
     script = tmp_path / "race_worker.py"
     script.write_text(worker_src)
     env = {**os.environ, "SPARK_GRAFT_CPUS": "2"}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(script), d, str(w), str(tmp_path)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
-        )
-        for w in (0, 1)
-    ]
-    outs = [p.communicate(timeout=300) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, (out.decode()[-500:], err.decode()[-2000:])
+
+    attempts = 3
+    d = None
+    for attempt in range(attempts):
+        d = str(tmp_path / f"t{attempt}")
+        sync = tmp_path / f"sync{attempt}"
+        sync.mkdir()
+        _mk_table(spark, tmp_path / f"t{attempt}", n=20, files=2)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), d, str(w), str(sync)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            )
+            for w in (0, 1)
+        ]
+        outs = [p.communicate(timeout=300) for p in procs]
+        rcs = [p.returncode for p in procs]
+        if all(rc == 0 for rc in rcs):
+            break
+        if all(rc in (0, 7, 8) for rc in rcs):
+            # JVM launch under suite load failed — a property of the
+            # host (two extra JVMs vs a 32-way-loaded session JVM),
+            # not of the commit protocol. Record the evidence, retry
+            # against a fresh table.
+            for w, (out, err) in enumerate(outs):
+                if rcs[w] != 0:
+                    print(
+                        f"# race-soak attempt {attempt}: worker {w} "
+                        f"launch-failed rc={rcs[w]}:\n"
+                        + err.decode()[-2000:]
+                    )
+            if attempt == attempts - 1:
+                pytest.fail(
+                    f"worker JVM launch failed {attempts} consecutive "
+                    f"attempts (rcs {rcs}) — not load flake territory"
+                )
+            continue
+        for p, (out, err) in zip(procs, outs):
+            # commit-invariant failure: strict, with full stderr tail
+            assert p.returncode == 0, (out.decode()[-500:], err.decode()[-2000:])
 
     # no lost rows: parent baseline + both workers' appends, with each
     # worker's merge applied — regardless of commit interleaving
