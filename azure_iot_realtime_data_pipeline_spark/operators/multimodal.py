@@ -1201,9 +1201,10 @@ def decode_audio(payload: bytes):
     entropy-coded lossless codec, RFC 9639). Same return convention
     everywhere: (meta dict with sample_rate/channels/bits,
     (n, channels) int32). Unknown magic raises ValueError
-    (quarantine-able); an 11-bit MPEG sync routes to the Layer I
-    decoder (`codecs.decode_mpeg1_audio`), whose Layer II/III branch
-    raises the NotImplementedError that — with AAC — remains the
+    (quarantine-able); an 11-bit MPEG sync routes to the layer
+    dispatcher (`codecs.decode_mpeg_audio` — Layer I and Layer II
+    both decode), whose Layer III branch raises the
+    NotImplementedError that — with AAC — remains the
     perceptual-audio swap point."""
     import numpy as np
 
@@ -1215,9 +1216,9 @@ def decode_audio(payload: bytes):
     if b[:4] == b"RIFF":
         return decode_wav(b)
     if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
-        from .codecs import decode_mpeg1_audio
+        from .codecs import decode_mpeg_audio
 
-        meta, pcm = decode_mpeg1_audio(b)
+        meta, pcm = decode_mpeg_audio(b)
         return meta, pcm.astype(np.int32)
     raise ValueError(
         "unknown audio container (expected RIFF/WAVE, FLAC or MPEG)"
@@ -1544,6 +1545,104 @@ def mpeg1_level_stats(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 meta, levels, _scf, _alloc = decode_mpeg1_levels(payload)
                 pmeta, pcm = decode_mpeg1_audio(payload)
+                flat = levels.astype(np.int64).reshape(-1)
+                rows.append(
+                    (
+                        doc_id,
+                        meta["n_frames"],
+                        int(pcm.shape[0]),
+                        int(flat.sum()),
+                        int(np.abs(flat).max(initial=0)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_samples",
+                    "level_sum", "level_peak",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        extract, MPEG1_STATS_SCHEMA
+    )
+
+
+def synth_mpeg2_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic REAL MPEG-1 Layer II synthesis from text — the
+    Table B.2 allocation-class + grouped-quantization layer under the
+    value-hash gate (`codecs.build_mpeg1_layer2`). Each character's
+    codepoint (mod 256, centered) becomes one level in `4 + doc_id%3`
+    UNGROUPED subbands (row B classes, step count cycling
+    511/1023/2047 by doc — three distinct allocation codes), and the
+    first `min(len, 36*F)` characters ALSO feed a GROUPED 3-step
+    subband (row D code 1: codepoint%3 - 1, three samples per 5-bit
+    codeword — the quantization mode Layer I doesn't have). The
+    scalefactor parts cycle through all four scfsi transmission
+    patterns by doc_id%4. Mono, 48 kHz, table B.2a; the builder picks
+    the smallest mode-legal bitrate that fits. The level layer is
+    integer-exact end to end, so the DuckDB oracle mirrors both sums
+    with character arithmetic (the polyphase filterbank stays
+    property-gated, the Layer I / JPEG split)."""
+    import numpy as np
+
+    from .codecs import _L2_TABLES, build_mpeg1_layer2
+
+    row_b = _L2_TABLES["a"][3]
+
+    def one(doc_id: int, text: str) -> bytes:
+        t = text or ""
+        s = np.array([(ord(c) % 256) - 128 for c in t], dtype=np.int32)
+        k = 4 + doc_id % 3
+        L = (511, 1023, 2047)[doc_id % 3]
+        F = max(1, -(-len(s) // (36 * k)))
+        levels = np.zeros((F, 36, 32, 1), dtype=np.int32)
+        scratch = np.zeros(F * 36 * k, dtype=np.int32)
+        scratch[: len(s)] = s
+        levels[:, :, 3 : 3 + k, 0] = scratch.reshape(F, 36, k)
+        m = min(len(s), F * 36)
+        g = np.zeros(F * 36, dtype=np.int32)
+        g[:m] = np.array(
+            [(ord(c) % 3) - 1 for c in t[:m]], dtype=np.int32
+        )
+        levels[:, :, 23, 0] = g.reshape(F, 36)
+        alloc = np.zeros(32, dtype=np.int64)
+        alloc[3 : 3 + k] = row_b.index(L)
+        alloc[23] = 1  # B.2a row D code 1: the 3-step grouped class
+        base = 3 * (doc_id % 5)
+        parts = (
+            (base, base, base),  # scfsi 2: one scalefactor
+            (base, base, base + 6),  # scfsi 1
+            (base, base + 6, base + 6),  # scfsi 3
+            (base, base + 6, base + 9),  # scfsi 0: all three
+        )[doc_id % 4]
+        scf = np.zeros((F, 3, 32, 1), dtype=np.int64)
+        for p in range(3):
+            scf[:, p, :, 0] = parts[p]
+        return build_mpeg1_layer2(levels, scf, alloc, 48000)
+
+    return _synth_payloads(docs, text_col, one)
+
+
+def mpeg2_level_stats(media: DataFrame) -> DataFrame:
+    """Per-document integer measurement over the MPEG-1 Layer II
+    decode — the Layer II twin of `mpeg1_level_stats`: frame count,
+    PCM sample count from the FULL decode (1152 per frame,
+    structural), and the sum/max of the requantization LEVELS across
+    every subband class, grouped and ungrouped alike (frame
+    zero-padding adds 0 to the sum and never raises the peak). One
+    narrow Arrow map, decode parallel per partition."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_mpeg2_levels, decode_mpeg_audio
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta, levels, _scf, _steps = decode_mpeg2_levels(payload)
+                _pmeta, pcm = decode_mpeg_audio(payload)
                 flat = levels.astype(np.int64).reshape(-1)
                 rows.append(
                     (

@@ -6084,3 +6084,44 @@ ORACLES["q_mpeg1_features"] = """
     JOIN fr USING (doc_id)
     LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
+
+ORACLES["q_mpeg2_features"] = """
+    WITH fr AS (
+      SELECT doc_id,
+             length(text) AS n,
+             4 + doc_id % 3 AS k,
+             GREATEST(
+               1, (length(text) + 36 * (4 + doc_id % 3) - 1)
+                  // (36 * (4 + doc_id % 3))
+             ) AS f
+      FROM documents
+    ),
+    v AS (
+      SELECT d.doc_id, u.i,
+             (ascii(substr(d.text, u.i, 1)) % 256) - 128 AS s,
+             (ascii(substr(d.text, u.i, 1)) % 3) - 1 AS g
+      FROM (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+        FROM documents
+      ) u JOIN documents d USING (doc_id)
+    ),
+    agg AS (
+      SELECT v.doc_id,
+             SUM(v.s) AS char_sum,
+             MAX(ABS(v.s)) AS char_peak,
+             SUM(CASE WHEN v.i <= LEAST(fr.n, 36 * fr.f)
+                      THEN v.g ELSE 0 END) AS g_sum,
+             MAX(CASE WHEN v.i <= LEAST(fr.n, 36 * fr.f)
+                      THEN ABS(v.g) ELSE 0 END) AS g_peak
+      FROM v JOIN fr USING (doc_id)
+      GROUP BY v.doc_id
+    )
+    SELECT fr.doc_id,
+           CAST(fr.f AS INT) AS n_frames,
+           CAST(1152 * fr.f AS BIGINT) AS n_samples,
+           CAST(COALESCE(agg.char_sum + agg.g_sum, 0) AS BIGINT)
+             AS level_sum,
+           CAST(COALESCE(GREATEST(agg.char_peak, agg.g_peak), 0) AS INT)
+             AS level_peak
+    FROM fr LEFT JOIN agg USING (doc_id)
+    """

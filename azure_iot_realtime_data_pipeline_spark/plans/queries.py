@@ -886,6 +886,25 @@ def q_mpeg1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.mpeg1_level_stats(multimodal.synth_mpeg1_from_text(docs))
 
 
+def q_mpeg2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14n MPEG-1 Audio Layer II (ISO/IEC 11172-3) under the
+    value-hash gate — what Layer II adds over Layer I, exercised
+    end-to-end: Table B.2 allocation CLASSES (variable-width
+    allocation fields whose meaning depends on subband and table),
+    GROUPED 3-sample quantization (one base-L codeword per granule
+    slot, the 3/5/9-step classes), per-part scalefactors under all
+    four scfsi transmission patterns, and byte (not 32-bit) slots.
+    Documents synthesize real Layer II frames (ungrouped step count
+    and active-subband count cycling per doc, plus a grouped 3-step
+    subband carrying codepoint%3-1 — see
+    multimodal.synth_mpeg2_from_text), the true decoder walks them
+    back, and the integer level features must hash-match
+    character-level DuckDB arithmetic. Layer III + AAC remain the
+    documented perceptual swap point."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.mpeg2_level_stats(multimodal.synth_mpeg2_from_text(docs))
+
+
 def q_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J14j ANIMATED GIF under the value-hash gate — the temporal
     compositing decode (frames depend on prior canvas state):
@@ -4048,6 +4067,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS_r*.json lands. ALL queries stay covered by the
     # local parity suite (tests/test_queries_oracle.py) every run
     # regardless of position.
+    # -- never driver-sampled (oracled locally) -------------------
+    "q_mpeg2_features": q_mpeg2_features,
     # -- last driver green: r7 -----------------------------------
     "q_discount_revenue": q_discount_revenue,
     "q_returned_customers": q_returned_customers,

@@ -301,3 +301,177 @@ def test_decode_audio_mpeg_meta_contract():
     assert meta["bits"] == 16
     assert meta["sample_rate"] == 32000 and meta["channels"] == 1
     assert pcm.dtype == np.int32 and pcm.shape[0] == 384
+
+
+# ---------------------------------------------------------------- Layer II
+
+
+def _l2_random_frame(rng, ch, F, fs, table="a"):
+    rows = codecs._L2_TABLES[table]
+    sblimit = len(rows)
+    alloc = np.zeros(32, dtype=np.int64)
+    for sb in range(sblimit):
+        if rng.random() < 0.3:
+            alloc[sb] = int(rng.integers(1, len(rows[sb])))
+    levels = np.zeros((F, 36, 32, ch), dtype=np.int32)
+    for sb in range(sblimit):
+        if alloc[sb]:
+            L = rows[sb][alloc[sb]]
+            levels[:, :, sb, :] = rng.integers(
+                -(L // 2), L // 2 + 1, size=(F, 36, ch)
+            )
+    scf = rng.integers(0, 63, size=(F, 3, 32, ch)).astype(np.int64)
+    # some equal parts so every scfsi pattern appears
+    scf[:, 1] = np.where(rng.random(scf[:, 1].shape) < 0.5, scf[:, 0], scf[:, 1])
+    scf[:, 2] = np.where(rng.random(scf[:, 2].shape) < 0.5, scf[:, 1], scf[:, 2])
+    return levels, scf, alloc
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_layer2_levels_roundtrip_exact(seed):
+    """build_mpeg1_layer2 -> decode_mpeg2_levels is INTEGER-EXACT for
+    any legal (levels, scalefactor-parts, allocation codes) — across
+    grouped (3/5/9-step) and ungrouped classes, every scfsi pattern,
+    mono/stereo, all sample rates, CRC-protected frames included."""
+    rng = np.random.default_rng(seed)
+    ch = int(rng.integers(1, 3))
+    F = int(rng.integers(1, 4))
+    fs = (44100, 48000, 32000)[int(rng.integers(0, 3))]
+    levels, scf, alloc = _l2_random_frame(rng, ch, F, fs)
+    prot = int(rng.integers(0, 2))
+    try:
+        payload = codecs.build_mpeg1_layer2(
+            levels, scf, alloc, fs, protection=prot
+        )
+    except ValueError as e:
+        if "fits" in str(e):  # allocation too rich for the top bitrate
+            return
+        raise
+    meta, lev2, scf2, steps2 = codecs.decode_mpeg2_levels(payload)
+    assert meta["n_frames"] == F and meta["channels"] == ch
+    assert meta["sample_rate"] == fs and meta["layer"] == 2
+    assert np.array_equal(lev2, levels)
+    rows = codecs._L2_TABLES[meta["table"]]
+    for sb in range(meta["sblimit"]):
+        want = rows[sb][int(alloc[sb])] if sb < 27 else 0
+        assert np.all(steps2[:, sb, :] == want)
+        if want:
+            assert np.array_equal(
+                scf2[:, :, sb, :], scf[:, :, sb, :].astype(np.uint8)
+            )
+
+
+def test_layer2_grouped_requantization_matches_spec_form():
+    """Table B.4's C/D requantization s'' = C*(s''' + D) equals the
+    integer form 2v/L for the GROUPED classes too (C = 2^ceil/L,
+    D = 1/2, s''' = c/2^(nb-1) - 1): the algebra the oracle's
+    integer lattice rides."""
+    for L, nbits in ((3, 2), (5, 3), (9, 4)):
+        C = (1 << nbits) / L
+        D = 0.5
+        for c in range(L):
+            s3 = c / (1 << (nbits - 1)) - 1.0
+            spec = C * (s3 + D)
+            ours = 2.0 * (c - L // 2) / L
+            assert abs(spec - ours) < 1e-12, (L, c)
+
+
+def test_layer2_header_strictness_and_mode_legality():
+    """Bitrate/mode combos §2.4.2.3 forbids raise; joint stereo and
+    Layer III raise the documented NotImplementedError; the byte-slot
+    frame length is enforced."""
+    rng = np.random.default_rng(3)
+    levels, scf, alloc = _l2_random_frame(rng, 1, 1, 48000)
+    payload = bytearray(
+        codecs.build_mpeg1_layer2(levels, scf, alloc, 48000)
+    )
+    # force bitrate index 14 (384 kbps): mono-forbidden
+    payload[2] = (payload[2] & 0x0F) | 0xE0
+    with pytest.raises(ValueError, match="forbids mono"):
+        codecs.decode_mpeg2_levels(bytes(payload))
+    # joint stereo: mode bits 01 in byte 3
+    payload = bytearray(codecs.build_mpeg1_layer2(levels, scf, alloc, 48000))
+    payload[3] = (payload[3] & 0x3F) | 0x40
+    with pytest.raises(NotImplementedError, match="joint"):
+        codecs.decode_mpeg2_levels(bytes(payload))
+    # Layer III sync routes to the swap-point signal in the dispatcher
+    l3 = bytearray(codecs.build_mpeg1_layer2(levels, scf, alloc, 48000))
+    l3[1] = (l3[1] & 0xF9) | 0b010  # layer bits 01
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        codecs.decode_mpeg_audio(bytes(l3))
+    # truncated frame body
+    full = codecs.build_mpeg1_layer2(levels, scf, alloc, 48000)
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_mpeg2_levels(full[: len(full) - 1])
+
+
+def test_layer2_table_selection_follows_bitrate_per_channel():
+    """§2.4.2.2: B.2c/d at 32-48 kbps/ch (d only at 32 kHz), B.2a at
+    56-80, B.2a at 48 kHz above that, else B.2b."""
+    f = codecs._mpeg2_table_for
+    assert f(44100, 32, 1) == "c" and f(48000, 48, 1) == "c"
+    assert f(32000, 32, 1) == "d" and f(32000, 96, 2) == "d"
+    assert f(44100, 96, 2) == "c"
+    assert f(44100, 64, 1) == "a" and f(48000, 160, 2) == "a"
+    assert f(44100, 96, 1) == "b" and f(32000, 192, 1) == "b"
+    assert f(48000, 192, 1) == "a"
+    assert len(codecs._L2_TABLES["a"]) == 27
+    assert len(codecs._L2_TABLES["b"]) == 30
+    assert len(codecs._L2_TABLES["c"]) == 8
+    assert len(codecs._L2_TABLES["d"]) == 12
+
+
+def test_layer2_crc_protected_roundtrip():
+    """protection_bit=0 Layer II frames carry the crc_check word over
+    header tail + allocation + scfsi; the decoder consumes it and
+    levels roundtrip identically to the unprotected stream."""
+    rng = np.random.default_rng(11)
+    levels, scf, alloc = _l2_random_frame(rng, 2, 2, 44100)
+    plain = codecs.build_mpeg1_layer2(levels, scf, alloc, 44100)
+    prot = codecs.build_mpeg1_layer2(
+        levels, scf, alloc, 44100, protection=0
+    )
+    assert (prot[1] & 1) == 0 and (plain[1] & 1) == 1
+    _, l1, s1, a1 = codecs.decode_mpeg2_levels(plain)
+    _, l2, s2, a2 = codecs.decode_mpeg2_levels(prot)
+    assert np.array_equal(l1, l2)
+    assert np.array_equal(s1, s2) and np.array_equal(a1, a2)
+
+
+def test_layer2_fuzz_quarantine():
+    """Mutations/truncations of a valid Layer II stream raise only
+    ValueError or the NotImplementedError swap signal."""
+    rng = np.random.default_rng(29)
+    levels, scf, alloc = _l2_random_frame(rng, 1, 2, 48000)
+    payload = codecs.build_mpeg1_layer2(levels, scf, alloc, 48000)
+    ok = (ValueError, NotImplementedError)
+    for _ in range(400):
+        buf = bytearray(payload)
+        pos = int(rng.integers(0, len(buf)))
+        buf[pos] ^= int(rng.integers(1, 256))
+        try:
+            codecs.decode_mpeg_audio(bytes(buf))
+        except ok:
+            pass
+    for cut in range(1, len(payload), max(1, len(payload) // 120)):
+        try:
+            codecs.decode_mpeg_audio(payload[:cut])
+        except ok:
+            pass
+
+
+def test_layer2_dispatcher_and_audio_meta():
+    """decode_mpeg_audio routes by layer bits; Layer II PCM is
+    1152 samples/frame with the shared meta convention, and
+    multimodal.decode_audio accepts the stream."""
+    from azure_iot_realtime_data_pipeline_spark.operators import multimodal
+
+    rng = np.random.default_rng(17)
+    levels, scf, alloc = _l2_random_frame(rng, 1, 3, 32000)
+    payload = codecs.build_mpeg1_layer2(levels, scf, alloc, 32000)
+    meta, pcm = codecs.decode_mpeg_audio(payload)
+    assert meta["layer"] == 2 and meta["bits"] == 16
+    assert pcm.shape == (3 * 1152, 1) and pcm.dtype == np.int16
+    m2, pcm2 = multimodal.decode_audio(payload)
+    assert m2["n_samples"] == 3 * 1152 and pcm2.dtype == np.int32
