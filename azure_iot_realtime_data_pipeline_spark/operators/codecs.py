@@ -4093,8 +4093,9 @@ def decode_mpeg1_levels(payload: bytes):
     (the quantizer has 2^nb - 1 symmetric levels; that exclusion is
     why the spec's requantization carries the 2^nb/(2^nb - 1)
     correction). Integer-exact end to end, so the oracle side needs
-    no floats. Malformed frames raise ValueError; Layer II/III raise
-    NotImplementedError (documented swap point)."""
+    no floats. Malformed frames raise ValueError; Layer II streams
+    belong to decode_mpeg2_levels (decode_mpeg_audio dispatches) and
+    Layer III raises NotImplementedError (documented swap point)."""
     b = bytes(payload)
     if len(b) < 4:
         raise ValueError("truncated MPEG audio payload")
@@ -4114,8 +4115,10 @@ def decode_mpeg1_levels(payload: bytes):
             if layer == 0:
                 raise ValueError("reserved MPEG layer")
             raise NotImplementedError(
-                "only MPEG-1 Layer I decodes here; Layer II/III are the "
-                "documented perceptual-codec swap point"
+                "only MPEG-1 Layer I decodes here — Layer II has its own "
+                "decoder (decode_mpeg2_levels; decode_mpeg_audio "
+                "dispatches); Layer III + AAC remain the documented "
+                "perceptual-codec swap point"
             )
         protection = r.read(1)  # 0 = a 16-bit CRC follows the header
         bi = r.read(4)

@@ -475,3 +475,69 @@ def test_layer2_dispatcher_and_audio_meta():
     assert pcm.shape == (3 * 1152, 1) and pcm.dtype == np.int16
     m2, pcm2 = multimodal.decode_audio(payload)
     assert m2["n_samples"] == 3 * 1152 and pcm2.dtype == np.int32
+
+
+def test_layer2_throughput_tripwire():
+    """Per-doc cost floor for the Layer II chain (same instrument as
+    the FLAC/JPEG tripwires): a ~2300-char doc (2 frames, 5 ungrouped
+    + 1 grouped subbands) must pack+decode well under the JPEG
+    chains' documented per-doc cost. Loose bound — the tripwire
+    catches order-of-magnitude regressions, BASELINE.md records the
+    measured floor per round."""
+    import time
+
+    from azure_iot_realtime_data_pipeline_spark.operators import multimodal
+
+    rng = np.random.default_rng(8)
+    text = "".join(chr(int(c)) for c in rng.integers(32, 500, size=2304))
+    docs_fn = multimodal.synth_mpeg2_from_text
+
+    # drive the same `one` closure the operator uses, doc_id=1
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": [text]})
+    # synth via the module-level pieces to stay off Spark
+    from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+        decode_mpeg2_levels,
+        decode_mpeg_audio,
+    )
+
+    # one warm-up + 5 timed reps of the full chain
+    def chain():
+        payload = _l2_synth_one(1, text)
+        decode_mpeg2_levels(payload)
+        decode_mpeg_audio(payload)
+
+    def _l2_synth_one(doc_id, t):
+        # mirror synth_mpeg2_from_text's inner `one`
+        import numpy as np
+        from azure_iot_realtime_data_pipeline_spark.operators.codecs import (
+            _L2_TABLES, build_mpeg1_layer2,
+        )
+
+        row_b = _L2_TABLES["a"][3]
+        s = np.array([(ord(c) % 256) - 128 for c in t], dtype=np.int32)
+        k = 4 + doc_id % 3
+        L = (511, 1023, 2047)[doc_id % 3]
+        F = max(1, -(-len(s) // (36 * k)))
+        levels = np.zeros((F, 36, 32, 1), dtype=np.int32)
+        scratch = np.zeros(F * 36 * k, dtype=np.int32)
+        scratch[: len(s)] = s
+        levels[:, :, 3 : 3 + k, 0] = scratch.reshape(F, 36, k)
+        m = min(len(s), F * 36)
+        g = np.zeros(F * 36, dtype=np.int32)
+        g[:m] = np.array([(ord(c) % 3) - 1 for c in t[:m]], dtype=np.int32)
+        levels[:, :, 23, 0] = g.reshape(F, 36)
+        alloc = np.zeros(32, dtype=np.int64)
+        alloc[3 : 3 + k] = row_b.index(L)
+        alloc[23] = 1
+        scf = np.zeros((F, 3, 32, 1), dtype=np.int64)
+        scf[:, :, :, 0] = 6
+        return build_mpeg1_layer2(levels, scf, alloc, 48000)
+
+    chain()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        chain()
+    per_doc_ms = (time.perf_counter() - t0) / 5 * 1000
+    assert per_doc_ms < 80, f"Layer II chain {per_doc_ms:.1f} ms/doc"
