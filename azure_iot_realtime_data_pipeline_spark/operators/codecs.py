@@ -3852,6 +3852,22 @@ def _mpeg1_matrices() -> tuple[np.ndarray, np.ndarray]:
     return _mpeg1_cache[key]
 
 
+def _small_gemm(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """A @ B in 64-row blocks. The filterbank GEMMs are tiny
+    ((n,32)x(32,64) and (n,64)x(64,32)); above ~100 rows this host's
+    BLAS fans them out across 32 threads and the dispatch overhead
+    DOMINATES — measured 13.7 ms for a 1-MFLOP (468,32)@(32,64)
+    product vs 0.27 ms blocked (50x). Small blocks stay on the
+    single-thread path everywhere and cost nothing where BLAS behaves."""
+    n = A.shape[0]
+    if n <= 64:
+        return A @ B
+    out = np.empty((n, B.shape[1]))
+    for i in range(0, n, 64):
+        out[i : i + 64] = A[i : i + 64] @ B
+    return out
+
+
 def mpeg1_analysis(x: np.ndarray) -> np.ndarray:
     """(n,) float in [-1, 1) -> (n//32, 32) subband samples via the
     spec C.1.3 flowchart (vectorized: the 512-FIFO becomes a strided
@@ -3866,7 +3882,7 @@ def mpeg1_analysis(x: np.ndarray) -> np.ndarray:
     Z = win[:, ::-1] * _mpeg1_proto()[None, :]
     Y = Z.reshape(n, 8, 64).sum(axis=1)
     ana, _ = _mpeg1_matrices()
-    return Y @ ana.T
+    return _small_gemm(Y, ana.T)
 
 
 def mpeg1_synthesis(S: np.ndarray) -> np.ndarray:
@@ -3889,7 +3905,7 @@ def mpeg1_synthesis(S: np.ndarray) -> np.ndarray:
 def _mpeg1_synthesis_raw(S: np.ndarray, D: np.ndarray) -> np.ndarray:
     _, syn = _mpeg1_matrices()
     n = S.shape[0]
-    v = S @ syn.T  # (n, 64); granule g's V-front
+    v = _small_gemm(S, syn.T)  # (n, 64); granule g's V-front
     vpad = np.concatenate([np.zeros((15, 64)), v])  # g-15..g available
     out = np.zeros((n, 32))
     for j in range(8):
