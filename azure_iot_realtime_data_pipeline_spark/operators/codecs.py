@@ -4673,21 +4673,27 @@ def decode_mpeg2_levels(payload: bytes):
         frame_end = pos + slots
         if frame_end > len(b):
             raise ValueError("truncated MPEG frame body")
+        # The B.2 table follows THIS frame's header: each frame carries
+        # its own bitrate index (mid-stream switches are spec-legal),
+        # and a switch can change the table — e.g. 48 kbps/ch table c
+        # -> 64 kbps/ch table a — which changes every allocation field
+        # width. Parsing with frame 0's table would silently shift the
+        # whole frame. meta describes frame 0 (like bitrate_kbps).
+        table = _mpeg2_table_for(rate, kbps, ch)
+        rows = _L2_TABLES[table]
+        sblimit = len(rows)
         if meta:
             if (meta["sample_rate"], meta["channels"]) != (rate, ch):
                 raise ValueError("MPEG stream parameters change mid-stream")
         else:
-            table = _mpeg2_table_for(rate, kbps, ch)
             meta = {
                 "sample_rate": rate,
                 "channels": ch,
                 "bitrate_kbps": kbps,
                 "layer": 2,
                 "table": table,
-                "sblimit": len(_L2_TABLES[table]),
+                "sblimit": sblimit,
             }
-        rows = _L2_TABLES[meta["table"]]
-        sblimit = meta["sblimit"]
         if protection == 0:
             r.read(16)  # crc_check word (consumed, not verified)
         steps = np.zeros((32, ch), dtype=np.int32)

@@ -422,6 +422,52 @@ def test_layer2_table_selection_follows_bitrate_per_channel():
     assert len(codecs._L2_TABLES["d"]) == 12
 
 
+def test_layer2_bitrate_switch_changes_table_mid_stream():
+    """Each frame carries its own bitrate index (mid-stream switches
+    are spec-legal), and a switch can change the B.2 table — 48 kbps
+    mono at 48 kHz selects table c, 64 kbps selects table a — which
+    changes every allocation field width and the sblimit. The decoder
+    must parse each frame with ITS OWN header's table; parsing with
+    frame 0's table would shift all following fields and decode
+    garbage levels without erroring."""
+    rng = np.random.default_rng(7)
+
+    def frame_for(table, alloc, F):
+        rows = codecs._L2_TABLES[table]
+        levels = np.zeros((F, 36, 32, 1), dtype=np.int32)
+        for sb in range(len(rows)):
+            if alloc[sb]:
+                L = rows[sb][alloc[sb]]
+                levels[:, :, sb, :] = rng.integers(
+                    -(L // 2), L // 2 + 1, size=(F, 36, 1)
+                )
+        scf = rng.integers(0, 63, size=(F, 3, 32, 1)).astype(np.int64)
+        return levels, scf
+
+    lo_alloc = np.zeros(32, dtype=np.int64)
+    lo_alloc[0], lo_alloc[2] = 1, 1  # table c: ROW_E / ROW_F classes
+    hi_alloc = np.zeros(32, dtype=np.int64)
+    hi_alloc[0], hi_alloc[5], hi_alloc[26] = 2, 1, 1  # table a widths
+    lo_levels, lo_scf = frame_for("c", lo_alloc, 2)
+    hi_levels, hi_scf = frame_for("a", hi_alloc, 2)
+    lo = codecs.build_mpeg1_layer2(
+        lo_levels, lo_scf, lo_alloc, 48000, bitrate_kbps=48
+    )
+    hi = codecs.build_mpeg1_layer2(
+        hi_levels, hi_scf, hi_alloc, 48000, bitrate_kbps=64
+    )
+    meta, lev, scf, steps = codecs.decode_mpeg2_levels(lo + hi)
+    assert meta["n_frames"] == 4
+    assert meta["table"] == "c" and meta["bitrate_kbps"] == 48  # frame 0
+    assert np.array_equal(lev, np.concatenate([lo_levels, hi_levels]))
+    _, _, _, st_hi = codecs.decode_mpeg2_levels(hi)
+    assert np.array_equal(steps[2:], st_hi)
+    want_scf = np.concatenate([lo_scf, hi_scf]).astype(np.uint8)
+    active = steps > 0  # (F, 32, ch); scf is zeroed for silent subbands
+    mask = np.broadcast_to(active[:, None, :, :], scf.shape)
+    assert np.array_equal(scf[mask], want_scf[mask])
+
+
 def test_layer2_crc_protected_roundtrip():
     """protection_bit=0 Layer II frames carry the crc_check word over
     header tail + allocation + scfsi; the decoder consumes it and
