@@ -355,10 +355,16 @@ def main() -> None:
             )
             if n in timings_all and n not in HEADLINE
         ]
+        # Pins are IN ADDITION to the N slowest, not instead of them:
+        # counting them against SLOW_N silently shrank the actual
+        # slowest-singles coverage as the pin set grew (by r13, 7 pins
+        # left 3 free slots and a sweep shipped with 3.8-4.5 s single-
+        # shot blips un-medianed while the pins re-queried sub-second
+        # queries). The budget below still bounds total cost.
         slowest = pinned + sorted(
             (n for n in timings_all if n not in HEADLINE and n not in pinned),
             key=lambda n: -timings_all[n],
-        )[: max(0, slow_n - len(pinned))]
+        )[:slow_n]
         for name in slowest:
             if time.perf_counter() - t_slow > slow_budget:
                 break
