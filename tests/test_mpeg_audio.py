@@ -468,6 +468,60 @@ def test_layer2_bitrate_switch_changes_table_mid_stream():
     assert np.array_equal(scf[mask], want_scf[mask])
 
 
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_layer2_vbr_concat_matches_per_segment_decode(seed):
+    """Property form of the bitrate-switch case: a stream whose
+    segments carry different (spec-legal) bitrate indices — and
+    therefore possibly different B.2 tables and sblimits — decodes
+    segment-exactly, matching each segment's standalone decode."""
+    rng = np.random.default_rng(seed)
+    fs = (44100, 48000, 32000)[int(rng.integers(0, 3))]
+    legal = [
+        b
+        for b in codecs._MPEG1_L2_BITRATES[1:]
+        if b not in codecs._L2_NO_MONO
+    ]
+    segs = []
+    for _ in range(int(rng.integers(2, 4))):
+        b = int(legal[int(rng.integers(0, len(legal)))])
+        table = codecs._mpeg2_table_for(fs, b, 1)
+        rows = codecs._L2_TABLES[table]
+        alloc = np.zeros(32, dtype=np.int64)
+        for sb in range(len(rows)):
+            if rng.random() < 0.25:
+                alloc[sb] = int(rng.integers(1, min(len(rows[sb]), 6)))
+        F = int(rng.integers(1, 3))
+        levels = np.zeros((F, 36, 32, 1), dtype=np.int32)
+        for sb in range(len(rows)):
+            if alloc[sb]:
+                L = rows[sb][alloc[sb]]
+                levels[:, :, sb, :] = rng.integers(
+                    -(L // 2), L // 2 + 1, size=(F, 36, 1)
+                )
+        scf = rng.integers(0, 63, size=(F, 3, 32, 1)).astype(np.int64)
+        try:
+            payload = codecs.build_mpeg1_layer2(
+                levels, scf, alloc, fs, bitrate_kbps=b
+            )
+        except ValueError as e:
+            if "fits" in str(e):  # allocation too rich for this bitrate
+                continue
+            raise
+        segs.append((payload, levels))
+    if len(segs) < 2:
+        return
+    stream = b"".join(p for p, _ in segs)
+    meta, lev, _scf, steps = codecs.decode_mpeg2_levels(stream)
+    assert meta["n_frames"] == sum(l.shape[0] for _, l in segs)
+    assert np.array_equal(lev, np.concatenate([l for _, l in segs]))
+    off = 0
+    for p, l in segs:
+        _, _, _, st = codecs.decode_mpeg2_levels(p)
+        assert np.array_equal(steps[off : off + l.shape[0]], st)
+        off += l.shape[0]
+
+
 def test_layer2_crc_protected_roundtrip():
     """protection_bit=0 Layer II frames carry the crc_check word over
     header tail + allocation + scfsi; the decoder consumes it and
