@@ -935,6 +935,37 @@ def test_bpe_merge_prefix_stability(spark):
     assert [g[3] for g in grown] == [3 * f[3] for f in full]
 
 
+def test_bpe_driver_and_distributed_paths_agree(spark):
+    """r13 optimization gate: bpe_learn_merges' bounded driver fast path
+    (vocab table collected, greedy loop in Python) and the distributed
+    iteration (forced via driver_vocab_rows=0) must produce the SAME
+    merge list — rank, pair, and weighted count — on a corpus with
+    overlapping runs and ties."""
+    from azure_iot_realtime_data_pipeline_spark.operators.corpus import (
+        bpe_learn_merges,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaa banana band",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def rows(df):
+        return [
+            (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+            for r in df.orderBy("merge_rank").collect()
+        ]
+
+    fast = rows(bpe_learn_merges(docs, n_merges=8))
+    dist = rows(bpe_learn_merges(docs, n_merges=8, driver_vocab_rows=0))
+    assert fast == dist
+    assert len(fast) > 0
+
+
 def test_dedup_pipeline_verify_prunes_false_candidates(spark):
     """J52: exact-Jaccard verification keeps true near-dups and prunes
     candidate pairs whose real overlap is below the verify threshold."""
