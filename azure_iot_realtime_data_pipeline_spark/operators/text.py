@@ -114,7 +114,7 @@ def fingerprint(text: Column) -> Column:
 ENTROPY_ALPHABET = tuple("abcdefghijklmnopqrstuvwxyz0123456789 ")
 
 
-def char_entropy_bits(text: Column) -> Column:
+def char_entropy_bits(text: Column | str) -> Column:
     """J67 character-level Shannon entropy in bits over the lowercased
     text — the gibberish/encoded-blob detector (RefinedWeb-class
     signal): near-uniform char use (base64 blobs, minified code) scores
@@ -132,7 +132,39 @@ def char_entropy_bits(text: Column) -> Column:
     where mlog2(x) = floor(log2(x)*1e6 + 0.5) as int64 — every term
     integer until the final division, so accumulation order cannot
     move the value; the only float boundary is the half-up pin of
-    log2 itself. NULL/empty text -> NULL."""
+    log2 itself. NULL/empty text -> NULL.
+
+    Pass the column as a NAME (str) where possible: the str path
+    assembles the whole ~450-node expression as ONE SQL string for a
+    single F.expr call (r13: building it op-by-op through the Column
+    DSL cost 2-4 s of py4j round trips PER QUERY BUILD — driver-side,
+    serial, paid on every bench rep; the JVM parses the same tree in
+    milliseconds). The Column path below stays for composed-expression
+    callers and is expression-identical."""
+    if isinstance(text, str):
+        s = f"lower({text})"
+        n = f"length({s})"
+
+        def mlog2(x: str) -> str:
+            return f"CAST(FLOOR(log2(CAST({x} AS DOUBLE)) * 1000000.0D + 0.5D) AS BIGINT)"
+
+        counts = [
+            f"CAST({n} - length(replace({s}, '{ch}', '')) AS BIGINT)"
+            for ch in ENTROPY_ALPHABET
+        ]
+        total_known = " + ".join(counts)
+        other = f"(CAST({n} AS BIGINT) - ({total_known}))"
+        terms = [
+            f"(CASE WHEN {c} > 0 THEN {c} * {mlog2(c)} ELSE CAST(0 AS BIGINT) END)"
+            for c in [*counts, other]
+        ]
+        acc = " + ".join(terms)
+        n_long = f"CAST({n} AS BIGINT)"
+        return F.expr(
+            f"CASE WHEN {n} > 0 THEN "
+            f"CAST({n_long} * {mlog2(n_long)} - ({acc}) AS DOUBLE) "
+            f"/ CAST({n} AS DOUBLE) / 1000000.0D END"
+        )
     s = F.lower(text)
     n = F.length(s)
 

@@ -3423,9 +3423,12 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 4.5 s single-task at sf0.1 — the q_top_ngrams incident
     class, caught in the r7 s5 closing bench as the sweep tail)."""
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # column passed by NAME: selects char_entropy_bits' single-F.expr
+    # fast path (r13 — the Column-DSL build cost 2-4 s of py4j round
+    # trips per bench rep; path equality gated in tests)
     return docs.select(
         "doc_id",
-        round_half_up(text.char_entropy_bits(F.col("text"))).alias(
+        round_half_up(text.char_entropy_bits("text")).alias(
             "entropy_bits"
         ),
     )

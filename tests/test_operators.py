@@ -1960,6 +1960,30 @@ def test_char_entropy_boundaries(spark):
     assert abs(got[7]) < 1e-6
 
 
+def test_char_entropy_expr_and_column_paths_agree(spark):
+    """r13 optimization gate: char_entropy_bits' single-F.expr fast path
+    (column passed by name) must be value-identical to the Column-DSL
+    path on real corpus text plus the edge cases (NULL, empty, mixed
+    case, OTHER pooling)."""
+    from azure_iot_realtime_data_pipeline_spark.operators.text import (
+        char_entropy_bits,
+    )
+    from azure_iot_realtime_data_pipeline_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    extra = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "aA 1!#")],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(extra)
+    fast = df.select("doc_id", char_entropy_bits("text").alias("h")).collect()
+    slow = df.select(
+        "doc_id", char_entropy_bits(F.col("text")).alias("h")
+    ).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
 def test_trapezoid_integral_hand_computed(spark):
     """K19: ramp 0->10 over 2 s integrates to 10, a 4 s hold at 10 adds
     40; NULL measurements are excluded and never poison the running
