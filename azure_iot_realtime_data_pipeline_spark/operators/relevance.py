@@ -151,8 +151,18 @@ def unigram_logprob_scores(
     tok = ensure_parallelism(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     ).select("doc_id", F.explode(tokens(F.col("_text"))).alias("_t"))
-    tok = _stage(tok, "unigram_tok_")
-    counts = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    # Stage the VOCAB-SIZED counts, not the corpus-sized token stream
+    # (r13): the old form wrote every token OCCURRENCE (~1M rows at
+    # sf0.1, larger than the corpus itself) to parquet so the scoring
+    # pass could reuse it; re-tokenizing the corpus map-side for the
+    # scoring join is strictly cheaper than writing+reading a table
+    # BIGGER than the input — at any scale. counts is bounded by the
+    # vocabulary and feeds three consumers (total scalar, top-k vocab),
+    # so it checkpoints once.
+    counts = (
+        tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
     total = counts.agg(F.sum("_c").alias("_n")).collect()[0]["_n"]
     if total is None:
         # empty corpus / all-empty texts: no tokens, no model — return

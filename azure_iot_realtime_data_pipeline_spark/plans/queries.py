@@ -3787,7 +3787,12 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided error), tokens with CMS estimate >= 900. The bounded-
     memory frequency sketch next to kmv_distinct (cardinality) and the
     streaming Misra-Gries twin (point queries vs top-k)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # parallelism guard (r13): the token stream is consumed TWICE
+    # (sketch build + candidate distinct) and a single-file scan ran
+    # both tokenize passes in ONE task — the q_top_ngrams class
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("text")
+    )
     toks = docs.select(F.explode(text.tokens(F.col("text"))).alias("item"))
     return sketches.cms_heavy_hitters(toks, depth=4, width=16, threshold=900)
 
