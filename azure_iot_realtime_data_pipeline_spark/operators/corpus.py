@@ -1542,7 +1542,12 @@ def bpe_encode(
 
         return fold
 
-    staged = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    # parallelism guard (r13): doc_words feeds the vocab distinct AND
+    # the broadcast join+aggregate — both tokenize passes ran in ONE
+    # task off the single-file scan (the q_top_ngrams class)
+    staged = ensure_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     doc_words = staged.select(F.col(id_col), F.posexplode("_toks").alias("_pos", "_w"))
     syms = F.split(F.col("_w"), "")
     for a, b in rules:
