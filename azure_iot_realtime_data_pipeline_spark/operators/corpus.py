@@ -1352,26 +1352,34 @@ def dsir_weights(
     b = int(n_buckets)
     raw_feats = _hashed_ngram_buckets(raw, text_col, id_col, b)
     tgt_feats = _hashed_ngram_buckets(target, text_col, id_col, b)
-    raw_counts = (
-        raw_feats.groupBy("_bucket")
-        .agg(F.count(F.lit(1)).alias("_cr"))
+    # ONE tagged-union aggregate fits both streams (r13): the two
+    # per-stream aggregates + checkpoints + total collects were four
+    # jobs over the same bounded bucket space; a 0/1 tag column turns
+    # them into one B-row aggregate and one 1-row collect. The raw
+    # count stays the spine: buckets only the target touches carry
+    # _cr = 0 and are dropped exactly like the old left join's absent
+    # rows (a raw doc can never score against them).
+    both = raw_feats.select(
+        "_bucket", F.lit(1).alias("_r"), F.lit(0).alias("_t")
+    ).unionByName(
+        tgt_feats.select("_bucket", F.lit(0).alias("_r"), F.lit(1).alias("_t"))
+    )
+    counts = (
+        both.groupBy("_bucket")
+        .agg(F.sum("_r").alias("_cr"), F.sum("_t").alias("_ct"))
         .localCheckpoint()
     )
-    tgt_counts = (
-        tgt_feats.groupBy("_bucket")
-        .agg(F.count(F.lit(1)).alias("_ct"))
-        .localCheckpoint()
-    )
-    r_tot = raw_counts.agg(F.sum("_cr").alias("s")).collect()[0]["s"] or 0
-    t_tot = tgt_counts.agg(F.sum("_ct").alias("s")).collect()[0]["s"] or 0
-    # every bucket a raw doc can score against carries a raw count >= 1
-    # (its own occurrence), so the raw count table is the spine.
-    lam = raw_counts.join(tgt_counts, "_bucket", "left").select(
+    tots = counts.agg(
+        F.sum("_cr").alias("r"), F.sum("_ct").alias("t")
+    ).collect()[0]
+    r_tot = tots["r"] or 0
+    t_tot = tots["t"] or 0
+    lam = counts.filter(F.col("_cr") >= 1).select(
         "_bucket",
         F.floor(
             (
                 F.log(
-                    (F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + 1.0)
+                    (F.col("_ct").cast("double") + 1.0)
                     / F.lit(float(t_tot + b))
                 )
                 - F.log((F.col("_cr").cast("double") + 1.0) / F.lit(float(r_tot + b)))
