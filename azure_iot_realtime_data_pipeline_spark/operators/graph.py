@@ -75,23 +75,30 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = (
-        e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint()
+    out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # out-degree is STATIC per node — attach it to the node table ONCE
+    # and carry it through every iteration's rank table (r13): the old
+    # loop re-joined ranks x out_deg TWICE per round (once under the
+    # dangling-mass collect, once under the contribution join); with
+    # _deg riding the checkpointed rank rows, the dangling mass is a
+    # plain filtered scan and the contribution join starts from the
+    # blocks directly.
+    nodes_deg = (
+        nodes.join(out_deg, nodes["node"] == out_deg["_s"], "left")
+        .select("node", "_deg")
+        .localCheckpoint()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = nodes_deg.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["_s"], "left"
-        ).select("node", "rank", "_deg")
         # dangling mass: one-row aggregate (sanctioned scalar collect)
         dangling = (
-            with_deg.filter(F.col("_deg").isNull())
+            ranks.filter(F.col("_deg").isNull())
             .agg(F.sum("rank").alias("m"))
             .collect()[0]["m"]
         )
         dangling = float(dangling) if dangling is not None else 0.0
         contribs = (
-            with_deg.filter(F.col("_deg").isNotNull())
+            ranks.filter(F.col("_deg").isNotNull())
             .join(e, F.col("node") == e["_s"])
             .select(
                 F.col("_d").alias("node"),
@@ -102,9 +109,10 @@ def pagerank(
         )
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes_deg.join(contribs, "node", "left")
             .select(
                 "node",
+                "_deg",
                 (
                     F.lit(base)
                     + F.lit(damping) * F.coalesce(F.col("_recv"), F.lit(0.0))
@@ -112,7 +120,7 @@ def pagerank(
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_step_pinned(
