@@ -969,7 +969,14 @@ def vocab_coverage(
         ensure_parallelism(docs.select(F.col(text_col)))
         .select(F.explode(tokens(F.col(text_col))).alias("token"))
     )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # checkpoint the vocab-sized count table ONCE (r13): it feeds the
+    # rank primitive's bounds/stats passes, the numbering job AND the
+    # corpus-mass total — without truncation the corpus tokenize
+    # replays per consumer (the unigram_logprob_scores lesson).
+    counts = (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     ranked = global_row_number(
         counts.withColumn("_negn", -F.col("n")), ["_negn", "token"], "rank"
     )
