@@ -1884,20 +1884,34 @@ def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = micro_units(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     )
+    # Pre-aggregate the fact per order BEFORE the join (r13, guide §2.3
+    # "aggregate before you shuffle"): the old countDistinct(l_orderkey)
+    # inside the segment aggregate planned an Expand over every joined
+    # line row; per-order partial sums collapse 600k lines to one row
+    # per order map-side, n_orders becomes a plain count, and at scale
+    # the pre-agg's l_orderkey partitioning is exactly what the
+    # post-broadcast-threshold shuffle join would reuse.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(revenue).alias("_rev"),
+        F.count("*").alias("_nl"),
+    )
     agg = (
-        li.join(F.broadcast(enriched), li["l_orderkey"] == enriched["o_orderkey"])
+        per_order.join(
+            F.broadcast(enriched),
+            per_order["l_orderkey"] == enriched["o_orderkey"],
+        )
         .groupBy("c_mktsegment")
         .agg(
-            F.sum(revenue).alias("_rev"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
-            F.count("*").alias("n_lines"),
+            F.sum("_rev").alias("_rev"),
+            F.count("*").alias("n_orders"),
+            F.sum("_nl").alias("n_lines"),
         )
     )
     return agg.select(
         "c_mktsegment",
         (F.col("_rev").cast("double") / F.lit(MICRO)).alias("revenue"),
-        "n_orders",
-        "n_lines",
+        F.col("n_orders"),
+        F.col("n_lines").cast("long").alias("n_lines"),
     )
 
 
