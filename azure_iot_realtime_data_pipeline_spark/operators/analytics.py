@@ -1824,8 +1824,7 @@ def lorenz_curve(
     Returns (key, value, rank, pop_share, value_share), shares 6dp.
     """
     from azure_iot_realtime_data_pipeline_spark.operators.ordering import (
-        global_cumsum,
-        global_row_number,
+        global_rank_and_cumsum,
     )
     from azure_iot_realtime_data_pipeline_spark.sources.batch import (
         stage_to_parquet,
@@ -1838,8 +1837,10 @@ def lorenz_curve(
     base = stage_to_parquet(
         spend.select(F.col(key), F.col(value_col).alias("_v")), "lorenz_spend_"
     )
-    ranked = global_row_number(base, ["_v", key], "rank")
-    summed = global_cumsum(ranked, ["_v", key], "_v", "_cum")
+    # fused rank+cumsum (r13): one quantile pass, one bucket-stats
+    # collect and one window sort instead of two of each — values
+    # bit-identical to the sequential primitives (same oracle)
+    summed = global_rank_and_cumsum(base, ["_v", key], "_v", "rank", "_cum")
     totals = base.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_tot")
     )

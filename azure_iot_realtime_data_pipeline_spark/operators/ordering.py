@@ -251,3 +251,75 @@ def global_cumsum(
         )
         .drop("_bucket")
     )
+
+
+def global_rank_and_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    rank_col: str = "rn",
+    sum_col: str = "running_sum",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Fused `global_row_number` + `global_cumsum` over the SAME
+    ordering (r13): consumers that need both (Lorenz curves: rank for
+    pop_share, running sum for value_share) previously ran the
+    two-phase scaffold TWICE — two quantile passes, two bucket-stats
+    collects, two window sorts. One `_bucket_stats(value_col)` pass
+    already carries everything both primitives need (per-bucket row
+    count, value sum, non-null count), and the two window expressions
+    share one partition+order spec, so Catalyst plans a single Window
+    sort. Values are bit-identical to running the two primitives in
+    sequence: rank and running sum are functions of the global order
+    alone — bucket boundaries cancel out of both (the same invariant
+    the individual primitives' oracles already pin)."""
+    bounds, lead, stats = _bucket_stats(
+        df, order_cols, num_buckets, value_col=value_col
+    )
+
+    acc_c = 0
+    acc_s = 0
+    acc_nn = 0
+    c_off: dict[int, int] = {}
+    s_off: dict[int, int] = {}
+    nn_off: dict[int, int] = {}
+    for b, c, sval, nn in stats:
+        c_off[b] = acc_c
+        s_off[b] = acc_s
+        nn_off[b] = acc_nn
+        acc_c += c
+        acc_s += int(sval or 0)
+        acc_nn += int(nn or 0)
+    c_map = F.create_map(*[F.lit(x) for pair in c_off.items() for x in pair])
+    s_map = F.create_map(*[F.lit(x) for pair in s_off.items() for x in pair])
+    nn_map = F.create_map(*[F.lit(x) for pair in nn_off.items() for x in pair])
+
+    bucket = _bucket_search(lead, bounds, 0, len(bounds)) if bounds else F.lit(0)
+    order = [F.col(c).asc() for c in order_cols]
+    w_rank = Window.partitionBy("_bucket").orderBy(*order)
+    w_sum = (
+        Window.partitionBy("_bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket_sum = F.sum(F.col(value_col)).over(w_sum)
+    in_bucket_nn = F.count(F.col(value_col)).over(w_sum)
+    running_nn = in_bucket_nn + nn_map[F.col("_bucket")]
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w_rank) + c_map[F.col("_bucket")]).cast("long"),
+        )
+        .withColumn(
+            sum_col,
+            F.when(
+                running_nn > 0,
+                (
+                    F.coalesce(in_bucket_sum, F.lit(0))
+                    + s_map[F.col("_bucket")]
+                ).cast("long"),
+            ),
+        )
+        .drop("_bucket")
+    )
