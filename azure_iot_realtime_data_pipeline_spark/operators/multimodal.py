@@ -66,6 +66,32 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _map_media(media: DataFrame, fn, schema: str) -> DataFrame:
+    """mapInPandas over the narrow (doc_id, payload) projection, with
+    synth fusion (r14, guide §4 — eliminate the Python boundary): when
+    `media` is the UNMODIFIED output of `_synth_payloads`, the synth and
+    decode stages would otherwise run as two ADJACENT Python stages and
+    the payload bytes — the widest column in the plan — cross
+    JVM->Python->JVM->Python purely to connect them (one Arrow
+    transpose+transfer per crossing). Composing the synth batch
+    generator in front of the consumer's batch function runs both in ONE
+    Python stage over the pre-synth (doc_id, text) source: the payload
+    never crosses the boundary at all. Results are identical by
+    construction — the same two batch functions run in the same order on
+    the same rows. Any transformation of the synth output
+    (filter/select/join) drops the fusion handle and falls back to the
+    plain two-stage path."""
+    fusion = getattr(media, "_sg_synth_fusion", None)
+    if fusion is not None:
+        src, synth = fusion
+
+        def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            return fn(synth(batches))
+
+        return src.mapInPandas(fused, schema)
+    return media.select("doc_id", "payload").mapInPandas(fn, schema)
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """Batch feature extraction over mapInPandas: byte length, sha256
     hex, and the 4-byte magic prefix — the no-codec subset of what a
@@ -83,7 +109,7 @@ def media_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+    return _map_media(media, extract, FEATURE_SCHEMA)
 
 
 def decode_image(payload: bytes):  # pragma: no cover - requires codec
@@ -176,7 +202,7 @@ def image_meta(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(extract, IMAGE_META_SCHEMA)
+    return _map_media(media, extract, IMAGE_META_SCHEMA)
 
 
 def sample_frames(
@@ -204,7 +230,7 @@ def sample_frames(
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+    return _map_media(media, sample, FRAME_SCHEMA)
 
 
 AHASH_SCHEMA = "doc_id BIGINT, ahash_hex STRING"
@@ -244,7 +270,7 @@ def image_ahash(media: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "ahash_hex": pdf["payload"].map(one)}
             )
 
-    return media.select("doc_id", "payload").mapInPandas(extract, AHASH_SCHEMA)
+    return _map_media(media, extract, AHASH_SCHEMA)
 
 
 def image_ahash_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
@@ -449,7 +475,7 @@ def image_meta_decoded(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(extract, IMAGE_META_SCHEMA)
+    return _map_media(media, extract, IMAGE_META_SCHEMA)
 
 
 RESIZED_SCHEMA = "doc_id BIGINT, width INT, height INT, channels INT, pixels BINARY"
@@ -480,7 +506,7 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(extract, RESIZED_SCHEMA)
+    return _map_media(media, extract, RESIZED_SCHEMA)
 
 
 def _block_mean_grid(luma, rows: int = 8, cols: int = 8):
@@ -538,7 +564,7 @@ def image_ahash_decoded(media: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "ahash_hex": pdf["payload"].map(one)}
             )
 
-    return media.select("doc_id", "payload").mapInPandas(extract, AHASH_SCHEMA)
+    return _map_media(media, extract, AHASH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -669,7 +695,7 @@ def audio_meta(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    return media.select("doc_id", "payload").mapInPandas(extract, AUDIO_META_SCHEMA)
+    return _map_media(media, extract, AUDIO_META_SCHEMA)
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -702,9 +728,7 @@ def audio_features(media: DataFrame) -> DataFrame:
             )
             rows = []
 
-    return media.select("doc_id", "payload").mapInPandas(
-        extract, AUDIO_FEATURE_SCHEMA
-    )
+    return _map_media(media, extract, AUDIO_FEATURE_SCHEMA)
 
 
 def split_jpeg_frames(payload: bytes) -> list[bytes]:
@@ -783,7 +807,7 @@ def sample_frames_mjpeg(media: DataFrame, every_n: int = 4) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+    return _map_media(media, sample, FRAME_SCHEMA)
 
 
 def _text_pixel_grid(text: str, width: int):
@@ -825,9 +849,13 @@ def _synth_payloads(docs: DataFrame, text_col: str, one) -> DataFrame:
                 }
             )
 
-    return ensure_parallelism(docs.select("doc_id", text_col)).mapInPandas(
-        synth, "doc_id BIGINT, payload BINARY"
-    )
+    src = ensure_parallelism(docs.select("doc_id", text_col))
+    out = src.mapInPandas(synth, "doc_id BIGINT, payload BINARY")
+    # fusion handle (r14): a decode consumer fed this frame DIRECTLY can
+    # compose `synth` in front of its own batch fn over `src` so the
+    # payload never crosses the JVM<->Python boundary — see _map_media
+    out._sg_synth_fusion = (src, synth)
+    return out
 
 
 def _riff_wav(fmt_code: int, sample_rate: int, data: bytes) -> bytes:
@@ -1074,9 +1102,7 @@ def warc_extract(
                 ],
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
-        extract, WARC_EXTRACT_SCHEMA
-    )
+    return _map_media(media, extract, WARC_EXTRACT_SCHEMA)
 
 
 VIDEO_FRAME_STATS_SCHEMA = (
@@ -1151,9 +1177,7 @@ def video_frame_stats(media: DataFrame, every_n: int = 1) -> DataFrame:
                 ],
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
-        extract, VIDEO_FRAME_STATS_SCHEMA
-    )
+    return _map_media(media, extract, VIDEO_FRAME_STATS_SCHEMA)
 
 
 def image_stats(media: DataFrame, backend: str = "auto") -> DataFrame:
@@ -1190,9 +1214,7 @@ def image_stats(media: DataFrame, backend: str = "auto") -> DataFrame:
                 ],
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
-        extract, IMAGE_STATS_SCHEMA
-    )
+    return _map_media(media, extract, IMAGE_STATS_SCHEMA)
 
 
 def decode_audio(payload: bytes):
@@ -1336,9 +1358,7 @@ def gif_frame_stats(media: DataFrame) -> DataFrame:
                 rows, columns=["doc_id", "frame_idx", "y_sum", "y_max"]
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
-        extract, GIF_FRAME_SCHEMA
-    )
+    return _map_media(media, extract, GIF_FRAME_SCHEMA)
 
 
 def synth_apng_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1419,9 +1439,7 @@ def anim_frame_stats(media: DataFrame) -> DataFrame:
                 rows, columns=["doc_id", "frame_idx", "y_sum", "y_max"]
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
-        extract, GIF_FRAME_SCHEMA
-    )
+    return _map_media(media, extract, GIF_FRAME_SCHEMA)
 
 
 def synth_avi_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1474,9 +1492,7 @@ def avi_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
                 rows, columns=["doc_id", "frame_idx", "y_sum", "y_max"]
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
-        extract, GIF_FRAME_SCHEMA
-    )
+    return _map_media(media, extract, GIF_FRAME_SCHEMA)
 
 
 def synth_mpeg1_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1563,9 +1579,7 @@ def mpeg1_level_stats(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
-        extract, MPEG1_STATS_SCHEMA
-    )
+    return _map_media(media, extract, MPEG1_STATS_SCHEMA)
 
 
 def synth_mpeg2_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1661,6 +1675,4 @@ def mpeg2_level_stats(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
-        extract, MPEG1_STATS_SCHEMA
-    )
+    return _map_media(media, extract, MPEG1_STATS_SCHEMA)
