@@ -232,11 +232,16 @@ def bloom_semi_join(
     side's word index. The collect here is the sanctioned bounded kind
     (the m/64-row word table, a build artifact like IVF centroids,
     never the dim itself)."""
-    # localCheckpoint the distinct ONCE: the build's collect() and the
-    # verify semi join otherwise each re-run the fact-sized dim's full
-    # distinct exchange (review r7 s5) — materializing the key set is
-    # exactly what a runtime-filter implementation does anyway.
-    keys = dim.select(F.col(dim_key).alias("_k")).distinct().localCheckpoint()
+    # r14 (guide §2.4, §3.2): build the Bloom words from the RAW key
+    # column and verify against it directly — bit_or is idempotent
+    # (duplicate keys OR the same bits) and left_semi is
+    # duplicate-insensitive, so the old distinct().localCheckpoint()
+    # changed neither the bitmap nor the verify result; dropping it
+    # removes one full distinct exchange AND the eager checkpoint job
+    # from every build. The dim scan now runs twice (bloom build +
+    # verify), the standard Bloom-prefilter cost, with map-side partial
+    # bit_or collapsing the build to <= n_words rows per task.
+    keys = dim.select(F.col(dim_key).alias("_k"))
     might_match = bloom_might_contain(
         keys, "_k", F.col(fact_key), m_bits, k_hashes
     )
