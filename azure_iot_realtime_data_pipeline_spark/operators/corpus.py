@@ -1061,6 +1061,21 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return _bpe_pair_counts(_bpe_word_table(docs, text_col))
 
 
+def _bpe_rewrite_local(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy LEFT-TO-RIGHT non-overlapping single-rule rewrite — the
+    plain-python twin of the distributed `F.aggregate` fold ('aaa' +
+    (a,a) -> [aa, a]), shared by the driver-side learner and encoder so
+    the two local paths cannot diverge from each other."""
+    merged = a + b
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = merged
+        else:
+            out.append(x)
+    return out
+
+
 def _bpe_learn_merges_local(
     words: list[tuple[list[str], int]],
     n_merges: int,
@@ -1089,17 +1104,7 @@ def _bpe_learn_merges_local(
         if cnt < min_pair_count:
             break
         merges.append((rank, a, b, cnt))
-        merged = a + b
-        nxt: list[tuple[list[str], int]] = []
-        for syms, n in words:
-            out: list[str] = []
-            for x in syms:
-                if out and out[-1] == a and x == b:
-                    out[-1] = merged
-                else:
-                    out.append(x)
-            nxt.append((out, n))
-        words = nxt
+        words = [(_bpe_rewrite_local(syms, a, b), n) for syms, n in words]
     return merges
 
 
@@ -1564,12 +1569,43 @@ def bpe_encode(
         docs.select(F.col(id_col), F.col(text_col))
     ).select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     doc_words = staged.select(F.col(id_col), F.posexplode("_toks").alias("_pos", "_w"))
-    syms = F.split(F.col("_w"), "")
-    for a, b in rules:
-        syms = _make_fold(a, b)(syms)
-    vocab = doc_words.select("_w").distinct().select(
-        F.col("_w"), syms.alias("_syms")
+    # Bounded driver fast path (r14, the bpe_learn_merges move applied
+    # to the APPLY side): the encoded vocabulary is a function of the
+    # DISTINCT-WORD set alone, so when that set fits the same
+    # driver_vocab_rows bound the fold runs in Python on the collected
+    # word list (via _bpe_rewrite_local — the learner's own rewrite,
+    # reference-gated) and ships back as a broadcast literal table.
+    # The in-plan alternative builds an n_merges-DEEP nested interpreted
+    # F.aggregate tree (seconds of Catalyst analysis per build,
+    # interpreted HOF eval per word) plus a distinct exchange inside the
+    # broadcast-build job. The symbols are collected from the SAME
+    # F.split the distributed fold consumes, so the two paths cannot
+    # disagree on symbol segmentation. Oversized vocabularies keep the
+    # distributed fold below.
+    head = (
+        doc_words.select("_w")
+        .distinct()
+        .select("_w", F.split(F.col("_w"), "").alias("_chars"))
+        .limit(BPE_DRIVER_VOCAB_ROWS + 1)
+        .collect()
     )
+    if len(head) <= BPE_DRIVER_VOCAB_ROWS:
+        vocab_rows = []
+        for r in head:
+            s = list(r["_chars"])
+            for a, b in rules:
+                s = _bpe_rewrite_local(s, a, b)
+            vocab_rows.append((r["_w"], s))
+        vocab = docs.sparkSession.createDataFrame(
+            vocab_rows, "_w string, _syms array<string>"
+        )
+    else:
+        syms = F.split(F.col("_w"), "")
+        for a, b in rules:
+            syms = _make_fold(a, b)(syms)
+        vocab = doc_words.select("_w").distinct().select(
+            F.col("_w"), syms.alias("_syms")
+        )
     joined = doc_words.join(F.broadcast(vocab), "_w")
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_words"),
