@@ -392,10 +392,15 @@ def connected_components_bigstar(
     minima); nodes absent from it (singleton inputs, if the pair
     source ever emits a==b) label themselves.
     """
+    # materialize the canonical pair table ONCE (r14): edges AND the
+    # node universe both derive from it, and each previously carried its
+    # own eager checkpoint — the (expensive) candidate-pair lineage ran
+    # twice per build. canon is pair-sized, the same bounded class as
+    # duplicate_clusters' sym checkpoint.
     canon = pairs.select(
         F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
         F.least(F.col(id_a), F.col(id_b)).alias("b"),
-    )
+    ).localCheckpoint(eager=True)
     edges = (
         canon.filter(F.col("a") != F.col("b"))
         .distinct()
@@ -404,12 +409,14 @@ def connected_components_bigstar(
     # node universe from the RAW pairs: a node appearing only in a
     # self-loop still labels itself, matching duplicate_clusters (and
     # the shared recursive-CTE oracle), instead of silently vanishing
-    # with the dropped loop edge
+    # with the dropped loop edge. Lazy on purpose (r14): it is consumed
+    # exactly once by the final join, and its upstream is now the
+    # materialized canon scan — an eager checkpoint here was one more
+    # job per build for nothing.
     nodes = (
         canon.select(F.col("a").alias("node"))
         .unionByName(canon.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # carry the count across rounds: each edge set is counted ONCE, so
     # a round costs (checkpoint + 1 count) with the union-distinct
