@@ -1165,7 +1165,11 @@ def bpe_learn_merges(
     # microseconds of arithmetic. The limit(N+1) probe keeps the
     # collect bounded at any corpus size; oversized vocabularies fall
     # through to the distributed loop below (path equality is gated by
-    # a dedicated test).
+    # a dedicated test). ADVICE r13 weighed probing with a cheap
+    # count() first so an oversized vocab never collects N+1 symbol
+    # rows: rejected — it adds a full extra job to the COMMON (bounded)
+    # case to save one bounded collect in the rare oversized case; the
+    # one-off cost is accepted and bounded by construction.
     head = words.limit(driver_vocab_rows + 1).collect()
     if len(head) <= driver_vocab_rows:
         local = _bpe_learn_merges_local(

@@ -142,7 +142,14 @@ def char_entropy_bits(text: Column | str) -> Column:
     milliseconds). The Column path below stays for composed-expression
     callers and is expression-identical."""
     if isinstance(text, str):
-        s = f"lower({text})"
+        # the str path is a NAME contract, not an expression contract
+        # (ADVICE r13): backtick-quote the identifier (embedded backticks
+        # doubled per the SQL quoting rule) so any legal column name —
+        # spaces, dots, keywords — parses as a NAME, and an expression
+        # string fails analysis as a nonexistent column instead of being
+        # silently evaluated as SQL
+        quoted = text.replace("`", "``")
+        s = f"lower(`{quoted}`)"
         n = f"length({s})"
 
         def mlog2(x: str) -> str:

@@ -966,6 +966,44 @@ def test_bpe_driver_and_distributed_paths_agree(spark):
     assert len(fast) > 0
 
 
+def test_bpe_encode_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """r14 optimization gate (the learner's gate extended to the APPLY
+    side): bpe_encode's bounded driver fast path (distinct words
+    collected, rules applied via _bpe_rewrite_local, broadcast literal
+    vocab) and the distributed nested-fold path (forced by patching the
+    vocab bound to 0) must produce identical rows INCLUDING the ordered
+    bpe_tokens arrays — on a corpus with overlapping runs, ties, empty
+    docs and repeated words."""
+    from azure_iot_realtime_data_pipeline_spark.operators import corpus
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaaa aaa banana band",
+        "",
+        "aaa aaa aaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = corpus.bpe_learn_merges(docs, n_merges=6)
+
+    def rows(df):
+        return sorted(
+            (
+                r["doc_id"], r["n_words"], r["n_chars"], r["n_bpe_tokens"],
+                tuple(r["bpe_tokens"]),
+            )
+            for r in df.collect()
+        )
+
+    fast = rows(corpus.bpe_encode(docs, merges, keep_tokens=True))
+    monkeypatch.setattr(corpus, "BPE_DRIVER_VOCAB_ROWS", 0)
+    dist = rows(corpus.bpe_encode(docs, merges, keep_tokens=True))
+    assert fast == dist
+    assert any(r[3] < r[2] for r in fast)  # at least one merge applied
+
+
 def test_dedup_pipeline_verify_prunes_false_candidates(spark):
     """J52: exact-Jaccard verification keeps true near-dups and prunes
     candidate pairs whose real overlap is below the verify threshold."""

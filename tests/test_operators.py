@@ -1300,6 +1300,58 @@ def test_global_cumsum_null_value_leading_its_bucket(spark):
     assert got2 == {(1.0, None), (2.0, None), (3.0, 5), (4.0, 5)}
 
 
+def test_global_rank_and_cumsum_equals_composed_primitives(spark):
+    """ADVICE r13: the fused scaffold must equal global_row_number +
+    global_cumsum composed over the SAME ordering — including the edge
+    cases each primitive pins separately (NULL leading keys, heavy ties
+    on the leading key, NULL values leading a bucket, all-NULL prefix,
+    single row). A drift in either copy of the offset/window logic
+    fails here at the operator level, not only through q_lorenz's
+    end-to-end oracle."""
+    from azure_iot_realtime_data_pipeline_spark.operators.ordering import (
+        global_cumsum,
+        global_rank_and_cumsum,
+        global_row_number,
+    )
+
+    cases = [
+        # NULL keys, ties, NULL value mid-stream
+        [
+            (None, 3, 10),
+            (5.0, 1, 1),
+            (5.0, 2, 2),
+            (None, 1, 5),
+            (1.0, 4, None),
+            (9.0, 5, 100),
+        ],
+        # all-NULL prefix + NULL leading its bucket
+        [(1.0, 1, None), (2.0, 2, None), (3.0, 3, 5), (4.0, 4, None)],
+        # heavy ties: one leading-key value owns most rows
+        [(7.0, i, i % 3) for i in range(1, 13)] + [(8.0, 99, 1)],
+        # single row
+        [(2.0, 1, 7)],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "k double, id long, v long")
+        for nb in (None, 2):
+            fused = {
+                tuple(r)
+                for r in global_rank_and_cumsum(
+                    df, ["k", "id"], "v", rank_col="rn", sum_col="cs",
+                    num_buckets=nb,
+                ).collect()
+            }
+            composed_df = global_cumsum(
+                global_row_number(df, ["k", "id"], "rn", num_buckets=nb),
+                ["k", "id"],
+                "v",
+                out_col="cs",
+                num_buckets=nb,
+            ).select(*df.columns, "rn", "cs")
+            composed = {tuple(r) for r in composed_df.collect()}
+            assert fused == composed, (rows, nb)
+
+
 def test_global_cumsum_matches_naive_at_smoke_scale(spark, sf_smoke):
     from pyspark.sql import Window as W
 
