@@ -1967,20 +1967,50 @@ def collocations(
     in the oracle), then the single libm ln, rounded half-up — the
     accepted knife-edge class.
     """
-    bi = (
-        bigram_counts(docs, text_col, id_col)
-        .withColumnRenamed("n", "n_ab")
+    # ONE tagged aggregate fits both tables (r14, the DSIR r13 move):
+    # the unigram and bigram counts previously ran as two corpus
+    # tokenize+explode passes, two checkpoints and two scalar collects.
+    # Each doc now emits one concatenated struct array — (w, NULL) per
+    # token plus (w1, w2) per adjacent pair, the same zip-with-tail
+    # build as bigram_counts — through ONE explode into ONE
+    # vocab-bounded groupBy; w2 IS NULL marks the unigram rows (a real
+    # bigram's w2 is never NULL by the zip filter), and both totals
+    # come back in one 1-row collect over the single checkpoint.
+    staged = ensure_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(tokens(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    uni_structs = F.transform(
+        t,
+        lambda w: F.struct(
+            w.alias("w1"), F.lit(None).cast("string").alias("w2")
+        ),
+    )
+    bi_structs = F.filter(
+        F.zip_with(
+            t,
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    counts = (
+        staged.select(F.explode(F.concat(uni_structs, bi_structs)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    staged = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
-    uni = (
-        staged.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n_w"))
-        .localCheckpoint(eager=True)
+    bi = counts.filter(F.col("w2").isNotNull()).withColumnRenamed("n", "n_ab")
+    uni = counts.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("w"), F.col("n").alias("n_w")
     )
-    n_uni = uni.agg(F.sum("n_w")).collect()[0][0] or 0
-    n_bi = bi.agg(F.sum("n_ab")).collect()[0][0] or 0
+    tots = counts.agg(
+        F.sum(F.when(F.col("w2").isNull(), F.col("n"))).alias("_u"),
+        F.sum(F.when(F.col("w2").isNotNull(), F.col("n"))).alias("_b"),
+    ).collect()[0]
+    n_uni = tots["_u"] or 0
+    n_bi = tots["_b"] or 0
     if n_bi == 0:
         return bi.select(
             "w1", "w2", "n_ab",
