@@ -594,11 +594,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures (rows-only oracle)."""
+    """64-bit SimHash signatures (rows-only oracle). Table form (r14):
+    bit-identical to select(simhash64(tokens(text))) — equality-gated —
+    with the 64 bit votes as codegen'd scalar aggregates instead of an
+    interpreted nested-HOF fold per token."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", dedup.simhash64(text.tokens(F.col("text"))).alias("simhash")
-    )
+    return dedup.simhash_signatures(docs)
 
 
 def q_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:

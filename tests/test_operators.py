@@ -128,6 +128,36 @@ def test_simhash_close_for_near_identical_docs(spark):
     assert hamming(sh[1], sh[2]) <= 16
 
 
+def test_simhash_signatures_table_form_equals_column_form(spark):
+    """r14 optimization gate: simhash_signatures (explode + 64 codegen
+    vote aggregates, q_simhash's plan since r14) must be bit-identical
+    to the simhash64 Column fold on every edge the conversion could get
+    wrong: NULL text (NULL signature, not 0), empty text (signature 0),
+    single token, repeated tokens (occurrences vote, not distinct),
+    multi-space runs, and a long doc."""
+    rows = [
+        (1, "hello world hello"),
+        (2, ""),
+        (3, None),
+        (4, "a"),
+        (5, "  spaced   out  "),
+        (6, "hello world hello"),
+        (7, "tok " * 300),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col_form = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", dedup.simhash64(text.tokens(F.col("text"))).alias("s")
+        ).collect()
+    }
+    table_form = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(df).collect()
+    }
+    assert table_form == col_form
+
+
 def test_salted_agg_matches_plain(spark, sf_smoke):
     ev = load_table(spark, sf_smoke, "events")
     salted = {
