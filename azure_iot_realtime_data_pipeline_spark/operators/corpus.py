@@ -1566,13 +1566,7 @@ def bpe_encode(
 
         return fold
 
-    # parallelism guard (r13): doc_words feeds the vocab distinct AND
-    # the broadcast join+aggregate — both tokenize passes ran in ONE
-    # task off the single-file scan (the q_top_ngrams class)
-    staged = ensure_parallelism(
-        docs.select(F.col(id_col), F.col(text_col))
-    ).select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    doc_words = staged.select(F.col(id_col), F.posexplode("_toks").alias("_pos", "_w"))
+    doc_words = _bpe_doc_words(docs, text_col, id_col)
     # Bounded driver fast path (r14, the bpe_learn_merges move applied
     # to the APPLY side): the encoded vocabulary is a function of the
     # DISTINCT-WORD set alone, so when that set fits the same
@@ -1610,6 +1604,35 @@ def bpe_encode(
         vocab = doc_words.select("_w").distinct().select(
             F.col("_w"), syms.alias("_syms")
         )
+    return _bpe_encode_with_vocab(docs, vocab, text_col, id_col, keep_tokens)
+
+
+def _bpe_doc_words(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _pos, _w) word-occurrence table — bpe_encode's corpus pass.
+    parallelism guard (r13): it feeds the vocab probe AND the broadcast
+    join+aggregate — both tokenize passes ran in ONE task off the
+    single-file scan (the q_top_ngrams class)."""
+    staged = ensure_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    return staged.select(
+        F.col(id_col), F.posexplode("_toks").alias("_pos", "_w")
+    )
+
+
+def _bpe_encode_with_vocab(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_tokens: bool,
+) -> DataFrame:
+    """The per-doc reassembly tail of bpe_encode: broadcast-join the
+    encoded (_w, _syms) vocabulary onto the word occurrences and
+    aggregate counts (plus the ordered token arrays when asked) back to
+    one row per doc. Shared by bpe_encode and bpe_train_encode so the
+    two entry points cannot diverge."""
+    doc_words = _bpe_doc_words(docs, text_col, id_col)
     joined = doc_words.join(F.broadcast(vocab), "_w")
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -1644,6 +1667,50 @@ def bpe_encode(
         .join(agg.hint("shuffle_hash"), id_col, "left")
         .select(F.col(id_col), *zeros)
     )
+
+
+def bpe_train_encode(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+    driver_vocab_rows: int = BPE_DRIVER_VOCAB_ROWS,
+    keep_tokens: bool = False,
+) -> DataFrame:
+    """J63 train→apply fused (r14): learn `n_merges` BPE rules and
+    encode the SAME corpus with them, sharing ONE word-frequency pass.
+    Composing bpe_learn_merges + bpe_encode tokenizes the corpus three
+    times (the learner's word table, the encoder's vocab probe, the
+    encode join) and round-trips the rule list through a DataFrame; the
+    distinct-word set the encoder needs IS the learner's collected word
+    table (word = the concatenation of its symbols), so under the
+    driver bound both the greedy learner and the vocabulary fold run on
+    one collected table and the corpus is touched twice total (word
+    aggregate + encode join). Result identical to
+    ``bpe_encode(docs, bpe_learn_merges(docs))`` — gated by a dedicated
+    equality test; oversized vocabularies fall back to exactly that
+    composition (distributed paths, same semantics)."""
+    words = _bpe_word_table(docs, text_col)
+    head = words.limit(driver_vocab_rows + 1).collect()
+    if len(head) <= driver_vocab_rows:
+        local_words = [(list(r["syms"]), int(r["n"])) for r in head]
+        merges = _bpe_learn_merges_local(local_words, n_merges, min_pair_count)
+        rules = [(a, b) for _, a, b, _ in merges]
+        vocab_rows = []
+        for syms, _n in local_words:
+            s = list(syms)
+            for a, b in rules:
+                s = _bpe_rewrite_local(s, a, b)
+            vocab_rows.append(("".join(syms), s))
+        vocab = docs.sparkSession.createDataFrame(
+            vocab_rows, "_w string, _syms array<string>"
+        )
+        return _bpe_encode_with_vocab(docs, vocab, text_col, id_col, keep_tokens)
+    merges_df = bpe_learn_merges(
+        docs, text_col, n_merges, min_pair_count, driver_vocab_rows
+    )
+    return bpe_encode(docs, merges_df, text_col, id_col, keep_tokens)
 
 
 def stratified_split(

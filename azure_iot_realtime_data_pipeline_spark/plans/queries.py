@@ -3742,8 +3742,9 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled map-side JVM folds (zero Python rows, zero shuffles after
     the vocab-sized training). Plain-python-reference gated."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = corpus.bpe_learn_merges(docs, n_merges=10)
-    return corpus.bpe_encode(docs, merges)
+    # fused train→apply (r14): one shared word-frequency pass; result
+    # identical to bpe_encode(docs, bpe_learn_merges(docs, 10)) — gated
+    return corpus.bpe_train_encode(docs, n_merges=10)
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -998,9 +998,19 @@ def test_bpe_encode_driver_and_distributed_paths_agree(spark, monkeypatch):
         )
 
     fast = rows(corpus.bpe_encode(docs, merges, keep_tokens=True))
+    fused = rows(corpus.bpe_train_encode(docs, n_merges=6, keep_tokens=True))
     monkeypatch.setattr(corpus, "BPE_DRIVER_VOCAB_ROWS", 0)
     dist = rows(corpus.bpe_encode(docs, merges, keep_tokens=True))
+    dist_fused = rows(
+        corpus.bpe_train_encode(
+            docs, n_merges=6, keep_tokens=True, driver_vocab_rows=0
+        )
+    )
     assert fast == dist
+    # the r14 fused train→apply operator equals the composition on both
+    # its driver and its distributed-fallback path
+    assert fused == fast
+    assert dist_fused == fast
     assert any(r[3] < r[2] for r in fast)  # at least one merge applied
 
 
